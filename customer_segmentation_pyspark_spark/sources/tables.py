@@ -1,0 +1,79 @@
+"""Table registry over the fixture star schema + CSV source.
+
+The reference reads one headered CSV with *no* schema (every column lands as
+string and is re-cast before every use — ``codeText.txt:12`` then
+``codeText.txt:130,179-180,...``). This engine instead declares explicit
+schemas at read time: at 100 TB, schema inference is a full extra scan and
+read-then-cast defeats Parquet predicate pushdown on typed columns.
+
+Parquet is the primary format (fixtures per TESTDATA.md); a strict CSV
+reader is kept for parity with the reference's source (SURVEY.md §2.1 S1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast in joins at any scale factor —
+# at 100 TB the facts (orders/lineitem/events/documents) grow; these don't.
+BROADCASTABLE = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Column pruning + predicate pushdown reach the
+    Parquet scan automatically because we return a plain scan node."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # parquet TIMESTAMP(NANOS) arrives as long (see session.py); convert
+        # to Spark's microsecond timestamp. Truncation below 1µs is
+        # irrelevant to every consumer (hour/day grains).
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv_strict(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with a mandatory explicit schema.
+
+    Mirrors the reference's ``spark.read.format("csv").option("header",
+    "true").load(path)`` (codeText.txt:12) but refuses the all-strings
+    read-then-cast pattern: with an explicit schema, Spark parses each
+    column to its final type in one pass and keeps pushdown-eligible types.
+    """
+    return (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("mode", "FAILFAST")
+        .schema(schema)
+        .load(path)
+    )
