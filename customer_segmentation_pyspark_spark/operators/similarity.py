@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per SURVEY.md §7.1 M5 / the north star:
+  * brute-force cosine top-k — the exact baseline: broadcast the (small)
+    query set, score every corpus vector with a codegen'd expression,
+    take top-k per query with a window. Cost is |Q|·|corpus| dot products
+    distributed over executors — correct at any corpus size when |Q| is
+    bounded.
+  * LSH-bucketed ANN (random-hyperplane signs) — the scale path: corpus is
+    hashed once into buckets; queries probe only their bucket, so the join
+    is an equi-join on the signature, linear-ish in corpus size.
+
+No UDFs anywhere: dot products are zip_with+aggregate expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.functions.arrays import (
+    cosine_similarity,
+    dot,
+)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); corpus can be
+    arbitrarily large. Ties broken by neighbor id for determinism.
+    Excludes self-matches (same id).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    planes: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    out_col: str = "lsh_sig",
+) -> DataFrame:
+    """Random-hyperplane LSH signature: bit i = sign(v · plane_i), packed
+    into a long. Planes are driver-supplied (seeded NumPy) literal arrays —
+    constant in the plan, broadcast for free."""
+    v = _as_double(F.col(vec_col))
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(v, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = sig + bit
+    return df.withColumn(out_col, sig.cast("long"))
+
+
+def lsh_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: Sequence[Sequence[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe only the query's LSH bucket, then exact-rescore.
+
+    Recall < 1.0 by construction; at 100 TB this replaces the |Q|·|corpus|
+    scan with an equi-join on the signature (shuffle partitioned by
+    bucket). Verify recall against brute_force_topk on a sample.
+    """
+    csig = hyperplane_signature(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        planes,
+        vec_col="cv",
+    )
+    qsig = hyperplane_signature(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        planes,
+        vec_col="qv",
+    )
+    scored = (
+        csig.join(F.broadcast(qsig), on="lsh_sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(_as_double(F.col("qv")), _as_double(F.col("cv"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators for LLM-data-pipeline workloads.
+
+All hot-path logic is built-in Catalyst expressions (split / regexp / md5 /
+higher-order functions) — no Python UDFs — so token counting or quality
+scoring over 100 TB of documents is a single codegen'd projection with
+column pruning down to ``text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately deterministic and SQL-expressible (the DuckDB
+# oracle mirrors them); swap in fastText/CLD3 via a pandas_udf for quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on 1+ whitespace chars)."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: count of word/number/punct chunks after
+    a BPE-style regex split. Upper-bounds whitespace tokens; a cheap,
+    distributable stand-in for a real tokenizer pass."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring features (length, token stats,
+    punctuation/stopword ratios). One projection, no shuffle."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_calc"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            (F.length(F.regexp_replace(t, r"\s", "")) / n_tok), 4
+        ).alias("avg_token_len"),
+        F.round(
+            F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / F.length(t), 4
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(
+                F.filter(tokens(t), lambda w: w.isin(*LANG_MARKERS["en"]))
+            )
+            / n_tok,
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: score each language by marker-token
+    hits, pick the max (ties -> 'und'). Pure expressions; scales as a
+    projection."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = {
+        lang: _marker_hits(toks, marks) for lang, marks in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # deterministic priority order on ties: first language in dict wins
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        "doc_id",
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized text (lowercased,
+    whitespace collapsed). Deterministic across engines; the exact-dedup
+    key."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(
+        "doc_id", F.md5(F.trim(norm).cast("binary")).alias("fp")
+    )

@@ -1,0 +1,760 @@
+"""Query registry: every implemented operator as a named (Spark, oracle-SQL)
+pair, per the driver contract in ``__spark_entry__.py``.
+
+Each entry maps SURVEY.md §2 inventory rows (and the LLM-pipeline
+extensions) to:
+  * ``fn(spark, sf_dir) -> DataFrame`` — the engine's Spark-first plan;
+  * ``oracle`` — equivalent ANSI SQL DuckDB runs on the same parquet views
+    (``None`` for genuinely non-SQL-expressible ops: iterative K-means,
+    MLlib fits, LSH-with-literal-planes, mapInPandas stubs — those get
+    rows-only checks plus invariant tests in tests/).
+
+Cross-engine determinism rules used throughout:
+  * integer outputs cast to BIGINT on both sides;
+  * float outputs rounded (Spark HALF_UP == DuckDB round-half-away for
+    positives; exact dyadic boundaries agree);
+  * hashes are md5-of-UTF8 (identical hex in both engines);
+  * ties in top-k / row_number broken by an id column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.operators import (
+    dedup,
+    multimodal,
+    preprocess,
+    similarity,
+    textops,
+)
+from customer_segmentation_pyspark_spark.plans import kmeans as km
+from customer_segmentation_pyspark_spark.sources import load_table
+from customer_segmentation_pyspark_spark.streaming import windows as win
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+# Reference exp-3A initial centroids (codeText.txt:418 run; BASELINE.md).
+CENTROIDS_4 = [[9.0, 6.0], [7.0, 1.0], [9.0, 3.0], [16.0, 3.0]]
+
+# DuckDB fragments mirrored by the Spark expressions.
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_DOW = "(isodow(ts) - 1)"  # Mon=0..Sun=6, == operators.preprocess.dow_from_ts
+
+
+def _events_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        preprocess.hour_from_ts(F.col("ts")).cast("long").alias("hour"),
+        preprocess.dow_from_ts(F.col("ts")).cast("long").alias("dow"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core (SURVEY.md §2.2/2.4/2.6 — P*, A*, O*)
+# ---------------------------------------------------------------------------
+
+def q_project_select(spark, sf_dir):
+    """P1/P2: column projection (pruning reaches the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey", "l_quantity")
+
+
+def q_case_when_dow(spark, sf_dir):
+    """P3-P5: withColumn + searched CASE + IN-list (codeText.txt:26-41
+    semantics on the fixture events table)."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = preprocess.dow_from_ts(F.col("ts"))
+    return ev.select(
+        "event_id",
+        dow.cast("long").alias("dow"),
+        preprocess.dow_bucket(dow).cast("long").alias("dow_bucket"),
+        preprocess.weekday_name(dow).alias("weekday"),
+    )
+
+
+def q_json_cast(spark, sf_dir):
+    """P6 + JSON extraction (string->int cast mirrors codeText.txt:130)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def q_filter_isin(spark, sf_dir):
+    """Filter + IN-list predicate; both push to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R") & (F.col("l_quantity") > 25)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def q_groupby_agg(spark, sf_dir):
+    """A1/A2: hash aggregate with partial+final (TPC-H Q1 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("2024-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_dims(spark, sf_dir):
+    """Broadcast dim-dim-fact join: customer x nation x region."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_join_facts(spark, sf_dir):
+    """Fact-fact equi-join (shuffle on orderkey; AQE picks the strategy)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """O2/O3: sort+limit -> TakeOrderedAndProject (no full sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_window_rank(spark, sf_dir):
+    """§2.5 window: top-3 customers by balance per nation."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+def q_distinct_flags(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_set_union(spark, sf_dir):
+    """§2.7 set ops: nations having customers or suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+def q_set_except(spark, sf_dir):
+    """Nations having customers but no suppliers (EXCEPT DISTINCT)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.distinct().subtract(s.distinct())
+
+
+def q_set_intersect(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+def q_rollup_agg(spark, sf_dir):
+    """Grouping-sets surface: ROLLUP over returnflag/linestatus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_count_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Hash-mod sampling: deterministic, engine-portable ~1/16 sample —
+    the scale-safe replacement for the reference's unseeded
+    orderBy(rand()) shuffle (codeText.txt:17, O1)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 1)
+    return o.filter(bucket == "0").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+def q_hist2d_events(spark, sf_dir):
+    """A6: distributed 2-D histogram (hour x value density grid)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        preprocess.hour_from_ts(F.col("ts")).alias("hour"), F.col("value")
+    )
+    return preprocess.histogram2d(pts, "hour", "value", xbin=6.0, ybin=50.0)
+
+
+def q_time_bucket_hourly(spark, sf_dir):
+    """Tumbling event-time window aggregate (batch; streaming-identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    return win.tumbling_agg(ev, "1 hour", by="event_type")
+
+
+def q_sliding_window(spark, sf_dir):
+    """Sliding window (2h window, 1h slide)."""
+    ev = load_table(spark, sf_dir, "events")
+    return win.sliding_agg(ev, "2 hours", "1 hour")
+
+
+# ---------------------------------------------------------------------------
+# distance / clustering primitives (SURVEY.md §2.8, §2.10)
+# ---------------------------------------------------------------------------
+
+def q_centroid_assign(spark, sf_dir):
+    """F1+A4/A5: nearest-centroid assignment as a pure expression (the
+    reference's U1, codeText.txt:61-72, with the same first-min
+    tie-break)."""
+    pts = _events_features(spark, sf_dir)
+    return km.transform(pts, ["hour", "dow"], CENTROIDS_4).select(
+        "event_id", "hour", "dow", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def q_wcss_fixed(spark, sf_dir):
+    """A3/F2: WCSS for fixed centroids, one aggregate."""
+    pts = _events_features(spark, sf_dir)
+    arr = F.array(F.col("hour").cast("double"), F.col("dow").cast("double"))
+    from customer_segmentation_pyspark_spark.functions.arrays import array_lit, sq_dist
+
+    min_sq = F.array_min(
+        F.array(*[sq_dist(arr, array_lit(c)) for c in CENTROIDS_4])
+    )
+    return pts.agg(F.round(F.sum(min_sq), 4).alias("wcss"))
+
+
+def q_kmeans_one_iter(spark, sf_dir):
+    """One Lloyd's iteration (assign + groupBy-avg recenter) — the
+    SQL-checkable core of the K-means loop (A1/A2, codeText.txt:97-103)."""
+    pts = _events_features(spark, sf_dir)
+    assigned = km.transform(pts, ["hour", "dow"], CENTROIDS_4)
+    return assigned.groupBy(
+        F.col("cluster").cast("long").alias("cluster")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("hour"), 6).alias("c0"),
+        F.round(F.avg("dow"), 6).alias("c1"),
+    )
+
+
+def q_kmeans_custom(spark, sf_dir):
+    """Full DataFrame-native Lloyd's loop, fixed init (rows-only check;
+    invariants tested in tests/test_kmeans.py)."""
+    pts = _events_features(spark, sf_dir)
+    res = km.kmeans(
+        pts, ["hour", "dow"], k=4, max_iter=10, initial_centroids=CENTROIDS_4
+    )
+    rows = [
+        (i, round(c[0], 6), round(c[1], 6), res.iterations, res.converged)
+        for i, c in enumerate(res.centroids)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster long, c0 double, c1 double, n_iter long, converged boolean"
+    )
+
+
+def q_kmeans_mllib(spark, sf_dir):
+    """MLlib KMeans(seed=1) path (reference M2-M4, codeText.txt:132-141)."""
+    pts = _events_features(spark, sf_dir)
+    model, _ = km.mllib_kmeans(pts, ["hour", "dow"], k=4, seed=1)
+    rows = [
+        (i, round(float(c[0]), 6), round(float(c[1]), 6))
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cluster long, c0 double, c1 double")
+
+
+def q_elbow_k(spark, sf_dir):
+    """M5: WCSS sweep + second-difference-argmin elbow
+    (codeText.txt:127-162 semantics)."""
+    pts = _events_features(spark, sf_dir)
+    optimal, costs = km.elbow_k(pts, ["hour"], k_range=range(2, 9), seed=1)
+    rows = [
+        (k, round(c, 4), k == optimal)
+        for k, c in zip(range(2, 9), costs)
+    ]
+    return spark.createDataFrame(rows, "k long, wcss double, is_optimal boolean")
+
+
+# ---------------------------------------------------------------------------
+# text analysis (north star)
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return textops.quality_features(d)
+
+
+def q_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return textops.language_id(d)
+
+
+def q_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return textops.fingerprint(d)
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash(16) + LSH(8 bands x 2 rows) candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        d, num_hashes=16, bands=8, rows_per_band=2
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.2 over co-occurring pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, bits=16)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(e, threshold=0.4)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id < 5."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(e, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN via random-hyperplane LSH buckets (rows-only; recall vs brute
+    force asserted in tests/test_similarity.py)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = np.random.RandomState(42).normal(size=(8, 64)).tolist()
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk_cosine(e, q, planes, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (north star; codecs stubbed — see operators/multimodal)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Typed metadata over opaque binary payloads (no decode)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.binary_metadata(
+        multimodal.with_binary_payload(d)
+    ).select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "content_md5")
+
+
+def q_decode_image_stub(spark, sf_dir):
+    """Arrow-batched decode stage (deterministic fake kernel; rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_image_stub(multimodal.with_binary_payload(d))
+
+
+def q_frame_sample(spark, sf_dir):
+    """1->N frame-sampling mapInPandas expansion (rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample_stub(
+        multimodal.with_binary_payload(d)
+    ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect mirrors of the above)
+# ---------------------------------------------------------------------------
+
+def _sql_weekday_case(dow: str) -> str:
+    names = preprocess.WEEKDAY_NAMES
+    whens = " ".join(
+        f"WHEN {dow} = {i} THEN '{name}'" for i, name in enumerate(names)
+    )
+    return f"CASE {whens} ELSE 'None' END"
+
+
+def _sql_argmin4(dists: list[str]) -> str:
+    d0, d1, d2, d3 = dists
+    return (
+        f"CASE WHEN {d0} <= {d1} AND {d0} <= {d2} AND {d0} <= {d3} THEN 0 "
+        f"WHEN {d1} <= {d2} AND {d1} <= {d3} THEN 1 "
+        f"WHEN {d2} <= {d3} THEN 2 ELSE 3 END"
+    )
+
+
+_DISTS = [
+    f"(power(hour(ts) - {c[0]}, 2) + power({_SQL_DOW} - {c[1]}, 2))"
+    for c in CENTROIDS_4
+]
+
+_SQL_SHINGLES = f"""
+docs AS (SELECT doc_id, {_SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM docs),
+shd AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   for i in generate_series(1, len(t) - 2)]) AS shingle
+    FROM toks))
+"""
+
+
+def _sql_minhash(num_hashes: int = 16, bands: int = 8, rpb: int = 2) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SQL_SHINGLES},
+sig AS (SELECT doc_id, {mins} FROM shd GROUP BY doc_id),
+bands AS ({bands_sql})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN ascii(substring(h, {p + 1}, 1)) >= 56 THEN 1 ELSE -1 END) AS s{p}"
+        for p in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN 1 ELSE 0 END) * {2 ** p}" for p in range(bits)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_SQL_NORM} AS nt FROM documents),
+tok AS (SELECT DISTINCT doc_id, tk FROM
+        (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM docs)),
+votes AS (SELECT doc_id, {sums} FROM
+          (SELECT doc_id, md5(tk) AS h FROM tok) GROUP BY doc_id)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+"""
+
+
+_EN = "('the','and','of','to','a')"
+
+
+def _sql_lang_scores() -> tuple[str, str]:
+    score_exprs = []
+    for lang, marks in textops.LANG_MARKERS.items():
+        inlist = ",".join(f"'{m}'" for m in marks)
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({inlist}))) AS BIGINT) AS score_{lang}"
+        )
+    langs = list(textops.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    )
+    return ", ".join(score_exprs), f"CASE {whens} ELSE 'und' END"
+
+
+_LANG_SCORES, _LANG_PRED = _sql_lang_scores()
+
+
+ORACLES: dict[str, str] = {
+    "project_select": "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+    "case_when_dow": f"""
+SELECT event_id,
+       CAST({_SQL_DOW} AS BIGINT) AS dow,
+       CAST(CASE WHEN {_SQL_DOW} IN (0,1) THEN 0
+                 WHEN {_SQL_DOW} IN (2,3,4) THEN 1
+                 ELSE 2 END AS BIGINT) AS dow_bucket,
+       {_sql_weekday_case(_SQL_DOW)} AS weekday
+FROM events""",
+    "json_cast": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events""",
+    "filter_isin": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_returnflag IN ('A','R') AND l_quantity > 25""",
+    "groupby_agg": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '2024-06-01'
+GROUP BY l_returnflag, l_linestatus""",
+    "join_dims": """
+SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
+    "join_facts": """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority""",
+    "topk_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "window_rank": """
+SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(row_number() OVER (PARTITION BY c_nationkey
+              ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+  FROM customer) WHERE rnk <= 3""",
+    "distinct_flags": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "set_union": """
+SELECT DISTINCT nationkey FROM (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+  UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)""",
+    "set_except": """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+EXCEPT
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier""",
+    "set_intersect": """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier""",
+    "rollup_agg": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "count_distinct": """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag""",
+    "deterministic_sample": """
+SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'""",
+    "hist2d_events": """
+SELECT CAST(floor(hour(ts) / 6.0) AS BIGINT) AS x_bin,
+       CAST(floor(value / 50.0) AS BIGINT) AS y_bin,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2""",
+    "time_bucket_hourly": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_start,
+       event_type, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2""",
+    "sliding_window": """
+SELECT CAST(epoch(ws) AS BIGINT) AS bucket_start,
+       CAST(epoch(ws + INTERVAL 2 HOUR) AS BIGINT) AS bucket_end,
+       count(*) AS n_events
+FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS ws FROM events)
+GROUP BY 1, 2""",
+    "centroid_assign": f"""
+SELECT event_id, CAST(hour(ts) AS BIGINT) AS hour,
+       CAST({_SQL_DOW} AS BIGINT) AS dow,
+       CAST({_sql_argmin4(_DISTS)} AS BIGINT) AS cluster
+FROM events""",
+    "wcss_fixed": f"""
+SELECT round(sum(least({", ".join(_DISTS)})), 4) AS wcss FROM events""",
+    "kmeans_one_iter": f"""
+SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n,
+       round(avg(hour), 6) AS c0, round(avg(dow), 6) AS c1
+FROM (SELECT hour(ts) AS hour, {_SQL_DOW} AS dow,
+             {_sql_argmin4(_DISTS)} AS cluster
+      FROM events)
+GROUP BY 1""",
+    "token_counts": """
+SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+FROM documents""",
+    "text_quality": f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+       round(length(regexp_replace(text, '\\s', '', 'g')) /
+             len(string_split_regex(text, '\\s+')), 4) AS avg_token_len,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 /
+             length(text), 4) AS punct_ratio,
+       round(len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x IN {_EN})) * 1.0 /
+             len(string_split_regex(text, '\\s+')), 4) AS stopword_ratio
+FROM documents""",
+    "lang_id": f"""
+SELECT doc_id, {_LANG_SCORES}, {_LANG_PRED} AS pred_lang
+FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents)""",
+    "fingerprint": f"SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents",
+    "dedup_exact": f"""
+SELECT md5({_SQL_NORM}) AS fp, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1""",
+    "minhash_pairs": _sql_minhash(16, 8, 2),
+    "ngram_jaccard": f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shd a JOIN shd b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2""",
+    "simhash": _sql_simhash(16),
+    "embedding_neardup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4""",
+    "cosine_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.qv, c.v), 4) AS cos_sim
+           FROM e c, q WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= 5""",
+    "multimodal_meta": """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents""",
+}
+
+
+REGISTRY: dict[str, QuerySpec] = {
+    # relational core
+    "project_select": QuerySpec(q_project_select, ORACLES["project_select"]),
+    "case_when_dow": QuerySpec(q_case_when_dow, ORACLES["case_when_dow"]),
+    "json_cast": QuerySpec(q_json_cast, ORACLES["json_cast"]),
+    "filter_isin": QuerySpec(q_filter_isin, ORACLES["filter_isin"]),
+    "groupby_agg": QuerySpec(q_groupby_agg, ORACLES["groupby_agg"]),
+    "join_dims": QuerySpec(q_join_dims, ORACLES["join_dims"]),
+    "join_facts": QuerySpec(q_join_facts, ORACLES["join_facts"]),
+    "topk_orders": QuerySpec(q_topk_orders, ORACLES["topk_orders"]),
+    "window_rank": QuerySpec(q_window_rank, ORACLES["window_rank"]),
+    "distinct_flags": QuerySpec(q_distinct_flags, ORACLES["distinct_flags"]),
+    "set_union": QuerySpec(q_set_union, ORACLES["set_union"]),
+    "set_except": QuerySpec(q_set_except, ORACLES["set_except"]),
+    "set_intersect": QuerySpec(q_set_intersect, ORACLES["set_intersect"]),
+    "rollup_agg": QuerySpec(q_rollup_agg, ORACLES["rollup_agg"]),
+    "count_distinct": QuerySpec(q_count_distinct, ORACLES["count_distinct"]),
+    "deterministic_sample": QuerySpec(
+        q_deterministic_sample, ORACLES["deterministic_sample"]
+    ),
+    "hist2d_events": QuerySpec(q_hist2d_events, ORACLES["hist2d_events"]),
+    "time_bucket_hourly": QuerySpec(
+        q_time_bucket_hourly, ORACLES["time_bucket_hourly"]
+    ),
+    "sliding_window": QuerySpec(q_sliding_window, ORACLES["sliding_window"]),
+    # clustering primitives
+    "centroid_assign": QuerySpec(q_centroid_assign, ORACLES["centroid_assign"]),
+    "wcss_fixed": QuerySpec(q_wcss_fixed, ORACLES["wcss_fixed"]),
+    "kmeans_one_iter": QuerySpec(q_kmeans_one_iter, ORACLES["kmeans_one_iter"]),
+    "kmeans_custom": QuerySpec(q_kmeans_custom, None),
+    "kmeans_mllib": QuerySpec(q_kmeans_mllib, None),
+    "elbow_k": QuerySpec(q_elbow_k, None),
+    # text analysis
+    "token_counts": QuerySpec(q_token_counts, ORACLES["token_counts"]),
+    "text_quality": QuerySpec(q_text_quality, ORACLES["text_quality"]),
+    "lang_id": QuerySpec(q_lang_id, ORACLES["lang_id"]),
+    "fingerprint": QuerySpec(q_fingerprint, ORACLES["fingerprint"]),
+    # dedup family
+    "dedup_exact": QuerySpec(q_dedup_exact, ORACLES["dedup_exact"]),
+    "minhash_pairs": QuerySpec(q_minhash_pairs, ORACLES["minhash_pairs"]),
+    "ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLES["ngram_jaccard"]),
+    "simhash": QuerySpec(q_simhash, ORACLES["simhash"]),
+    "embedding_neardup": QuerySpec(
+        q_embedding_neardup, ORACLES["embedding_neardup"]
+    ),
+    # similarity search
+    "cosine_topk": QuerySpec(q_cosine_topk, ORACLES["cosine_topk"]),
+    "ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
+    # multimodal
+    "multimodal_meta": QuerySpec(q_multimodal_meta, ORACLES["multimodal_meta"]),
+    "decode_image_stub": QuerySpec(q_decode_image_stub, None),
+    "frame_sample": QuerySpec(q_frame_sample, None),
+}

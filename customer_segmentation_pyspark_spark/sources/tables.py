@@ -41,6 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet scan automatically because we return a plain scan node."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Set defensively (the caller's session may not come from get_spark()):
+    # fixtures store naive timestamps; extraction (hour/dayofweek) must read
+    # them as-written, which for Spark's UTC-micros internal representation
+    # means a UTC session zone. nanosAsLong lets events.ts (TIMESTAMP NANOS,
+    # which Spark has no type for) load at all.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # parquet TIMESTAMP(NANOS) arrives as long (see session.py); convert

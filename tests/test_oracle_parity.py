@@ -1,0 +1,72 @@
+"""Local mirror of the driver's correctness gate: run every REGISTRY query
+through Spark AND its DuckDB oracle at sf0.01, compare row count, column
+names, and order-insensitive values (floats to 1e-9 after the queries' own
+rounding)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from customer_segmentation_pyspark_spark.queries import REGISTRY
+from tests.conftest import SF_ORACLE
+
+ORACLE_QUERIES = [n for n, s in REGISTRY.items() if s.oracle is not None]
+ROWS_ONLY_QUERIES = [n for n, s in REGISTRY.items() if s.oracle is None]
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, int):
+        return float(v) if False else v
+    return v
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_cell(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(spec.oracle)
+    dcols = rel.columns
+    drows = [tuple(r) for r in rel.fetchall()]
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column names differ spark={scols} duck={dcols}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: row count differs spark={len(srows)} duck={len(drows)}"
+    )
+    s_norm = _normalize(srows, scols)
+    d_norm = _normalize(drows, dcols)
+    mismatches = [
+        (a, b) for a, b in zip(s_norm, d_norm) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
