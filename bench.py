@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced to full materialization with the noop sink (no
+driver-side collect of large results — the measured work is the
+distributed plan, matching how the engine is meant to run at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # relational core
+    "groupby_agg",
+    "join_dims",
+    "join_facts",
+    "topk_orders",
+    "window_rank",
+    "rollup_agg",
+    "hist2d_events",
+    "time_bucket_hourly",
+    "sliding_window",
+    # clustering
+    "centroid_assign",
+    "wcss_fixed",
+    "kmeans_custom",
+    # LLM-pipeline ops
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash",
+    "text_quality",
+    "lang_id",
+    "cosine_topk",
+    "embedding_neardup",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from customer_segmentation_pyspark_spark import get_spark
+    from customer_segmentation_pyspark_spark.queries import REGISTRY
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so query timings measure the plans
+    from customer_segmentation_pyspark_spark.sources import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,22 +70,35 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(
+def hyperplane_signatures(
     df: DataFrame,
     planes: Sequence[Sequence[float]],
-    vec_col: str = "embedding",
-    out_col: str = "lsh_sig",
+    bits_per_table: int,
+    vec_col: str,
 ) -> DataFrame:
-    """Random-hyperplane LSH signature: bit i = sign(v · plane_i), packed
-    into a long. Planes are driver-supplied (seeded NumPy) literal arrays —
-    constant in the plan, broadcast for free."""
+    """Multi-table random-hyperplane LSH: chunk ``planes`` into L tables of
+    ``bits_per_table`` each; emit one row per (input row, table) with the
+    packed bucket signature. Planes are driver-supplied (seeded NumPy)
+    literal arrays — constants in the plan, broadcast for free.
+
+    Multiple small tables beat one big table on recall: candidate set is
+    the UNION over tables, so P(found) = 1-(1-p^b)^L instead of p^(b·L).
+    """
+    assert len(planes) % bits_per_table == 0
     v = _as_double(F.col(vec_col))
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(v, plane) >= 0, F.lit(2**i)).otherwise(F.lit(0))
-        sig = sig + bit
-    return df.withColumn(out_col, sig.cast("long"))
+    tables = []
+    for t in range(len(planes) // bits_per_table):
+        sig = F.lit(0).cast("long")
+        for i in range(bits_per_table):
+            plane = planes[t * bits_per_table + i]
+            parr = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig + F.when(dot(v, parr) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        tables.append(
+            F.struct(F.lit(t).alias("table_id"), sig.cast("long").alias("sig"))
+        )
+    return df.withColumn("lsh", F.explode(F.array(*tables))).select(
+        *df.columns, F.col("lsh.table_id").alias("table_id"), F.col("lsh.sig").alias("sig")
+    )
 
 
 def lsh_topk_cosine(
@@ -93,40 +106,47 @@ def lsh_topk_cosine(
     queries: DataFrame,
     planes: Sequence[Sequence[float]],
     k: int = 5,
+    bits_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: probe only the query's LSH bucket, then exact-rescore.
+    """ANN top-k: probe the query's bucket in each LSH table, union the
+    candidates, exact-rescore, take top-k.
 
-    Recall < 1.0 by construction; at 100 TB this replaces the |Q|·|corpus|
-    scan with an equi-join on the signature (shuffle partitioned by
-    bucket). Verify recall against brute_force_topk on a sample.
+    Recall < 1.0 by construction (tune L = len(planes)/bits_per_table and
+    bits_per_table); at 100 TB this replaces the |Q|·|corpus| scan with an
+    equi-join on (table_id, sig) — shuffle partitioned by bucket, linear in
+    corpus size. Verify recall against brute_force_topk on a sample.
     """
-    csig = hyperplane_signature(
+    csig = hyperplane_signatures(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
         ),
         planes,
+        bits_per_table,
         vec_col="cv",
     )
-    qsig = hyperplane_signature(
+    qsig = hyperplane_signatures(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         ),
         planes,
+        bits_per_table,
         vec_col="qv",
     )
-    scored = (
-        csig.join(F.broadcast(qsig), on="lsh_sig")
+    candidates = (
+        csig.join(F.broadcast(qsig), on=["table_id", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(_as_double(F.col("qv")), _as_double(F.col("cv"))),
-                4,
-            ).alias("cos_sim"),
-        )
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(_as_double(F.col("qv")), _as_double(F.col("cv"))),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

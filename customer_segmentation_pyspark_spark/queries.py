@@ -413,9 +413,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
-    planes = np.random.RandomState(42).normal(size=(8, 64)).tolist()
+    # 12 tables x 4 bits: recall ~0.8 even on weakly-clustered vectors
+    planes = np.random.RandomState(42).normal(size=(48, 64)).tolist()
     q = e.filter(F.col("vec_id") < 5)
-    out = similarity.lsh_topk_cosine(e, q, planes, k=5)
+    out = similarity.lsh_topk_cosine(e, q, planes, k=5, bits_per_table=4)
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     )

@@ -1,0 +1,107 @@
+"""K-means correctness per SURVEY.md §5.2: fixed-init determinism,
+invariants (centroid = mean of assigned points, WCSS non-increasing),
+custom-vs-MLlib agreement (the reference's own oracle, codeText.txt:139),
+and preserved reference semantics (tie-break, convergence, empty-cluster
+shrink)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.operators.preprocess import (
+    dow_from_ts,
+    hour_from_ts,
+)
+from customer_segmentation_pyspark_spark.plans import kmeans as km
+from customer_segmentation_pyspark_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+INIT4 = [[9.0, 6.0], [7.0, 1.0], [9.0, 3.0], [16.0, 3.0]]
+
+
+@pytest.fixture(scope="module")
+def feat(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    df = ev.select(
+        hour_from_ts(F.col("ts")).alias("hour"),
+        dow_from_ts(F.col("ts")).alias("dow"),
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_fixed_init_deterministic(feat):
+    r1 = km.kmeans(feat, ["hour", "dow"], k=4, initial_centroids=INIT4)
+    r2 = km.kmeans(feat, ["hour", "dow"], k=4, initial_centroids=INIT4)
+    assert r1.centroids == r2.centroids
+    assert r1.iterations == r2.iterations
+
+
+def test_centroid_is_mean_of_assigned_points(feat):
+    res = km.kmeans(feat, ["hour", "dow"], k=4, initial_centroids=INIT4)
+    assigned = km.transform(feat, ["hour", "dow"], res.centroids)
+    means = {
+        r["cluster"]: (r["mh"], r["md"])
+        for r in assigned.groupBy("cluster")
+        .agg(F.avg("hour").alias("mh"), F.avg("dow").alias("md"))
+        .collect()
+    }
+    for i, c in enumerate(res.centroids):
+        mh, md = means[i]
+        # converged => recomputing means reproduces the centroids
+        assert abs(mh - c[0]) < 1e-9 and abs(md - c[1]) < 1e-9
+
+
+def test_wcss_non_increasing_over_iterations(feat):
+    res = km.kmeans(feat, ["hour", "dow"], k=4, initial_centroids=INIT4)
+    costs = [km.wcss(feat, ["hour", "dow"], cents) for cents in res.history]
+    for earlier, later in zip(costs, costs[1:]):
+        assert later <= earlier + 1e-6
+
+
+def test_custom_close_to_mllib(feat):
+    """The reference's implicit oracle: its custom engine and MLlib agree
+    (report1.docx §Implementation). WCSS of the converged custom run must
+    be within 15% of MLlib's trainingCost (different inits -> different
+    local optima, but same ballpark)."""
+    res = km.kmeans(feat, ["hour", "dow"], k=4, initial_centroids=INIT4)
+    custom_cost = km.wcss(feat, ["hour", "dow"], res.centroids)
+    model, _ = km.mllib_kmeans(feat, ["hour", "dow"], k=4, seed=1)
+    assert custom_cost <= model.summary.trainingCost * 1.15
+
+
+def test_argmin_tie_break_first_wins(spark):
+    """Equidistant point -> lowest-index centroid (codeText.txt:69)."""
+    df = spark.createDataFrame([(5.0, 0.0)], "x double, y double")
+    out = km.transform(df, ["x", "y"], [[4.0, 0.0], [6.0, 0.0]]).collect()
+    assert out[0]["cluster"] == 0
+
+
+def test_empty_cluster_shrinks_k(spark):
+    """A centroid that captures no points disappears (reduceByKey
+    semantics, codeText.txt:100)."""
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0)], "x double, y double"
+    )
+    res = km.kmeans(
+        df, ["x", "y"], k=3,
+        initial_centroids=[[0.0, 0.0], [1.0, 0.0], [99.0, 99.0]],
+        max_iter=5,
+    )
+    assert len(res.centroids) == 2
+
+
+def test_convergence_exact_equality(feat):
+    res = km.kmeans(feat, ["hour", "dow"], k=4, initial_centroids=INIT4)
+    assert res.converged
+    assert res.history[-1] == res.history[-2]
+
+
+def test_elbow_runs_and_costs_decrease(feat):
+    optimal, costs = km.elbow_k(feat, ["hour"], k_range=range(2, 6), seed=1)
+    assert 2 <= optimal <= 5
+    assert costs == sorted(costs, reverse=True) or all(
+        costs[i] >= costs[i + 1] - 1e-6 for i in range(len(costs) - 1)
+    )

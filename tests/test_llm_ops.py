@@ -1,0 +1,135 @@
+"""LLM-pipeline operator semantics: dedup finds the known near-dups, ANN
+recall vs brute force, multimodal stub plumbing shapes, streaming windows
+match their batch oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from customer_segmentation_pyspark_spark.sources import load_table
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_ORACLE, "embeddings")
+
+
+def test_exact_dedup_identity_on_unique_corpus(docs):
+    out = dedup.exact_dedup(docs)
+    n_docs = docs.count()
+    assert out.count() == n_docs or out.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+
+
+def test_minhash_finds_high_jaccard_pairs(docs):
+    """Every pair with exact 3-gram Jaccard >= 0.9 must be an LSH candidate
+    (16 hashes, 8 bands x 2 rows: P(miss) = (1-j^2)^8 < 1e-5 at j=0.9)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact, "fixture should contain near-duplicate docs"
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, num_hashes=16, bands=8, rows_per_band=2
+        ).collect()
+    }
+    missed = exact - lsh
+    assert not missed, f"LSH missed near-exact dup pairs: {missed}"
+
+
+def test_simhash_similar_docs_close_hamming(docs):
+    """Near-dup pairs (Jaccard >= 0.9) should have small SimHash Hamming
+    distance; random pairs should average ~bits/2."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
+    fps = dedup.simhash(docs, bits=16)
+    joined = (
+        pairs.join(fps.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("simhash", "sh_a")
+        .join(
+            fps.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "simhash", "sh_b"
+            ),
+            "doc_b",
+        )
+        .select(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("ham"))
+        .collect()
+    )
+    assert joined
+    avg_ham = sum(r["ham"] for r in joined) / len(joined)
+    assert avg_ham <= 4, f"near-dups should be close in simhash, got {avg_ham}"
+
+
+def test_ann_lsh_recall_vs_brute_force(emb):
+    """Multi-table ANN recall@5 against the exact baseline on 20 queries.
+    The fixture embeddings are weakly clustered (top-5 cosine ~0.3-0.4),
+    the hard case for hyperplane LSH: 12 tables x 4 bits gives
+    P(candidate) = 1-(1-p^4)^12 ~ 0.5-0.8 per true neighbor. Also check
+    every returned similarity matches the exact computation."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    planes = np.random.RandomState(7).normal(size=(48, 64)).tolist()
+    approx = similarity.lsh_topk_cosine(
+        emb, q, planes, k=5, bits_per_table=4
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"ANN recall too low: {recall}"
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(r["cos_sim"] - exact_sims[key]) < 1e-6
+
+
+def test_multimodal_decode_stub_schema_and_determinism(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    payload = multimodal.with_binary_payload(docs)
+    out1 = multimodal.decode_image_stub(payload)
+    assert [f.name for f in out1.schema.fields] == [
+        "doc_id", "n_bytes", "width", "height", "channels", "mean_intensity",
+    ]
+    rows1 = sorted(out1.collect(), key=lambda r: r["doc_id"])
+    rows2 = sorted(
+        multimodal.decode_image_stub(payload).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows1 == rows2
+    assert all(r["n_bytes"] > 0 for r in rows1)
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG")
+
+
+def test_frame_sample_fanout(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    payload = multimodal.with_binary_payload(docs)
+    frames = multimodal.frame_sample_stub(payload, every_n_bytes=64)
+    per_doc = (
+        frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    src = {
+        r["doc_id"]: r["nb"]
+        for r in payload.select(
+            "doc_id", F.length("payload").alias("nb")
+        ).collect()
+    }
+    for r in per_doc:
+        expected = -(-src[r["doc_id"]] // 64)  # ceil div
+        assert r["n"] == expected

@@ -1,0 +1,129 @@
+"""Physical-plan audits: the 100-TB design assertions, checked on every
+run. A query that silently loses predicate pushdown, column pruning, its
+broadcast join, or its top-k rewrite fails CI — not just a code-review
+comment."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from customer_segmentation_pyspark_spark.queries import REGISTRY
+from tests.conftest import SF_ORACLE
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_projection_prunes_scan(spark):
+    df = REGISTRY["project_select"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "ReadSchema" in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    # untouched wide columns must NOT be read
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = REGISTRY["groupby_agg"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "PushedFilters" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed
+
+
+def test_isin_pushdown(spark):
+    df = REGISTRY["filter_isin"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "In(l_returnflag" in pushed and "GreaterThan(l_quantity" in pushed
+
+
+def test_dim_join_broadcasts(spark):
+    df = REGISTRY["join_dims"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_uses_take_ordered(spark):
+    """sort+limit must become TakeOrderedAndProject (no global sort)."""
+    df = REGISTRY["topk_orders"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_centroid_assign_has_no_shuffle(spark):
+    """Assignment is a pure projection — zero exchanges, whole-stage
+    codegen ('*(n)' spans in simple mode)."""
+    df = REGISTRY["centroid_assign"].fn(spark, SF_ORACLE)
+    p = plan(df, mode="simple")
+    assert "Exchange" not in p
+    assert "*(" in p  # WholeStageCodegen span
+
+
+def test_kmeans_iteration_single_shuffle(spark):
+    """One Lloyd's iteration = exactly one exchange (the k-row hash agg).
+    The reference's RDD version shuffles AND re-reads its source every
+    iteration (codeText.txt:81-103)."""
+    df = REGISTRY["kmeans_one_iter"].fn(spark, SF_ORACLE)
+    p = plan(df, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_groupby_agg_partial_final(spark):
+    """Hash aggregation must be partial+final (map-side combine)."""
+    df = REGISTRY["groupby_agg"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_no_python_udfs_in_oracle_queries(spark):
+    """Every oracle-checked query stays JVM-side: no BatchEvalPython /
+    ArrowEvalPython stages (Python only appears in the sanctioned
+    mapInPandas multimodal stubs, which are rows-only)."""
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        p = plan(spec.fn(spark, SF_ORACLE), mode="simple")
+        assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time UDF"
+        assert "ArrowEvalPython" not in p, f"{name} uses a Python UDF"
+
+
+def test_pandas_escape_hatch_matches_expression(spark):
+    """The sanctioned pandas_udf fallbacks must agree with the primary
+    expression implementations."""
+    from pyspark.sql import functions as F
+
+    from customer_segmentation_pyspark_spark.functions import pandas_fns
+    from customer_segmentation_pyspark_spark.functions.arrays import (
+        cosine_similarity,
+        euclidean,
+    )
+    from customer_segmentation_pyspark_spark.sources import load_table
+
+    e = load_table(spark, SF_ORACLE, "embeddings").limit(50)
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            F.transform("a.embedding", lambda x: x.cast("double")).alias("va"),
+            F.transform("b.embedding", lambda x: x.cast("double")).alias("vb"),
+        )
+    )
+    rows = pairs.select(
+        euclidean(F.col("va"), F.col("vb")).alias("d_expr"),
+        pandas_fns.euclidean_pandas("va", "vb").alias("d_pd"),
+        cosine_similarity(F.col("va"), F.col("vb")).alias("c_expr"),
+        pandas_fns.cosine_pandas("va", "vb").alias("c_pd"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["d_expr"] - r["d_pd"]) < 1e-9
+        assert abs(r["c_expr"] - r["c_pd"]) < 1e-9

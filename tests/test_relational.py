@@ -1,0 +1,79 @@
+"""Unit tests for the relational/preprocessing operators not fully covered
+by the oracle-parity gate: CSV strict reads, seeded sampling determinism,
+row indexing, rename, histogram totals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from customer_segmentation_pyspark_spark.operators import preprocess
+from customer_segmentation_pyspark_spark.sources import load_table, read_csv_strict
+from tests.conftest import SF_SMOKE
+
+
+def test_read_csv_strict_types(spark, tmp_path):
+    """S1: headered CSV + explicit schema -> typed columns in one pass (the
+    reference reads everything as string and re-casts per use,
+    codeText.txt:12,130)."""
+    p = tmp_path / "orders.csv"
+    p.write_text("order_id,order_dow,order_hour_of_day\n1,0,9\n2,5,16\n")
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.IntegerType()),
+            T.StructField("order_dow", T.IntegerType()),
+            T.StructField("order_hour_of_day", T.IntegerType()),
+        ]
+    )
+    df = read_csv_strict(spark, str(p), schema)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["int"] * 3
+    assert df.count() == 2
+
+
+def test_shuffled_sample_seeded_deterministic(spark):
+    """O1/O2: seeded orderBy(rand()).limit(k) is reproducible (the
+    reference's unseeded version is not, codeText.txt:53-56)."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    s1 = [r["event_id"] for r in preprocess.shuffled_sample(ev, 5, seed=7).collect()]
+    s2 = [r["event_id"] for r in preprocess.shuffled_sample(ev, 5, seed=7).collect()]
+    assert s1 == s2 and len(s1) == 5
+
+
+def test_with_row_index_unique_and_stable(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    idx = preprocess.with_row_index(ev)
+    n = idx.count()
+    assert idx.select("row_id").distinct().count() == n
+
+
+def test_histogram2d_counts_total(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    pts = ev.select(
+        preprocess.hour_from_ts(F.col("ts")).alias("hour"), F.col("value")
+    )
+    hist = preprocess.histogram2d(pts, "hour", "value", xbin=6.0, ybin=50.0)
+    assert hist.agg(F.sum("cnt")).collect()[0][0] == ev.count()
+
+
+def test_dow_bucket_semantics(spark):
+    """codeText.txt:26-29: {0,1}->0, {2,3,4}->1, else->2."""
+    df = spark.createDataFrame([(d,) for d in range(7)], "dow int")
+    got = {
+        r["dow"]: r["b"]
+        for r in df.select(
+            "dow", preprocess.dow_bucket(F.col("dow")).alias("b")
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 2, 6: 2}
+
+
+def test_weekday_name_semantics(spark):
+    """codeText.txt:32-41: 0->Monday .. 6->Sunday, else 'None'."""
+    df = spark.createDataFrame([(d,) for d in range(8)], "dow int")
+    got = {
+        r["dow"]: r["w"]
+        for r in df.select(
+            "dow", preprocess.weekday_name(F.col("dow")).alias("w")
+        ).collect()
+    }
+    assert got[0] == "Monday" and got[6] == "Sunday" and got[7] == "None"
