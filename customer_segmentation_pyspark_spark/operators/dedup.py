@@ -18,11 +18,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from customer_segmentation_pyspark_spark.functions.arrays import cosine_similarity
-
 
 def normalized(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure a compute-bound expansion stage (shingle/hash explosion) has
+    cluster-wide parallelism. A small parquet input arrives as 1-2
+    partitions (one file < maxPartitionBytes), which would pin the md5/
+    shingle work to one core; the tiny up-front shuffle is repaid ~Nx.
+    At 100 TB inputs already have thousands of partitions and this is a
+    no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -46,6 +57,7 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     multiplies rows ~tokens-per-doc times; downstream aggregates are
     map-side combinable so the shuffle carries (doc, shingle-hash) only.
     """
+    df = _spread(df)
     toks = F.split(normalized(F.col(text_col)), " ")
     # guard: Spark sequence(0, negative) counts DOWN; short docs get no shingles
     idx = F.when(
@@ -62,23 +74,51 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 16
-) -> DataFrame:
-    """MinHash signature per doc: for hash function i, min over shingles of
-    md5(i || ':' || shingle). md5-as-permutation with integer salts keeps
-    it deterministic and portable (SQL oracle uses the same expression).
+# MinHash permutation family: perm_i(h) = (A[i]*h + B[i]) mod P over a
+# 31-bit base hash (products stay < 2^62: no int64 overflow in either
+# engine). Constants are arbitrary odd/prime-ish values, mirrored verbatim
+# in the SQL oracle (queries.py).
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_A = [
+    1103515245, 1299709, 784923521, 179426549, 362437, 1000000007,
+    999999937, 87178291199 % MINHASH_P, 22801763489 % MINHASH_P, 53687091,
+    92233720, 715827883, 268435399, 100663319, 402653189, 201326611,
+]
+MINHASH_B = [
+    12345, 514229, 39916801, 433494437, 2971215073 % MINHASH_P, 97,
+    1299721, 15485863, 32452843, 49979687, 67867967, 86028121,
+    104395301, 122949823, 141650939, 160481183,
+]
 
-    Returns (doc_id, sig array<string> of length num_hashes) via one
-    grouped aggregate (min is map-side combinable).
+
+def shingle_base_hash(shingle: Column) -> Column:
+    """60-bit integer hash of a shingle: first 15 hex chars of md5, reduced
+    mod 2^31-1. Engine-portable: DuckDB computes the identical value via
+    CAST('0x'||substring(md5(s),1,15) AS BIGINT)."""
+    return (
+        F.conv(F.substring(F.md5(shingle.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_P
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: one md5 per shingle, then ``num_hashes``
+    cheap integer permutations; min per permutation is one map-side
+    combinable grouped aggregate.
+
+    Returns (doc_id, sig array<long> of length num_hashes).
     """
+    assert num_hashes <= len(MINHASH_A)
+    h = shingle_base_hash(F.col("shingle"))
+    hashed = sh.select("doc_id", h.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
             f"h{i}"
         )
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = hashed.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id",
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
@@ -86,45 +126,54 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 4, rows_per_band: int = 4
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
     """Band the signature and equi-join on (band_id, band_hash).
 
     Docs agreeing on all ``rows_per_band`` min-hashes within any band become
     a candidate pair. The join is a plain shuffle-hash/sort-merge equi-join
     on the band key — linear candidate generation, no cross product.
+    Band hash packs the (31-bit) row values into one long (rows_per_band
+    <= 2 keeps the packing overflow-free in int64).
     """
+    assert rows_per_band <= 2, "int64 band packing supports rows_per_band <= 2"
     band_rows = []
     for b in range(bands):
         lo = b * rows_per_band
+        packed = F.col("sig").getItem(lo)
+        for r in range(1, rows_per_band):
+            packed = packed * MINHASH_P + F.col("sig").getItem(lo + r)
         band_rows.append(
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[F.col("sig").getItem(lo + r) for r in range(rows_per_band)],
-                    ).cast("binary")
-                ).alias("band_hash"),
+                packed.cast("long").alias("band_hash"),
             )
         )
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Single-pass bucket-pair expansion instead of a self-join: a self-join
+    # would recompute the whole shingle->signature pipeline for both sides.
+    # One shuffle groups co-bucketed docs; pairs expand in-bucket via
+    # indexed array transforms (buckets are small by LSH construction; at
+    # scale add a bucket-size cap to bound the worst case).
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -134,8 +183,8 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
-    rows_per_band: int = 4,
+    bands: int = 8,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band ->
     candidate pairs."""
@@ -206,6 +255,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     deterministic and mirrored exactly by the SQL oracle.
     """
     assert bits <= 32
+    df = _spread(df)
     toks = F.explode(
         F.array_distinct(F.split(normalized(F.col(text_col)), " "))
     ).alias("tok")
@@ -240,28 +290,75 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     subset: Column | None = None,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above ``threshold``.
+    """Embedding-cosine near-duplicate pairs above ``threshold`` — exact,
+    via blocked matrix product.
 
-    All-pairs on an (optionally subset) input — the exact baseline. For the
-    scale path use similarity.lsh_topk_cosine (bucketed) instead; this
-    operator exists as the verifier LSH candidates feed into.
+    Physical shape: normalize once, broadcast the full normalized matrix
+    (one side of the self-join), stream the other side through executors in
+    Arrow batches, and compute each batch's similarities as ONE numpy GEMM
+    (batch x corpus^T). Emits only (id_a < id_b, sim >= threshold) pairs.
+
+    This replaces the naive crossJoin + per-pair expression (which
+    evaluates interpreted higher-order-function lambdas per element — ~10x
+    slower than Arrow+BLAS at 4M pairs) and is the standard all-pairs
+    design up to a broadcast side of ~max_broadcast_rows x dim doubles.
+    Beyond that, tile the broadcast side into column blocks and union the
+    per-block outputs (same kernel per tile); LSH prefiltering
+    (minhash/hyperplane) is the sub-quadratic path.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     v = emb.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     if subset is not None:
         v = v.filter(subset)
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 4).alias(
-                "cos_sim"
-            ),
+
+    n = v.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"{n} rows exceed max_broadcast_rows={max_broadcast_rows}; "
+            "tile the broadcast side or prefilter with LSH"
         )
-        .filter(F.col("cos_sim") >= threshold)
+    pdf = v.toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat_n = mat / norms[:, None]
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat_n))
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
+
+    def score(batches):
+        all_ids, corpus = bc.value
+        for b in batches:
+            bids = b["id"].to_numpy()
+            bm = np.stack(b["v"].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(bm, axis=1)
+            bn[bn == 0] = 1.0
+            sims = np.round((bm / bn[:, None]) @ corpus.T, 4)
+            # id_a < id_b keeps each unordered pair exactly once
+            mask = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[ii],
+                    "id_b": all_ids[jj],
+                    "cos_sim": sims[ii, jj],
+                }
+            )
+
+    return v.mapInPandas(score, schema=schema)

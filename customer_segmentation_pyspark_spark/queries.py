@@ -487,19 +487,34 @@ shd AS (
 
 
 def _sql_minhash(num_hashes: int = 16, bands: int = 8, rpb: int = 2) -> str:
+    """Mirror of operators.dedup minhash: one md5-derived 31-bit base hash
+    per shingle, then (A*h+B) mod P permutations, min per doc, band-packed
+    equi-join."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
     mins = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(num_hashes)
     )
     band_selects = []
     for b in range(bands):
-        cols = " || ',' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        packed = f"h{b * rpb}"
+        for r in range(1, rpb):
+            packed = f"({packed}) * {MINHASH_P} + h{b * rpb + r}"
         band_selects.append(
-            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+            f"SELECT doc_id, {b} AS band_id, CAST({packed} AS BIGINT) AS band_hash FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
 WITH {_SQL_SHINGLES},
-sig AS (SELECT doc_id, {mins} FROM shd GROUP BY doc_id),
+hashed AS (SELECT doc_id,
+    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM shd),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 bands AS ({bands_sql})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
