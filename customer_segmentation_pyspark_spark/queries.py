@@ -261,6 +261,74 @@ def q_sliding_window(spark, sf_dir):
     return win.sliding_agg(ev, "2 hours", "1 hour")
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact percentile aggregate (continuous interpolation) per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+    )
+
+
+def q_orders_by_month(spark, sf_dir):
+    """Date-grain rollup: year/month extraction + aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_join_anti(spark, sf_dir):
+    """Left-anti join: customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_semi(spark, sf_dir):
+    """Left-semi join: customers having at least one order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_pivot_event_dow(spark, sf_dir):
+    """Pivot: event counts by type x day-of-week (fixed pivot domain)."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = preprocess.dow_from_ts(F.col("ts"))
+    return (
+        ev.select("event_type", dow.alias("dow"))
+        .groupBy("event_type")
+        .pivot("dow", list(range(7)))
+        .count()
+        .select(
+            "event_type",
+            *[
+                F.coalesce(F.col(str(d)), F.lit(0)).alias(f"dow_{d}")
+                for d in range(7)
+            ],
+        )
+    )
+
+
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessions (30 min) per user: lag -> flag -> running-sum
+    session ids -> per-session stats. One shuffle; both window passes share
+    the (user_id, ts) sort."""
+    from customer_segmentation_pyspark_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # distance / clustering primitives (SURVEY.md §2.8, §2.10)
 # ---------------------------------------------------------------------------
@@ -647,6 +715,48 @@ SELECT CAST(epoch(ws) AS BIGINT) AS bucket_start,
 FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
                      date_trunc('hour', ts)]) AS ws FROM events)
 GROUP BY 1, 2""",
+    "percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type""",
+    "orders_by_month": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2""",
+    "join_anti": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "join_semi": """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "pivot_event_dow": f"""
+SELECT event_type,
+       {", ".join(f"count(*) FILTER (WHERE {_SQL_DOW} = {d}) AS dow_{d}" for d in range(7))}
+FROM events GROUP BY event_type""",
+    "sessionization": """
+WITH ordered AS (
+  SELECT user_id, event_id, value, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered),
+sessions AS (
+  SELECT user_id, value, sec,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       max(sec) - min(sec) AS duration_sec,
+       round(sum(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, session_id""",
     "centroid_assign": f"""
 SELECT event_id, CAST(hour(ts) AS BIGINT) AS hour,
        CAST({_SQL_DOW} AS BIGINT) AS dow,
@@ -746,6 +856,12 @@ REGISTRY: dict[str, QuerySpec] = {
         q_time_bucket_hourly, ORACLES["time_bucket_hourly"]
     ),
     "sliding_window": QuerySpec(q_sliding_window, ORACLES["sliding_window"]),
+    "percentiles": QuerySpec(q_percentiles, ORACLES["percentiles"]),
+    "orders_by_month": QuerySpec(q_orders_by_month, ORACLES["orders_by_month"]),
+    "join_anti": QuerySpec(q_join_anti, ORACLES["join_anti"]),
+    "join_semi": QuerySpec(q_join_semi, ORACLES["join_semi"]),
+    "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
+    "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     # clustering primitives
     "centroid_assign": QuerySpec(q_centroid_assign, ORACLES["centroid_assign"]),
     "wcss_fixed": QuerySpec(q_wcss_fixed, ORACLES["wcss_fixed"]),
