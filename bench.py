@@ -23,12 +23,16 @@ HEADLINE = [
     "groupby_agg",
     "join_dims",
     "join_facts",
+    "join_anti",
     "topk_orders",
     "window_rank",
     "rollup_agg",
+    "percentiles",
+    "pivot_event_dow",
     "hist2d_events",
     "time_bucket_hourly",
     "sliding_window",
+    "sessionization",
     # clustering
     "centroid_assign",
     "wcss_fixed",

@@ -1,0 +1,112 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The batch twin (operators/sessions.py) is the oracle: on a bounded replay
+the streaming result must match it exactly. State per user is O(1) — the
+open session's (id, last_sec, start_sec, n, sum) — so state store size is
+bounded by the user cardinality regardless of stream length; closed
+sessions are emitted and forgotten.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_sec", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("last_sec", T.LongType()),
+        T.StructField("start_sec", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _make_session_fn(gap_sec: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        events = pd.concat(list(pdfs))
+        if events.empty:
+            return
+        events = events.sort_values(["sec", "event_id"])
+
+        if state.exists:
+            session_id, last_sec, start_sec, n, total = state.get
+        else:
+            session_id, last_sec, start_sec, n, total = 0, None, None, 0, 0.0
+
+        out = []
+        for sec, value in zip(events["sec"], events["value"]):
+            sec = int(sec)
+            if last_sec is None or sec - last_sec > gap_sec:
+                if n > 0:  # close the previous session
+                    out.append(
+                        (user_id, session_id, n, last_sec - start_sec, total, True)
+                    )
+                session_id += 1
+                start_sec, n, total = sec, 0, 0.0
+            n += 1
+            total += float(value)
+            last_sec = sec
+        # the still-open session: emitted every batch with current stats
+        out.append((user_id, session_id, n, last_sec - start_sec, total, False))
+        state.update((session_id, last_sec, start_sec, n, total))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_id", "n_events", "duration_sec",
+                "sum_value", "closed",
+            ],
+        )
+
+    return fn
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """File-source stream -> per-user O(1)-state sessionization.
+
+    Returns the streaming DataFrame (attach writeStream downstream). Each
+    micro-batch emits sessions closed in that batch (``closed=true``) and
+    the current open session per active user (``closed=false``, latest
+    values win under update-mode sinks).
+    """
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).format("parquet").load(source_dir)
+    prepared = stream.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_minutes * 60),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
