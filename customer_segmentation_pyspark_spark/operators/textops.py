@@ -32,15 +32,11 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish token estimate: count of word/number/punct chunks after
-    a BPE-style regex split. Upper-bounds whitespace tokens; a cheap,
-    distributable stand-in for a real tokenizer pass."""
-    return F.size(
-        F.filter(
-            F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-            lambda t: (t != "") & (t != " "),
-        )
-    )
+    """Sub-word-ish token estimate: alphanumeric runs + individual
+    punctuation marks (the chunks a BPE pre-tokenizer would split on).
+    RE2-compatible pattern (no lookaround) so the DuckDB oracle computes
+    the identical count; upper-bounds whitespace tokens."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

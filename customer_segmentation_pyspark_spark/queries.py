@@ -385,6 +385,34 @@ def q_kmeans_custom(spark, sf_dir):
     )
 
 
+def q_kmeans_custom_k5(spark, sf_dir):
+    """Second experiment shape from the reference (exp-2B,
+    codeText.txt:642,783): K=5, (dow, department) features, max_iter=20,
+    duplicate initial centroids included — the duplicate gets no points
+    under first-min tie-break and drops out (empty-cluster shrink),
+    faithfully reproducing the reference's semantics. Department analogue:
+    events.props k mod 21 (FIXTURES.md §C)."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        preprocess.dow_from_ts(F.col("ts")).cast("long").alias("dow"),
+        (F.get_json_object("props", "$.k").cast("long") % 21).alias("dept"),
+    )
+    res = km.kmeans(
+        feat,
+        ["dow", "dept"],
+        k=5,
+        max_iter=20,
+        initial_centroids=[[6, 4], [5, 16], [6, 4], [6, 7], [0, 19]],
+    )
+    rows = [
+        (i, round(c[0], 6), round(c[1], 6), res.iterations, res.converged)
+        for i, c in enumerate(res.centroids)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster long, c0 double, c1 double, n_iter long, converged boolean"
+    )
+
+
 def q_kmeans_mllib(spark, sf_dir):
     """MLlib KMeans(seed=1) path (reference M2-M4, codeText.txt:132-141)."""
     pts = _events_features(spark, sf_dir)
@@ -417,6 +445,9 @@ def q_token_counts(spark, sf_dir):
     return d.select(
         "doc_id",
         textops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        textops.bpe_ish_token_count(F.col("text"))
+        .cast("long")
+        .alias("bpe_tokens"),
     )
 
 
@@ -772,7 +803,10 @@ FROM (SELECT hour(ts) AS hour, {_SQL_DOW} AS dow,
       FROM events)
 GROUP BY 1""",
     "token_counts": """
-SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS bpe_tokens
 FROM documents""",
     "text_quality": f"""
 SELECT doc_id,
@@ -867,6 +901,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "wcss_fixed": QuerySpec(q_wcss_fixed, ORACLES["wcss_fixed"]),
     "kmeans_one_iter": QuerySpec(q_kmeans_one_iter, ORACLES["kmeans_one_iter"]),
     "kmeans_custom": QuerySpec(q_kmeans_custom, None),
+    "kmeans_custom_k5": QuerySpec(q_kmeans_custom_k5, None),
     "kmeans_mllib": QuerySpec(q_kmeans_mllib, None),
     "elbow_k": QuerySpec(q_elbow_k, None),
     # text analysis
