@@ -107,7 +107,7 @@ def q_groupby_agg(spark, sf_dir):
     """A1/A2: hash aggregate with partial+final (TPC-H Q1 shape)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") >= F.lit("2024-06-01").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -192,12 +192,17 @@ def q_set_union(spark, sf_dir):
 
 
 def q_set_except(spark, sf_dir):
-    """Nations having customers but no suppliers (EXCEPT DISTINCT)."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").cast("long").alias("nationkey")
+    """EXCEPT DISTINCT: nations with negative-balance customers but no
+    negative-balance suppliers."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_nationkey").cast("long").alias("nationkey"))
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").cast("long").alias("nationkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").cast("long").alias("nationkey"))
     )
     return c.distinct().subtract(s.distinct())
 
@@ -283,9 +288,11 @@ def q_orders_by_month(spark, sf_dir):
 
 
 def q_join_anti(spark, sf_dir):
-    """Left-anti join: customers with no orders."""
+    """Left-anti join: customers with no large (>300k) order."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -683,7 +690,7 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
-FROM lineitem WHERE l_shipdate >= TIMESTAMP '2024-06-01'
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus""",
     "join_dims": """
 SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
@@ -711,9 +718,9 @@ SELECT DISTINCT nationkey FROM (
   SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
   UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)""",
     "set_except": """
-SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer WHERE c_acctbal < 0
 EXCEPT
-SELECT CAST(s_nationkey AS BIGINT) FROM supplier""",
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier WHERE s_acctbal < 0""",
     "set_intersect": """
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
 INTERSECT
@@ -758,7 +765,8 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
 FROM orders GROUP BY 1, 2""",
     "join_anti": """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
     "join_semi": """
 SELECT c_custkey, c_name FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",

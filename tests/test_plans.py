@@ -34,7 +34,7 @@ def test_filter_pushdown_reaches_scan(spark):
     p = plan(df)
     assert "PushedFilters" in p
     pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
-    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed
+    assert "l_shipdate" in pushed and "LessThanOrEqual" in pushed
 
 
 def test_isin_pushdown(spark):
