@@ -266,6 +266,59 @@ def q_sliding_window(spark, sf_dir):
     return win.sliding_agg(ev, "2 hours", "1 hour")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time (operators/asof.py; DuckDB oracle uses its native
+    ASOF JOIN). Right side pre-deduped to unique (custkey, orderdate) via
+    max_by for deterministic output."""
+    from customer_segmentation_pyspark_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    out = asof_join(
+        ev,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        how="inner",
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+def q_range_join_bands(spark, sf_dir):
+    """Range (interval-containment) join: events joined to value bands.
+    Spark-first strategy for small interval sets: broadcast the bands and
+    let the non-equi predicate run as a BroadcastNestedLoopJoin — each
+    event probes k intervals in-task, no shuffle of the fact side."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(i, 50.0 * i, 50.0 * (i + 1)) for i in range(4)]
+        + [(4, 200.0, float(1 << 40))],
+        "band_id long, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 def q_percentiles(spark, sf_dir):
     """Exact percentile aggregate (continuous interpolation) per group."""
     ev = load_table(spark, sf_dir, "events")
@@ -753,6 +806,23 @@ SELECT CAST(epoch(ws) AS BIGINT) AS bucket_start,
 FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
                      date_trunc('hour', ts)]) AS ws FROM events)
 GROUP BY 1, 2""",
+    "asof_join": """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+    "range_join_bands": """
+WITH bands(band_id, lo, hi) AS (VALUES
+  (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0),
+  (3, 150.0, 200.0), (4, 200.0, 1099511627776.0))
+SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id""",
     "percentiles": """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 4) AS p50,
@@ -898,6 +968,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_time_bucket_hourly, ORACLES["time_bucket_hourly"]
     ),
     "sliding_window": QuerySpec(q_sliding_window, ORACLES["sliding_window"]),
+    "asof_join": QuerySpec(q_asof_join, ORACLES["asof_join"]),
+    "range_join_bands": QuerySpec(q_range_join_bands, ORACLES["range_join_bands"]),
     "percentiles": QuerySpec(q_percentiles, ORACLES["percentiles"]),
     "orders_by_month": QuerySpec(q_orders_by_month, ORACLES["orders_by_month"]),
     "join_anti": QuerySpec(q_join_anti, ORACLES["join_anti"]),
