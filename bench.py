@@ -24,6 +24,8 @@ HEADLINE = [
     "join_dims",
     "join_facts",
     "join_anti",
+    "asof_join",
+    "range_join_bands",
     "topk_orders",
     "window_rank",
     "rollup_agg",
@@ -51,7 +53,12 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"SPARK_GRAFT_SF_DIR does not exist: {sf_dir}")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0  # non-standard dir name; timings still valid
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from customer_segmentation_pyspark_spark import get_spark
