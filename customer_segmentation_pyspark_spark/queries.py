@@ -389,6 +389,34 @@ def q_sessionization(spark, sf_dir):
     return session_stats(ev, gap_minutes=30)
 
 
+def q_regression_stats(spark, sf_dir):
+    """Per-group OLS slope/intercept/correlation (regr_* aggregates):
+    value-vs-time trend per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    # whole seconds, centered on 2024-01-01: matches the oracle's
+    # floor(epoch(ts)) and avoids cancellation on ~1.7e9 epoch magnitudes
+    x = (F.col("ts").cast("long") - F.lit(1704067200)).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x) * 1e6, 6).alias("slope_scaled"),
+        F.round(F.corr(F.col("value"), x), 6).alias("corr_ts"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_zscore_window(spark, sf_dir):
+    """Per-group normalization via window aggregates (no shuffle beyond
+    the one partitioning pass): z-score of value within event_type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id", "event_type", F.round(z, 6).alias("z_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # distance / clustering primitives (SURVEY.md §2.8, §2.10)
 # ---------------------------------------------------------------------------
@@ -866,6 +894,19 @@ SELECT user_id, session_id, count(*) AS n_events,
        max(sec) - min(sec) AS duration_sec,
        round(sum(value), 4) AS sum_value
 FROM sessions GROUP BY user_id, session_id""",
+    "regression_stats": """
+SELECT event_type,
+       round(regr_slope(value, floor(epoch(ts)) - 1704067200) * 1e6, 6)
+         AS slope_scaled,
+       round(corr(value, floor(epoch(ts)) - 1704067200), 6) AS corr_ts,
+       round(stddev_samp(value), 4) AS sd_value,
+       count(*) AS n
+FROM events GROUP BY event_type""",
+    "zscore_window": """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+         AS z_value
+FROM events WINDOW w AS (PARTITION BY event_type)""",
     "centroid_assign": f"""
 SELECT event_id, CAST(hour(ts) AS BIGINT) AS hour,
        CAST({_SQL_DOW} AS BIGINT) AS dow,
@@ -976,6 +1017,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_semi": QuerySpec(q_join_semi, ORACLES["join_semi"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
+    "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
+    "zscore_window": QuerySpec(q_zscore_window, ORACLES["zscore_window"]),
     # clustering primitives
     "centroid_assign": QuerySpec(q_centroid_assign, ORACLES["centroid_assign"]),
     "wcss_fixed": QuerySpec(q_wcss_fixed, ORACLES["wcss_fixed"]),
