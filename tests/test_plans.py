@@ -84,6 +84,29 @@ def test_groupby_agg_partial_final(spark):
     assert p.count("HashAggregate") >= 2
 
 
+def test_sessionization_single_shuffle(spark):
+    """lag window, running-sum window, and the per-session aggregate all
+    share the user_id hash partitioning -> exactly one exchange."""
+    df = REGISTRY["sessionization"].fn(spark, SF_ORACLE)
+    p = plan(df, mode="simple")
+    assert p.count("Exchange") == 1
+
+
+def test_asof_join_two_shuffles(spark):
+    """as-of join = one exchange for the right-side dedup aggregate + one
+    for the carry-forward window; no range self-join blowup."""
+    df = REGISTRY["asof_join"].fn(spark, SF_ORACLE)
+    p = plan(df, mode="simple")
+    assert p.count("Exchange") == 2
+    assert "CartesianProduct" not in p
+
+
+def test_zscore_window_single_shuffle(spark):
+    df = REGISTRY["zscore_window"].fn(spark, SF_ORACLE)
+    p = plan(df, mode="simple")
+    assert p.count("Exchange") == 1
+
+
 def test_no_python_udfs_in_oracle_queries(spark):
     """Every oracle-checked query stays JVM-side: no BatchEvalPython /
     ArrowEvalPython stages (Python only appears in the sanctioned
