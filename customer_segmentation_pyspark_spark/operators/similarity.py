@@ -101,6 +101,98 @@ def hyperplane_signatures(
     )
 
 
+def ivf_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    train_fraction: float = 1.0,
+    seed: int = 42,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus with K-means
+    cells, probe each query's ``n_probe`` nearest cells, exact-rescore.
+
+    Built from this engine's own primitives: plans.kmeans trains the
+    quantizer (on a seeded sample for big corpora), assign_clusters tags
+    corpus rows with their cell — a pure projection — and the probe is an
+    equi-join on cell id. Corpus work is linear; only |corpus|·n_probe/
+    n_cells candidates are rescored per query. Tune recall with n_probe.
+    """
+    from customer_segmentation_pyspark_spark.plans.kmeans import kmeans
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    train = c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
+    dim = len(train.select("cv").first()["cv"])
+    res = kmeans(
+        train.select(F.col("cv").alias("point")).select(
+            *[F.col("point").getItem(i).alias(f"f{i}") for i in range(dim)]
+        ),
+        [f"f{i}" for i in range(dim)],
+        k=n_cells,
+        max_iter=max_iter,
+        seed=seed,
+    )
+    cells = res.centroids
+
+    def cell_dists(vec: Column) -> Column:
+        from customer_segmentation_pyspark_spark.functions.arrays import (
+            array_lit,
+            sq_dist,
+        )
+
+        return F.array(*[sq_dist(vec, array_lit(cent)) for cent in cells])
+
+    from customer_segmentation_pyspark_spark.functions.arrays import array_argmin
+
+    tagged = c.withColumn("cell", array_argmin(cell_dists(F.col("cv"))))
+
+    # each query probes its n_probe nearest cells: rank cell distances via
+    # sorted (dist, idx) structs — pure expressions, no UDF
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.zip_with(
+                cell_dists(F.col("qv")),
+                F.sequence(F.lit(0), F.lit(len(cells) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    probes = q.withColumn(
+        "cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
+    )
+    scored = (
+        tagged.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("cv")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,

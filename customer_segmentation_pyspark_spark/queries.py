@@ -609,6 +609,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: engine-trained K-means cells + multi-probe + exact rescore
+    (rows-only; recall vs brute force asserted in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk_cosine(e, q, n_cells=16, n_probe=4, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (north star; codecs stubbed — see operators/multimodal)
 # ---------------------------------------------------------------------------
@@ -1043,6 +1054,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # similarity search
     "cosine_topk": QuerySpec(q_cosine_topk, ORACLES["cosine_topk"]),
     "ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
+    "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, None),
     # multimodal
     "multimodal_meta": QuerySpec(q_multimodal_meta, ORACLES["multimodal_meta"]),
     "decode_image_stub": QuerySpec(q_decode_image_stub, None),

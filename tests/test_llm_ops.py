@@ -96,6 +96,26 @@ def test_ann_lsh_recall_vs_brute_force(emb):
             assert abs(r["cos_sim"] - exact_sims[key]) < 1e-6
 
 
+def test_ivf_recall_vs_brute_force(emb):
+    """IVF with 16 cells / 4 probes rescored exactly: recall@5 should beat
+    single-probe LSH comfortably even on weakly-clustered vectors, and all
+    returned similarities must be exact."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    approx = similarity.ivf_topk_cosine(
+        emb, q, n_cells=16, n_probe=4, k=5
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(r["cos_sim"] - exact_sims[key]) < 1e-6
+
+
 def test_multimodal_decode_stub_schema_and_determinism(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     payload = multimodal.with_binary_payload(docs)
