@@ -150,6 +150,29 @@ def q_join_facts(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> two joins -> grouped revenue
+    -> top 10. The composite query exercising scan pruning, join ordering,
+    partial aggregation, and top-k in one plan."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_topk_orders(spark, sf_dir):
     """O2/O3: sort+limit -> TakeOrderedAndProject (no full sort)."""
     o = load_table(spark, sf_dir, "orders")
@@ -609,6 +632,25 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_quantize_error(spark, sf_dir):
+    """Int8 scalar quantization of embeddings (per-vector max-abs scale) —
+    the storage-shrink path for 100 TB embedding columns — reported as
+    reconstruction error, all in array expressions."""
+    e = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(arr, F.abs)) / 127.0, F.lit(1e-12)
+    )
+    err = F.transform(arr, lambda x: F.abs(F.round(x / scale) * scale - x))
+    return e.select(
+        "vec_id",
+        F.round(F.array_max(err), 6).alias("max_err"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size(err), 6
+        ).alias("avg_err"),
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN: engine-trained K-means cells + multi-probe + exact rescore
     (rows-only; recall vs brute force asserted in tests)."""
@@ -795,6 +837,27 @@ SELECT o_orderpriority,
        count(*) AS n_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority""",
+    "shipping_priority": """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "quantize_error": """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> abs(x))) / 127.0, 1e-12) AS s
+  FROM embeddings),
+e AS (
+  SELECT vec_id,
+         list_transform(v, x -> abs(round(x / s) * s - x)) AS err
+  FROM q)
+SELECT vec_id, round(list_max(err), 6) AS max_err,
+       round(list_sum(err) / len(err), 6) AS avg_err
+FROM e""",
     "topk_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -1005,6 +1068,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_dims": QuerySpec(q_join_dims, ORACLES["join_dims"]),
     "join_facts": QuerySpec(q_join_facts, ORACLES["join_facts"]),
     "topk_orders": QuerySpec(q_topk_orders, ORACLES["topk_orders"]),
+    "shipping_priority": QuerySpec(
+        q_shipping_priority, ORACLES["shipping_priority"]
+    ),
+    "quantize_error": QuerySpec(q_quantize_error, ORACLES["quantize_error"]),
     "window_rank": QuerySpec(q_window_rank, ORACLES["window_rank"]),
     "distinct_flags": QuerySpec(q_distinct_flags, ORACLES["distinct_flags"]),
     "set_union": QuerySpec(q_set_union, ORACLES["set_union"]),
