@@ -27,6 +27,7 @@ HEADLINE = [
     "asof_join",
     "range_join_bands",
     "topk_orders",
+    "shipping_priority",
     "window_rank",
     "rollup_agg",
     "percentiles",
@@ -47,6 +48,7 @@ HEADLINE = [
     "lang_id",
     "cosine_topk",
     "embedding_neardup",
+    "quantize_error",
     "multimodal_meta",
 ]
 
