@@ -582,6 +582,32 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(d)
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    """Deterministic dedup OUTPUT (not just groups): keep the lowest
+    doc_id per normalized-text fingerprint, return the surviving rows.
+    row_number()=1 instead of dropDuplicates (whose row choice is
+    partition-order-dependent and thus nondeterministic)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(dedup.normalized(F.col("text")).cast("binary"))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping sets over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash(16) + LSH(8 bands x 2 rows) candidate pairs."""
     d = load_table(spark, sf_dir, "documents")
@@ -1022,6 +1048,16 @@ FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
 SELECT md5({_SQL_NORM}) AS fp, min(doc_id) AS keep_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1""",
+    "dedup_keep_first": f"""
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY md5({_SQL_NORM})
+                            ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1""",
+    "cube_agg": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "minhash_pairs": _sql_minhash(16, 8, 2),
     "ngram_jaccard": f"""
 WITH {_SQL_SHINGLES},
@@ -1112,6 +1148,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "fingerprint": QuerySpec(q_fingerprint, ORACLES["fingerprint"]),
     # dedup family
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLES["dedup_exact"]),
+    "dedup_keep_first": QuerySpec(
+        q_dedup_keep_first, ORACLES["dedup_keep_first"]
+    ),
+    "cube_agg": QuerySpec(q_cube_agg, ORACLES["cube_agg"]),
     "minhash_pairs": QuerySpec(q_minhash_pairs, ORACLES["minhash_pairs"]),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLES["ngram_jaccard"]),
     "simhash": QuerySpec(q_simhash, ORACLES["simhash"]),

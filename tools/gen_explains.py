@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Regenerate EXPLAINS.md — formatted physical-plan snapshots of headline
+queries for human review (the machine-checked plan assertions live in
+tests/test_plans.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NAMES = [
+    "groupby_agg", "join_dims", "topk_orders", "centroid_assign",
+    "kmeans_one_iter", "sessionization", "asof_join", "minhash_pairs",
+    "cosine_topk", "shipping_priority",
+]
+
+
+def main() -> None:
+    from customer_segmentation_pyspark_spark import get_spark
+    from customer_segmentation_pyspark_spark.queries import REGISTRY
+
+    spark = get_spark("gen-explains")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# EXPLAINS — formatted physical plans of headline queries",
+        "",
+        "Generated snapshot (`python tools/gen_explains.py`); the properties that",
+        "matter (pushdown, pruning, broadcast, exchange counts) are asserted in",
+        "`tests/test_plans.py` on every run — this file is for human review.",
+        "",
+    ]
+    for n in NAMES:
+        df = REGISTRY[n].fn(spark, "/root/testdata/sf0.01")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        out.append(f"## {n}\n\n```\n{tree}\n```\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "EXPLAINS.md"), "w") as f:
+        f.write("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()
