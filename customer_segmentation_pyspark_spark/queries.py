@@ -87,11 +87,29 @@ def q_case_when_dow(spark, sf_dir):
 
 
 def q_json_cast(spark, sf_dir):
-    """P6 + JSON extraction (string->int cast mirrors codeText.txt:130)."""
+    """P6 + JSON extraction: both the path-string form (get_json_object,
+    mirrors the reference's string->int casts at codeText.txt:130) and the
+    schema-typed form (from_json -> struct field)."""
     ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k bigint")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
+        parsed.getField("k").alias("k_typed"),
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string-function family: case mapping, substring, concat,
+    length, levenshtein — all JVM-side expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("lev"),
     )
 
 
@@ -839,8 +857,17 @@ SELECT event_id,
        {_sql_weekday_case(_SQL_DOW)} AS weekday
 FROM events""",
     "json_cast": """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
 FROM events""",
+    "string_funcs": """
+SELECT p_partkey, upper(p_brand) AS brand_u,
+       substring(p_name, 1, 8) AS name8,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev
+FROM part""",
     "filter_isin": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem WHERE l_returnflag IN ('A','R') AND l_quantity > 25""",
@@ -1099,6 +1126,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "project_select": QuerySpec(q_project_select, ORACLES["project_select"]),
     "case_when_dow": QuerySpec(q_case_when_dow, ORACLES["case_when_dow"]),
     "json_cast": QuerySpec(q_json_cast, ORACLES["json_cast"]),
+    "string_funcs": QuerySpec(q_string_funcs, ORACLES["string_funcs"]),
     "filter_isin": QuerySpec(q_filter_isin, ORACLES["filter_isin"]),
     "groupby_agg": QuerySpec(q_groupby_agg, ORACLES["groupby_agg"]),
     "join_dims": QuerySpec(q_join_dims, ORACLES["join_dims"]),
