@@ -175,6 +175,57 @@ def wcss(
     return df.agg(F.sum(min_sq).alias("wcss")).collect()[0]["wcss"]
 
 
+def cluster_shape_stats(
+    df: DataFrame, feature_cols: Sequence[str], centroids: Centroids
+) -> DataFrame:
+    """Per-cluster covariance eigen-structure via grouped-map
+    ``applyInPandas`` — the sanctioned use of the grouped-map API: the
+    aggregate (eigenvalues of the within-cluster covariance, i.e. the
+    cluster's principal axes) is not expressible as SQL aggregates.
+
+    Scale shape: assignment is the usual zero-shuffle projection; the
+    grouped map shuffles rows once by cluster id, and each group reduces
+    to ONE output row (k rows total), so output and driver cost are O(k).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    assigned = transform(df, feature_cols, centroids).select(
+        "cluster", *[F.col(c).cast("double") for c in feature_cols]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("eig_max", T.DoubleType()),
+            T.StructField("eig_min", T.DoubleType()),
+            T.StructField("anisotropy", T.DoubleType()),
+        ]
+    )
+
+    cols = list(feature_cols)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[cols].to_numpy(dtype=np.float64)
+        cluster = int(pdf["cluster"].iloc[0])
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame(
+                [[cluster, n, 0.0, 0.0, 0.0]], columns=schema.fieldNames()
+            )
+        cov = np.cov(x, rowvar=False)
+        eigs = np.sort(np.linalg.eigvalsh(np.atleast_2d(cov)))
+        emax, emin = float(eigs[-1]), float(eigs[0])
+        aniso = float(emax / emin) if emin > 1e-12 else float("inf")
+        return pd.DataFrame(
+            [[cluster, n, round(emax, 6), round(emin, 6), round(aniso, 6)]],
+            columns=schema.fieldNames(),
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(stats, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # MLlib path (reference M2-M5, codeText.txt:127-162)
 # ---------------------------------------------------------------------------

@@ -542,6 +542,14 @@ def q_kmeans_custom_k5(spark, sf_dir):
     )
 
 
+def q_cluster_shape(spark, sf_dir):
+    """Per-cluster covariance eigen-structure (grouped-map applyInPandas;
+    rows-only — eigenvalues are not SQL-expressible; numpy-verified in
+    tests/test_kmeans.py)."""
+    pts = _events_features(spark, sf_dir)
+    return km.cluster_shape_stats(pts, ["hour", "dow"], CENTROIDS_4)
+
+
 def q_kmeans_mllib(spark, sf_dir):
     """MLlib KMeans(seed=1) path (reference M2-M4, codeText.txt:132-141)."""
     pts = _events_features(spark, sf_dir)
@@ -1168,6 +1176,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "kmeans_custom": QuerySpec(q_kmeans_custom, None),
     "kmeans_custom_k5": QuerySpec(q_kmeans_custom_k5, None),
     "kmeans_mllib": QuerySpec(q_kmeans_mllib, None),
+    "cluster_shape": QuerySpec(q_cluster_shape, None),
     "elbow_k": QuerySpec(q_elbow_k, None),
     # text analysis
     "token_counts": QuerySpec(q_token_counts, ORACLES["token_counts"]),

@@ -99,6 +99,28 @@ def test_convergence_exact_equality(feat):
     assert res.history[-1] == res.history[-2]
 
 
+def test_cluster_shape_matches_numpy(feat, spark):
+    """Grouped-map covariance eigenvalues equal a driver-side numpy
+    computation on the same assignment."""
+    import numpy as np
+
+    out = {
+        r["cluster"]: (r["n"], r["eig_max"], r["eig_min"])
+        for r in km.cluster_shape_stats(feat, ["hour", "dow"], INIT4).collect()
+    }
+    rows = km.transform(feat, ["hour", "dow"], INIT4).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append((r["hour"], r["dow"]))
+    for cl, pts in by_cluster.items():
+        x = np.array(pts, dtype=np.float64)
+        eigs = np.sort(np.linalg.eigvalsh(np.cov(x, rowvar=False)))
+        n, emax, emin = out[cl]
+        assert n == len(pts)
+        assert abs(emax - round(float(eigs[-1]), 6)) < 1e-6
+        assert abs(emin - round(float(eigs[0]), 6)) < 1e-6
+
+
 def test_elbow_runs_and_costs_decrease(feat):
     optimal, costs = km.elbow_k(feat, ["hour"], k_range=range(2, 6), seed=1)
     assert 2 <= optimal <= 5
