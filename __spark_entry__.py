@@ -9,12 +9,20 @@ implementations live in ``customer_segmentation_pyspark_spark.queries``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from customer_segmentation_pyspark_spark.queries import CENTROIDS_4, REGISTRY
+# the driver may exec this file by path from any cwd; make the engine
+# package importable regardless
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from customer_segmentation_pyspark_spark.queries import CENTROIDS_4, REGISTRY  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 

@@ -360,6 +360,18 @@ def q_range_join_bands(spark, sf_dir):
     )
 
 
+def q_funnel_join(spark, sf_dir):
+    """Event-funnel interval self-join: purchases within 1h after a click
+    by the same user (the batch twin of the stream-stream join in
+    streaming/joins.py)."""
+    from customer_segmentation_pyspark_spark.streaming.joins import (
+        batch_funnel_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return batch_funnel_join(ev)
+
+
 def q_percentiles(spark, sf_dir):
     """Exact percentile aggregate (continuous interpolation) per group."""
     ev = load_table(spark, sf_dir, "events")
@@ -986,6 +998,13 @@ SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_events,
        round(avg(value), 4) AS avg_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band_id""",
+    "funnel_join": """
+SELECT l.user_id AS l_user, l.event_id AS l_event_id,
+       r.event_id AS r_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""",
     "percentiles": """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 4) AS p50,
@@ -1161,6 +1180,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sliding_window": QuerySpec(q_sliding_window, ORACLES["sliding_window"]),
     "asof_join": QuerySpec(q_asof_join, ORACLES["asof_join"]),
     "range_join_bands": QuerySpec(q_range_join_bands, ORACLES["range_join_bands"]),
+    "funnel_join": QuerySpec(q_funnel_join, ORACLES["funnel_join"]),
     "percentiles": QuerySpec(q_percentiles, ORACLES["percentiles"]),
     "orders_by_month": QuerySpec(q_orders_by_month, ORACLES["orders_by_month"]),
     "join_anti": QuerySpec(q_join_anti, ORACLES["join_anti"]),
