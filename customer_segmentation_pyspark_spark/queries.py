@@ -113,6 +113,39 @@ def q_string_funcs(spark, sf_dir):
     )
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """S1 (CSV source) under the oracle gate: write a lineitem projection
+    to CSV, read it back through the strict-schema CSV reader (typed in
+    one pass — no read-then-cast, unlike codeText.txt:12), aggregate. The
+    oracle computes the same aggregate from the parquet view, so any CSV
+    serialization/parse drift fails the hash."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from customer_segmentation_pyspark_spark.sources import read_csv_strict
+    from customer_segmentation_pyspark_spark.sources.sinks import write_csv
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/li"
+    write_csv(li, path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_quantity", T.DoubleType()),
+        ]
+    )
+    back = read_csv_strict(spark, path, schema)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 def q_filter_isin(spark, sf_dir):
     """Filter + IN-list predicate; both push to the parquet scan."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -888,6 +921,10 @@ SELECT p_partkey, upper(p_brand) AS brand_u,
        CAST(length(p_name) AS BIGINT) AS name_len,
        CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev
 FROM part""",
+    "csv_roundtrip": """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag""",
     "filter_isin": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem WHERE l_returnflag IN ('A','R') AND l_quantity > 25""",
@@ -1154,6 +1191,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "case_when_dow": QuerySpec(q_case_when_dow, ORACLES["case_when_dow"]),
     "json_cast": QuerySpec(q_json_cast, ORACLES["json_cast"]),
     "string_funcs": QuerySpec(q_string_funcs, ORACLES["string_funcs"]),
+    "csv_roundtrip": QuerySpec(q_csv_roundtrip, ORACLES["csv_roundtrip"]),
     "filter_isin": QuerySpec(q_filter_isin, ORACLES["filter_isin"]),
     "groupby_agg": QuerySpec(q_groupby_agg, ORACLES["groupby_agg"]),
     "join_dims": QuerySpec(q_join_dims, ORACLES["join_dims"]),
