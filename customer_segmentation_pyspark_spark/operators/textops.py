@@ -90,6 +90,44 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Expression-level TF-IDF with exact term weights: tf = in-doc term
+    count, idf = ln(N / df). Returns the top-k terms per document
+    (weight desc, term asc).
+
+    Unlike MLlib's HashingTF (feature hashing, collisions, not
+    inspectable) this keeps real terms — the form used for corpus
+    diagnostics in data pipelines. Two shuffles: (doc, term) counts and
+    the term document-frequency join; both map-side combinable.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # scalar, one job; N is a plan literal afterwards
+    terms = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weighted = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "weight"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term")
+    )
+    return (
+        weighted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "weight", "rnk")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the normalized text (lowercased,
     whitespace collapsed). Deterministic across engines; the exact-dedup

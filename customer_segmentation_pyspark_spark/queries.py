@@ -475,6 +475,38 @@ def q_sessionization(spark, sf_dir):
     return session_stats(ev, gap_minutes=30)
 
 
+def q_moving_avg(spark, sf_dir):
+    """Bounded window frames: per-user running sum and 4-row moving
+    average over event time."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = order.rowsBetween(-3, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(running), 4).alias("running_sum"),
+        F.round(F.avg("value").over(moving), 4).alias("moving_avg4"),
+    )
+
+
+def q_null_funcs(spark, sf_dir):
+    """Null-handling scalar family: nullif / coalesce / nvl2-style CASE,
+    and null-aware counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flag_n = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return li.groupBy("l_linestatus").agg(
+        F.count(flag_n).alias("n_flagged"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(flag_n.isNull(), 1).otherwise(0).cast("long")
+        ).alias("n_null"),
+        F.countDistinct(F.coalesce(flag_n, F.lit("?"))).alias("n_flag_vals"),
+    )
+
+
 def q_regression_stats(spark, sf_dir):
     """Per-group OLS slope/intercept/correlation (regr_* aggregates):
     value-vs-time trend per event_type."""
@@ -641,6 +673,24 @@ def q_text_quality(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return textops.language_id(d)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Exact TF-IDF top-3 terms per document (expression-level, real
+    terms — see operators/textops.tfidf_top_terms)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(d, k=3)
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Sketch aggregates (HLL++): approximate distinct counts per
+    returnflag (rows-only — sketch estimates are engine-specific; accuracy
+    vs exact asserted in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1085,6 +1135,23 @@ SELECT user_id, session_id, count(*) AS n_events,
        max(sec) - min(sec) AS duration_sec,
        round(sum(value), 4) AS sum_value
 FROM sessions GROUP BY user_id, session_id""",
+    "moving_avg": """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_sum,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4
+FROM events""",
+    "null_funcs": """
+SELECT l_linestatus,
+       count(nullif(l_returnflag, 'N')) AS n_flagged,
+       count(*) AS n_total,
+       sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END)
+         AS n_null,
+       count(DISTINCT coalesce(nullif(l_returnflag, 'N'), '?'))
+         AS n_flag_vals
+FROM lineitem GROUP BY l_linestatus""",
     "regression_stats": """
 SELECT event_type,
        round(regr_slope(value, floor(epoch(ts)) - 1704067200) * 1e6, 6)
@@ -1135,6 +1202,21 @@ SELECT doc_id, {_LANG_SCORES}, {_LANG_PRED} AS pred_lang
 FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
       FROM documents)""",
     "fingerprint": f"SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents",
+    "tfidf_top_terms": """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT doc_id, tf.term,
+         round(tf * ln(n_docs * 1.0 / df), 6) AS weight
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+SELECT doc_id, term, weight, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY weight DESC, term) AS BIGINT) AS rnk
+  FROM weighted) WHERE rnk <= 3""",
     "dedup_exact": f"""
 SELECT md5({_SQL_NORM}) AS fp, min(doc_id) AS keep_doc_id,
        count(*) AS n_copies
@@ -1226,6 +1308,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
+    "moving_avg": QuerySpec(q_moving_avg, ORACLES["moving_avg"]),
+    "null_funcs": QuerySpec(q_null_funcs, ORACLES["null_funcs"]),
     "zscore_window": QuerySpec(q_zscore_window, ORACLES["zscore_window"]),
     # clustering primitives
     "centroid_assign": QuerySpec(q_centroid_assign, ORACLES["centroid_assign"]),
@@ -1241,6 +1325,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(q_text_quality, ORACLES["text_quality"]),
     "lang_id": QuerySpec(q_lang_id, ORACLES["lang_id"]),
     "fingerprint": QuerySpec(q_fingerprint, ORACLES["fingerprint"]),
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, ORACLES["tfidf_top_terms"]),
+    "approx_distinct": QuerySpec(q_approx_distinct, None),
     # dedup family
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLES["dedup_exact"]),
     "dedup_keep_first": QuerySpec(

@@ -132,6 +132,25 @@ def test_multimodal_decode_stub_schema_and_determinism(spark):
     assert all(r["n_bytes"] > 0 for r in rows1)
 
 
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ estimates within 5% of exact (default rsd 0.05)."""
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.1, (k, approx[k], n)
+
+
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG")
