@@ -71,3 +71,60 @@ def asof_join(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Alternative as-of join via cogrouped ``applyInPandas``: both inputs
+    shuffle once on the key, each key's two groups meet in one Python
+    worker, and ``pd.merge_asof`` does the backward match per group.
+
+    Exists as the cross-check twin of :func:`asof_join` (tested equal) and
+    as the template for per-key logic pandas has but Catalyst lacks. Inner
+    semantics; same determinism requirement (unique (key, ts) on right).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    lcols = list(left.columns)
+    out_schema = T.StructType(
+        [left.schema[c] for c in lcols]
+        + [right.select(*payload_cols).schema[c] for c in payload_cols]
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        l_sorted = l_pdf.sort_values(left_ts)
+        if r_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        r_sorted = r_pdf.sort_values(right_ts)[[right_ts, *payload_cols]]
+        merged = pd.merge_asof(
+            l_sorted,
+            r_sorted,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            suffixes=("", "_r"),
+        )
+        matched = merged.dropna(subset=[payload_cols[0]])
+        out = matched[[*lcols, *payload_cols]].copy()
+        # merge_asof promotes int payload columns to float64 when any row
+        # missed; restore integer dtypes after the inner-filter
+        for f in out_schema.fields:
+            if f.name in payload_cols and isinstance(f.dataType, T.LongType):
+                out[f.name] = out[f.name].astype("int64")
+        return out
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(right.groupBy(right_key))
+        .applyInPandas(merge, schema=out_schema)
+    )
