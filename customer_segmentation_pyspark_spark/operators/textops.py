@@ -128,6 +128,53 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-training/RAG preparation step. Pure expressions: token split ->
+    stride sequence -> per-start slice+join -> explode. Map-only (no
+    shuffle); output is (doc_id, chunk_id, chunk_tokens, chunk_md5).
+
+    Stride = chunk_tokens - overlap; the last chunk may be short; docs
+    shorter than one chunk yield exactly one chunk.
+    """
+    stride = chunk_tokens - overlap
+    assert stride > 0
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    # last start: the largest multiple of stride strictly below n
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(chunk_tokens)) / stride), F.lit(0)).cast(
+            "int"
+        )
+        * stride,
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, s + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    exploded = df.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.chunk_text")
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk_text", r"\s+")).cast("long").alias("chunk_tokens"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the normalized text (lowercased,
     whitespace collapsed). Deterministic across engines; the exact-dedup

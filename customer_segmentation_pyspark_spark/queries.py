@@ -693,6 +693,25 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (100 tokens, 20 overlap) — the pre-training /
+    RAG preparation op, map-only expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.chunk_documents(d, chunk_tokens=100, overlap=20)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Seeded stratified sampling (sampleBy): per-stratum fractions
+    (rows-only — RNG-based; fraction tolerance asserted in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fractions = {"A": 0.1, "N": 0.02, "R": 0.1}
+    return (
+        li.sampleBy("l_returnflag", fractions, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return textops.fingerprint(d)
@@ -1202,6 +1221,24 @@ SELECT doc_id, {_LANG_SCORES}, {_LANG_PRED} AS pred_lang
 FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
       FROM documents)""",
     "fingerprint": f"SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents",
+    "chunk_documents": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+           greatest(CAST(ceil((len(t) - 100) / 80.0) AS INT), 0) * 80,
+           80)) AS s
+  FROM toks),
+chunks AS (
+  SELECT doc_id, CAST(s // 80 AS BIGINT) AS chunk_id,
+         array_to_string(t[s + 1 : s + 100], ' ') AS chunk_text
+  FROM starts)
+SELECT doc_id, chunk_id,
+       CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT)
+         AS chunk_tokens,
+       md5(chunk_text) AS chunk_md5
+FROM chunks""",
     "tfidf_top_terms": """
 WITH terms AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
@@ -1326,6 +1363,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(q_lang_id, ORACLES["lang_id"]),
     "fingerprint": QuerySpec(q_fingerprint, ORACLES["fingerprint"]),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, ORACLES["tfidf_top_terms"]),
+    "chunk_documents": QuerySpec(q_chunk_documents, ORACLES["chunk_documents"]),
+    "stratified_sample": QuerySpec(q_stratified_sample, None),
     "approx_distinct": QuerySpec(q_approx_distinct, None),
     # dedup family
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLES["dedup_exact"]),

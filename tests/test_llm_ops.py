@@ -132,6 +132,56 @@ def test_multimodal_decode_stub_schema_and_determinism(spark):
     assert all(r["n_bytes"] > 0 for r in rows1)
 
 
+def test_chunking_covers_all_tokens(docs):
+    """Chunk windows tile every document: sum of (chunk_tokens - overlap)
+    + final overlap == doc token count; first chunk starts at token 0."""
+    from customer_segmentation_pyspark_spark.operators.textops import (
+        chunk_documents,
+        token_count,
+    )
+
+    chunks = chunk_documents(docs, chunk_tokens=100, overlap=20).collect()
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        n = n_tokens[doc_id]
+        # each chunk starts at chunk_id*80; last chunk reaches the end
+        last = rows[-1]
+        assert last["chunk_id"] * 80 + last["chunk_tokens"] == n
+        for r in rows[:-1]:
+            assert r["chunk_tokens"] == 100
+
+
+def test_stratified_sample_fractions(spark):
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    fractions = {"A": 0.1, "N": 0.02, "R": 0.1}
+    sampled = {
+        r["l_returnflag"]: r["n"]
+        for r in li.sampleBy("l_returnflag", fractions, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for flag, frac in fractions.items():
+        got = sampled.get(flag, 0) / totals[flag]
+        assert abs(got - frac) < frac * 0.5 + 0.01, (flag, got, frac)
+
+
 def test_approx_distinct_within_tolerance(spark):
     """HLL++ estimates within 5% of exact (default rsd 0.05)."""
     li = load_table(spark, SF_ORACLE, "lineitem")
