@@ -832,6 +832,20 @@ def q_ann_ivf_topk(spark, sf_dir):
 # multimodal plumbing (north star; codecs stubbed — see operators/multimodal)
 # ---------------------------------------------------------------------------
 
+def q_pseudonymize(spark, sf_dir):
+    """Governance op: irreversible keyed pseudonymization of user ids
+    (salted sha256) with value columns preserved — the PII-scrubbing pass
+    a training-data pipeline runs before export."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = F.concat(F.lit("pepper:"), F.col("user_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.sha2(salted.cast("binary"), 256).alias("user_hash"),
+        "event_type",
+        "value",
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Typed metadata over opaque binary payloads (no decode)."""
     d = load_table(spark, sf_dir, "documents")
@@ -1297,6 +1311,10 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored) WHERE rank <= 5""",
+    "pseudonymize": """
+SELECT event_id, sha256('pepper:' || CAST(user_id AS VARCHAR)) AS user_hash,
+       event_type, value
+FROM events""",
     "multimodal_meta": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
@@ -1383,6 +1401,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, None),
     # multimodal
+    "pseudonymize": QuerySpec(q_pseudonymize, ORACLES["pseudonymize"]),
     "multimodal_meta": QuerySpec(q_multimodal_meta, ORACLES["multimodal_meta"]),
     "decode_image_stub": QuerySpec(q_decode_image_stub, None),
     "frame_sample": QuerySpec(q_frame_sample, None),
