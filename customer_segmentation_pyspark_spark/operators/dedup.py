@@ -18,22 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from customer_segmentation_pyspark_spark.sources.tables import spread as _spread
+
 
 def normalized(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure a compute-bound expansion stage (shingle/hash explosion) has
-    cluster-wide parallelism. A small parquet input arrives as 1-2
-    partitions (one file < maxPartitionBytes), which would pin the md5/
-    shingle work to one core; the tiny up-front shuffle is repaid ~Nx.
-    At 100 TB inputs already have thousands of partitions and this is a
-    no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:

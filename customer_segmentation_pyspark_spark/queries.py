@@ -801,8 +801,11 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_quantize_error(spark, sf_dir):
     """Int8 scalar quantization of embeddings (per-vector max-abs scale) —
     the storage-shrink path for 100 TB embedding columns — reported as
-    reconstruction error, all in array expressions."""
-    e = load_table(spark, sf_dir, "embeddings")
+    reconstruction error, all in array expressions. spread() gives the
+    HOF-heavy projection full parallelism on small single-file inputs."""
+    from customer_segmentation_pyspark_spark.sources import spread
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     arr = F.transform("embedding", lambda x: x.cast("double"))
     scale = F.greatest(
         F.array_max(F.transform(arr, F.abs)) / 127.0, F.lit(1e-12)

@@ -3,6 +3,7 @@ from customer_segmentation_pyspark_spark.sources.tables import (
     load_table,
     load_tables,
     read_csv_strict,
+    spread,
 )
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "read_csv_strict"]
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "read_csv_strict", "spread"]

@@ -64,6 +64,18 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Give a compute-bound stage cluster-wide parallelism when its input
+    arrived as fewer partitions than cores (one small parquet file <
+    maxPartitionBytes = one partition). The tiny up-front shuffle is
+    repaid N-fold by the parallel stage; at 100 TB inputs already have
+    thousands of partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_csv_strict(
     spark: SparkSession,
     path: str,
