@@ -43,6 +43,7 @@ HEADLINE = [
     # LLM-pipeline ops
     "dedup_exact",
     "minhash_pairs",
+    "llm_prep_pipeline",
     "simhash",
     "text_quality",
     "lang_id",

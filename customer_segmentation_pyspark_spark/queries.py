@@ -849,6 +849,17 @@ def q_pseudonymize(spark, sf_dir):
     )
 
 
+def q_llm_prep_pipeline(spark, sf_dir):
+    """Capstone composition: quality gate -> exact dedup -> MinHash-LSH
+    near-dedup -> chunking -> per-language corpus stats (operators/
+    pipeline.py). Every stage is an already-oracled operator, so the whole
+    pipeline has a single SQL oracle."""
+    from customer_segmentation_pyspark_spark.operators.pipeline import llm_prep_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return llm_prep_stats(d)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Typed metadata over opaque binary payloads (no decode)."""
     d = load_table(spark, sf_dir, "documents")
@@ -983,6 +994,75 @@ def _sql_lang_scores() -> tuple[str, str]:
 
 
 _LANG_SCORES, _LANG_PRED = _sql_lang_scores()
+
+
+def _sql_llm_prep(num_hashes: int = 16, bands: int = 8, rpb: int = 2) -> str:
+    """Composed oracle for the full LLM-prep pipeline (mirrors
+    operators/pipeline.llm_prep_stats stage by stage)."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+    from customer_segmentation_pyspark_spark.operators.pipeline import MIN_TOKENS
+
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        packed = f"h{b * rpb}"
+        for r in range(1, rpb):
+            packed = f"({packed}) * {MINHASH_P} + h{b * rpb + r}"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, CAST({packed} AS BIGINT) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH quality AS (
+  SELECT doc_id, lang, text,
+         {_SQL_NORM} AS norm
+  FROM documents
+  WHERE len(string_split_regex(text, '\\s+')) >= {MIN_TOKENS}),
+uniq AS (
+  SELECT doc_id, lang, text, norm FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+    FROM quality) WHERE rn = 1),
+toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM uniq),
+shd AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   for i in generate_series(1, len(t) - 2)]) AS shingle
+    FROM toks)),
+hashed AS (SELECT doc_id,
+    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM shd),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({bands_sql}),
+losers AS (
+  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+kept AS (SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+ktoks AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM kept),
+starts AS (
+  SELECT doc_id, lang, t,
+         unnest(generate_series(0,
+           greatest(CAST(ceil((len(t) - 100) / 80.0) AS INT), 0) * 80,
+           80)) AS s
+  FROM ktoks),
+chunks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(
+           array_to_string(t[s + 1 : s + 100], ' '), '\\s+')) AS BIGINT)
+           AS chunk_tokens
+  FROM starts)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+       sum(chunk_tokens) AS sum_chunk_tokens
+FROM chunks GROUP BY lang
+"""
 
 
 ORACLES: dict[str, str] = {
@@ -1314,6 +1394,7 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored) WHERE rank <= 5""",
+    "llm_prep_pipeline": _sql_llm_prep(),
     "pseudonymize": """
 SELECT event_id, sha256('pepper:' || CAST(user_id AS VARCHAR)) AS user_hash,
        event_type, value
@@ -1404,6 +1485,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, None),
     # multimodal
+    "llm_prep_pipeline": QuerySpec(
+        q_llm_prep_pipeline, ORACLES["llm_prep_pipeline"]
+    ),
     "pseudonymize": QuerySpec(q_pseudonymize, ORACLES["pseudonymize"]),
     "multimodal_meta": QuerySpec(q_multimodal_meta, ORACLES["multimodal_meta"]),
     "decode_image_stub": QuerySpec(q_decode_image_stub, None),
