@@ -224,6 +224,34 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (region-nation-customer-orders-lineitem-
+    supplier) with the local-supplier condition (customer and supplier in
+    the same nation), revenue per nation. Dims broadcast; facts shuffle
+    once each on their join keys; Catalyst orders the joins."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_topk_orders(spark, sf_dir):
     """O2/O3: sort+limit -> TakeOrderedAndProject (no full sort)."""
     o = load_table(spark, sf_dir, "orders")
@@ -1113,6 +1141,18 @@ SELECT o_orderpriority,
        count(*) AS n_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority""",
+    "local_supplier_volume": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name""",
     "shipping_priority": """
 SELECT l_orderkey, o_orderpriority,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1420,6 +1460,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "topk_orders": QuerySpec(q_topk_orders, ORACLES["topk_orders"]),
     "shipping_priority": QuerySpec(
         q_shipping_priority, ORACLES["shipping_priority"]
+    ),
+    "local_supplier_volume": QuerySpec(
+        q_local_supplier_volume, ORACLES["local_supplier_volume"]
     ),
     "quantize_error": QuerySpec(q_quantize_error, ORACLES["quantize_error"]),
     "window_rank": QuerySpec(q_window_rank, ORACLES["window_rank"]),
