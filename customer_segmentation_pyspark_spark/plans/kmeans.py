@@ -89,6 +89,25 @@ class KMeansResult:
     history: list[Centroids] = field(default_factory=list)
 
 
+def kmeans_array(
+    points_df: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    initial_centroids: Centroids | None = None,
+    seed: int = 42,
+    array_col: str = "point",
+) -> KMeansResult:
+    """Lloyd's loop over an array<double> feature column (e.g. a 64-dim
+    embedding) — same semantics as :func:`kmeans`, dimension-agnostic.
+    The per-iteration plan is unchanged: one cached scan, one hash-agg
+    shuffle, k rows to the driver; cost scales linearly in dim because
+    the assignment expression is one fused projection."""
+    return _lloyd(
+        points_df.select(F.col(array_col).alias("point")),
+        k, max_iter, initial_centroids, seed,
+    )
+
+
 def kmeans(
     df: DataFrame,
     feature_cols: Sequence[str],
@@ -102,7 +121,19 @@ def kmeans(
     Returns centroids only, like the reference; call :func:`assign_clusters`
     (or :func:`transform`) for assignments.
     """
-    points = _features_array(df, feature_cols).cache()
+    return _lloyd(
+        _features_array(df, feature_cols), k, max_iter, initial_centroids, seed
+    )
+
+
+def _lloyd(
+    points_plan: DataFrame,
+    k: int,
+    max_iter: int,
+    initial_centroids: Centroids | None,
+    seed: int,
+) -> KMeansResult:
+    points = points_plan.cache()
     try:
         if initial_centroids is not None:
             centroids: Centroids = [
@@ -250,6 +281,37 @@ def mllib_kmeans(
     )
     model = MLKMeans(k=k, seed=seed, maxIter=max_iter).fit(assembled)
     return model, assembled
+
+
+def mllib_scaled_pipeline(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    k: int,
+    seed: int = 1,
+    max_iter: int = 20,
+):
+    """pyspark.ml Pipeline: VectorAssembler -> StandardScaler -> KMeans.
+
+    Standardization before clustering removes unit dominance (hour 0-23 vs
+    dept 0-20 cluster differently unscaled — the reference never scaled,
+    which its report's elongated clusters show). Returns (pipeline_model,
+    transformed_df)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    stages = [
+        VectorAssembler(inputCols=list(feature_cols), outputCol="raw"),
+        StandardScaler(
+            inputCol="raw", outputCol="features", withMean=True, withStd=True
+        ),
+        MLKMeans(k=k, seed=seed, maxIter=max_iter),
+    ]
+    clean = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols]
+    )
+    model = Pipeline(stages=stages).fit(clean)
+    return model, model.transform(clean)
 
 
 def elbow_k(

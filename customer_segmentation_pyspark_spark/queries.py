@@ -647,6 +647,36 @@ def q_kmeans_custom_k5(spark, sf_dir):
     )
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """High-dimensional clustering: Lloyd's loop on the 64-dim embedding
+    array column, k=8 (rows-only; invariants in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("point")
+    )
+    res = km.kmeans_array(pts, k=8, max_iter=5, seed=42)
+    rows = [
+        (i, len(c), round(sum(v * v for v in c) ** 0.5, 6), res.iterations)
+        for i, c in enumerate(res.centroids)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster long, dim long, centroid_norm double, n_iter long"
+    )
+
+
+def q_mllib_scaled_pipeline(spark, sf_dir):
+    """pyspark.ml Pipeline (assembler -> standard scaler -> kmeans) on
+    (hour, dow) — the preprocessing the reference omitted (rows-only)."""
+    pts = _events_features(spark, sf_dir)
+    model, _ = km.mllib_scaled_pipeline(pts, ["hour", "dow"], k=4, seed=1)
+    centers = model.stages[-1].clusterCenters()
+    rows = [
+        (i, round(float(c[0]), 6), round(float(c[1]), 6))
+        for i, c in enumerate(centers)
+    ]
+    return spark.createDataFrame(rows, "cluster long, z_hour double, z_dow double")
+
+
 def q_cluster_shape(spark, sf_dir):
     """Per-cluster covariance eigen-structure (grouped-map applyInPandas;
     rows-only — eigenvalues are not SQL-expressible; numpy-verified in
@@ -1501,6 +1531,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "kmeans_custom_k5": QuerySpec(q_kmeans_custom_k5, None),
     "kmeans_mllib": QuerySpec(q_kmeans_mllib, None),
     "cluster_shape": QuerySpec(q_cluster_shape, None),
+    "kmeans_embeddings": QuerySpec(q_kmeans_embeddings, None),
+    "mllib_scaled_pipeline": QuerySpec(q_mllib_scaled_pipeline, None),
     "elbow_k": QuerySpec(q_elbow_k, None),
     # text analysis
     "token_counts": QuerySpec(q_token_counts, ORACLES["token_counts"]),

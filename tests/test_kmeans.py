@@ -121,6 +121,51 @@ def test_cluster_shape_matches_numpy(feat, spark):
         assert abs(emin - round(float(eigs[0]), 6)) < 1e-6
 
 
+def test_kmeans_array_highdim_invariants(spark):
+    """64-dim Lloyd's: deterministic under fixed seed; WCSS non-increasing
+    over the history."""
+    from pyspark.sql import functions as F
+
+    from customer_segmentation_pyspark_spark.functions.arrays import (
+        array_lit,
+        sq_dist,
+    )
+    from customer_segmentation_pyspark_spark.sources import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    pts = e.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("point")
+    ).cache()
+    r1 = km.kmeans_array(pts, k=4, max_iter=3, seed=7)
+    r2 = km.kmeans_array(pts, k=4, max_iter=3, seed=7)
+    assert r1.centroids == r2.centroids
+
+    def wcss_of(cents):
+        min_sq = F.array_min(
+            F.array(*[sq_dist(F.col("point"), array_lit(c)) for c in cents])
+        )
+        return pts.agg(F.sum(min_sq)).collect()[0][0]
+
+    costs = [wcss_of(c) for c in r1.history]
+    for a, b in zip(costs, costs[1:]):
+        assert b <= a + 1e-6
+    pts.unpersist()
+
+
+def test_scaled_pipeline_centers_standardized(feat):
+    """After StandardScaler(withMean), cluster centers live in z-space:
+    their weighted mean is ~0 per dimension."""
+    model, transformed = km.mllib_scaled_pipeline(
+        feat, ["hour", "dow"], k=4, seed=1
+    )
+    centers = model.stages[-1].clusterCenters()
+    sizes = model.stages[-1].summary.clusterSizes
+    total = sum(sizes)
+    for d in range(2):
+        weighted = sum(c[d] * s for c, s in zip(centers, sizes)) / total
+        assert abs(weighted) < 0.05
+
+
 def test_elbow_runs_and_costs_decrease(feat):
     optimal, costs = km.elbow_k(feat, ["hour"], k_range=range(2, 6), seed=1)
     assert 2 <= optimal <= 5
