@@ -307,6 +307,9 @@ def embedding_neardup_pairs(
     )
     if subset is not None:
         v = v.filter(subset)
+    # v is evaluated three times (count, broadcast collect, the scored
+    # scan) — cache once instead of three source scans
+    v = v.cache()
 
     n = v.count()
     if n > max_broadcast_rows:
