@@ -1,0 +1,49 @@
+"""Operators must degrade to empty results — not crash — on empty inputs
+(a filter that matches nothing, a scale factor with an empty slice)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.operators import dedup, textops
+from customer_segmentation_pyspark_spark.operators.sessions import session_stats
+from customer_segmentation_pyspark_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_text_and_dedup_ops_on_empty(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.lit(False))
+    assert dedup.exact_dedup(docs).count() == 0
+    assert dedup.minhash_dedup_pairs(docs).count() == 0
+    assert dedup.simhash(docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(docs).count() == 0
+    assert textops.chunk_documents(docs).count() == 0
+    assert textops.tfidf_top_terms(docs).count() == 0
+    assert textops.quality_features(docs).count() == 0
+
+
+def test_sessions_and_windows_on_empty(spark):
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.lit(False))
+    assert session_stats(ev).count() == 0
+    from customer_segmentation_pyspark_spark.operators.preprocess import histogram2d
+
+    pts = ev.select(F.hour("ts").alias("hour"), "value")
+    assert histogram2d(pts, "hour", "value").count() == 0
+
+
+def test_similarity_on_empty_queries(spark):
+    from customer_segmentation_pyspark_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    empty_q = emb.filter(F.lit(False))
+    assert similarity.brute_force_topk(emb, empty_q, k=3).count() == 0
+
+
+def test_short_document_shingles(spark):
+    """Docs shorter than the shingle width yield zero shingles, not a
+    descending-sequence explosion (the Spark sequence() gotcha)."""
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert dedup.shingles(df, n=3).count() == 0
+    # and chunking still yields exactly one (short) chunk
+    chunks = textops.chunk_documents(df).collect()
+    assert len(chunks) == 1 and chunks[0]["chunk_tokens"] == 2
