@@ -51,6 +51,45 @@ def test_minhash_finds_high_jaccard_pairs(docs):
     assert not missed, f"LSH missed near-exact dup pairs: {missed}"
 
 
+def test_minhash_estimates_jaccard(spark):
+    """Property of the md5-permutation family: the fraction of agreeing
+    signature positions is an unbiased estimator of shingle-Jaccard.
+    Synthetic doc pairs with controlled overlap; 16 hashes -> sd ~= 0.12,
+    assert within 3 sd."""
+    import math
+
+    base = [f"w{i}" for i in range(300)]
+    rows = []
+    expected = {}
+    for pair_id, keep in enumerate((0.9, 0.7, 0.5)):
+        n_keep = int(len(base) * keep)
+        a_toks = base
+        b_toks = base[:n_keep] + [f"x{pair_id}_{i}" for i in range(len(base) - n_keep)]
+        rows.append((pair_id * 2, " ".join(a_toks)))
+        rows.append((pair_id * 2 + 1, " ".join(b_toks)))
+        expected[pair_id] = (pair_id * 2, pair_id * 2 + 1)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup.shingles(df, n=3)
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.minhash_signatures(sh, num_hashes=16).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    for pair_id, (a, b) in expected.items():
+        agree = sum(
+            1 for x, y in zip(sigs[a], sigs[b]) if x == y
+        ) / 16.0
+        true_j = jac[(a, b)]
+        sd = math.sqrt(true_j * (1 - true_j) / 16)
+        assert abs(agree - true_j) <= 3 * sd + 1e-9, (
+            pair_id, agree, true_j
+        )
+
+
 def test_simhash_similar_docs_close_hamming(docs):
     """Near-dup pairs (Jaccard >= 0.9) should have small SimHash Hamming
     distance; random pairs should average ~bits/2."""
