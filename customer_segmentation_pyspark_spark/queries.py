@@ -503,6 +503,34 @@ def q_sessionization(spark, sf_dir):
     return session_stats(ev, gap_minutes=30)
 
 
+def q_summary_stats(spark, sf_dir):
+    """describe()-style numeric profile of lineitem measures — the first
+    query run on any new table at scale: one pass, all columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        aggs += [
+            F.count(c).alias(f"{c}_cnt"),
+            F.round(F.avg(c), 4).alias(f"{c}_mean"),
+            F.round(F.stddev_samp(c), 4).alias(f"{c}_sd"),
+            F.round(F.min(c), 4).alias(f"{c}_min"),
+            F.round(F.max(c), 4).alias(f"{c}_max"),
+        ]
+    return li.agg(*aggs)
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of lineitem measures (one aggregate,
+    no MLlib Statistics round-trip)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ("l_quantity", "l_extendedprice", "l_discount")
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"corr_{a}_{b}"))
+    return li.agg(*aggs)
+
+
 def q_moving_avg(spark, sf_dir):
     """Bounded window frames: per-user running sum and 4-row moving
     average over event time."""
@@ -1321,6 +1349,19 @@ SELECT user_id, session_id, count(*) AS n_events,
        max(sec) - min(sec) AS duration_sec,
        round(sum(value), 4) AS sum_value
 FROM sessions GROUP BY user_id, session_id""",
+    "summary_stats": """
+SELECT """ + ", ".join(
+        f"count({c}) AS {c}_cnt, round(avg({c}), 4) AS {c}_mean, "
+        f"round(stddev_samp({c}), 4) AS {c}_sd, round(min({c}), 4) AS {c}_min, "
+        f"round(max({c}), 4) AS {c}_max"
+        for c in ("l_quantity", "l_extendedprice", "l_discount")
+    ) + """
+FROM lineitem""",
+    "corr_matrix": """
+SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity_l_extendedprice,
+       round(corr(l_quantity, l_discount), 6) AS corr_l_quantity_l_discount,
+       round(corr(l_extendedprice, l_discount), 6) AS corr_l_extendedprice_l_discount
+FROM lineitem""",
     "moving_avg": """
 SELECT event_id, user_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1521,6 +1562,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
     "moving_avg": QuerySpec(q_moving_avg, ORACLES["moving_avg"]),
+    "summary_stats": QuerySpec(q_summary_stats, ORACLES["summary_stats"]),
+    "corr_matrix": QuerySpec(q_corr_matrix, ORACLES["corr_matrix"]),
     "null_funcs": QuerySpec(q_null_funcs, ORACLES["null_funcs"]),
     "zscore_window": QuerySpec(q_zscore_window, ORACLES["zscore_window"]),
     # clustering primitives
