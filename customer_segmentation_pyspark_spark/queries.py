@@ -675,6 +675,31 @@ def q_kmeans_custom_k5(spark, sf_dir):
     )
 
 
+def q_doc_clustering(spark, sf_dir):
+    """Text clustering end-to-end: Tokenizer -> HashingTF -> IDF -> KMeans
+    (the MLlib text pipeline; rows-only — feature hashing is not
+    SQL-expressible)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    d = load_table(spark, sf_dir, "documents")
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="toks"),
+            HashingTF(inputCol="toks", outputCol="tf", numFeatures=256),
+            IDF(inputCol="tf", outputCol="features"),
+            MLKMeans(k=5, seed=1, maxIter=10),
+        ]
+    )
+    model = pipe.fit(d)
+    pred = model.transform(d)
+    return pred.groupBy(F.col("prediction").cast("long").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def q_kmeans_embeddings(spark, sf_dir):
     """High-dimensional clustering: Lloyd's loop on the 64-dim embedding
     array column, k=8 (rows-only; invariants in tests)."""
@@ -1575,6 +1600,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "kmeans_mllib": QuerySpec(q_kmeans_mllib, None),
     "cluster_shape": QuerySpec(q_cluster_shape, None),
     "kmeans_embeddings": QuerySpec(q_kmeans_embeddings, None),
+    "doc_clustering": QuerySpec(q_doc_clustering, None),
     "mllib_scaled_pipeline": QuerySpec(q_mllib_scaled_pipeline, None),
     "elbow_k": QuerySpec(q_elbow_k, None),
     # text analysis

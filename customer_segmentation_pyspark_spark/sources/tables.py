@@ -36,6 +36,15 @@ TABLE_NAMES = (
 BROADCASTABLE = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a dimension table pre-wrapped in a broadcast hint. Joins
+    against the result never shuffle the fact side; refuses fact tables so
+    a 100 TB table can't be broadcast by accident."""
+    if name not in BROADCASTABLE:
+        raise ValueError(f"{name} is a fact table; broadcast would not scale")
+    return F.broadcast(load_table(spark, sf_dir, name))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Column pruning + predicate pushdown reach the
     Parquet scan automatically because we return a plain scan node."""
