@@ -15,7 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NAMES = [
     "groupby_agg", "join_dims", "topk_orders", "centroid_assign",
     "kmeans_one_iter", "sessionization", "asof_join", "minhash_pairs",
-    "cosine_topk", "shipping_priority",
+    "cosine_topk", "shipping_priority", "local_supplier_volume",
+    "llm_prep_pipeline",
 ]
 
 
