@@ -354,3 +354,58 @@ def embedding_neardup_pairs(
             )
 
     return v.mapInPandas(score, schema=schema)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node repeatedly adopts the smallest component id
+    among itself and its neighbors until a fixpoint.
+
+    This is the step the dedup pipelines need after candidate-pair
+    generation (minhash/ngram/embedding near-dup emit PAIRS; retention
+    policy needs GROUPS — keep one doc per component). The reference has
+    no analogue; semantics follow the standard union-find result
+    (component id = min node id in the component).
+
+    Scale notes: each round is one union + one shuffle (groupBy id,
+    min(label)); rounds = graph diameter. Near-dup graphs are unions of
+    near-cliques, so 2-4 rounds in practice. Labels only decrease, so
+    sum(label) strictly decreases until convergence — the loop's exit
+    test is that single scalar, no join needed. ``localCheckpoint``
+    truncates lineage so the plan stays bounded across rounds. For
+    adversarial long-path graphs at 100 TB, swap the body for
+    alternating large-star/small-star (O(log n) rounds) — same
+    interface.
+    """
+    und = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = und.join(
+            labels.withColumnRenamed("id", "b"), on="b"
+        ).select(F.col("a").alias("id"), "component")
+        labels = (
+            labels.select("id", "component")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -993,6 +993,107 @@ def q_frame_sample(spark, sf_dir):
     ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup GROUPING: exact n-gram-Jaccard pairs -> connected
+    components -> (doc_id, cluster_id). This is the retention step the
+    pair-emitting dedup ops feed ("keep one doc per component"); cluster
+    id = min doc_id in the component. Oracle: DuckDB recursive CTE
+    computing min reachable id over the same edge list."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2)
+    cc = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """The reference's actual domain — customer segmentation — as the
+    classic RFM composite: per-customer recency/frequency/monetary from
+    orders, quartile scores (1 = best), CASE segment labels. Quartiles
+    use ntile(4) with a full deterministic ORDER BY (metric, custkey) so
+    both engines tile identically. Scale note: a global ntile is a
+    single-partition sort; at 100 TB swap the scoring to approxQuantile
+    boundaries + CASE (same output contract) — exact-rank semantics are
+    kept here because the fixture scale allows the exact answer."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    rfm = per_cust.join(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("anchor", "last_order").cast("long")
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).cast("long").alias("r_score"),
+        F.ntile(4).over(w_f).cast("long").alias("f_score"),
+        F.ntile(4).over(w_m).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), F.lit("at_risk_loyal"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), F.lit("recent_light"))
+        .otherwise(F.lit("other")),
+    )
+
+
+def q_window_distribution(spark, sf_dir):
+    """Distribution-window family: percent_rank / cume_dist / ntile(10)
+    per mktsegment (unique full ordering => identical tiling in both
+    engines)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+def q_join_full_outer(spark, sf_dir):
+    """FULL OUTER join type: every customer vs per-customer order counts
+    over a filtered order subset (high-value orders), so both null sides
+    are exercised — customers with no qualifying orders AND (synthetic)
+    order keys outside the customer dimension."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_big"))
+    )
+    j = c.select("c_custkey", "c_mktsegment").join(
+        counts, c.c_custkey == counts.o_custkey, "full_outer"
+    )
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").cast("long").alias("custkey"),
+        "c_mktsegment",
+        F.coalesce("n_big", F.lit(0)).cast("long").alias("n_big"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect mirrors of the above)
 # ---------------------------------------------------------------------------
@@ -1514,6 +1615,67 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2""",
     "simhash": _sql_simhash(16),
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shd a JOIN shd b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id""",
+    "rfm_segments": """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+rfm AS (SELECT o_custkey,
+               CAST(date_diff('day', last_order, anchor) AS BIGINT)
+                 AS recency_days,
+               frequency, monetary
+        FROM per_cust, anchor),
+scored AS (SELECT o_custkey, recency_days, frequency, monetary,
+  CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) AS BIGINT)
+    AS r_score,
+  CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+    AS f_score,
+  CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+    AS m_score
+  FROM rfm)
+SELECT *, CASE
+    WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+    WHEN r_score >= 3 AND f_score <= 2 THEN 'at_risk_loyal'
+    WHEN r_score <= 2 AND f_score >= 3 THEN 'recent_light'
+    ELSE 'other' END AS segment
+FROM scored""",
+    "window_distribution": """
+SELECT c_custkey, c_mktsegment,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+    "join_full_outer": """
+WITH counts AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big
+                FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+SELECT CAST(coalesce(c_custkey, o_custkey) AS BIGINT) AS custkey,
+       c_mktsegment,
+       CAST(coalesce(n_big, 0) AS BIGINT) AS n_big
+FROM customer FULL OUTER JOIN counts ON c_custkey = o_custkey""",
     "embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1583,6 +1745,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "orders_by_month": QuerySpec(q_orders_by_month, ORACLES["orders_by_month"]),
     "join_anti": QuerySpec(q_join_anti, ORACLES["join_anti"]),
     "join_semi": QuerySpec(q_join_semi, ORACLES["join_semi"]),
+    "join_full_outer": QuerySpec(q_join_full_outer, ORACLES["join_full_outer"]),
+    "window_distribution": QuerySpec(
+        q_window_distribution, ORACLES["window_distribution"]
+    ),
+    "rfm_segments": QuerySpec(q_rfm_segments, ORACLES["rfm_segments"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
@@ -1619,6 +1786,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "cube_agg": QuerySpec(q_cube_agg, ORACLES["cube_agg"]),
     "minhash_pairs": QuerySpec(q_minhash_pairs, ORACLES["minhash_pairs"]),
+    "dedup_clusters": QuerySpec(q_dedup_clusters, ORACLES["dedup_clusters"]),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLES["ngram_jaccard"]),
     "simhash": QuerySpec(q_simhash, ORACLES["simhash"]),
     "embedding_neardup": QuerySpec(

