@@ -1094,6 +1094,97 @@ def q_join_full_outer(spark, sf_dir):
     )
 
 
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    fact-fact join (orders x lineitem, returnflag filter pushed to the
+    scan) + broadcast dims (customer at this SF, nation), top 20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share)
+    per ship month of 1996 — the CASE-inside-SUM pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+        )
+    )
+
+
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to the fixture columns): per order
+    priority, how many orders had ANY line shipped >90 days after the
+    order date — EXISTS expressed as a left-semi join, then a hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(
+            late.select("o_orderkey").distinct(),
+            "o_orderkey",
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+    )
+
+
+def q_grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS ((returnflag), (linestatus), ()) with
+    grouping_id — finer control than rollup/cube (which queries()
+    already covers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_unpivot_part(spark, sf_dir):
+    """Unpivot (wide->long melt): part metrics (size, retailprice) into
+    (metric, val) rows — map-only, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "val")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect mirrors of the above)
 # ---------------------------------------------------------------------------
@@ -1676,6 +1767,45 @@ SELECT CAST(coalesce(c_custkey, o_custkey) AS BIGINT) AS custkey,
        c_mktsegment,
        CAST(coalesce(n_big, 0) AS BIGINT) AS n_big
 FROM customer FULL OUTER JOIN counts ON c_custkey = o_custkey""",
+    "returned_items": """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+    "promo_revenue": """
+SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1996
+GROUP BY 1""",
+    "late_shipment_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority""",
+    "grouping_sets_agg": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "unpivot_part": """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', p_retailprice FROM part""",
     "embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1750,6 +1880,15 @@ REGISTRY: dict[str, QuerySpec] = {
         q_window_distribution, ORACLES["window_distribution"]
     ),
     "rfm_segments": QuerySpec(q_rfm_segments, ORACLES["rfm_segments"]),
+    "returned_items": QuerySpec(q_returned_items, ORACLES["returned_items"]),
+    "promo_revenue": QuerySpec(q_promo_revenue, ORACLES["promo_revenue"]),
+    "late_shipment_priority": QuerySpec(
+        q_late_shipment_priority, ORACLES["late_shipment_priority"]
+    ),
+    "grouping_sets_agg": QuerySpec(
+        q_grouping_sets_agg, ORACLES["grouping_sets_agg"]
+    ),
+    "unpivot_part": QuerySpec(q_unpivot_part, ORACLES["unpivot_part"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
