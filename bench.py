@@ -28,6 +28,8 @@ HEADLINE = [
     "range_join_bands",
     "topk_orders",
     "shipping_priority",
+    "returned_items",
+    "rfm_segments",
     "window_rank",
     "rollup_agg",
     "percentiles",

@@ -385,7 +385,11 @@ def connected_components(
     und = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
-    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # materialize once: the edge list is often an expensive upstream
+    # pipeline (shingle->Jaccard), and the loop re-joins it every round
+    ).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()
