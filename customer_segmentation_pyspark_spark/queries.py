@@ -1185,6 +1185,54 @@ def q_unpivot_part(spark, sf_dir):
     ).unpivot("p_partkey", ["size", "retailprice"], "metric", "val")
 
 
+def q_word_freq(spark, sf_dir):
+    """The classic corpus word count: normalize -> split -> explode ->
+    hash agg -> top 25 (TakeOrderedAndProject). Generate-explode keeps
+    the fan-out executor-side; no driver materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(25)
+    )
+
+
+def q_regex_extract(spark, sf_dir):
+    """Regex family: extract the numeric field out of the raw JSON-ish
+    props string (capture group), plus a boolean rlike flag — JVM regex,
+    no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+        .cast("long")
+        .alias("k_extracted"),
+        F.col("props").rlike(r'"k":\s*\d\d+').alias("k_two_digits"),
+    )
+
+
+def q_array_agg_orders(spark, sf_dir):
+    """Aggregate into arrays: per customer, the sorted list of order
+    priorities seen (collect_set -> sort_array) and first/last order
+    dates — array results hash-compare as their canonical string forms."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).cast("string").alias(
+            "priorities"
+        ),
+        F.min(F.to_date("o_orderdate")).cast("string").alias("first_order"),
+        F.max(F.to_date("o_orderdate")).cast("string").alias("last_order"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect mirrors of the above)
 # ---------------------------------------------------------------------------
@@ -1806,6 +1854,24 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
 SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
 UNION ALL
 SELECT p_partkey, 'retailprice', p_retailprice FROM part""",
+    "word_freq": f"""
+WITH words AS (
+  SELECT unnest(string_split({_SQL_NORM}, ' ')) AS word FROM documents)
+SELECT word, count(*) AS n FROM words WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 25""",
+    "regex_extract": """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)
+         AS k_extracted,
+       regexp_matches(props, '"k":\\s*\\d\\d+') AS k_two_digits
+FROM events""",
+    "array_agg_orders": """
+SELECT o_custkey,
+       CAST(list_sort(list_distinct(list(o_orderpriority))) AS VARCHAR)
+         AS priorities,
+       CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_order,
+       CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_order
+FROM orders GROUP BY o_custkey""",
     "embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1889,6 +1955,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_grouping_sets_agg, ORACLES["grouping_sets_agg"]
     ),
     "unpivot_part": QuerySpec(q_unpivot_part, ORACLES["unpivot_part"]),
+    "word_freq": QuerySpec(q_word_freq, ORACLES["word_freq"]),
+    "regex_extract": QuerySpec(q_regex_extract, ORACLES["regex_extract"]),
+    "array_agg_orders": QuerySpec(
+        q_array_agg_orders, ORACLES["array_agg_orders"]
+    ),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

@@ -150,3 +150,19 @@ def test_pandas_escape_hatch_matches_expression(spark):
     for r in rows:
         assert abs(r["d_expr"] - r["d_pd"]) < 1e-9
         assert abs(r["c_expr"] - r["c_pd"]) < 1e-9
+
+
+def test_returned_items_broadcasts_dims_and_topk(spark):
+    """Q10 shape: customer/nation reach the probe side as broadcasts and
+    the final sort+limit folds to TakeOrderedAndProject."""
+    df = REGISTRY["returned_items"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_returned_items_filter_pushed_to_scan(spark):
+    """The returnflag predicate must reach the lineitem parquet scan."""
+    df = REGISTRY["returned_items"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in p
