@@ -1233,6 +1233,45 @@ def q_array_agg_orders(spark, sf_dir):
     )
 
 
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap fill: 15-min event buckets -> complete epoch spine
+    (sequence + explode, generated executor-side from a 1-row bounds agg)
+    -> left join -> zero-fill counts + carry-forward interpolation of the
+    rolling average (last ignorenulls). Buckets are epoch-second floors so
+    both engines bucket identically regardless of session timezone.
+
+    Scale note: the carry-forward window is global-ordered (one
+    partition). At 100 TB, partition the window by day, then stitch the
+    per-day boundary values with a second tiny pass over one row per day
+    — same operator contract."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 900) * 900).cast("long")
+    # value has 2 exact decimals: summing as DECIMAL makes the bucket
+    # average identical across engines (double sums are order-dependent
+    # and 8-row buckets land exactly on the 4dp rounding boundary)
+    per = ev.groupBy(bucket.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_value"),
+    )
+    bounds = per.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(900))).alias("h")
+    )
+    j = spine.join(per, "h", "left")
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "h",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_filled"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect mirrors of the above)
 # ---------------------------------------------------------------------------
@@ -1865,6 +1904,21 @@ SELECT event_id,
          AS k_extracted,
        regexp_matches(props, '"k":\\s*\\d\\d+') AS k_two_digits
 FROM events""",
+    "gap_fill": """
+WITH per AS (
+  SELECT CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*), 4) AS avg_value
+  FROM events GROUP BY 1),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM per),
+spine AS (SELECT unnest(generate_series(lo, hi, 900)) AS h FROM bounds)
+SELECT s.h AS h,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       last_value(avg_value IGNORE NULLS) OVER (
+         ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS avg_filled
+FROM spine s LEFT JOIN per ON s.h = per.h""",
     "array_agg_orders": """
 SELECT o_custkey,
        CAST(list_sort(list_distinct(list(o_orderpriority))) AS VARCHAR)
@@ -1960,6 +2014,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "array_agg_orders": QuerySpec(
         q_array_agg_orders, ORACLES["array_agg_orders"]
     ),
+    "gap_fill": QuerySpec(q_gap_fill, ORACLES["gap_fill"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
