@@ -16,7 +16,8 @@ NAMES = [
     "groupby_agg", "join_dims", "topk_orders", "centroid_assign",
     "kmeans_one_iter", "sessionization", "asof_join", "minhash_pairs",
     "cosine_topk", "shipping_priority", "local_supplier_volume",
-    "llm_prep_pipeline",
+    "llm_prep_pipeline", "returned_items", "rfm_segments", "gap_fill",
+    "word_freq",
 ]
 
 
