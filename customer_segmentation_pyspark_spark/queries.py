@@ -1272,6 +1272,47 @@ def q_gap_fill(spark, sf_dir):
     )
 
 
+def q_session_window_native(spark, sf_dir):
+    """Native ``F.session_window`` twin of `sessionization` (which builds
+    sessions from lag + running sum): one shuffle, merged-window state
+    handled by Spark itself, and the identical plan runs incrementally
+    under Structured Streaming with a watermark. Boundary note: an event
+    at exactly the gap distance splits here ([start, last+gap) exclusive
+    end) but merges in the lag variant (`> gap` starts new); the fixtures
+    contain no exact-gap pairs, and the oracle encodes THIS operator's
+    `>=` semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("win.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_approx_percentiles(spark, sf_dir):
+    """Approximate percentiles (KLL-style sketch, mergeable across
+    partitions — the scale path where exact `percentiles` needs a global
+    sort). Rows-only; accuracy-vs-exact asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.9, 0.99], 10000
+        ).cast("string").alias("pcts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect mirrors of the above)
 # ---------------------------------------------------------------------------
@@ -1919,6 +1960,25 @@ SELECT s.h AS h,
          ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS avg_filled
 FROM spine s LEFT JOIN per ON s.h = per.h""",
+    "session_window_native": """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN coalesce(
+                epoch(ts) - lag(epoch(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id), 1800)
+              >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM g)
+SELECT user_id,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM s GROUP BY user_id, sid""",
     "array_agg_orders": """
 SELECT o_custkey,
        CAST(list_sort(list_distinct(list(o_orderpriority))) AS VARCHAR)
@@ -2015,6 +2075,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_array_agg_orders, ORACLES["array_agg_orders"]
     ),
     "gap_fill": QuerySpec(q_gap_fill, ORACLES["gap_fill"]),
+    "session_window_native": QuerySpec(
+        q_session_window_native, ORACLES["session_window_native"]
+    ),
+    "approx_percentiles": QuerySpec(q_approx_percentiles, None),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

@@ -86,3 +86,30 @@ def streaming_tumbling_counts(
             F.col("win.start").alias("bucket_start"), "event_type", "n_events"
         )
     )
+
+
+def streaming_sliding_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    window_len: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "3 hours",
+    ts_col: str = "ts",
+):
+    """Structured Streaming sliding windows: each event lands in
+    window_len/slide overlapping windows; watermark bounds how long each
+    open window's partial aggregate stays in the state store."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(source_dir)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            F.col("win.end").alias("bucket_end"),
+            "n_events",
+        )
+    )

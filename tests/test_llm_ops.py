@@ -302,3 +302,55 @@ def test_dedup_clusters_groups_transitively(spark):
         by_cluster.setdefault(r["component"], set()).add(r["id"])
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """Sketch percentiles within 1% relative of the exact answer."""
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    approx = {
+        r["l_returnflag"]: r["pcts"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], 10000
+            ).alias("pcts")
+        )
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["pcts"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("pcts")
+        )
+        .collect()
+    }
+    for flag, ex in exact.items():
+        for a, e in zip(approx[flag], ex):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+def test_session_window_native_equals_lag_sessionization(spark):
+    """The native session_window twin groups events into exactly the
+    same sessions as the lag/running-sum operator (per-user multiset of
+    (n_events, sum) pairs)."""
+    from customer_segmentation_pyspark_spark.operators.sessions import (
+        session_stats,
+    )
+    from customer_segmentation_pyspark_spark.queries import (
+        q_session_window_native,
+    )
+
+    native = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in q_session_window_native(spark, SF_ORACLE).collect()
+    )
+    lag = sorted(
+        (r["user_id"], r["n_events"], round(float(r["sum_value"]), 2))
+        for r in session_stats(
+            load_table(spark, SF_ORACLE, "events"), gap_minutes=30
+        ).collect()
+    )
+    assert native == lag

@@ -46,3 +46,41 @@ def test_streaming_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_sliding_matches_batch(spark, tmp_path):
+    """Sliding (overlapping) windows incrementally == the batch
+    sliding_agg plan over the same replayed events."""
+    from customer_segmentation_pyspark_spark.streaming.windows import (
+        sliding_agg,
+        streaming_sliding_counts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "events_sliding_stream")
+    ev.write.parquet(src)
+
+    stream_df = streaming_sliding_counts(
+        spark, src, ev.schema, window_len="2 hours", slide="1 hour"
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("sliding_counts_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["bucket_start"], r["bucket_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_counts_test").collect()
+    }
+    expected = {
+        (r["bucket_start"], r["bucket_end"]): r["n_events"]
+        for r in sliding_agg(ev, "2 hours", "1 hour")
+        .withColumn("bucket_start", F.timestamp_seconds("bucket_start"))
+        .withColumn("bucket_end", F.timestamp_seconds("bucket_end"))
+        .collect()
+    }
+    assert got == expected
