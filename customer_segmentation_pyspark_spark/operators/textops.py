@@ -183,3 +183,40 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", F.md5(F.trim(norm).cast("binary")).alias("fp")
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 2, threshold: float = 0.2
+) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of a
+    document's n-grams occupied by its single most frequent n-gram
+    (with multiplicity — unlike dedup.shingles, which is distinct-only).
+
+    Shape: expression-built n-gram array -> explode -> (doc, gram) hash
+    agg -> (doc) hash agg. Both aggregates are map-side combinable; the
+    shuffle key is (doc_id, gram) then doc_id, so heavy repetition
+    COMPRESSES in the first combine rather than skewing it."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        _spread,
+        normalized,
+    )
+
+    toks = F.split(normalized(F.col(text_col)), " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    g = _spread(df).select("doc_id", F.explode(grams).alias("gram"))
+    per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    out = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_gram_frac"),
+    )
+    return out.withColumn(
+        "repetitive", F.col("top_gram_frac") > F.lit(threshold)
+    )

@@ -1313,6 +1313,13 @@ def q_approx_percentiles(spark, sf_dir):
     )
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality gate: per-doc top-bigram fraction
+    (with multiplicity) + a boolean filter flag."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.repetition_stats(d, n=2, threshold=0.2)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect mirrors of the above)
 # ---------------------------------------------------------------------------
@@ -1960,6 +1967,20 @@ SELECT s.h AS h,
          ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS avg_filled
 FROM spine s LEFT JOIN per ON s.h = per.h""",
+    "repetition_filter": f"""
+WITH docs AS (SELECT doc_id, {_SQL_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM docs),
+grams AS (
+  SELECT doc_id,
+         unnest([t[i] || ' ' || t[i+1]
+                 for i in generate_series(1, len(t) - 1)]) AS gram
+  FROM toks),
+per AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       round(max(c) / sum(c), 4) AS top_gram_frac,
+       round(max(c) / sum(c), 4) > 0.2 AS repetitive
+FROM per GROUP BY doc_id""",
     "session_window_native": """
 WITH g AS (
   SELECT user_id, ts, value,
@@ -2079,6 +2100,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_session_window_native, ORACLES["session_window_native"]
     ),
     "approx_percentiles": QuerySpec(q_approx_percentiles, None),
+    "repetition_filter": QuerySpec(
+        q_repetition_filter, ORACLES["repetition_filter"]
+    ),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
