@@ -139,3 +139,40 @@ def frame_sample_stub(
             )
 
     return cols.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dim", T.IntegerType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def embed_stub(df: DataFrame, payload_col: str = "payload", dims: int = 8) -> DataFrame:
+    """Arrow-batched feature-extraction stage (the 'image -> embedding'
+    bridge into the similarity operators). The kernel is a deterministic
+    fake — md5 bytes of the payload scaled to [0,1] — standing in for a
+    real vision encoder; the distributed shape (mapInPandas, typed long
+    output, one row per dimension) is the real plumbing. Exploded
+    (doc_id, dim, val) output keeps it hash-comparable to the SQL oracle
+    without array-rendering concerns."""
+    import hashlib
+
+    cols = df.select("doc_id", payload_col)
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_dim, out_val = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                digest = hashlib.md5(bytes(payload)).digest()
+                for d in range(dims):
+                    out_doc.append(doc_id)
+                    out_dim.append(d)
+                    out_val.append(round(digest[d] / 255.0, 6))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "dim": out_dim, "val": out_val}
+            )
+
+    return cols.mapInPandas(embed, schema=EMBED_SCHEMA)

@@ -979,6 +979,15 @@ def q_multimodal_meta(spark, sf_dir):
     ).select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "content_md5")
 
 
+def q_multimodal_embed(spark, sf_dir):
+    """Feature-extraction stage (fake deterministic 'vision encoder'):
+    binary payload -> md5-derived 8-dim embedding rows via mapInPandas.
+    The kernel is SQL-mirrorable, so unlike the decode stub this one is
+    fully oracle-checked — plumbing AND values."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.embed_stub(multimodal.with_binary_payload(d))
+
+
 def q_decode_image_stub(spark, sf_dir):
     """Arrow-batched decode stage (deterministic fake kernel; rows-only)."""
     d = load_table(spark, sf_dir, "documents")
@@ -1967,6 +1976,13 @@ SELECT s.h AS h,
          ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS avg_filled
 FROM spine s LEFT JOIN per ON s.h = per.h""",
+    "multimodal_embed": """
+WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+       round(CAST(('0x' || substr(hx, 2*dim + 1, 2)) AS INTEGER) / 255.0, 6)
+         AS val
+FROM h CROSS JOIN dims""",
     "repetition_filter": f"""
 WITH docs AS (SELECT doc_id, {_SQL_NORM} AS nt FROM documents),
 toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM docs),
@@ -2102,6 +2118,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_percentiles": QuerySpec(q_approx_percentiles, None),
     "repetition_filter": QuerySpec(
         q_repetition_filter, ORACLES["repetition_filter"]
+    ),
+    "multimodal_embed": QuerySpec(
+        q_multimodal_embed, ORACLES["multimodal_embed"]
     ),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),

@@ -109,8 +109,10 @@ def test_zscore_window_single_shuffle(spark):
 
 def test_no_python_udfs_in_oracle_queries(spark):
     """Every oracle-checked query stays JVM-side: no BatchEvalPython /
-    ArrowEvalPython stages (Python only appears in the sanctioned
-    mapInPandas multimodal stubs, which are rows-only)."""
+    ArrowEvalPython stages. Python appears only in sanctioned Arrow
+    mapInPandas operators (multimodal kernels, blocked GEMM) — allowed
+    because they are batch-vectorized, and oracle-checked where the
+    kernel is deterministic (multimodal_embed)."""
     for name, spec in REGISTRY.items():
         if spec.oracle is None:
             continue
