@@ -53,3 +53,48 @@ def test_euclidean_matches_python(spark, a, b):
     )
     expected = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
     assert math.isclose(got, expected, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation == a driver-side union-find reference on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for node in parent:
+        root = find(node)
+        expected.setdefault(root, set()).add(node)
+    want = {n: min(m) for m in expected.values() for n in m}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == want
