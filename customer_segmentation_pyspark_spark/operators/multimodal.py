@@ -176,3 +176,42 @@ def embed_stub(df: DataFrame, payload_col: str = "payload", dims: int = 8) -> Da
             )
 
     return cols.mapInPandas(embed, schema=EMBED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("thumb_bytes", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_w: int = 16,
+    target_h: int = 16,
+) -> DataFrame:
+    """Arrow-batched 'resize' stage: emits fixed target dimensions plus a
+    deterministic byte-subsample of the payload (stride chosen so the
+    thumbnail is at most target_w*target_h bytes) — standing in for a real
+    interpolating resampler. A real implementation swaps the kernel body
+    for PIL/cv2 and keeps the identical schema, batching, and partition
+    behavior."""
+    cols = df.select("doc_id", payload_col)
+    budget = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                stride = max(1, -(-len(b) // budget))  # ceil div
+                out.append((doc_id, target_w, target_h, b[::stride]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "out_w", "out_h", "thumb_bytes"]
+            )
+
+    return cols.mapInPandas(resize, schema=RESIZED_SCHEMA)

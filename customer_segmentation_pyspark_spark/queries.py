@@ -988,6 +988,16 @@ def q_multimodal_embed(spark, sf_dir):
     return multimodal.embed_stub(multimodal.with_binary_payload(d))
 
 
+def q_resize_stub(spark, sf_dir):
+    """Resize stage (stub kernel, real plumbing): fixed output dims +
+    deterministic byte-subsample thumbnails (rows-only; schema and
+    size-budget asserted in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_stub(
+        multimodal.with_binary_payload(d)
+    ).select("doc_id", "out_w", "out_h", F.length("thumb_bytes").cast("long").alias("thumb_len"))
+
+
 def q_decode_image_stub(spark, sf_dir):
     """Arrow-batched decode stage (deterministic fake kernel; rows-only)."""
     d = load_table(spark, sf_dir, "documents")
@@ -2122,6 +2132,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_embed": QuerySpec(
         q_multimodal_embed, ORACLES["multimodal_embed"]
     ),
+    "resize_stub": QuerySpec(q_resize_stub, None),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

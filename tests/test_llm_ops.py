@@ -354,3 +354,21 @@ def test_session_window_native_equals_lag_sessionization(spark):
         ).collect()
     )
     assert native == lag
+
+
+def test_resize_stub_budget_and_determinism(spark):
+    """Thumbnails stay within the target_w*target_h byte budget, dims are
+    the fixed target, and the kernel is deterministic across runs."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    payload = multimodal.with_binary_payload(docs)
+    a = multimodal.resize_stub(payload, target_w=16, target_h=16).collect()
+    b = multimodal.resize_stub(payload, target_w=16, target_h=16).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(
+        r["doc_id"] for r in b
+    )
+    bya = {r["doc_id"]: r for r in a}
+    byb = {r["doc_id"]: r for r in b}
+    for doc_id, r in bya.items():
+        assert r["out_w"] == 16 and r["out_h"] == 16
+        assert 0 < len(r["thumb_bytes"]) <= 256
+        assert bytes(r["thumb_bytes"]) == bytes(byb[doc_id]["thumb_bytes"])
