@@ -1522,7 +1522,542 @@ FROM chunks GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Subquery shapes: correlated / EXISTS / scalar subqueries decorrelated into
+# idiomatic Spark plans (window aggs, semi/anti joins, broadcast scalars).
+# The reference has no subqueries (SURVEY.md §2.3: single-table pipeline);
+# these cover the decision-support shapes a 100 TB engine must run.  Each
+# oracle is written in its *correlated* SQL form so the hash-match proves the
+# decorrelation is semantics-preserving.
+# ---------------------------------------------------------------------------
+
+
+def q_filtered_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: forecasting-revenue-change — a pure scan-filter-agg
+    with every predicate pushable to the parquet scan (no join, no shuffle
+    beyond the final 1-row reduce).  At 100 TB this is the query that proves
+    predicate pushdown + column pruning: only 4 of 11 lineitem columns read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1996)
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from orders far below the part's typical
+    quantity.  The correlated scalar subquery (per-part avg) decorrelates to
+    a window aggregate over ``l_partkey`` — ONE shuffle instead of the
+    agg-then-self-join's two; the part dim is broadcast for the brand label."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("qty_thr", 0.2 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — HAVING on a grouped sum, then
+    join back to the order/customer detail.  The HAVING filter runs *before*
+    the join (partial agg on lineitem first), so only the ~0.1% qualifying
+    orderkeys reach the join — the scale-critical ordering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count — a LEFT
+    join with a join-condition filter (so zero-order customers survive with
+    count 0), then a two-level aggregation (count per customer, then count
+    of counts)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q_late_line_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: fixtures have no shipmode, split by
+    l_linestatus): lines shipped >60 days after order date, counted into
+    high/low order-priority buckets via CASE-inside-SUM."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_untapped_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: fixtures have no phone country code, every
+    customer has orders): above-average-balance customers with no URGENT
+    order.  Scalar subquery (global avg over positive balances) becomes a
+    broadcast 1-row cross join; NOT EXISTS becomes a left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def q_supplier_wait(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier orders.  The EXISTS / NOT EXISTS pair over sibling lines
+    decorrelates to per-order aggregates (distinct suppliers, distinct LATE
+    suppliers) joined back on ``l_orderkey`` — the groupBy and both joins
+    share one hash-partitioning of orderkey, so Catalyst plans a single
+    shuffle chain instead of three."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of three brand/quantity/size
+    conjunction groups.  Catalyst extracts the common sub-predicates and
+    pushes ``l_quantity`` bounds to the scan; the part side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    grp = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 35)
+        )
+    )
+    return j.filter(grp).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window/aggregate completions + multiset & generator ops: analytic frames
+# (first/last/nth, RANGE-interval trailing windows), order-statistics
+# aggregates (max_by/min_by, deterministic mode), width_bucket histograms,
+# ordered string aggregation, INTERSECT/EXCEPT ALL, posexplode, map funcs.
+# ---------------------------------------------------------------------------
+
+
+def q_first_last_window(spark, sf_dir):
+    """Analytic value-functions over a full partition frame: first / last /
+    2nd order price per customer, one output row per customer.  Total
+    ordering inside the frame is pinned by (o_orderdate, o_orderkey) so
+    first/last/nth are deterministic across engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .distinct()
+    )
+
+
+def q_trailing_window_sum(spark, sf_dir):
+    """RANGE-interval frame: per order, the customer's rolling 30-day spend
+    (inclusive of the current order).  Spark's rangeBetween needs a numeric
+    sort key, so the timestamp is cast to epoch seconds — same trick DuckDB's
+    RANGE ... PRECEDING uses; at scale this is one shuffle on o_custkey."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
+
+
+def q_top_user_by_value(spark, sf_dir):
+    """Order-statistics aggregates: max_by / min_by with a composite
+    (value, user_id) ordering key so ties on value break deterministically
+    — the single-shuffle alternative to a row_number()=1 window."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("user_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", key).alias("top_user"),
+        F.max("value").alias("top_value"),
+        F.min_by("user_id", key).alias("bottom_user"),
+        F.min("value").alias("bottom_value"),
+    )
+
+
+def q_mode_value(spark, sf_dir):
+    """Deterministic mode: most frequent integer value-bucket per event
+    type, ties broken toward the smallest value (SQL's native ``mode()`` is
+    tie-nondeterministic across engines, so the engine pins the tie-break:
+    count desc, value asc via one agg + one row_number window)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("mode_value")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("mode_value")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "mode_value", "n")
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """width_bucket histogram: equi-width binning of events.value into 10
+    buckets over [0, 500) plus under/overflow buckets — the scalable
+    backend for density plots (SURVEY.md §2.1 S4 generalized to 1-D)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(500.0), F.lit(10))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("bucket_sum"),
+        )
+    )
+
+
+def q_supplier_roster(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg): comma-joined,
+    alphabetically-sorted supplier roster per nation.  Spark expresses the
+    ordered aggregate as collect_list -> array_sort -> concat_ws, which
+    keeps the sort executor-side and deterministic."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "roster"
+            ),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+def q_multiset_ops(spark, sf_dir):
+    """Multiset (bag) set-operations: INTERSECT ALL keeps min(multiplicity),
+    EXCEPT ALL keeps the surplus — per-user click/view event bags, tagged so
+    the two branches stay distinguishable in one result."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    both = clicks.intersectAll(views).withColumn("op", F.lit("both"))
+    only = clicks.exceptAll(views).withColumn("op", F.lit("click_only"))
+    return both.unionByName(only)
+
+
+def q_posexplode_words(spark, sf_dir):
+    """Generator with ordinal: posexplode the first 5 tokens of every
+    document (LATERAL VIEW posexplode) — position-aware fan-out, the shape
+    used for windowed n-gram features."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .filter(F.col("pos") < 5)
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
+    )
+
+
+def q_map_funcs(spark, sf_dir):
+    """Map-typed columns: build a map with str_to_map, read it back with
+    element_at / map_keys.  The oracle checks the round-trip reproduces the
+    source columns exactly (map construction and access are lossless)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.str_to_map(
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("type:"), F.col("event_type")),
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")),
+        ),
+        F.lit(","),
+        F.lit(":"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "user").cast("bigint").alias("map_user"),
+        F.element_at(m, "type").alias("map_type"),
+        F.map_keys(m).cast("string").alias("map_keys_str"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "filtered_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE year(l_shipdate) = 1996
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+    "small_qty_revenue": """
+SELECT p_brand, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (
+  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = part.p_partkey)
+GROUP BY p_brand""",
+    "large_orders": """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100""",
+    "order_count_distribution": """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count""",
+    "late_line_priority_counts": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus""",
+    "untapped_customers": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment""",
+    "supplier_wait": """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25""",
+    "disjunctive_revenue": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 25)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 35)""",
+    "first_last_window": """
+SELECT DISTINCT o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "trailing_window_sum": """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+         AS trailing_30d_spend
+FROM orders""",
+    "top_user_by_value": """
+WITH ranked AS (
+  SELECT event_type, user_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, user_id DESC) AS rt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, user_id ASC) AS rb
+  FROM events)
+SELECT r1.event_type, r1.user_id AS top_user, r1.value AS top_value,
+       r2.user_id AS bottom_user, r2.value AS bottom_value
+FROM ranked r1 JOIN ranked r2 ON r1.event_type = r2.event_type
+WHERE r1.rt = 1 AND r2.rb = 1""",
+    "mode_value": """
+SELECT event_type, mode_value, n FROM (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS mode_value,
+         CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC,
+                                     CAST(floor(value) AS BIGINT)) AS rn
+  FROM events GROUP BY 1, 2)
+WHERE rn = 1""",
+    "value_histogram": """
+SELECT CASE WHEN value < 0 THEN 0
+            WHEN value >= 500 THEN 11
+            ELSE CAST(floor(value / 50.0) + 1 AS BIGINT) END AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS bucket_sum
+FROM events GROUP BY 1""",
+    "supplier_roster": """
+SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS roster,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name""",
+    "multiset_ops": """
+SELECT user_id, 'both' AS op FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT ALL
+  SELECT user_id FROM events WHERE event_type = 'view')
+UNION ALL
+SELECT user_id, 'click_only' AS op FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'view')""",
+    "posexplode_words": """
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+     range(1, 6) t(i)
+WHERE i <= len(parts)""",
+    "map_funcs": """
+SELECT event_id, user_id AS map_user, event_type AS map_type,
+       '[type, user]' AS map_keys_str
+FROM events""",
     "project_select": "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
     "case_when_dow": f"""
 SELECT event_id,
@@ -2133,6 +2668,49 @@ REGISTRY: dict[str, QuerySpec] = {
         q_multimodal_embed, ORACLES["multimodal_embed"]
     ),
     "resize_stub": QuerySpec(q_resize_stub, None),
+    # subquery shapes (decorrelated TPC-H Q6/Q12/Q13/Q17/Q18/Q19/Q21/Q22)
+    "filtered_revenue": QuerySpec(
+        q_filtered_revenue, ORACLES["filtered_revenue"]
+    ),
+    "small_qty_revenue": QuerySpec(
+        q_small_qty_revenue, ORACLES["small_qty_revenue"]
+    ),
+    "large_orders": QuerySpec(q_large_orders, ORACLES["large_orders"]),
+    "order_count_distribution": QuerySpec(
+        q_order_count_distribution, ORACLES["order_count_distribution"]
+    ),
+    "late_line_priority_counts": QuerySpec(
+        q_late_line_priority_counts, ORACLES["late_line_priority_counts"]
+    ),
+    "untapped_customers": QuerySpec(
+        q_untapped_customers, ORACLES["untapped_customers"]
+    ),
+    "supplier_wait": QuerySpec(q_supplier_wait, ORACLES["supplier_wait"]),
+    "disjunctive_revenue": QuerySpec(
+        q_disjunctive_revenue, ORACLES["disjunctive_revenue"]
+    ),
+    # analytic completions: frames, order statistics, multiset, generators
+    "first_last_window": QuerySpec(
+        q_first_last_window, ORACLES["first_last_window"]
+    ),
+    "trailing_window_sum": QuerySpec(
+        q_trailing_window_sum, ORACLES["trailing_window_sum"]
+    ),
+    "top_user_by_value": QuerySpec(
+        q_top_user_by_value, ORACLES["top_user_by_value"]
+    ),
+    "mode_value": QuerySpec(q_mode_value, ORACLES["mode_value"]),
+    "value_histogram": QuerySpec(
+        q_value_histogram, ORACLES["value_histogram"]
+    ),
+    "supplier_roster": QuerySpec(
+        q_supplier_roster, ORACLES["supplier_roster"]
+    ),
+    "multiset_ops": QuerySpec(q_multiset_ops, ORACLES["multiset_ops"]),
+    "posexplode_words": QuerySpec(
+        q_posexplode_words, ORACLES["posexplode_words"]
+    ),
+    "map_funcs": QuerySpec(q_map_funcs, ORACLES["map_funcs"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
