@@ -1914,7 +1914,160 @@ def q_map_funcs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Pipeline-engineering ops: upsert/merge (SCD type 1), validity intervals
+# (SCD type 2), PII redaction, Python UDTFs, and correlated LATERAL joins.
+# ---------------------------------------------------------------------------
+
+
+def q_upsert_snapshot(spark, sf_dir):
+    """MERGE/upsert (SCD type 1): apply a change-set to the customer
+    snapshot — update matched keys, insert unmatched ones, keep the rest.
+    Expressed as a full-outer join + coalesce, the shuffle-once batch
+    equivalent of MERGE INTO; at scale both sides bucket by the key so the
+    join is co-located.  The change-set is derived from 1997 order totals
+    (plus a shifted-key slice to exercise the insert branch)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    upd = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("new_bal"))
+    )
+    ins = upd.filter(F.col("o_custkey") % 97 == 0).select(
+        (F.col("o_custkey") + 1000000).alias("o_custkey"), "new_bal"
+    )
+    updates = upd.unionByName(ins)
+    return c.join(
+        updates, F.col("c_custkey") == F.col("o_custkey"), "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("cust_id"),
+        F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("balance"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("o_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD type 2 interval build: turn a change log (orders per customer)
+    into validity intervals — valid_from = this change, valid_to = next
+    change (open-ended for the current row).  One lead() window per
+    customer; dates serialized to strings for engine-neutral comparison."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """Redaction pipeline: count pattern hits per document and emit the
+    md5 of the redacted text (regexp_count + global regexp_replace) — the
+    governance twin of ``pseudonymize`` for free-text columns."""
+    d = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace("text", "customer", "[REDACTED]")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("customer")).cast("bigint").alias(
+            "n_hits"
+        ),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    )
+
+
+@F.udtf(returnType="pos: bigint, bigram: string")
+class _BigramsUDTF:
+    """Python UDTF (SURVEY.md §2.9 — the sanctioned custom-fn surface
+    beyond pandas_udf): one input row -> N bigram rows.  Used via LATERAL
+    so Catalyst plans it as a generator; the DuckDB oracle reproduces it
+    with pure SQL array indexing, proving the UDTF stays semantically
+    relational (no hidden state)."""
+
+    def eval(self, text: str):
+        parts = text.split(" ")
+        for i in range(min(len(parts) - 1, 4)):
+            yield i, parts[i] + " " + parts[i + 1]
+
+
+def q_udtf_bigrams(spark, sf_dir):
+    """Leading bigrams per document through a Python UDTF + LATERAL join."""
+    d = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("engine_bigrams", _BigramsUDTF)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, b.pos, b.bigram
+           FROM udtf_docs d, LATERAL engine_bigrams(d.text) b"""
+    )
+
+
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL join: top-2 suppliers by balance for each nation
+    via ``DataFrame.lateralJoin`` with an ``.outer()`` correlated column —
+    the per-group top-k shape without a window over the whole fact table
+    (the inner query prunes to the correlated nation before the sort)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    inner = (
+        s.where(F.col("s_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("s_acctbal").desc(), "s_name")
+        .limit(2)
+        .select("s_name", "s_acctbal")
+    )
+    return n.lateralJoin(inner).select("n_name", "s_name", "s_acctbal")
+
+
 ORACLES: dict[str, str] = {
+    "upsert_snapshot": """
+WITH upd_base AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS new_bal
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey),
+updates AS (
+  SELECT o_custkey, new_bal FROM upd_base
+  UNION ALL
+  SELECT o_custkey + 1000000, new_bal FROM upd_base WHERE o_custkey % 97 = 0)
+SELECT coalesce(c_custkey, o_custkey) AS cust_id,
+       round(coalesce(new_bal, c_acctbal), 2) AS balance,
+       CASE WHEN c_custkey IS NULL THEN 'insert'
+            WHEN o_custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM customer FULL JOIN updates ON c_custkey = o_custkey""",
+    "scd2_intervals": """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+                '9999-12-31') AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "pii_redact": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'customer')) AS BIGINT) AS n_hits,
+       md5(regexp_replace(text, 'customer', '[REDACTED]', 'g'))
+         AS redacted_md5
+FROM documents""",
+    "udtf_bigrams": """
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       parts[i] || ' ' || parts[i + 1] AS bigram
+FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+     range(1, 5) t(i)
+WHERE i + 1 <= len(parts)""",
+    "lateral_topn": """
+SELECT n_name, t.s_name, t.s_acctbal
+FROM nation, LATERAL (
+  SELECT s_name, s_acctbal FROM supplier
+  WHERE s_nationkey = n_nationkey
+  ORDER BY s_acctbal DESC, s_name LIMIT 2) t""",
     "filtered_revenue": """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
@@ -2711,6 +2864,14 @@ REGISTRY: dict[str, QuerySpec] = {
         q_posexplode_words, ORACLES["posexplode_words"]
     ),
     "map_funcs": QuerySpec(q_map_funcs, ORACLES["map_funcs"]),
+    # pipeline-engineering: merge/SCD, redaction, UDTF, lateral
+    "upsert_snapshot": QuerySpec(
+        q_upsert_snapshot, ORACLES["upsert_snapshot"]
+    ),
+    "scd2_intervals": QuerySpec(q_scd2_intervals, ORACLES["scd2_intervals"]),
+    "pii_redact": QuerySpec(q_pii_redact, ORACLES["pii_redact"]),
+    "udtf_bigrams": QuerySpec(q_udtf_bigrams, ORACLES["udtf_bigrams"]),
+    "lateral_topn": QuerySpec(q_lateral_topn, ORACLES["lateral_topn"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

@@ -113,8 +113,10 @@ def test_no_python_udfs_in_oracle_queries(spark):
     mapInPandas operators (multimodal kernels, blocked GEMM) — allowed
     because they are batch-vectorized, and oracle-checked where the
     kernel is deterministic (multimodal_embed)."""
+    # udtf_bigrams is the deliberate Python-UDTF surface demo (SURVEY.md
+    # §2.9); every other oracled query must stay JVM-side.
     for name, spec in REGISTRY.items():
-        if spec.oracle is None:
+        if spec.oracle is None or name == "udtf_bigrams":
             continue
         p = plan(spec.fn(spark, SF_ORACLE), mode="simple")
         assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time UDF"
