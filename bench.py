@@ -38,6 +38,11 @@ HEADLINE = [
     "time_bucket_hourly",
     "sliding_window",
     "sessionization",
+    # subquery / decision-support shapes
+    "supplier_wait",
+    "small_qty_revenue",
+    "large_orders",
+    "trailing_window_sum",
     # clustering
     "centroid_assign",
     "wcss_fixed",

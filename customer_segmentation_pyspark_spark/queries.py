@@ -1678,11 +1678,16 @@ def q_supplier_wait(spark, sf_dir):
     multi-supplier orders.  The EXISTS / NOT EXISTS pair over sibling lines
     decorrelates to per-order aggregates (distinct suppliers, distinct LATE
     suppliers) joined back on ``l_orderkey`` — the groupBy and both joins
-    share one hash-partitioning of orderkey, so Catalyst plans a single
-    shuffle chain instead of three."""
+    decorrelate to window aggregates over ``l_orderkey`` on the joined
+    frame — ONE lineitem scan and one orderkey shuffle (the window reuses
+    the join's partitioning), vs two scans + an extra join for the naive
+    agg-then-self-join plan."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_orderkey")
     lo = li.join(
         o.select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -1690,16 +1695,22 @@ def q_supplier_wait(spark, sf_dir):
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    marked = lo.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
+        ),
     )
     return (
-        lo.filter(F.col("is_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        marked.filter(
+            F.col("is_late")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -2027,7 +2038,98 @@ def q_lateral_topn(spark, sf_dir):
     return n.lateralJoin(inner).select("n_name", "s_name", "s_acctbal")
 
 
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose lineitem value exceeds a fraction of
+    the GLOBAL total — HAVING against a scalar subquery over an aggregate.
+    Spark: the global total is a 1-row aggregate broadcast into a cross
+    join, so the per-part agg shuffles once and the filter is map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    total = li.agg((0.0008 * F.sum("l_extendedprice")).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select(
+            "l_partkey", F.round("raw_value", 2).alias("part_value")
+        )
+    )
+
+
+def q_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum 1996 revenue — a
+    scalar MAX over an aggregate CTE joined back by equality.  Revenue is
+    rounded to 2dp on BOTH sides before the max-equality compare so the
+    float tie is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    best = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q_bool_aggs(spark, sf_dir):
+    """Boolean/conditional aggregates: bool_and (every), bool_or (any),
+    count_if — the predicate-summary trio per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_large"),
+        F.count_if(F.col("value") > 100).alias("n_over_100"),
+    )
+
+
+def q_bit_aggs(spark, sf_dir):
+    """Bitwise aggregates (bit_and / bit_or / bit_xor over user ids) —
+    set-membership fingerprints computable in one partial+final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("uid_and"),
+        F.bit_or("user_id").alias("uid_or"),
+        F.bit_xor("user_id").alias("uid_xor"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "important_parts": """
+SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+FROM lineitem GROUP BY l_partkey
+HAVING sum(l_extendedprice) >
+       (SELECT 0.0008 * sum(l_extendedprice) FROM lineitem)""",
+    "top_revenue_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+    "bool_aggs": """
+SELECT event_type,
+       bool_and(value > 0) AS all_positive,
+       bool_or(value > 400) AS any_large,
+       CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_over_100
+FROM events GROUP BY event_type""",
+    "bit_aggs": """
+SELECT event_type,
+       bit_and(user_id) AS uid_and,
+       bit_or(user_id) AS uid_or,
+       bit_xor(user_id) AS uid_xor
+FROM events GROUP BY event_type""",
     "upsert_snapshot": """
 WITH upd_base AS (
   SELECT o_custkey, round(sum(o_totalprice), 2) AS new_bal
@@ -2872,6 +2974,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "pii_redact": QuerySpec(q_pii_redact, ORACLES["pii_redact"]),
     "udtf_bigrams": QuerySpec(q_udtf_bigrams, ORACLES["udtf_bigrams"]),
     "lateral_topn": QuerySpec(q_lateral_topn, ORACLES["lateral_topn"]),
+    "important_parts": QuerySpec(
+        q_important_parts, ORACLES["important_parts"]
+    ),
+    "top_revenue_supplier": QuerySpec(
+        q_top_revenue_supplier, ORACLES["top_revenue_supplier"]
+    ),
+    "bool_aggs": QuerySpec(q_bool_aggs, ORACLES["bool_aggs"]),
+    "bit_aggs": QuerySpec(q_bit_aggs, ORACLES["bit_aggs"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

@@ -17,7 +17,8 @@ NAMES = [
     "kmeans_one_iter", "sessionization", "asof_join", "minhash_pairs",
     "cosine_topk", "shipping_priority", "local_supplier_volume",
     "llm_prep_pipeline", "returned_items", "rfm_segments", "gap_fill",
-    "word_freq",
+    "word_freq", "supplier_wait", "small_qty_revenue", "large_orders",
+    "trailing_window_sum", "untapped_customers",
 ]
 
 
