@@ -2104,7 +2104,199 @@ def q_bit_aggs(spark, sf_dir):
     )
 
 
+def q_variant_json(spark, sf_dir):
+    """Semi-structured VARIANT type (Spark 4): parse_json into a variant,
+    extract typed paths with variant_get — the open-schema path for
+    ingesting heterogeneous JSON at scale (binary-encoded, no per-row
+    schema inference).  Oracle: DuckDB JSON extraction on the same props."""
+    ev = load_table(spark, sf_dir, "events")
+    enriched = F.concat(
+        F.lit('{"u":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"t":"'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    v = F.parse_json("props")
+    v2 = F.parse_json(enriched)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.variant_get(v2, "$.u", "bigint").alias("u_val"),
+        F.variant_get(v2, "$.t", "string").alias("t_val"),
+    )
+
+
+def q_xml_funcs(spark, sf_dir):
+    """XML ingestion (Spark 4 built-in): from_xml into a typed struct plus
+    xpath extraction — round-trips constructed XML back to the source
+    columns (losslessness is the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<r><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><t>"),
+        F.col("event_type"),
+        F.lit("</t></r>"),
+    )
+    parsed = F.from_xml(xml, "u BIGINT, t STRING")
+    return ev.select(
+        "event_id",
+        parsed.getField("u").alias("xml_user"),
+        parsed.getField("t").alias("xml_type"),
+        F.xpath_long(xml, F.lit("/r/u/text()")).alias("xpath_user"),
+    )
+
+
+def _morton10(x, y):
+    """20-bit Morton (Z-order) interleave of two 10-bit ints as a pure
+    Catalyst expression — whole-stage-codegen'd, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(10):
+        xb = F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        yb = F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        z = z.bitwiseOR(xb).bitwiseOR(yb)
+    return z
+
+
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, value-bucket): the
+    space-filling-curve sort key used to lay out files so multi-column
+    range predicates prune — sort the table by zkey at write time and both
+    ``user_id`` and ``value`` filters skip most files.  Pure bit-twiddling
+    expressions; the DuckDB oracle repeats the same arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 1024).cast("bigint")
+    y = (F.floor("value").cast("bigint") % 1024).cast("bigint")
+    return ev.select(
+        "event_id", _morton10(x, y).alias("zkey")
+    )
+
+
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=>): NULL keys match NULL keys instead of
+    vanishing — per-bucket click vs view counts where bucket 0 is mapped
+    to NULL.  DuckDB twin: IS NOT DISTINCT FROM."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.nullif(F.col("user_id") % 10, F.lit(0))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(bucket.alias("cb"))
+        .agg(F.count("*").alias("click_n"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(bucket.alias("vb"))
+        .agg(F.count("*").alias("view_n"))
+    )
+    return clicks.join(
+        views, F.col("cb").eqNullSafe(F.col("vb")), "full_outer"
+    ).select(
+        F.coalesce("cb", "vb").alias("bucket_key"),
+        F.col("cb").isNull().alias("is_null_bucket"),
+        "click_n",
+        "view_n",
+    )
+
+
+def q_hll_daily_users(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, Spark
+    3.5+): build one sketch per day-of-week, then union the binary
+    sketches for the global estimate — the incremental pattern that lets
+    100 TB pipelines maintain distinct counts per partition/day and
+    combine them WITHOUT re-scanning history (unlike approx_count_distinct
+    which restarts from raw data).  Rows-only: sketches aren't SQL; the
+    ±5%% accuracy bound vs exact distinct is pinned in
+    tests/test_sketches.py."""
+    from customer_segmentation_pyspark_spark.operators.preprocess import (
+        dow_from_ts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.withColumn("dow", dow_from_ts("ts"))
+        .groupBy("dow")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    per_day = per.select(
+        "dow", F.hll_sketch_estimate("sk").cast("bigint").alias("est_users")
+    )
+    overall = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit(-1).cast("bigint").alias("dow"),
+            F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        )
+    )
+    return per_day.unionByName(overall)
+
+
+def q_ewma_value(spark, sf_dir):
+    """Exponentially-weighted moving average per user (alpha=0.3) over
+    time-ordered events — the classic smoothing op whose recurrence
+    (state = a*x + (1-a)*state) isn't expressible as an associative SQL
+    aggregate, so it runs as grouped-map applyInPandas (Arrow-batched,
+    one group per user).  Verified against a NumPy recursion twin in
+    tests/test_sketches.py; final smoothed value per user returned."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ew = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma_last": [round(float(ew.iloc[-1]), 6)],
+            }
+        )
+
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            smooth, "user_id bigint, n_events bigint, ewma_last double"
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "variant_json": """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       user_id AS u_val,
+       event_type AS t_val
+FROM events""",
+    "xml_funcs": """
+SELECT event_id, user_id AS xml_user, event_type AS xml_type,
+       user_id AS xpath_user
+FROM events""",
+    "zorder_key": """
+SELECT event_id,
+       CAST((SELECT sum(
+          (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1)))
+        FROM range(0, 10) t(i)) AS BIGINT) AS zkey
+FROM (SELECT event_id,
+             user_id % 1024 AS x,
+             CAST(floor(value) AS BIGINT) % 1024 AS y
+      FROM events)""",
+    "null_safe_join": """
+WITH c AS (
+  SELECT nullif(user_id % 10, 0) AS cb, CAST(count(*) AS BIGINT) AS click_n
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+v AS (
+  SELECT nullif(user_id % 10, 0) AS vb, CAST(count(*) AS BIGINT) AS view_n
+  FROM events WHERE event_type = 'view' GROUP BY 1)
+SELECT coalesce(cb, vb) AS bucket_key,
+       cb IS NULL AS is_null_bucket,
+       click_n, view_n
+FROM c FULL JOIN v ON cb IS NOT DISTINCT FROM vb""",
     "important_parts": """
 SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
 FROM lineitem GROUP BY l_partkey
@@ -2982,6 +3174,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "bool_aggs": QuerySpec(q_bool_aggs, ORACLES["bool_aggs"]),
     "bit_aggs": QuerySpec(q_bit_aggs, ORACLES["bit_aggs"]),
+    "variant_json": QuerySpec(q_variant_json, ORACLES["variant_json"]),
+    "xml_funcs": QuerySpec(q_xml_funcs, ORACLES["xml_funcs"]),
+    "zorder_key": QuerySpec(q_zorder_key, ORACLES["zorder_key"]),
+    "null_safe_join": QuerySpec(q_null_safe_join, ORACLES["null_safe_join"]),
+    "hll_daily_users": QuerySpec(q_hll_daily_users, None),
+    "ewma_value": QuerySpec(q_ewma_value, None),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
