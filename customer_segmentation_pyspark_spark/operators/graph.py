@@ -1,0 +1,90 @@
+"""Iterative graph algorithms as DataFrame loops — PageRank power
+iteration.
+
+Complements the connected-components min-label propagation in
+``operators/dedup.py``: together they cover the two iterative-graph shapes
+an analytics engine needs (component grouping and centrality ranking).
+The reference has no graph surface; its only iterative op is the K-means
+Lloyd loop (codeText.txt:79-109), whose engine-side lessons apply here
+unchanged:
+
+* materialize loop-invariant inputs ONCE (``localCheckpoint``) — the
+  reference re-derived its RDD lineage every iteration;
+* truncate lineage each iteration, otherwise the logical plan doubles per
+  round and planning time dominates;
+* keep per-iteration state executor-side (the rank frame), never
+  ``collect()`` it.
+
+Scale notes (100 TB): each iteration is one join (rank × out-degree edge
+list) + one aggregation — AQE broadcasts the rank frame while it fits,
+and flips to a shuffle join on the pre-partitioned edge list beyond that.
+Convergence is typically 10-20 iterations; the edge list dominates
+storage and is partitioned by ``src`` once up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list ``(src, dst)``.
+
+    Every node must appear as a ``src`` at least once (true for undirected
+    graphs fed as both directions — the caller's job); isolated receivers
+    still get the teleport term via the left join.  Returns
+    ``(node, rank)`` with ranks summing to 1 over nodes-with-out-edges.
+    """
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected part-co-purchase graph from lineitem: two parts are
+    linked when they appear in the same order.  Emitted as both directed
+    edges; distinct pairs per order first so multi-line duplicates don't
+    inflate weights."""
+    lines = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = lines.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")))
+        .select("pa", "pb")
+        .distinct()
+    )
+    fwd = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    rev = pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    return fwd.unionByName(rev)

@@ -2266,7 +2266,84 @@ def q_ewma_value(spark, sf_dir):
     )
 
 
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines source/sink: write an orders projection to JSON, read it
+    back with an explicit schema (timestamps serialized ISO), aggregate.
+    The oracle computes the same aggregate from the parquet view, so any
+    JSON serialization/parse drift fails the hash."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/orders"
+    o.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink (the other columnar format Spark ships): write a
+    customer projection to ORC, read it back, aggregate — oracle from the
+    parquet view proves the columnar round-trip is lossless."""
+    import tempfile
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/cust"
+    c.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+def q_part_pagerank(spark, sf_dir):
+    """PageRank centrality over the part co-purchase graph (parts linked
+    when bought in the same order): 8 power iterations, top 20 parts.
+    Rows-only (iterative float recursion isn't SQL); a NumPy power-
+    iteration twin and a ranks-sum-to-1 invariant are pinned in
+    tests/test_graph.py."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_edges,
+        pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ranks = pagerank(copurchase_edges(li), alpha=0.85, n_iter=8)
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"),
+            F.round("rank", 7).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "part_key")
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "json_roundtrip": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority""",
+    "orc_roundtrip": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer GROUP BY c_mktsegment""",
     "variant_json": """
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
@@ -3180,6 +3257,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "null_safe_join": QuerySpec(q_null_safe_join, ORACLES["null_safe_join"]),
     "hll_daily_users": QuerySpec(q_hll_daily_users, None),
     "ewma_value": QuerySpec(q_ewma_value, None),
+    "json_roundtrip": QuerySpec(q_json_roundtrip, ORACLES["json_roundtrip"]),
+    "orc_roundtrip": QuerySpec(q_orc_roundtrip, ORACLES["orc_roundtrip"]),
+    "part_pagerank": QuerySpec(q_part_pagerank, None),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

@@ -1,0 +1,78 @@
+"""PageRank self-oracles: NumPy power-iteration twin on the collected
+edge list, probability-mass invariant, and a hand-checkable tiny graph."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from customer_segmentation_pyspark_spark.operators.graph import (
+    copurchase_edges,
+    pagerank,
+)
+from customer_segmentation_pyspark_spark.queries import REGISTRY
+from customer_segmentation_pyspark_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _numpy_pagerank(edge_list, alpha, n_iter):
+    nodes = sorted({s for s, _ in edge_list})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for s, _ in edge_list:
+        out_deg[idx[s]] += 1
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        sums = np.zeros(n)
+        for s, d in edge_list:
+            if d in idx:
+                sums[idx[d]] += ranks[idx[s]] / out_deg[idx[s]]
+        ranks = (1.0 - alpha) / n + alpha * sums
+    return {v: ranks[i] for v, i in idx.items()}
+
+
+def test_pagerank_matches_numpy_twin(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    edges = copurchase_edges(li)
+    edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, alpha=0.85, n_iter=6).collect()
+    }
+    want = _numpy_pagerank(edge_list, 0.85, 6)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-8, v
+
+
+def test_pagerank_mass_conserved(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    ranks = pagerank(copurchase_edges(li), alpha=0.85, n_iter=8)
+    total = sum(r["rank"] for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    """Undirected star: the hub must outrank every leaf, and leaves are
+    symmetric (equal ranks)."""
+    edges = []
+    for leaf in range(1, 6):
+        edges.append((0, leaf))
+        edges.append((leaf, 0))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, n_iter=20).collect()
+    }
+    hub = got[0]
+    leaves = [got[i] for i in range(1, 6)]
+    assert all(hub > leaf for leaf in leaves)
+    assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_part_pagerank_query_shape(spark):
+    df = REGISTRY["part_pagerank"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert [f.name for f in df.schema.fields] == ["part_key", "rank"]
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
