@@ -2335,7 +2335,128 @@ def q_part_pagerank(spark, sf_dir):
     )
 
 
+def q_try_funcs(spark, sf_dir):
+    """ANSI-safe try_* functions: try_divide yields NULL on zero divisors
+    and try_cast NULL on malformed input instead of failing the job — the
+    error-tolerant path a 100 TB batch needs (one bad row must not kill a
+    6-hour run)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("value"), (F.col("user_id") % 5)), 4
+        ).alias("div_val"),
+        F.col("event_type").try_cast("bigint").alias("bad_cast"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_cast"),
+    )
+
+
+def q_date_arithmetic(spark, sf_dir):
+    """Date/interval arithmetic family: day offsets, month adds with
+    end-of-month clamping, last_day, day-of-year, and day diffs from an
+    epoch date — serialized to strings for engine-neutral comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd")
+        .alias("due_30d"),
+        F.date_format(F.add_months(F.col("o_orderdate"), 2), "yyyy-MM-dd")
+        .alias("plus_2mo"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("days_since_95"),
+    )
+
+
+def q_inline_structs(spark, sf_dir):
+    """Generator over array<struct>: F.inline explodes a built array of
+    (component, amount) structs into rows — the table-function twin of
+    unpivot for nested data."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = F.array(
+        F.struct(
+            F.lit("base").alias("component"),
+            F.round(F.col("o_totalprice") * 0.8, 2).alias("amount"),
+        ),
+        F.struct(
+            F.lit("tax").alias("component"),
+            F.round(F.col("o_totalprice") * 0.2, 2).alias("amount"),
+        ),
+    )
+    return o.select("o_orderkey", F.inline(parts))
+
+
+def q_union_evolved(spark, sf_dir):
+    """Schema-evolving union: unionByName(allowMissingColumns=True) aligns
+    by name and nulls columns absent on one side — how generations of a
+    table with added columns combine without positional bugs."""
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return gen1.unionByName(gen2, allowMissingColumns=True)
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array-function breadth over tokenized text: slice the first 10
+    tokens, dedupe+sort, test membership, re-join — each op mirrored by a
+    DuckDB list function."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split("text", " "), 1, 10)
+    uniq = F.array_sort(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.size(uniq).cast("bigint").alias("n_uniq"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_join(uniq, "|").alias("uniq_joined"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "try_funcs": """
+SELECT event_id,
+       round(value / nullif(user_id % 5, 0), 4) AS div_val,
+       TRY_CAST(event_type AS BIGINT) AS bad_cast,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_cast
+FROM events""",
+    "date_arithmetic": """
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_30d,
+       strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(date_diff('day', DATE '1995-01-01',
+                      CAST(o_orderdate AS DATE)) AS BIGINT)
+         AS days_since_95
+FROM orders""",
+    "inline_structs": """
+SELECT o_orderkey, 'base' AS component,
+       round(o_totalprice * 0.8, 2) AS amount FROM orders
+UNION ALL
+SELECT o_orderkey, 'tax' AS component,
+       round(o_totalprice * 0.2, 2) AS amount FROM orders""",
+    "union_evolved": """
+SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1""",
+    "array_funcs": """
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       CAST(len(list_sort(list_distinct(toks))) AS BIGINT) AS n_uniq,
+       list_contains(toks, 'data') AS has_data,
+       array_to_string(list_sort(list_distinct(toks)), '|') AS uniq_joined
+FROM (SELECT doc_id, string_split(text, ' ')[1:10] AS toks
+      FROM documents)""",
     "json_roundtrip": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        round(sum(o_totalprice), 2) AS total
@@ -3260,6 +3381,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "json_roundtrip": QuerySpec(q_json_roundtrip, ORACLES["json_roundtrip"]),
     "orc_roundtrip": QuerySpec(q_orc_roundtrip, ORACLES["orc_roundtrip"]),
     "part_pagerank": QuerySpec(q_part_pagerank, None),
+    "try_funcs": QuerySpec(q_try_funcs, ORACLES["try_funcs"]),
+    "date_arithmetic": QuerySpec(
+        q_date_arithmetic, ORACLES["date_arithmetic"]
+    ),
+    "inline_structs": QuerySpec(q_inline_structs, ORACLES["inline_structs"]),
+    "union_evolved": QuerySpec(q_union_evolved, ORACLES["union_evolved"]),
+    "array_funcs": QuerySpec(q_array_funcs, ORACLES["array_funcs"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

@@ -17,7 +17,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 SCHEMA_DDL = "doc_id bigint, text string, lang string, n_tokens bigint"
@@ -52,14 +57,8 @@ class _DocsReader(DataSourceReader):
     def read(self, partition: _DocsPartition):
         # deterministic per doc_id (NOT per task attempt): retries of this
         # partition regenerate byte-identical rows
-        import random
-
         for doc_id in range(partition.start, partition.end):
-            rng = random.Random(doc_id * 2654435761 % (2**31))
-            n_tokens = 40 + rng.randrange(200)
-            text = " ".join(rng.choice(_WORDS) for _ in range(n_tokens))
-            lang = _LANGS[rng.randrange(len(_LANGS))]
-            yield (doc_id, text, lang, n_tokens)
+            yield _gen_doc(doc_id)
 
 
 class SyntheticDocsSource(DataSource):
@@ -72,3 +71,56 @@ class SyntheticDocsSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _DocsReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "_DocsStreamReader":
+        return _DocsStreamReader(self.options)
+
+
+def _gen_doc(doc_id: int):
+    """Shared row generator — batch and streaming paths emit byte-identical
+    rows for the same doc_id (retries and replays are exactly-once)."""
+    import random
+
+    rng = random.Random(doc_id * 2654435761 % (2**31))
+    n_tokens = 40 + rng.randrange(200)
+    text = " ".join(rng.choice(_WORDS) for _ in range(n_tokens))
+    lang = _LANGS[rng.randrange(len(_LANGS))]
+    return (doc_id, text, lang, n_tokens)
+
+
+class _DocsStreamReader(DataSourceStreamReader):
+    """Streaming half of the custom source (Spark 4 Python streaming
+    DataSource API): the offset is a doc_id cursor; each micro-batch
+    advances it by ``batch_docs`` and plans ``n_partitions`` independent
+    id-range splits.  Offsets are JSON-serializable dicts checkpointed by
+    the engine — a restarted query resumes from the committed cursor and
+    regenerates identical rows (deterministic per doc_id)."""
+
+    def __init__(self, options):
+        self.batch_docs = int(options.get("batch_docs", 100))
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self._cursor = 0
+
+    def initialOffset(self):
+        return {"cursor": 0}
+
+    def latestOffset(self):
+        self._cursor += self.batch_docs
+        return {"cursor": self._cursor}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["cursor"]), int(end["cursor"])
+        self._cursor = max(self._cursor, hi)
+        per = -(-(hi - lo) // self.n_partitions)
+        return [
+            _DocsPartition(i, lo + i * per, min(lo + (i + 1) * per, hi))
+            for i in range(self.n_partitions)
+            if lo + i * per < hi
+        ]
+
+    def read(self, partition: _DocsPartition):
+        for doc_id in range(partition.start, partition.end):
+            yield _gen_doc(doc_id)
+
+    def commit(self, end):
+        pass

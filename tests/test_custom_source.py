@@ -40,3 +40,60 @@ def test_custom_source_feeds_engine_operators(spark):
     # chunking runs straight off the custom source
     chunks = textops.chunk_documents(df)
     assert chunks.count() >= 200
+
+
+def test_streaming_reader_matches_batch_rows(spark, tmp_path):
+    """The streaming half of the custom source: micro-batches advance a
+    checkpointed doc_id cursor, and the rows for ids [0, N) are byte-
+    identical to the batch reader's (shared deterministic generator)."""
+    import time
+
+    from customer_segmentation_pyspark_spark.sources.synthetic import (
+        SyntheticDocsSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticDocsSource)
+    except Exception:
+        pass  # already registered by the batch test in this session
+
+    seen: dict[int, list] = {}
+
+    def capture(batch_df, batch_id):
+        seen[batch_id] = batch_df.collect()
+
+    q = (
+        spark.readStream.format("synthetic_docs")
+        .option("batch_docs", 50)
+        .option("n_partitions", 3)
+        .load()
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline and sum(len(v) for v in seen.values()) < 100:
+        time.sleep(0.5)
+    q.stop()
+    rows = [r for _, batch in sorted(seen.items()) for r in batch]
+    assert len(rows) >= 100
+    got_ids = sorted(r["doc_id"] for r in rows)
+    assert got_ids[:100] == list(range(100)), "cursor must be gapless"
+
+    batch_rows = {
+        r["doc_id"]: r
+        for r in spark.read.format("synthetic_docs")
+        .option("n_docs", 100)
+        .option("n_partitions", 4)
+        .load()
+        .collect()
+    }
+    for r in rows:
+        if r["doc_id"] < 100:
+            b = batch_rows[r["doc_id"]]
+            assert (r["text"], r["lang"], r["n_tokens"]) == (
+                b["text"],
+                b["lang"],
+                b["n_tokens"],
+            )
