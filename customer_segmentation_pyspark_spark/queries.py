@@ -2420,7 +2420,36 @@ def q_array_funcs(spark, sf_dir):
     )
 
 
+def q_hof_funcs(spark, sf_dir):
+    """Lambda higher-order functions over arrays — transform / filter /
+    exists / aggregate — the JVM-side alternative to Python UDFs for
+    element-wise array logic (same family the engine's distance kernels
+    use, functions/arrays.py).  Token lengths per document: transform to
+    lengths, filter long tokens, fold a sum, test membership."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split("text", " "), 1, 12)
+    lens = F.transform(toks, lambda t: F.length(t))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(lens, lambda n: n > 4)).cast("bigint").alias(
+            "n_long"
+        ),
+        F.aggregate(
+            lens, F.lit(0), lambda acc, n: acc + n
+        ).cast("bigint").alias("total_chars"),
+        F.exists(toks, lambda t: t == F.lit("spark")).alias("has_spark"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "hof_funcs": """
+SELECT doc_id,
+       CAST(len(list_filter(lens, n -> n > 4)) AS BIGINT) AS n_long,
+       CAST(list_sum(lens) AS BIGINT) AS total_chars,
+       list_contains(toks, 'spark') AS has_spark
+FROM (SELECT doc_id, toks, list_transform(toks, t -> length(t)) AS lens
+      FROM (SELECT doc_id, string_split(text, ' ')[1:12] AS toks
+            FROM documents))""",
     "try_funcs": """
 SELECT event_id,
        round(value / nullif(user_id % 5, 0), 4) AS div_val,
@@ -3388,6 +3417,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "inline_structs": QuerySpec(q_inline_structs, ORACLES["inline_structs"]),
     "union_evolved": QuerySpec(q_union_evolved, ORACLES["union_evolved"]),
     "array_funcs": QuerySpec(q_array_funcs, ORACLES["array_funcs"]),
+    "hof_funcs": QuerySpec(q_hof_funcs, ORACLES["hof_funcs"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
