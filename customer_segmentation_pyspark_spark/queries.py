@@ -2441,7 +2441,295 @@ def q_hof_funcs(spark, sf_dir):
     )
 
 
+# --- the six shapes completing the full TPC-H 1-22 adaptation set -------
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: unit cost derived from lineitem, fixtures
+    have no partsupp): for each small part, the supplier(s) offering the
+    minimum unit price — correlated MIN subquery decorrelated to a window
+    min over the per-(part, supplier) aggregate; rounded before the
+    equality so the float min is engine-stable."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4
+        ).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(
+            F.broadcast(p.filter(F.col("p_size") <= 5)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "unit_cost")
+    )
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — the 6-way join with a symmetric nation-pair predicate; both
+    nation dims broadcast under different aliases."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_2's share of ECONOMY-part revenue sold into
+    ASIA-region customers, per order year — nested aggregate ratio via
+    CASE-inside-SUM over a 7-way join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("rk2") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: cost proxied by p_retailprice, fixtures
+    have no partsupp): profit on widget parts per supplier nation per
+    order year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%widget%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        # quantize each term to 4dp decimal before summing: decimal adds
+        # are associative, so the 2dp round can't flip on a half boundary
+        # when the two engines sum in different orders
+        .agg(
+            F.round(
+                F.sum(amount.cast("decimal(18,4)")).cast("double"), 2
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
+    selected sizes, excluding low-balance suppliers — NOT IN subquery as a
+    left-anti join feeding a count-distinct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 500).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(
+                p.filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(1, 5, 9, 13)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: dominance over shipped quantity replaces
+    partsupp availability): suppliers who shipped >50% of some part's 1996
+    volume — nested correlated aggregate decorrelated to a window sum over
+    the per-(supplier, part) aggregate, then a semi join."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    pq = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        pq.withColumn("part_total", F.sum("sq").over(w))
+        .filter(F.col("sq") > 0.5 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dom, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "min_cost_supplier": """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT p_partkey, s_name, unit_cost
+FROM part
+JOIN costs ON p_partkey = costs.l_partkey
+JOIN supplier ON s_suppkey = costs.l_suppkey
+WHERE p_size <= 5
+  AND unit_cost = (SELECT min(unit_cost) FROM costs c2
+                   WHERE c2.l_partkey = costs.l_partkey)""",
+    "volume_shipping": """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON supplier.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON customer.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year""",
+    "market_share": """
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON customer.c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON supplier.s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+GROUP BY o_year""",
+    "product_profit": """
+SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%')
+GROUP BY nation, o_year""",
+    "supplier_part_counts": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY p_brand, p_type, p_size""",
+    "dominant_suppliers": """
+SELECT s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem l1
+  WHERE year(l1.l_shipdate) = 1996
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 0.5 * (
+    SELECT sum(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+      AND year(l2.l_shipdate) = 1996))
+ORDER BY s_name""",
     "hof_funcs": """
 SELECT doc_id,
        CAST(len(list_filter(lens, n -> n > 4)) AS BIGINT) AS n_long,
@@ -3418,6 +3706,21 @@ REGISTRY: dict[str, QuerySpec] = {
     "union_evolved": QuerySpec(q_union_evolved, ORACLES["union_evolved"]),
     "array_funcs": QuerySpec(q_array_funcs, ORACLES["array_funcs"]),
     "hof_funcs": QuerySpec(q_hof_funcs, ORACLES["hof_funcs"]),
+    # completing the TPC-H 1-22 adaptation set
+    "min_cost_supplier": QuerySpec(
+        q_min_cost_supplier, ORACLES["min_cost_supplier"]
+    ),
+    "volume_shipping": QuerySpec(
+        q_volume_shipping, ORACLES["volume_shipping"]
+    ),
+    "market_share": QuerySpec(q_market_share, ORACLES["market_share"]),
+    "product_profit": QuerySpec(q_product_profit, ORACLES["product_profit"]),
+    "supplier_part_counts": QuerySpec(
+        q_supplier_part_counts, ORACLES["supplier_part_counts"]
+    ),
+    "dominant_suppliers": QuerySpec(
+        q_dominant_suppliers, ORACLES["dominant_suppliers"]
+    ),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
