@@ -43,6 +43,8 @@ HEADLINE = [
     "small_qty_revenue",
     "large_orders",
     "trailing_window_sum",
+    "market_share",
+    "cohort_retention",
     # clustering
     "centroid_assign",
     "wcss_fixed",

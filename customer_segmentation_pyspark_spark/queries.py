@@ -2650,7 +2650,115 @@ def q_dominant_suppliers(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-activity day
+    (cohort), counted per subsequent activity day — the standard
+    product-analytics shape.  The cohort assignment is a window min over
+    user, then one distinct-count aggregate; both shuffles key on
+    user_id/cohort so AQE coalesces them tightly."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    w = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            day.alias("act_day"),
+            F.min(day).over(w).alias("cohort_day"),
+        )
+        .groupBy("cohort_day", "act_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered multi-step funnel (view -> click -> purchase): per user,
+    each step counts only if it happens strictly after the previous step's
+    first occurrence.  Decorrelates to one conditional-min aggregate per
+    step in a single groupBy — no self-joins, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & (F.col("t_click") > F.col("t_view"))
+    did_purchase = did_click & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(did_view.cast("long")).alias("step_view"),
+        F.sum(did_click.cast("long")).alias("step_click"),
+        F.sum(did_purchase.cast("long")).alias("step_purchase"),
+    )
+
+
+def q_table_fingerprint(spark, sf_dir):
+    """Order-insensitive table fingerprint: md5 each row's canonical
+    serialization, fold the top-60-bit integers with a grouped SUM — equal
+    fingerprints <=> equal row multisets (up to hash collisions), the
+    cheap cross-engine change-detection primitive for replication checks.
+    One map pass + a per-group partial sum; no sort, no collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_returnflag"),
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(row_str.cast("binary")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 1000000000000  # bound terms so the BIGINT sum can't overflow
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum(h).alias("fingerprint"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "cohort_retention": """
+SELECT cohort_day, act_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+FROM (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS act_day,
+         min(strftime(ts, '%Y-%m-%d')) OVER (PARTITION BY user_id)
+           AS cohort_day
+  FROM events)
+GROUP BY cohort_day, act_day""",
+    "funnel_steps": """
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS step_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)""",
+    "table_fingerprint": """
+SELECT l_returnflag,
+       CAST(sum(CAST('0x' || substring(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             CAST(l_quantity AS VARCHAR) || '|' ||
+             l_returnflag), 1, 15) AS BIGINT)
+           % 1000000000000) AS BIGINT) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag""",
     "min_cost_supplier": """
 WITH costs AS (
   SELECT l_partkey, l_suppkey,
@@ -3720,6 +3828,14 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dominant_suppliers": QuerySpec(
         q_dominant_suppliers, ORACLES["dominant_suppliers"]
+    ),
+    # product analytics + integrity
+    "cohort_retention": QuerySpec(
+        q_cohort_retention, ORACLES["cohort_retention"]
+    ),
+    "funnel_steps": QuerySpec(q_funnel_steps, ORACLES["funnel_steps"]),
+    "table_fingerprint": QuerySpec(
+        q_table_fingerprint, ORACLES["table_fingerprint"]
     ),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
