@@ -2724,7 +2724,143 @@ def q_table_fingerprint(spark, sf_dir):
     )
 
 
+# --- LLM-pipeline closers: canonical dedup, decontamination, mixing ------
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Close the dedup loop: near-dup pairs -> connected components ->
+    ONE canonical survivor per cluster (longest doc, ties to lowest id).
+    This is the row the pipeline actually keeps; `dedup_clusters` only
+    labels membership."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.2)
+    cc = dedup.connected_components(pairs, src="doc_a", dst="doc_b")
+    ntoks = d.select(
+        F.col("doc_id").alias("tk_doc"),
+        F.size(F.split(dedup.normalized(F.col("text")), " ")).alias("n_toks"),
+    )
+    j = cc.join(ntoks, F.col("id") == F.col("tk_doc"))
+    wc = Window.partitionBy("component")
+    w = wc.orderBy(F.col("n_toks").desc(), F.col("id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("component").cast("long").alias("cluster_id"),
+            F.col("id").cast("long").alias("canonical_doc"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 3-token
+    shingle with the held-out set (doc_id % 50 == 0 stands in for an eval
+    benchmark).  The benchmark shingle set is distinct-projected then
+    joined back — at 100 TB the benchmark side is tiny and broadcasts;
+    the training side stays a single scan + map-side combinable count."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d)
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("shingle").alias("bench_shingle"))
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(
+            F.broadcast(bench), F.col("shingle") == F.col("bench_shingle")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+MIXTURE_WEIGHTS = {"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.1, "zh": 0.1}
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Training-mixture planner (water-filling): given target language
+    weights, the max corpus size where no language over-draws is
+    capacity = min(n_l / w_l); each language then samples
+    expected = w_l * capacity docs at rate expected / n_l.  One agg + a
+    broadcast 1-row scalar — the sampling rates feed sampleBy directly."""
+    d = load_table(spark, sf_dir, "documents")
+    w_expr = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_WEIGHTS.items() for x in kv]
+    )
+    per = d.groupBy("lang").agg(F.count("*").alias("n_docs")).withColumn(
+        "target_w", F.element_at(w_expr, F.col("lang"))
+    )
+    cap = per.agg(
+        F.min(F.col("n_docs") / F.col("target_w")).alias("capacity")
+    )
+    return per.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        "n_docs",
+        "target_w",
+        F.round(
+            F.col("capacity") * F.col("target_w") / F.col("n_docs"), 6
+        ).alias("sample_prob"),
+        F.floor(F.col("capacity") * F.col("target_w"))
+        .cast("bigint")
+        .alias("expected_docs"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "dedup_canonical": f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shd a JOIN shd b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+tk AS (SELECT doc_id, len(string_split(nt, ' ')) AS n_toks FROM docs),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, n_toks,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY n_toks DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS nm
+  FROM clusters c JOIN tk ON tk.doc_id = c.doc_id)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS canonical_doc,
+       CAST(nm AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1""",
+    "decontaminate": f"""
+WITH {_SQL_SHINGLES},
+bench AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 50 = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM shd s JOIN bench USING (shingle)
+WHERE s.doc_id % 50 <> 0
+GROUP BY s.doc_id""",
+    "mixture_weights": """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.2
+                        WHEN 'fr' THEN 0.2 WHEN 'de' THEN 0.1
+                        WHEN 'zh' THEN 0.1 END AS DOUBLE) AS target_w
+  FROM documents GROUP BY lang),
+cap AS (SELECT min(n_docs / target_w) AS capacity FROM per)
+SELECT lang, n_docs, target_w,
+       round(capacity * target_w / n_docs, 6) AS sample_prob,
+       CAST(floor(capacity * target_w) AS BIGINT) AS expected_docs
+FROM per, cap""",
     "cohort_retention": """
 SELECT cohort_day, act_day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
@@ -3836,6 +3972,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "funnel_steps": QuerySpec(q_funnel_steps, ORACLES["funnel_steps"]),
     "table_fingerprint": QuerySpec(
         q_table_fingerprint, ORACLES["table_fingerprint"]
+    ),
+    "dedup_canonical": QuerySpec(
+        q_dedup_canonical, ORACLES["dedup_canonical"]
+    ),
+    "decontaminate": QuerySpec(q_decontaminate, ORACLES["decontaminate"]),
+    "mixture_weights": QuerySpec(
+        q_mixture_weights, ORACLES["mixture_weights"]
     ),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
