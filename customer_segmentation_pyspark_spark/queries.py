@@ -2811,7 +2811,90 @@ def q_mixture_weights(spark, sf_dir):
     )
 
 
+def q_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each nation's revenue as a share of its region and
+    of the global total — two window sums over the aggregated frame (the
+    windows run on ~nations rows, not the fact table, so they cost
+    nothing at scale)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_nation = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("raw_rev"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round("raw_rev", 2).alias("revenue"),
+        F.round(
+            F.col("raw_rev") / F.sum("raw_rev").over(w_region), 4
+        ).alias("region_share"),
+        F.round(F.col("raw_rev") / F.sum("raw_rev").over(w_all), 4).alias(
+            "global_share"
+        ),
+    )
+
+
+def q_cumulative_users(spark, sf_dir):
+    """Cumulative distinct users per hour bucket WITHOUT a distinct-over-window
+    (which no engine supports): decorrelate to first-seen-day per user,
+    count arrivals per day, then a running sum — turning an O(days x
+    users) rescan into two cheap aggregates + a tiny window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd HH")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    arrivals = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return arrivals.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "revenue_share": """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         sum(l_extendedprice * (1 - l_discount)) AS raw_rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, round(raw_rev, 2) AS revenue,
+       round(raw_rev / sum(raw_rev) OVER (PARTITION BY r_name), 4)
+         AS region_share,
+       round(raw_rev / sum(raw_rev) OVER (), 4) AS global_share
+FROM per_nation""",
+    "cumulative_users": """
+WITH first_seen AS (
+  SELECT user_id, min(strftime(ts, '%Y-%m-%d %H')) AS first_day
+  FROM events GROUP BY user_id),
+arrivals AS (
+  SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY first_day)
+SELECT first_day AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM arrivals""",
     "dedup_canonical": f"""
 WITH RECURSIVE {_SQL_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
@@ -3979,6 +4062,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "decontaminate": QuerySpec(q_decontaminate, ORACLES["decontaminate"]),
     "mixture_weights": QuerySpec(
         q_mixture_weights, ORACLES["mixture_weights"]
+    ),
+    "revenue_share": QuerySpec(q_revenue_share, ORACLES["revenue_share"]),
+    "cumulative_users": QuerySpec(
+        q_cumulative_users, ORACLES["cumulative_users"]
     ),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),

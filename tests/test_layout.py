@@ -62,3 +62,28 @@ def test_merge_schema_reads_evolved_table(spark, tmp_path):
         (F.col("gen") == 1) & F.col("score").isNull()
     ).count()
     assert nulls == 50
+
+
+def test_ignore_corrupt_files_skips_garbage(spark, tmp_path):
+    """Operational hardening: with ignoreCorruptFiles a scan survives a
+    non-parquet file dropped into the table directory (truncated upload,
+    stray artifact) instead of failing a 6-hour batch; without it the
+    read must fail loudly."""
+    out = str(tmp_path / "tbl")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    ev.limit(40).write.mode("overwrite").parquet(out)
+    (tmp_path / "tbl" / "part-garbage.parquet").write_bytes(
+        b"this is not a parquet file"
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(out).count()
+
+    n = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(out)
+        .count()
+    )
+    assert n == 40
