@@ -18,7 +18,8 @@ NAMES = [
     "cosine_topk", "shipping_priority", "local_supplier_volume",
     "llm_prep_pipeline", "returned_items", "rfm_segments", "gap_fill",
     "word_freq", "supplier_wait", "small_qty_revenue", "large_orders",
-    "trailing_window_sum", "untapped_customers",
+    "trailing_window_sum", "untapped_customers", "market_share",
+    "cohort_retention", "funnel_steps", "dedup_canonical",
 ]
 
 
