@@ -2868,7 +2868,36 @@ def q_cumulative_users(spark, sf_dir):
     )
 
 
+def q_minmax_scaled(spark, sf_dir):
+    """pyspark.ml feature op under the SQL oracle gate: MinMaxScaler
+    (fit + transform through a Pipeline) must equal the closed-form
+    (x - min) / (max - min) — proving the ML-side transform is exactly
+    the relational expression, so swapping either in is safe.  The fitted
+    min/max live in the model (driver-side, O(1)); transform is map-only."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    c = load_table(spark, sf_dir, "customer")
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["c_acctbal"], outputCol="v"),
+            MinMaxScaler(inputCol="v", outputCol="s"),
+        ]
+    )
+    out = pipe.fit(c).transform(c)
+    return out.select(
+        "c_custkey",
+        F.round(vector_to_array("s").getItem(0), 6).alias("scaled_bal"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "minmax_scaled": """
+SELECT c_custkey,
+       round((c_acctbal - mn) / (mx - mn), 6) AS scaled_bal
+FROM customer,
+     (SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer)""",
     "revenue_share": """
 WITH per_nation AS (
   SELECT r_name, n_name,
@@ -4067,6 +4096,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cumulative_users": QuerySpec(
         q_cumulative_users, ORACLES["cumulative_users"]
     ),
+    "minmax_scaled": QuerySpec(q_minmax_scaled, ORACLES["minmax_scaled"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

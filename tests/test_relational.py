@@ -77,3 +77,21 @@ def test_weekday_name_semantics(spark):
         ).collect()
     }
     assert got[0] == "Monday" and got[6] == "Sunday" and got[7] == "None"
+
+
+def test_cli_list_is_fast_and_complete():
+    """`python -m customer_segmentation_pyspark_spark list` enumerates the
+    registry without starting a JVM (pure import path)."""
+    from customer_segmentation_pyspark_spark.__main__ import main
+    import io
+    from contextlib import redirect_stdout
+
+    from customer_segmentation_pyspark_spark.queries import REGISTRY
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["list"])
+    assert rc == 0
+    lines = [ln for ln in buf.getvalue().splitlines() if ln]
+    assert len(lines) == len(REGISTRY)
+    assert all("\t" in ln for ln in lines)
