@@ -2892,7 +2892,57 @@ def q_minmax_scaled(spark, sf_dir):
     )
 
 
+def q_string_indexed(spark, sf_dir):
+    """StringIndexer under the SQL oracle gate: frequencyDesc indexing
+    (ties alphabetical) must equal rank-by-count-minus-one — the label
+    encoding a segmentation model consumes, proven interchangeable with
+    its relational twin."""
+    from pyspark.ml.feature import StringIndexer
+
+    c = load_table(spark, sf_dir, "customer")
+    idx = StringIndexer(
+        inputCol="c_mktsegment",
+        outputCol="segment_idx",
+        stringOrderType="frequencyDesc",
+    )
+    return (
+        idx.fit(c)
+        .transform(c)
+        .select("c_custkey", "c_mktsegment", "segment_idx")
+    )
+
+
+def q_bucketized(spark, sf_dir):
+    """Bucketizer under the SQL oracle gate: explicit split points
+    [-inf, 0, 1000, 5000, inf) over account balance, right-exclusive —
+    equal to the searched-CASE twin."""
+    from pyspark.ml.feature import Bucketizer
+
+    c = load_table(spark, sf_dir, "customer")
+    b = Bucketizer(
+        splits=[float("-inf"), 0.0, 1000.0, 5000.0, float("inf")],
+        inputCol="c_acctbal",
+        outputCol="bal_bucket",
+    )
+    return b.transform(c).select("c_custkey", "c_acctbal", "bal_bucket")
+
+
 ORACLES: dict[str, str] = {
+    "string_indexed": """
+SELECT c_custkey, c_mktsegment,
+       CAST(rk - 1 AS DOUBLE) AS segment_idx
+FROM customer
+JOIN (SELECT c_mktsegment AS seg,
+             row_number() OVER (ORDER BY count(*) DESC, c_mktsegment)
+               AS rk
+      FROM customer GROUP BY c_mktsegment) ON c_mktsegment = seg""",
+    "bucketized": """
+SELECT c_custkey, c_acctbal,
+       CAST(CASE WHEN c_acctbal < 0 THEN 0
+                 WHEN c_acctbal < 1000 THEN 1
+                 WHEN c_acctbal < 5000 THEN 2
+                 ELSE 3 END AS DOUBLE) AS bal_bucket
+FROM customer""",
     "minmax_scaled": """
 SELECT c_custkey,
        round((c_acctbal - mn) / (mx - mn), 6) AS scaled_bal
@@ -4097,6 +4147,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_cumulative_users, ORACLES["cumulative_users"]
     ),
     "minmax_scaled": QuerySpec(q_minmax_scaled, ORACLES["minmax_scaled"]),
+    "string_indexed": QuerySpec(q_string_indexed, ORACLES["string_indexed"]),
+    "bucketized": QuerySpec(q_bucketized, ORACLES["bucketized"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

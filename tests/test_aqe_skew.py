@@ -50,3 +50,21 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing: a tiny aggregate configured with 32
+    shuffle partitions must read back through a coalesced AQEShuffleRead
+    with far fewer partitions — the runtime fix for over-partitioned
+    shuffles (32 000 reducers on a 1 MB group-by at cluster defaults)."""
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    agg.collect()  # materialize so AQE finalizes the plan
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan, plan[:800]
+    assert "coalesced" in plan, plan[:800]
+    n_parts = agg.rdd.getNumPartitions()
+    assert n_parts < 32, f"expected coalesced partitions, got {n_parts}"
