@@ -50,3 +50,32 @@ def write_csv(
     df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
 ) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def compact_table(
+    spark, path: str, target_files: int, order_by: list[str] | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally sorted for stats-based pruning),
+    atomically swapping the directory.  The operational companion to the
+    streaming MERGE sink — micro-batch writes accumulate small files, and
+    at 100 TB an over-fragmented table wastes scan tasks (one task per
+    tiny file) and NameNode/listing overhead.  Returns the file count
+    after compaction.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    out = df.repartition(target_files)
+    if order_by:
+        out = out.sortWithinPartitions(*order_by)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

@@ -87,3 +87,98 @@ def test_ignore_corrupt_files_skips_garbage(spark, tmp_path):
         .count()
     )
     assert n == 40
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(
+    spark, tmp_path
+):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic replaces only
+    the partitions present in the incoming data — the daily-reload
+    contract: rewriting day N must not wipe days 1..N-1."""
+    out = str(tmp_path / "parted")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    before = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    replacement = (
+        ev.filter(F.col("event_type") == "click")
+        .limit(7)
+        .withColumn("user_id", F.lit(-1).cast("long"))
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        replacement.write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(out)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+
+    after = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert after["click"] == 7  # only the incoming partition replaced
+    for k in before:
+        if k != "click":
+            assert after[k] == before[k], k
+
+
+def test_csv_malformed_rows_permissive_and_dropmalformed(spark, tmp_path):
+    """CSV resilience: PERMISSIVE captures broken rows in
+    _corrupt_record (nulling typed columns); DROPMALFORMED silently
+    drops them — a 100 TB ingest must choose, not crash."""
+    src = tmp_path / "raw.csv"
+    src.write_text("a,b\n1,2\n3,4\nnot_an_int,5\n6,7\n")
+    schema = "a INT, b INT, _corrupt_record STRING"
+
+    perm = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(src))
+    )
+    rows = perm.collect()
+    assert len(rows) == 4
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["a"] is None
+
+    dropped = (
+        spark.read.schema("a INT, b INT")
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(src))
+    )
+    assert sorted(r["a"] for r in dropped.collect()) == [1, 3, 6]
+
+
+def test_compaction_reduces_file_count_preserving_data(spark, tmp_path):
+    from customer_segmentation_pyspark_spark.sources.sinks import (
+        compact_table,
+    )
+
+    out = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    ev.repartition(24).write.mode("overwrite").parquet(out)
+    n_before = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_before >= 20
+    total = spark.read.parquet(out).count()
+
+    n_after = compact_table(spark, out, target_files=3, order_by=["event_id"])
+    assert n_after <= 4
+    assert spark.read.parquet(out).count() == total
+    assert len(list((tmp_path / "frag").glob("*.parquet"))) == n_after
