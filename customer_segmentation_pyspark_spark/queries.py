@@ -2927,7 +2927,30 @@ def q_bucketized(spark, sf_dir):
     return b.transform(c).select("c_custkey", "c_acctbal", "bal_bucket")
 
 
+def q_approx_top_words(spark, sf_dir):
+    """approx_top_k frequent-items sketch (Spark 4 SQL): one-pass heavy
+    hitters over the exploded token stream.  k=64 exceeds the fixture
+    vocabulary, so the sketch returns exact counts here (deterministic,
+    hash-checked vs plain GROUP BY); at 100 TB the same plan tracks the
+    top items in bounded memory where an exact global count would not."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    sk = words.agg(F.expr("approx_top_k(word, 64)").alias("top"))
+    return sk.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("word"),
+        F.col("e.count").cast("bigint").alias("n"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "approx_top_words": """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents)
+WHERE len(word) > 0
+GROUP BY word""",
     "string_indexed": """
 SELECT c_custkey, c_mktsegment,
        CAST(rk - 1 AS DOUBLE) AS segment_idx
@@ -4149,6 +4172,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "minmax_scaled": QuerySpec(q_minmax_scaled, ORACLES["minmax_scaled"]),
     "string_indexed": QuerySpec(q_string_indexed, ORACLES["string_indexed"]),
     "bucketized": QuerySpec(q_bucketized, ORACLES["bucketized"]),
+    "approx_top_words": QuerySpec(
+        q_approx_top_words, ORACLES["approx_top_words"]
+    ),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),

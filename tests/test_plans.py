@@ -170,3 +170,12 @@ def test_returned_items_filter_pushed_to_scan(spark):
     df = REGISTRY["returned_items"].fn(spark, SF_ORACLE)
     p = plan(df)
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in p
+
+
+def test_window_rank_uses_window_group_limit(spark):
+    """rank()<=k filters must plan through WindowGroupLimit (Spark 3.5+
+    optimization): each partition keeps only k rows BEFORE the full
+    window sort — the difference between sorting k rows and sorting the
+    whole group at 100 TB."""
+    p = plan(REGISTRY["window_rank"].fn(spark, SF_ORACLE), mode="simple")
+    assert "WindowGroupLimit" in p, p[:800]
