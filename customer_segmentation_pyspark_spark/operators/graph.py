@@ -47,6 +47,8 @@ def pagerank(
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty result, stable schema
+        return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(

@@ -76,3 +76,10 @@ def test_part_pagerank_query_shape(spark):
     assert [f.name for f in df.schema.fields] == ["part_key", "rank"]
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, n_iter=3)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "rank"]

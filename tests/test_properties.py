@@ -98,3 +98,35 @@ def test_connected_components_matches_union_find(spark, edges):
         r["id"]: r["component"] for r in connected_components(df).collect()
     }
     assert got == want
+
+
+def test_morton_key_is_bijective_and_decodable(spark):
+    """Z-order key property: _morton10 is a bijection on 10-bit pairs —
+    decoding the interleaved bits recovers (x, y) exactly (checked on a
+    random sample of the domain plus the corners)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from customer_segmentation_pyspark_spark.queries import _morton10
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(300)]
+    pts += [(0, 0), (1023, 1023), (0, 1023), (1023, 0)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", _morton10(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+
+    def decode(z):
+        x = y = 0
+        for i in range(10):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    seen = set()
+    for r in rows:
+        assert decode(r["z"]) == (r["x"], r["y"])
+        seen.add(r["z"])
+    assert len(seen) == len(set(pts))
