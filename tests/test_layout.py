@@ -182,3 +182,31 @@ def test_compaction_reduces_file_count_preserving_data(spark, tmp_path):
     assert n_after <= 4
     assert spark.read.parquet(out).count() == total
     assert len(list((tmp_path / "frag").glob("*.parquet"))) == n_after
+
+
+def test_sql_ddl_surface_create_insert_select(spark, tmp_path):
+    """Pure-SQL user path: CREATE TABLE USING parquet at an explicit
+    LOCATION, INSERT INTO ... SELECT from a temp view, query back — the
+    engine is usable without touching the DataFrame API."""
+    loc = str(tmp_path / "sqltbl")
+    load_table(spark, SF_SMOKE, "nation").createOrReplaceTempView(
+        "nation_src"
+    )
+    spark.sql("DROP TABLE IF EXISTS eng_nations")
+    spark.sql(
+        f"""CREATE TABLE eng_nations (n_nationkey INT, n_name STRING)
+            USING parquet LOCATION '{loc}'"""
+    )
+    try:
+        spark.sql(
+            """INSERT INTO eng_nations
+               SELECT n_nationkey, n_name FROM nation_src
+               WHERE n_nationkey < 10"""
+        )
+        got = spark.sql(
+            "SELECT count(*) AS n, min(n_name) AS first FROM eng_nations"
+        ).collect()[0]
+        assert got["n"] == 10
+        assert got["first"] == "NATION_0"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eng_nations")

@@ -95,3 +95,66 @@ def test_cli_list_is_fast_and_complete():
     lines = [ln for ln in buf.getvalue().splitlines() if ln]
     assert len(lines) == len(REGISTRY)
     assert all("\t" in ln for ln in lines)
+
+
+def test_map_in_arrow_matches_expression(spark):
+    """mapInArrow (the 6th Pandas/Arrow-family member): a pyarrow
+    RecordBatch kernel computing byte lengths must equal the JVM
+    octet_length expression exactly."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pc.binary_length(b.column(1))],
+                ["doc_id", "n_bytes"],
+            )
+
+    got = {
+        r["doc_id"]: r["n_bytes"]
+        for r in d.mapInArrow(kernel, "doc_id long, n_bytes int").collect()
+    }
+    want = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", F.octet_length("text").alias("n")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pandas_on_spark_api_matches_native(spark):
+    """pandas-on-Spark (pyspark.pandas): the drop-in pandas surface must
+    produce the same grouped means as the native DataFrame API — the
+    migration path for pandas codebases onto the engine."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+    from pyspark.sql import functions as F
+
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    c = load_table(spark, SF_SMOKE, "customer")
+    native = {
+        r["c_mktsegment"]: round(r["m"], 6)
+        for r in c.groupBy("c_mktsegment")
+        .agg(F.avg("c_acctbal").alias("m"))
+        .collect()
+    }
+    psdf = c.select("c_mktsegment", "c_acctbal").pandas_api()
+    got = psdf.groupby("c_mktsegment")["c_acctbal"].mean()
+    got_d = {k: round(v, 6) for k, v in got.to_pandas().items()}
+    assert got_d == native
