@@ -210,3 +210,51 @@ def test_sql_ddl_surface_create_insert_select(spark, tmp_path):
         assert got["first"] == "NATION_0"
     finally:
         spark.sql("DROP TABLE IF EXISTS eng_nations")
+
+
+def test_zorder_sort_narrows_per_file_stats_vs_random(spark, tmp_path):
+    """The point of the Z-order key: files written in zkey order have
+    much narrower per-file user_id min/max spans than a randomly
+    shuffled layout, so a user_id predicate can skip most files on
+    parquet stats alone.  Measured, not assumed: mean span must shrink."""
+    import pyarrow.parquet as pq
+
+    from customer_segmentation_pyspark_spark.queries import _morton10
+
+    # balanced 5-bit buckets on both dimensions so neither dominates the
+    # curve (raw user_id spans 4 bits at this SF vs 9 for value)
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    keyed = ev.withColumn(
+        "x_bucket", (F.col("user_id") * 7 % 32).cast("bigint")
+    ).withColumn(
+        "y_bucket", (F.floor("value").cast("bigint") % 32)
+    ).withColumn(
+        "zkey", _morton10(F.col("x_bucket"), F.col("y_bucket"))
+    )
+
+    def mean_span(path):
+        spans = []
+        for f in path.glob("*.parquet"):
+            pf = pq.ParquetFile(str(f))
+            idx = pf.schema_arrow.names.index("x_bucket")
+            md = pf.metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return sum(spans) / len(spans)
+
+    zdir = tmp_path / "zsorted"
+    (
+        keyed.repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(str(zdir))
+    )
+    rdir = tmp_path / "random"
+    keyed.repartition(8).write.mode("overwrite").parquet(str(rdir))
+
+    z_span, r_span = mean_span(zdir), mean_span(rdir)
+    assert z_span < r_span * 0.7, (z_span, r_span)
