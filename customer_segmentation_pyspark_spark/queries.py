@@ -2944,7 +2944,28 @@ def q_approx_top_words(spark, sf_dir):
     )
 
 
+def q_binary_funcs(spark, sf_dir):
+    """Binary-encoding functions: base64/unbase64 and hex round-trips on
+    a text prefix — the encode-for-transport primitives multimodal
+    payloads rely on, proven lossless against DuckDB's codecs."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 24)
+    b64 = F.base64(prefix.cast("binary"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.unbase64(b64).cast("string").alias("roundtrip"),
+        F.hex(prefix.cast("binary")).alias("hex_prefix"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "binary_funcs": """
+SELECT doc_id,
+       to_base64(CAST(substring(text, 1, 24) AS BLOB)) AS b64,
+       substring(text, 1, 24) AS roundtrip,
+       upper(hex(substring(text, 1, 24))) AS hex_prefix
+FROM documents""",
     "approx_top_words": """
 SELECT word, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
@@ -4175,6 +4196,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "approx_top_words": QuerySpec(
         q_approx_top_words, ORACLES["approx_top_words"]
     ),
+    "binary_funcs": QuerySpec(q_binary_funcs, ORACLES["binary_funcs"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
