@@ -2959,7 +2959,32 @@ def q_binary_funcs(spark, sf_dir):
     )
 
 
+_RECURSIVE_ANCESTORS_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT n_nationkey AS node, n_nationkey AS root, 0 AS depth
+  FROM {table} WHERE n_nationkey < 5
+  UNION ALL
+  SELECT n.n_nationkey, anc.root, anc.depth + 1
+  FROM {table} n JOIN anc ON n.n_nationkey - 5 = anc.node)
+SELECT CAST(node AS BIGINT) AS node, CAST(root AS BIGINT) AS root,
+       CAST(depth AS BIGINT) AS depth
+FROM anc"""
+
+
+def q_recursive_cte(spark, sf_dir):
+    """Native recursive CTE (Spark 4): flatten a parent-child hierarchy
+    (parent = nationkey - 5; keys < 5 are roots) to (node, root ancestor,
+    depth) — THE SAME SQL text runs on Spark and DuckDB, so this oracle
+    checks the engine's recursion semantics directly rather than a
+    decorrelated twin.  Complements the iterative DataFrame loops
+    (connected components, PageRank) with the declarative fixpoint form."""
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("nation_rec_src")
+    return spark.sql(_RECURSIVE_ANCESTORS_SQL.format(table="nation_rec_src"))
+
+
 ORACLES: dict[str, str] = {
+    "recursive_cte": _RECURSIVE_ANCESTORS_SQL.format(table="nation"),
     "binary_funcs": """
 SELECT doc_id,
        to_base64(CAST(substring(text, 1, 24) AS BLOB)) AS b64,
@@ -4197,6 +4222,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_approx_top_words, ORACLES["approx_top_words"]
     ),
     "binary_funcs": QuerySpec(q_binary_funcs, ORACLES["binary_funcs"]),
+    "recursive_cte": QuerySpec(q_recursive_cte, ORACLES["recursive_cte"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
