@@ -2983,7 +2983,34 @@ def q_recursive_cte(spark, sf_dir):
     return spark.sql(_RECURSIVE_ANCESTORS_SQL.format(table="nation_rec_src"))
 
 
+def q_sql_sugar(spark, sf_dir):
+    """Modern SQL-surface sugar in one statement: parameterized
+    ``spark.sql`` (named :thr marker — injection-safe, plan-cache
+    friendly), GROUP BY ALL (keys inferred from the select list), and
+    SELECT * EXCEPT projecting a column away.  The oracle spells the
+    desugared form, proving sugar changes nothing semantically."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("sugar_orders")
+    return spark.sql(
+        """SELECT * EXCEPT (total)
+           FROM (SELECT o_orderpriority,
+                        CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                        CAST(count(*) AS BIGINT) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                 FROM sugar_orders
+                 WHERE o_totalprice > :thr
+                 GROUP BY ALL)""",
+        args={"thr": 50000.0},
+    )
+
+
 ORACLES: dict[str, str] = {
+    "sql_sugar": """
+SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_totalprice > 50000.0
+GROUP BY o_orderpriority, year(o_orderdate)""",
     "recursive_cte": _RECURSIVE_ANCESTORS_SQL.format(table="nation"),
     "binary_funcs": """
 SELECT doc_id,
@@ -4223,6 +4250,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "binary_funcs": QuerySpec(q_binary_funcs, ORACLES["binary_funcs"]),
     "recursive_cte": QuerySpec(q_recursive_cte, ORACLES["recursive_cte"]),
+    "sql_sugar": QuerySpec(q_sql_sugar, ORACLES["sql_sugar"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
