@@ -3004,7 +3004,43 @@ def q_sql_sugar(spark, sf_dir):
     )
 
 
+def q_map_hof_funcs(spark, sf_dir):
+    """Map higher-order functions — transform_keys / transform_values /
+    map_filter — over a per-order map of (linestatus -> line count),
+    with scalar projections so the oracle compares plain columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey", "l_linestatus").agg(
+        F.count("*").cast("int").alias("cnt")
+    )
+    m = counts.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_linestatus", "cnt")))
+        ).alias("m")
+    )
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    upkeys = F.transform_keys(F.col("m"), lambda k, v: F.lower(k))
+    big_only = F.map_filter(F.col("m"), lambda k, v: v >= 3)
+    return m.select(
+        "l_orderkey",
+        F.element_at(doubled, "O").alias("o_doubled"),
+        F.map_keys(upkeys).cast("string").alias("lower_keys"),
+        F.size(big_only).cast("bigint").alias("n_big_status"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "map_hof_funcs": """
+WITH counts AS (
+  SELECT l_orderkey, l_linestatus, count(*) AS cnt
+  FROM lineitem GROUP BY l_orderkey, l_linestatus)
+SELECT l_orderkey,
+       CAST(2 * max(CASE WHEN l_linestatus = 'O' THEN cnt END) AS INT)
+         AS o_doubled,
+       CAST(list_sort(list(lower(l_linestatus))) AS VARCHAR)
+         AS lower_keys,
+       CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_big_status
+FROM counts GROUP BY l_orderkey""",
     "sql_sugar": """
 SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(count(*) AS BIGINT) AS n
@@ -4251,6 +4287,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "binary_funcs": QuerySpec(q_binary_funcs, ORACLES["binary_funcs"]),
     "recursive_cte": QuerySpec(q_recursive_cte, ORACLES["recursive_cte"]),
     "sql_sugar": QuerySpec(q_sql_sugar, ORACLES["sql_sugar"]),
+    "map_hof_funcs": QuerySpec(q_map_hof_funcs, ORACLES["map_hof_funcs"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
