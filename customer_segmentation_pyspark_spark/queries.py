@@ -3028,7 +3028,31 @@ def q_map_hof_funcs(spark, sf_dir):
     )
 
 
+def q_median_window(spark, sf_dir):
+    """Aggregate-as-window: exact median over an unordered partition
+    frame — each order row annotated with its customer's median spend
+    (the robust-center feature for outlier-spend detection)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.median("o_totalprice").over(w), 4).alias("median_spend"),
+        (F.col("o_totalprice") > 2 * F.median("o_totalprice").over(w)).alias(
+            "is_splurge"
+        ),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "median_window": """
+SELECT o_orderkey, o_custkey,
+       round(median(o_totalprice) OVER w, 4) AS median_spend,
+       o_totalprice > 2 * median(o_totalprice) OVER w AS is_splurge
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey)""",
     "map_hof_funcs": """
 WITH counts AS (
   SELECT l_orderkey, l_linestatus, count(*) AS cnt
@@ -4288,6 +4312,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "recursive_cte": QuerySpec(q_recursive_cte, ORACLES["recursive_cte"]),
     "sql_sugar": QuerySpec(q_sql_sugar, ORACLES["sql_sugar"]),
     "map_hof_funcs": QuerySpec(q_map_hof_funcs, ORACLES["map_hof_funcs"]),
+    "median_window": QuerySpec(q_median_window, ORACLES["median_window"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
