@@ -3046,7 +3046,33 @@ def q_median_window(spark, sf_dir):
     )
 
 
+def q_try_math(spark, sf_dir):
+    """Overflow-safe arithmetic under ANSI mode: try_multiply /
+    try_add return NULL where the plain operators would fail the job on
+    BIGINT overflow.  The oracle hand-computes the expected NULLs (user
+    ids >= 2 overflow 2^62 * id), proving the engine's overflow boundary
+    lands exactly where 64-bit arithmetic says it must."""
+    ev = load_table(spark, sf_dir, "events")
+    big = F.lit(4611686018427387904).cast("long")  # 2^62
+    return ev.select(
+        "event_id",
+        F.try_multiply(big, F.col("user_id")).alias("mul_guarded"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("long"),
+            (F.col("user_id") % 2).cast("long"),
+        ).alias("add_guarded"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "try_math": """
+SELECT event_id,
+       CASE WHEN user_id = 0 THEN 0
+            WHEN user_id = 1 THEN 4611686018427387904
+            ELSE NULL END AS mul_guarded,
+       CASE WHEN user_id % 2 = 0 THEN 9223372036854775807
+            ELSE NULL END AS add_guarded
+FROM events""",
     "median_window": """
 SELECT o_orderkey, o_custkey,
        round(median(o_totalprice) OVER w, 4) AS median_spend,
@@ -4313,6 +4339,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_sugar": QuerySpec(q_sql_sugar, ORACLES["sql_sugar"]),
     "map_hof_funcs": QuerySpec(q_map_hof_funcs, ORACLES["map_hof_funcs"]),
     "median_window": QuerySpec(q_median_window, ORACLES["median_window"]),
+    "try_math": QuerySpec(q_try_math, ORACLES["try_math"]),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
