@@ -3064,7 +3064,36 @@ def q_try_math(spark, sf_dir):
     )
 
 
+_CORRELATED_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_with_big_order,
+       round(max((SELECT max(o_totalprice) FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey)), 2) AS top_order
+FROM {customer} c
+WHERE EXISTS (SELECT 1 FROM {orders} o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)
+GROUP BY c_mktsegment"""
+
+
+def q_catalyst_decorrelation(spark, sf_dir):
+    """Correlated SQL run VERBATIM: a correlated EXISTS plus a correlated
+    scalar subquery handed straight to spark.sql — Catalyst does the
+    decorrelation (RewriteCorrelatedScalarSubquery / RewritePredicate-
+    Subquery) that the engine's other queries perform by hand.  The
+    oracle is the identical SQL text, so the hash-match certifies Spark's
+    native subquery semantics against DuckDB's."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("corr_c")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("corr_o")
+    return spark.sql(
+        _CORRELATED_SQL.format(customer="corr_c", orders="corr_o")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "catalyst_decorrelation": _CORRELATED_SQL.format(
+        customer="customer", orders="orders"
+    ),
     "try_math": """
 SELECT event_id,
        CASE WHEN user_id = 0 THEN 0
@@ -4340,6 +4369,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "map_hof_funcs": QuerySpec(q_map_hof_funcs, ORACLES["map_hof_funcs"]),
     "median_window": QuerySpec(q_median_window, ORACLES["median_window"]),
     "try_math": QuerySpec(q_try_math, ORACLES["try_math"]),
+    "catalyst_decorrelation": QuerySpec(
+        q_catalyst_decorrelation, ORACLES["catalyst_decorrelation"]
+    ),
     "pivot_event_dow": QuerySpec(q_pivot_event_dow, ORACLES["pivot_event_dow"]),
     "sessionization": QuerySpec(q_sessionization, ORACLES["sessionization"]),
     "regression_stats": QuerySpec(q_regression_stats, ORACLES["regression_stats"]),
