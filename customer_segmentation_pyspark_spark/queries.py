@@ -990,12 +990,21 @@ def q_multimodal_embed(spark, sf_dir):
 
 def q_resize_stub(spark, sf_dir):
     """Resize stage (stub kernel, real plumbing): fixed output dims +
-    deterministic byte-subsample thumbnails (rows-only; schema and
-    size-budget asserted in tests)."""
+    deterministic stride-subsample thumbnails. Fully oracled: the
+    kernel's byte-stride slice is SQL-mirrorable (fixture text is pure
+    ASCII, so byte slice == char slice), and the oracle recomputes the
+    identical thumbnail and md5-checks its content — plumbing AND
+    values, same pattern as `multimodal_embed`."""
     d = load_table(spark, sf_dir, "documents")
     return multimodal.resize_stub(
         multimodal.with_binary_payload(d)
-    ).select("doc_id", "out_w", "out_h", F.length("thumb_bytes").cast("long").alias("thumb_len"))
+    ).select(
+        "doc_id",
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        F.length("thumb_bytes").cast("long").alias("thumb_len"),
+        F.md5("thumb_bytes").alias("thumb_md5"),
+    )
 
 
 def q_decode_image_stub(spark, sf_dir):
@@ -1321,14 +1330,22 @@ def q_session_window_native(spark, sf_dir):
 
 
 def q_approx_percentiles(spark, sf_dir):
-    """Approximate percentiles (KLL-style sketch, mergeable across
-    partitions — the scale path where exact `percentiles` needs a global
-    sort). Rows-only; accuracy-vs-exact asserted in tests."""
+    """Approximate percentiles (GK sketch, mergeable across partitions —
+    the scale path where exact `percentiles` needs a global sort).
+
+    Oracled: with accuracy=1e6 the sketch's rank error bound (N/accuracy)
+    is < 1 row for every fixture group (~20k rows/flag at sf0.01,
+    verified exact vs DuckDB quantile_disc at sf0.001/sf0.01), so the
+    approximation IS the exact discrete percentile and hash-checks
+    against the exact-percentile SQL. At 100 TB the same plan runs with
+    the default accuracy and the documented rank-error bound."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.9, 0.99], 10000
-        ).cast("string").alias("pcts")
+    p = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 1_000_000)
+    return li.groupBy("l_returnflag").agg(p.alias("p")).select(
+        "l_returnflag",
+        F.col("p").getItem(0).cast("double").alias("p50"),
+        F.col("p").getItem(1).cast("double").alias("p90"),
+        F.col("p").getItem(2).cast("double").alias("p99"),
     )
 
 
@@ -4172,6 +4189,31 @@ FROM events""",
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
 FROM documents""",
+    # exact because accuracy=1e6 bounds GK rank error below one row at
+    # fixture scale — the approximate answer IS quantile_disc
+    "approx_percentiles": """
+SELECT l_returnflag,
+       CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90,
+       CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) AS p99
+FROM lineitem GROUP BY l_returnflag""",
+    # mirrors operators/multimodal.py resize_stub: stride = ceil(n/256),
+    # thumbnail = payload[::stride] (ASCII text: byte slice == char slice)
+    "resize_stub": """
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+           FROM documents),
+s AS (SELECT doc_id, text, n,
+             greatest(1, CAST(ceil(n / 256.0) AS BIGINT)) AS stride
+      FROM b)
+SELECT doc_id, CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+       CAST(len([i for i in generate_series(1, CAST(n AS INT),
+                                            CAST(stride AS INT))])
+            AS BIGINT) AS thumb_len,
+       md5(array_to_string(
+         [substr(text, CAST(i AS INT), 1)
+          for i in generate_series(1, CAST(n AS INT), CAST(stride AS INT))],
+         '')) AS thumb_md5
+FROM s""",
 }
 
 
@@ -4239,14 +4281,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "session_window_native": QuerySpec(
         q_session_window_native, ORACLES["session_window_native"]
     ),
-    "approx_percentiles": QuerySpec(q_approx_percentiles, None),
+    "approx_percentiles": QuerySpec(
+        q_approx_percentiles, ORACLES["approx_percentiles"]
+    ),
     "repetition_filter": QuerySpec(
         q_repetition_filter, ORACLES["repetition_filter"]
     ),
     "multimodal_embed": QuerySpec(
         q_multimodal_embed, ORACLES["multimodal_embed"]
     ),
-    "resize_stub": QuerySpec(q_resize_stub, None),
+    "resize_stub": QuerySpec(q_resize_stub, ORACLES["resize_stub"]),
     # subquery shapes (decorrelated TPC-H Q6/Q12/Q13/Q17/Q18/Q19/Q21/Q22)
     "filtered_revenue": QuerySpec(
         q_filtered_revenue, ORACLES["filtered_revenue"]
