@@ -15,7 +15,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from customer_segmentation_pyspark_spark.sources.tables import spread as _spread
@@ -115,15 +115,40 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 8, rows_per_band: int = 2
+    sig: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_bucket_size: int = 1024,
+    observation: Observation | None = None,
 ) -> DataFrame:
-    """Band the signature and equi-join on (band_id, band_hash).
+    """Band the signature and group on (band_id, band_hash).
 
     Docs agreeing on all ``rows_per_band`` min-hashes within any band become
-    a candidate pair. The join is a plain shuffle-hash/sort-merge equi-join
-    on the band key — linear candidate generation, no cross product.
-    Band hash packs the (31-bit) row values into one long (rows_per_band
-    <= 2 keeps the packing overflow-free in int64).
+    a candidate pair. Candidate generation is linear in input + output —
+    one shuffle on the band key, no cross product. Band hash packs the
+    (31-bit) row values into one long (rows_per_band <= 2 keeps the
+    packing overflow-free in int64).
+
+    Hot buckets are the web-corpus failure mode (boilerplate duplicated
+    millions of times -> one band bucket with millions of ids: the
+    collect_list blows task memory and in-bucket pair expansion is
+    quadratic). Buckets are therefore size-capped:
+
+      * bucket size is computed FIRST as a map-side-combinable count (the
+        hot key never concentrates rows in one task before its size is
+        known);
+      * buckets with 1 < size <= ``max_bucket_size`` expand in-bucket via
+        indexed array transforms — bounded by cap^2 per bucket;
+      * oversized buckets fall back to exact-fingerprint star pairs:
+        their docs are grouped by the FULL minhash signature and each
+        group emits (min_doc_id, other) pairs — linear in group size, and
+        connected-components over star pairs yields the same components
+        as the quadratic all-pairs expansion would. Boilerplate dup
+        groups are still reported, never silently dropped.
+
+    Pass an ``Observation`` to get free metrics (no extra scan) for the
+    materializing action: ``oversized_buckets``, ``oversized_doc_slots``,
+    ``max_bucket_size_seen``.
     """
     assert rows_per_band <= 2, "int64 band packing supports rows_per_band <= 2"
     band_rows = []
@@ -141,15 +166,33 @@ def lsh_candidate_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
-    # Single-pass bucket-pair expansion instead of a self-join: a self-join
-    # would recompute the whole shingle->signature pipeline for both sides.
-    # One shuffle groups co-bucketed docs; pairs expand in-bucket via
-    # indexed array transforms (buckets are small by LSH construction; at
-    # scale add a bucket-size cap to bound the worst case).
+    sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    if observation is not None:
+        sizes = sizes.observe(
+            observation,
+            F.sum(
+                F.when(F.col("bsz") > max_bucket_size, 1).otherwise(0)
+            ).cast("long").alias("oversized_buckets"),
+            F.sum(
+                F.when(F.col("bsz") > max_bucket_size, F.col("bsz")).otherwise(0)
+            ).cast("long").alias("oversized_doc_slots"),
+            F.max("bsz").cast("long").alias("max_bucket_size_seen"),
+        )
+    # singleton buckets (the vast majority) never join; AQE broadcasts the
+    # multi-occupancy size table when it is small and splits skewed join
+    # partitions otherwise
+    cand = banded.join(
+        sizes.filter(F.col("bsz") > 1), ["band_id", "band_hash"]
+    )
+    # Small buckets: single-pass in-bucket pair expansion instead of a
+    # self-join (a self-join would recompute the whole shingle->signature
+    # pipeline for both sides). collect_list is bounded by the cap.
     buckets = (
-        banded.groupBy("band_id", "band_hash")
+        cand.filter(F.col("bsz") <= max_bucket_size)
+        .groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     pairs = F.flatten(
         F.transform(
@@ -160,11 +203,28 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
+    pairs_small = (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    # Oversized buckets: star pairs per identical full signature. No
+    # arrays, no quadratic expansion — one groupBy(min) + one equi-join.
+    big_docs = (
+        cand.filter(F.col("bsz") > max_bucket_size).select("doc_id").distinct()
+    )
+    fp = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col("sig"), lambda x: x.cast("string"))
+        ).cast("binary")
+    )
+    keyed = sig.join(big_docs, "doc_id").select("doc_id", fp.alias("fp"))
+    mins = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_a"))
+    pairs_big = (
+        keyed.join(mins, "fp")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    return pairs_small.union(pairs_big).distinct()
 
 
 def minhash_dedup_pairs(
@@ -174,12 +234,16 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     rows_per_band: int = 2,
+    max_bucket_size: int = 1024,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature -> band ->
-    candidate pairs."""
+    size-capped candidate pairs (see ``lsh_candidate_pairs``)."""
     sh = shingles(df, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
-    return lsh_candidate_pairs(sig, bands, rows_per_band)
+    return lsh_candidate_pairs(
+        sig, bands, rows_per_band, max_bucket_size, observation
+    )
 
 
 def ngram_jaccard_pairs(
@@ -188,6 +252,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     subset: Column | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
@@ -195,10 +260,28 @@ def ngram_jaccard_pairs(
     pairs); |union| comes from per-doc shingle counts, so Jaccard =
     inter / (|A| + |B| - inter) without a second pass over text. ``subset``
     optionally bounds the left/right sides for demo-scale runs.
+
+    Stop-shingles are the scale hazard: a shingle appearing in every doc
+    ("of the and") makes the self-join near-quadratic in corpus size
+    while carrying ~no Jaccard signal. Shingles with document frequency
+    > ``max_doc_freq`` are dropped BEFORE the join (one extra map-side
+    combinable groupBy + a broadcast anti-join against the tiny hot set),
+    bounding join output at max_doc_freq * co-occurrences. Jaccard is
+    then computed consistently over the reduced shingle space (sizes and
+    intersections both exclude dropped shingles). The fixture vocabulary
+    never reaches the default cap, so sf-scale results are exact.
     """
     sh = shingles(df, text_col, n)
     if subset is not None:
         sh = sh.filter(subset)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -1534,7 +1534,7 @@ chunks AS (
            AS chunk_tokens
   FROM starts)
 SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
-       sum(chunk_tokens) AS sum_chunk_tokens
+       CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens
 FROM chunks GROUP BY lang
 """
 

@@ -90,6 +90,76 @@ def test_minhash_estimates_jaccard(spark):
         )
 
 
+def test_lsh_bucket_cap_hot_bucket_linear(spark):
+    """Boilerplate skew: 200k identical signatures put every doc in the
+    same bucket of every band. The capped path must complete with LINEAR
+    output (star pairs via the exact-fingerprint fallback, n-1 not
+    C(n,2) ~ 2e10), report the dup group fully connected, and surface the
+    oversized buckets through the free observation metrics."""
+    from pyspark.sql import Observation
+
+    n = 200_000
+    sig = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.lit(i * 7 + 1).cast("long") for i in range(16)]).alias(
+            "sig"
+        ),
+    )
+    obs = Observation("lsh_cap")
+    pairs = dedup.lsh_candidate_pairs(
+        sig, bands=8, rows_per_band=2, max_bucket_size=64, observation=obs
+    )
+    assert pairs.count() == n - 1
+    m = obs.get
+    assert m["oversized_buckets"] == 8  # one hot bucket per band
+    assert m["max_bucket_size_seen"] == n
+    # every star pair anchors at the min doc id -> one connected component
+    lo, hi = pairs.agg(F.min("doc_a"), F.max("doc_a")).collect()[0]
+    assert (lo, hi) == (0, 0)
+
+
+def test_lsh_cap_no_behavior_change_on_fixture(docs):
+    """Fixture buckets are far below the default cap: the capped operator
+    must emit exactly the pairs the uncapped expansion emits."""
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup_pairs(docs).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, max_bucket_size=1_000_000_000
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_ngram_df_cap_bounds_stop_shingle_join(spark):
+    """200 docs share one boilerplate shingle but are otherwise disjoint:
+    without the document-frequency cap the stop-shingle alone emits
+    ~C(200,2) pairs; with it those pairs vanish while a genuine near-dup
+    pair (many shared RARE shingles) survives."""
+    rows = [
+        (i, f"the quick brown unique{i}a unique{i}b unique{i}c")
+        for i in range(200)
+    ]
+    rows.append((500, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((501, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, threshold=0.1, max_doc_freq=None
+    )
+    assert uncapped.count() > 19_000  # quadratic stop-shingle blowup
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.1, max_doc_freq=50
+        ).collect()
+    }
+    assert (500, 501) in capped
+    assert not [p for p in capped if p[0] < 200 and p[1] < 200]
+
+
 def test_simhash_similar_docs_close_hamming(docs):
     """Near-dup pairs (Jaccard >= 0.9) should have small SimHash Hamming
     distance; random pairs should average ~bits/2."""
