@@ -481,27 +481,36 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
-    """Connected components over an undirected edge list by min-label
-    propagation: every node repeatedly adopts the smallest component id
-    among itself and its neighbors until a fixpoint.
+    """Connected components over an undirected edge list. Returns
+    (id, component) with component = min node id in the component.
 
     This is the step the dedup pipelines need after candidate-pair
     generation (minhash/ngram/embedding near-dup emit PAIRS; retention
     policy needs GROUPS — keep one doc per component). The reference has
-    no analogue; semantics follow the standard union-find result
-    (component id = min node id in the component).
+    no analogue; semantics follow the standard union-find result.
 
-    Scale notes: each round is one union + one shuffle (groupBy id,
-    min(label)); rounds = graph diameter. Near-dup graphs are unions of
-    near-cliques, so 2-4 rounds in practice. Labels only decrease, so
-    sum(label) strictly decreases until convergence — the loop's exit
-    test is that single scalar, no join needed. ``localCheckpoint``
-    truncates lineage so the plan stays bounded across rounds. For
-    adversarial long-path graphs at 100 TB, swap the body for
-    alternating large-star/small-star (O(log n) rounds) — same
-    interface.
+    Two interchangeable bodies (identical outputs, pinned by tests):
+
+    * ``label_prop`` (default): min-label propagation — each round is one
+      join + one shuffle; rounds = graph DIAMETER. Near-dup graphs are
+      unions of near-cliques (diameter 2-4), where this is the cheapest
+      shape. Labels only decrease, so sum(label) strictly decreases until
+      convergence — the loop's exit test is that single scalar.
+    * ``star``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log n) rounds
+      regardless of diameter. The scale-safe choice for adversarial
+      long-path graphs (chains, lattices) where label_prop would need
+      O(diameter) shuffles. See ``star_connected_components`` for the
+      round-count contract.
+
+    Both bodies ``localCheckpoint`` per round so lineage stays bounded,
+    and both loops' only driver-side values are O(1) convergence scalars.
     """
+    if algorithm == "star":
+        return star_connected_components(edges, src, dst, max_iter)[0]
+    assert algorithm == "label_prop", algorithm
     und = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -533,3 +542,103 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u with neighborhood N(u): attach every LARGER
+    neighbor v > u to m = min(N(u) + [u]). Strictly-larger targets keep
+    the op monotone (no 2-cycles), and every emitted edge points downhill
+    toward the component min."""
+    s = _sym(e)
+    mins = s.groupBy("u").agg(F.min("v").alias("mn"))
+    j = s.join(mins, "u").select(
+        "u", "v", F.least(F.col("mn"), F.col("u")).alias("m")
+    )
+    return (
+        j.filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u: attach u and all SMALLER-or-equal neighbors to
+    m = min of that set — collapses the downhill chains large-star
+    leaves behind."""
+    s = _sym(e).filter(F.col("v") <= F.col("u"))
+    mins = s.groupBy("u").agg(F.min("v").alias("mn"))
+    j = s.join(mins, "u").select(
+        "u", "v", F.least(F.col("mn"), F.col("u")).alias("m")
+    )
+    out_v = j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    out_u = j.select("u", F.col("m").alias("v"))
+    return (
+        out_v.union(out_u)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def star_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components.
+
+    Returns ``(labels, rounds)`` where labels is (id, component) with
+    component = min node id, and rounds is the number of LS+SS rounds to
+    the fixed point — O(log n) in the node count, independent of graph
+    diameter (the property the long-chain test pins). Each round is two
+    grouped aggregates + two equi-joins; convergence is detected by an
+    order-insensitive (count, hash-sum) checksum of the edge multiset —
+    two O(1) driver scalars, never a collect of the edges.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        _sym(e).select(F.col("u").alias("id")).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))
+            ).alias("h"),
+        ).collect()[0]
+
+    prev = checksum(e)
+    rounds = 0
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        cur = checksum(e)
+        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            break
+        prev = cur
+    # fixed point is a star forest: every non-root points straight at its
+    # component min; roots (and isolated self-loop nodes) map to themselves
+    labels = (
+        nodes.join(e.withColumnRenamed("u", "id"), "id", "left")
+        .groupBy("id")
+        .agg(
+            F.min(F.coalesce(F.col("v"), F.col("id"))).alias("component")
+        )
+    )
+    return labels, rounds

@@ -355,9 +355,11 @@ def test_frame_sample_fanout(spark):
         assert r["n"] == expected
 
 
-def test_connected_components_chain_and_islands(spark):
+@pytest.mark.parametrize("algorithm", ["label_prop", "star"])
+def test_connected_components_chain_and_islands(spark, algorithm):
     """A 6-node path (diameter 5 — forces several propagation rounds),
-    a separate triangle, and an isolated pair; component = min node id."""
+    a separate triangle, and an isolated pair; component = min node id.
+    Both interchangeable bodies must produce the identical result."""
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
          (10, 11), (11, 12), (10, 12),
@@ -366,7 +368,9 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {
         r["id"]: r["component"]
-        for r in dedup.connected_components(edges).collect()
+        for r in dedup.connected_components(
+            edges, algorithm=algorithm
+        ).collect()
     }
     assert got == {
         1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
@@ -375,9 +379,49 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
-def test_connected_components_empty_edges(spark):
+@pytest.mark.parametrize("algorithm", ["label_prop", "star"])
+def test_connected_components_empty_edges(spark, algorithm):
     edges = spark.createDataFrame([], "src long, dst long")
-    assert dedup.connected_components(edges).count() == 0
+    assert (
+        dedup.connected_components(edges, algorithm=algorithm).count() == 0
+    )
+
+
+def test_star_cc_long_chain_logarithmic_rounds(spark):
+    """The adversarial case for label propagation: a 256-node path has
+    diameter 255, so label_prop needs ~255 rounds — alternating
+    large-star/small-star must converge in <= log2(n) + c rounds AND
+    still produce the exact component labels."""
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = dedup.star_connected_components(edges)
+    assert rounds <= 12, f"expected O(log n) rounds, got {rounds}"
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_cc_matches_label_prop_on_random_graph(spark):
+    """Property check on a pseudo-random sparse graph (shuffled ids, mixed
+    component sizes): the two bodies are interchangeable."""
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(400)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lp = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(df, algorithm="label_prop").collect()
+    }
+    st = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(df, algorithm="star").collect()
+    }
+    assert lp == st
 
 
 def test_dedup_clusters_groups_transitively(spark):
