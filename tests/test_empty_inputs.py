@@ -39,6 +39,19 @@ def test_similarity_on_empty_queries(spark):
     assert similarity.brute_force_topk(emb, empty_q, k=3).count() == 0
 
 
+def test_ivf_on_empty_corpus(spark):
+    """Empty corpus must yield an empty result (same contract as
+    brute_force_topk), not a TypeError from dim inference or a kmeans
+    failure on an empty train frame."""
+    from customer_segmentation_pyspark_spark.operators import similarity
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    empty_c = emb.filter(F.lit(False))
+    q = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk_cosine(empty_c, q, n_cells=4, n_probe=2, k=3)
+    assert out.count() == 0
+
+
 def test_short_document_shingles(spark):
     """Docs shorter than the shingle width yield zero shingles, not a
     descending-sequence explosion (the Spark sequence() gotcha)."""

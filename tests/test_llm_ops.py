@@ -207,19 +207,21 @@ def test_simhash_similar_docs_close_hamming(docs):
 def test_ann_lsh_recall_vs_brute_force(emb):
     """Multi-table ANN recall@5 against the exact baseline on 20 queries.
     The fixture embeddings are weakly clustered (top-5 cosine ~0.3-0.4),
-    the hard case for hyperplane LSH: 12 tables x 4 bits gives
-    P(candidate) = 1-(1-p^4)^12 ~ 0.5-0.8 per true neighbor. Also check
-    every returned similarity matches the exact computation."""
+    the hard case for hyperplane LSH. 16 tables x 3 bits measures 0.98
+    recall here; the 0.7 bar is tight enough to catch a sign/packing
+    error in the hyperplane hash (which craters recall to ~bucket
+    collision rate) while staying robust to plane-seed variance. Also
+    check every returned similarity matches the exact computation."""
     q = emb.filter(F.col("vec_id") < 20)
     exact = similarity.brute_force_topk(emb, q, k=5).collect()
     planes = np.random.RandomState(7).normal(size=(48, 64)).tolist()
     approx = similarity.lsh_topk_cosine(
-        emb, q, planes, k=5, bits_per_table=4
+        emb, q, planes, k=5, bits_per_table=3
     ).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.4, f"ANN recall too low: {recall}"
+    assert recall >= 0.7, f"ANN recall too low: {recall}"
     exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
     for r in approx:
         key = (r["query_id"], r["neighbor_id"])
@@ -228,18 +230,19 @@ def test_ann_lsh_recall_vs_brute_force(emb):
 
 
 def test_ivf_recall_vs_brute_force(emb):
-    """IVF with 16 cells / 4 probes rescored exactly: recall@5 should beat
-    single-probe LSH comfortably even on weakly-clustered vectors, and all
-    returned similarities must be exact."""
+    """IVF with 16 cells / 8 probes rescored exactly: measures 0.80
+    recall on the weakly-clustered fixture (seeded k-means, fully
+    deterministic); the 0.7 bar catches a cell-assignment or probe-
+    ranking regression. All returned similarities must be exact."""
     q = emb.filter(F.col("vec_id") < 20)
     exact = similarity.brute_force_topk(emb, q, k=5).collect()
     approx = similarity.ivf_topk_cosine(
-        emb, q, n_cells=16, n_probe=4, k=5
+        emb, q, n_cells=16, n_probe=8, k=5
     ).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
     exact_sims = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
     for r in approx:
         key = (r["query_id"], r["neighbor_id"])
