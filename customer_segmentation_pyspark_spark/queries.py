@@ -19,6 +19,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -48,6 +49,24 @@ class QuerySpec:
 
 # Reference exp-3A initial centroids (codeText.txt:418 run; BASELINE.md).
 CENTROIDS_4 = [[9.0, 6.0], [7.0, 1.0], [9.0, 3.0], [16.0, 3.0]]
+
+_SCRATCH_ROOT: list[str] = []
+
+
+def _scratch_path(name: str) -> str:
+    """Fixed per-session scratch path for the format-roundtrip queries:
+    one temp root, removed at interpreter exit, with a stable subpath per
+    query (mode=overwrite makes reruns idempotent) — repeated registry
+    runs no longer leak a directory per call."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(_SCRATCH_ROOT[0], name)
 
 # DuckDB fragments mirrored by the Spark expressions.
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -119,8 +138,6 @@ def q_csv_roundtrip(spark, sf_dir):
     one pass — no read-then-cast, unlike codeText.txt:12), aggregate. The
     oracle computes the same aggregate from the parquet view, so any CSV
     serialization/parse drift fails the hash."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from customer_segmentation_pyspark_spark.sources import read_csv_strict
@@ -129,7 +146,7 @@ def q_csv_roundtrip(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/li"
+    path = _scratch_path("csv_roundtrip/li")
     write_csv(li, path)
     schema = T.StructType(
         [
@@ -2288,14 +2305,12 @@ def q_json_roundtrip(spark, sf_dir):
     back with an explicit schema (timestamps serialized ISO), aggregate.
     The oracle computes the same aggregate from the parquet view, so any
     JSON serialization/parse drift fails the hash."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="json_roundtrip_") + "/orders"
+    path = _scratch_path("json_roundtrip/orders")
     o.write.mode("overwrite").json(path)
     schema = T.StructType(
         [
@@ -2315,12 +2330,10 @@ def q_orc_roundtrip(spark, sf_dir):
     """ORC source/sink (the other columnar format Spark ships): write a
     customer projection to ORC, read it back, aggregate — oracle from the
     parquet view proves the columnar round-trip is lossless."""
-    import tempfile
-
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/cust"
+    path = _scratch_path("orc_roundtrip/cust")
     c.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("c_mktsegment").agg(

@@ -14,7 +14,60 @@ can consume. This engine writes:
 
 from __future__ import annotations
 
+import glob as _glob
+import os as _os
+import shutil as _shutil
+import uuid as _uuid
+
 from pyspark.sql import DataFrame
+
+
+def recover_swap(path: str) -> bool:
+    """Crash recovery for ``crash_safe_swap`` — call at open, before
+    reading or rewriting ``path``.
+
+    If a crash hit the gap between the two renames, ``path`` is missing
+    and the previous snapshot is stranded at ``path.old-*``: adopt the
+    newest one (the writer's batch replays on top of it idempotently).
+    Stale ``.old-*`` / ``.tmp-*`` / ``.compact-*`` leftovers from crashes
+    before/after the swap are dropped. Single-writer protocol — callers
+    serialize writers externally (foreachBatch already does).
+
+    Returns True when a stranded snapshot was adopted.
+    """
+    olds = sorted(
+        _glob.glob(f"{path}.old-*"), key=lambda p: _os.path.getmtime(p)
+    )
+    recovered = False
+    if olds and not _os.path.exists(path):
+        _os.rename(olds[-1], path)
+        olds = olds[:-1]
+        recovered = True
+    for stale in olds + _glob.glob(f"{path}.tmp-*") + _glob.glob(
+        f"{path}.compact-*"
+    ):
+        _shutil.rmtree(stale, ignore_errors=True)
+    return recovered
+
+
+def crash_safe_swap(path: str, tmp: str) -> None:
+    """Swap the fully-written directory ``tmp`` into ``path``.
+
+    POSIX has no atomic directory exchange, so this is two renames with a
+    recoverable gap: a crash between them leaves the old snapshot at
+    ``path.old-*``, which ``recover_swap`` adopts at the next open and
+    the (replayed, idempotent) write then rebuilds on the correct base —
+    previously-merged keys are never lost. A concurrent reader inside
+    the gap can still observe ``path`` briefly missing; a table-format
+    commit log (single atomic pointer) is the real fix at lakehouse
+    scale, and this helper is its filesystem stand-in.
+    """
+    old = f"{path}.old-{_uuid.uuid4().hex[:8]}"
+    if _os.path.exists(path):
+        _os.rename(path, old)
+    _os.rename(tmp, path)
+    if _os.path.exists(old):
+        _shutil.rmtree(old)
 
 
 def write_parquet(
@@ -64,18 +117,14 @@ def compact_table(
     after compaction.
     """
     import glob
-    import os
-    import shutil
     import uuid
 
+    recover_swap(path)
     df = spark.read.parquet(path)
     out = df.repartition(target_files)
     if order_by:
         out = out.sortWithinPartitions(*order_by)
     tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    crash_safe_swap(path, tmp)
+    return len(glob.glob(_os.path.join(path, "*.parquet")))

@@ -60,10 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # parquet TIMESTAMP(NANOS) arrives as long (see session.py); convert
-        # to Spark's microsecond timestamp. Truncation below 1µs is
-        # irrelevant to every consumer (hour/day grains).
+        # to Spark's microsecond timestamp. Integer division is exact —
+        # float division at epoch-nanos magnitude (~1.7e18, double ulp
+        # ~256ns) could land ±1µs off.
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 

@@ -5,9 +5,9 @@ standard production shape for maintaining a keyed snapshot from a change
 stream: each micro-batch is reduced to its latest row per key, then merged
 into the snapshot with the same full-outer-join + coalesce plan as the
 batch ``upsert_snapshot`` query (queries.py) — write-once per batch,
-atomic directory swap.  On a real lakehouse the swap is a table-format
-MERGE (commit log) instead of a directory rename; the join plan is
-identical.
+crash-recoverable directory swap (sinks.crash_safe_swap/recover_swap).
+On a real lakehouse the swap is a table-format MERGE (commit log)
+instead of a directory rename; the join plan is identical.
 
 Scale notes (100 TB): the snapshot re-write is O(snapshot) per batch —
 acceptable for compacted snapshots, the motivation for MERGE-on-read
@@ -19,11 +19,15 @@ disk).  Bucket both sides by the key to make the join shuffle-free.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.sources.sinks import (
+    crash_safe_swap,
+    recover_swap,
+)
 
 
 def latest_per_key(batch: DataFrame, key: str, seq: str) -> DataFrame:
@@ -49,9 +53,15 @@ def merge_into_snapshot(
 
     Update columns win over snapshot columns per key; unmatched change
     keys are inserts; untouched snapshot keys are kept.  The write goes to
-    a fresh directory then swaps in — readers never observe a partial
-    snapshot.
+    a fresh directory then swaps in via ``sinks.crash_safe_swap``:
+    ``recover_swap`` at open adopts a snapshot stranded by a crash
+    between the swap renames, and the replayed batch re-merges
+    idempotently on top of it — previously-merged keys survive any
+    crash point.  (A reader inside the rename gap can still see the
+    directory briefly missing; the table-format commit log is the
+    lakehouse-scale fix.)
     """
+    recover_swap(snapshot_dir)
     delta = latest_per_key(changes, key, seq)
     if os.path.exists(snapshot_dir):
         base = spark.read.parquet(snapshot_dir)
@@ -69,12 +79,7 @@ def merge_into_snapshot(
         merged = delta
     tmp = f"{snapshot_dir}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    old = f"{snapshot_dir}.old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(snapshot_dir):
-        os.rename(snapshot_dir, old)
-    os.rename(tmp, snapshot_dir)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    crash_safe_swap(snapshot_dir, tmp)
 
 
 def streaming_upsert(

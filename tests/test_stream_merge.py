@@ -98,3 +98,54 @@ def test_merge_preserves_untouched_keys(spark, tmp_path):
     # seq column survives the merge for future idempotent replays
     cols = set(spark.read.parquet(snap).columns)
     assert cols == {"k", "val", "seq"}
+
+
+def test_merge_recovers_from_crash_between_swap_renames(spark, tmp_path):
+    """Simulate a crash in the swap gap: the snapshot directory has been
+    renamed to .old-* but the new one was not renamed in (tmp stranded
+    too). The next merge must adopt the stranded base and the replayed
+    batch must rebuild the full state — previously-merged keys are NOT
+    lost (this was the failure mode: rebuilding from the delta alone)."""
+    import os
+    import shutil
+
+    snap = str(tmp_path / "snap")
+    merge_into_snapshot(
+        spark,
+        snap,
+        spark.createDataFrame([(1, 1.0, 1), (2, 2.0, 2)], SCHEMA),
+        "k",
+        "seq",
+    )
+    # crash mid-swap during the NEXT merge: base stranded at .old-*, new
+    # version stranded at .tmp-*, nothing at snap
+    os.rename(snap, snap + ".old-deadbeef")
+    shutil.copytree(snap + ".old-deadbeef", snap + ".tmp-deadbeef")
+    assert not os.path.exists(snap)
+    # restart: foreachBatch replays the same batch
+    merge_into_snapshot(
+        spark, snap, spark.createDataFrame([(2, 9.0, 3)], SCHEMA), "k", "seq"
+    )
+    assert _snapshot_dict(spark, snap) == {1: 1.0, 2: 9.0}
+    # recovery consumed the stranded dirs
+    assert not os.path.exists(snap + ".old-deadbeef")
+    assert not os.path.exists(snap + ".tmp-deadbeef")
+
+
+def test_compact_table_recovers_from_crash(spark, tmp_path):
+    """compact_table shares the crash-safe swap: a stranded .old-* with a
+    missing table directory is adopted at the next open instead of
+    crashing or losing the table."""
+    import os
+
+    from customer_segmentation_pyspark_spark.sources.sinks import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).repartition(8).write.parquet(path)
+    os.rename(path, path + ".old-cafe0000")
+    n_files = compact_table(spark, path, target_files=2)
+    assert n_files == 2
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + ".old-cafe0000")
