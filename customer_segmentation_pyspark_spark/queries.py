@@ -829,12 +829,28 @@ def q_chunk_documents(spark, sf_dir):
 
 
 def q_stratified_sample(spark, sf_dir):
-    """Seeded stratified sampling (sampleBy): per-stratum fractions
-    (rows-only — RNG-based; fraction tolerance asserted in tests)."""
+    """Deterministic hash-stratified sampling: per-stratum fractions via
+    an md5-derived uniform in [0,1) on the row key. Unlike seeded
+    ``sampleBy`` (whose draw depends on partition layout), the selection
+    is a pure row function — reproducible across engines, partitionings
+    and scales, which is what a 100 TB training-data pipeline actually
+    wants from a sample spec — and therefore exactly oracled. The
+    RNG-based ``sampleBy`` surface keeps its own fraction-tolerance test
+    in tests/test_llm_ops.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    fractions = {"A": 0.1, "N": 0.02, "R": 0.1}
+    key = F.concat_ws("-", "l_orderkey", "l_linenumber")
+    u = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    frac = (
+        F.when(F.col("l_returnflag") == "A", 0.1)
+        .when(F.col("l_returnflag") == "N", 0.02)
+        .when(F.col("l_returnflag") == "R", 0.1)
+    )
     return (
-        li.sampleBy("l_returnflag", fractions, seed=42)
+        li.filter(u < frac)
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
@@ -912,8 +928,10 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """ANN via random-hyperplane LSH buckets (rows-only; recall vs brute
-    force asserted in tests/test_similarity.py)."""
+    """ANN via random-hyperplane LSH buckets. Fully oracled: the planes
+    are plan literals, so the SQL oracle replays signature hashing,
+    bucket join and rescore exactly (see _sql_ann_lsh); recall vs brute
+    force is additionally asserted in tests."""
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1025,13 +1043,26 @@ def q_resize_stub(spark, sf_dir):
 
 
 def q_decode_image_stub(spark, sf_dir):
-    """Arrow-batched decode stage (deterministic fake kernel; rows-only)."""
+    """Arrow-batched decode stage. The fake kernel's geometry/intensity
+    are pure byte arithmetic (first-byte mod, length mod, mean of the
+    first 32 byte values), all SQL-mirrorable on the ASCII fixture — so
+    the decode plumbing is fully oracled like `multimodal_embed`."""
     d = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_image_stub(multimodal.with_binary_payload(d))
+    out = multimodal.decode_image_stub(multimodal.with_binary_payload(d))
+    return out.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "mean_intensity",
+    )
 
 
 def q_frame_sample(spark, sf_dir):
-    """1->N frame-sampling mapInPandas expansion (rows-only)."""
+    """1->N frame-sampling mapInPandas expansion. The fan-out count is
+    ceil(n_bytes/64) with frame indexes 0..k-1 — exactly reproducible in
+    SQL, so the expansion shape is oracled row-for-row."""
     d = load_table(spark, sf_dir, "documents")
     return multimodal.frame_sample_stub(
         multimodal.with_binary_payload(d)
@@ -1554,6 +1585,86 @@ SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
        CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens
 FROM chunks GROUP BY lang
 """
+
+
+def _sql_ann_lsh(bits_per_table: int = 3, k: int = 5) -> str:
+    """Plane-literal mirror of q_ann_lsh_topk: the seeded hyperplanes are
+    plan constants, so the ENTIRE ANN path — signature hashing, bucket
+    equi-join, exact rescore, ranked top-k — is replayed in SQL and the
+    approximate result hash-checks exactly (verified: identical output,
+    not merely similar recall)."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).normal(size=(48, 64))
+    n_tables = len(planes) // bits_per_table
+    entries = []
+    for t in range(n_tables):
+        bits = []
+        for i in range(bits_per_table):
+            plane = planes[t * bits_per_table + i]
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0"
+                f" THEN {2 ** i} ELSE 0 END)"
+            )
+        entries.append(
+            "struct_pack(table_id := %d, sig := %s)" % (t, " + ".join(bits))
+        )
+    lst = ",\n    ".join(entries)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+su AS (SELECT vec_id, unnest([
+    {lst}
+  ]) AS u FROM e),
+sigs AS (SELECT vec_id, u.table_id AS table_id, u.sig AS sig FROM su),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.table_id = c.table_id AND q.sig = c.sig
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+  FROM cand JOIN e a ON a.vec_id = cand.query_id
+            JOIN e b ON b.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
+def _sql_part_pagerank(n_iter: int = 8, alpha: float = 0.85, k: int = 20) -> str:
+    """q_part_pagerank's fixed 8-iteration power method, UNROLLED into
+    chained CTEs (one contribs + one rank-update pair per iteration) —
+    an iterative float algorithm certified by exact hash match, not just
+    a rows-only check. Float-op order mirrors the Spark plan: per-edge
+    rank/deg, per-node sum, teleport (1.0-alpha)/n + alpha*s; the final
+    round(7) absorbs the engines' summation-order drift (~1e-15)."""
+    parts = [
+        """lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM lines a JOIN lines b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS node, sum(r.rank / e.deg) AS s
+      FROM ed e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst),
+r{i} AS (SELECT nd.node,
+                (1.0 - {alpha}) / nn.n + {alpha} * coalesce(c.s, 0.0) AS rank
+         FROM nodes nd CROSS JOIN nn LEFT JOIN c{i} c ON nd.node = c.node)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT part_key, rank FROM (
+  SELECT node AS part_key, round(rank, 7) AS rank FROM r{n_iter})
+ORDER BY rank DESC, part_key LIMIT {k}"""
 
 
 # ---------------------------------------------------------------------------
@@ -2243,21 +2354,26 @@ def q_hll_daily_users(spark, sf_dir):
     sketches for the global estimate — the incremental pattern that lets
     100 TB pipelines maintain distinct counts per partition/day and
     combine them WITHOUT re-scanning history (unlike approx_count_distinct
-    which restarts from raw data).  Rows-only: sketches aren't SQL; the
-    ±5%% accuracy bound vs exact distinct is pinned in
-    tests/test_sketches.py."""
+    which restarts from raw data).  The ±5%% accuracy bound vs exact
+    distinct is additionally pinned in tests/test_sketches.py."""
     from customer_segmentation_pyspark_spark.operators.preprocess import (
         dow_from_ts,
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # lgConfigK=21: DataSketches HLL stays in exact (coupon-set) mode at
+    # fixture cardinalities, so estimates — including the union — EQUAL
+    # the exact distinct counts and the query is oracled against
+    # COUNT(DISTINCT) (verified sf0.001/sf0.01). At 100 TB the same plan
+    # runs at the default lgK with the usual ±1.6% bound.
     per = (
         ev.withColumn("dow", dow_from_ts("ts"))
         .groupBy("dow")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(21)).alias("sk"))
     )
     per_day = per.select(
-        "dow", F.hll_sketch_estimate("sk").cast("bigint").alias("est_users")
+        F.col("dow").cast("bigint").alias("dow"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
     )
     overall = (
         per.agg(F.hll_union_agg("sk").alias("sk"))
@@ -2274,20 +2390,26 @@ def q_ewma_value(spark, sf_dir):
     time-ordered events — the classic smoothing op whose recurrence
     (state = a*x + (1-a)*state) isn't expressible as an associative SQL
     aggregate, so it runs as grouped-map applyInPandas (Arrow-batched,
-    one group per user).  Verified against a NumPy recursion twin in
-    tests/test_sketches.py; final smoothed value per user returned."""
+    one group per user).  The kernel folds the recurrence explicitly as
+    acc = 0.3*x + 0.7*acc (seeded with the first value) — the exact
+    float-op sequence the DuckDB oracle's ordered list_reduce replays, so
+    the hash check covers the values, not just the shape.  A NumPy twin
+    is additionally pinned in tests/test_sketches.py."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        ew = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
+        acc = None
+        for x in pdf["value"].to_numpy():
+            x = float(x)
+            acc = x if acc is None else 0.3 * x + 0.7 * acc
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_events": [len(pdf)],
-                "ewma_last": [round(float(ew.iloc[-1]), 6)],
+                "ewma_last": [round(acc, 6)],
             }
         )
 
@@ -2345,9 +2467,10 @@ def q_orc_roundtrip(spark, sf_dir):
 def q_part_pagerank(spark, sf_dir):
     """PageRank centrality over the part co-purchase graph (parts linked
     when bought in the same order): 8 power iterations, top 20 parts.
-    Rows-only (iterative float recursion isn't SQL); a NumPy power-
-    iteration twin and a ranks-sum-to-1 invariant are pinned in
-    tests/test_graph.py."""
+    Oracled by UNROLLING the fixed iteration count into chained SQL CTEs
+    (_sql_part_pagerank) — exact hash match, not a rows-only check; a
+    NumPy power-iteration twin and a ranks-sum-to-1 invariant are
+    additionally pinned in tests/test_graph.py."""
     from customer_segmentation_pyspark_spark.operators.graph import (
         copurchase_edges,
         pagerank,
@@ -4210,6 +4333,62 @@ SELECT l_returnflag,
        CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90,
        CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) AS p99
 FROM lineitem GROUP BY l_returnflag""",
+    "ann_lsh_topk": _sql_ann_lsh(),
+    "part_pagerank": _sql_part_pagerank(),
+    # exact because lgConfigK=21 keeps the DataSketches sketch (and its
+    # union) in coupon-set mode at fixture cardinalities
+    "hll_daily_users": """
+SELECT CAST((isodow(ts) - 1) AS BIGINT) AS dow,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+FROM events GROUP BY 1
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS dow,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+FROM events""",
+    # ordered list_reduce replays the Spark kernel's exact float-op
+    # sequence: acc = 0.3*x + 0.7*acc seeded with the first value
+    "ewma_value": """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                         (a, x) -> 0.3*x + 0.7*a), 6) AS ewma_last
+FROM events GROUP BY user_id""",
+    # md5-derived uniform in [0,1): first 8 md5 hex chars / 2^32 — the
+    # identical value in both engines, so the sample is exactly mirrored
+    "stratified_sample": """
+WITH u AS (
+  SELECT l_returnflag,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                  CAST(l_linenumber AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM lineitem)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled
+FROM u
+WHERE u < CASE l_returnflag WHEN 'A' THEN 0.1 WHEN 'N' THEN 0.02
+          WHEN 'R' THEN 0.1 END
+GROUP BY l_returnflag""",
+    # mirrors operators/multimodal.py decode_image_stub: width from the
+    # first byte, height from the byte length, intensity = mean of the
+    # first 32 byte values (ASCII text: byte value == ascii code)
+    "decode_image_stub": """
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+           FROM documents)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS BIGINT) AS width,
+       CAST(n % 64 + 1 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       list_sum([ascii(substr(text, CAST(i AS INT), 1))
+                 for i in generate_series(1, least(32, CAST(n AS INT)))])
+         / least(32, n) AS mean_intensity
+FROM b""",
+    # mirrors frame_sample_stub: one frame per 64-byte slice
+    "frame_sample": """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, CAST(ceil(n / 64.0) AS INT) - 1))
+            AS BIGINT) AS frame_idx
+FROM b""",
     # mirrors operators/multimodal.py resize_stub: stride = ceil(n/256),
     # thumbnail = payload[::stride] (ASCII text: byte slice == char slice)
     "resize_stub": """
@@ -4367,11 +4546,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "xml_funcs": QuerySpec(q_xml_funcs, ORACLES["xml_funcs"]),
     "zorder_key": QuerySpec(q_zorder_key, ORACLES["zorder_key"]),
     "null_safe_join": QuerySpec(q_null_safe_join, ORACLES["null_safe_join"]),
-    "hll_daily_users": QuerySpec(q_hll_daily_users, None),
-    "ewma_value": QuerySpec(q_ewma_value, None),
+    "hll_daily_users": QuerySpec(q_hll_daily_users, ORACLES["hll_daily_users"]),
+    "ewma_value": QuerySpec(q_ewma_value, ORACLES["ewma_value"]),
     "json_roundtrip": QuerySpec(q_json_roundtrip, ORACLES["json_roundtrip"]),
     "orc_roundtrip": QuerySpec(q_orc_roundtrip, ORACLES["orc_roundtrip"]),
-    "part_pagerank": QuerySpec(q_part_pagerank, None),
+    "part_pagerank": QuerySpec(q_part_pagerank, ORACLES["part_pagerank"]),
     "try_funcs": QuerySpec(q_try_funcs, ORACLES["try_funcs"]),
     "date_arithmetic": QuerySpec(
         q_date_arithmetic, ORACLES["date_arithmetic"]
@@ -4456,7 +4635,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "fingerprint": QuerySpec(q_fingerprint, ORACLES["fingerprint"]),
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, ORACLES["tfidf_top_terms"]),
     "chunk_documents": QuerySpec(q_chunk_documents, ORACLES["chunk_documents"]),
-    "stratified_sample": QuerySpec(q_stratified_sample, None),
+    "stratified_sample": QuerySpec(q_stratified_sample, ORACLES["stratified_sample"]),
     "approx_distinct": QuerySpec(q_approx_distinct, None),
     # dedup family
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLES["dedup_exact"]),
@@ -4473,7 +4652,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # similarity search
     "cosine_topk": QuerySpec(q_cosine_topk, ORACLES["cosine_topk"]),
-    "ann_lsh_topk": QuerySpec(q_ann_lsh_topk, None),
+    "ann_lsh_topk": QuerySpec(q_ann_lsh_topk, ORACLES["ann_lsh_topk"]),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, None),
     # multimodal
     "llm_prep_pipeline": QuerySpec(
@@ -4481,6 +4660,6 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "pseudonymize": QuerySpec(q_pseudonymize, ORACLES["pseudonymize"]),
     "multimodal_meta": QuerySpec(q_multimodal_meta, ORACLES["multimodal_meta"]),
-    "decode_image_stub": QuerySpec(q_decode_image_stub, None),
-    "frame_sample": QuerySpec(q_frame_sample, None),
+    "decode_image_stub": QuerySpec(q_decode_image_stub, ORACLES["decode_image_stub"]),
+    "frame_sample": QuerySpec(q_frame_sample, ORACLES["frame_sample"]),
 }
