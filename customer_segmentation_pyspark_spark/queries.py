@@ -649,8 +649,11 @@ def q_kmeans_one_iter(spark, sf_dir):
 
 
 def q_kmeans_custom(spark, sf_dir):
-    """Full DataFrame-native Lloyd's loop, fixed init (rows-only check;
-    invariants tested in tests/test_kmeans.py)."""
+    """Full DataFrame-native Lloyd's loop, fixed init. Oracled by
+    UNROLLING the loop into SQL CTEs (_sql_kmeans_unrolled) — the
+    integer-valued features make every float op engine-exact, so the
+    hash check covers centroids, iteration count and convergence;
+    invariants additionally tested in tests/test_kmeans.py."""
     pts = _events_features(spark, sf_dir)
     res = km.kmeans(
         pts, ["hour", "dow"], k=4, max_iter=10, initial_centroids=CENTROIDS_4
@@ -748,9 +751,10 @@ def q_mllib_scaled_pipeline(spark, sf_dir):
 
 
 def q_cluster_shape(spark, sf_dir):
-    """Per-cluster covariance eigen-structure (grouped-map applyInPandas;
-    rows-only — eigenvalues are not SQL-expressible; numpy-verified in
-    tests/test_kmeans.py)."""
+    """Per-cluster covariance eigen-structure (grouped-map applyInPandas).
+    Oracled in closed form: 2x2 eigenvalues are quadratic roots of the
+    covariance matrix (_sql_cluster_shape); numpy-verified in
+    tests/test_kmeans.py."""
     pts = _events_features(spark, sf_dir)
     return km.cluster_shape_stats(pts, ["hour", "dow"], CENTROIDS_4)
 
@@ -1630,6 +1634,103 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored) WHERE rank <= {k}"""
+
+
+def _sql_kmeans_unrolled(
+    inits: list[list[float]], max_iter: int, feat_sql: str
+) -> str:
+    """q_kmeans_custom / q_kmeans_custom_k5's Lloyd loop UNROLLED into
+    ``max_iter`` materialized CTE pairs (assign via cross-join +
+    first-min QUALIFY, update via per-cluster avg), plus an exact-float
+    convergence scan that reproduces n_iter/converged and the early-exit
+    semantics (the loop is a fixpoint: once ct_i == ct_{i-1}, later
+    unrolled iterations are no-ops, so selecting ct_{n_iter} equals the
+    early-exited Spark loop).
+
+    Why this can hash-match an iterative float algorithm: the features
+    are integer-valued, so per-cluster sums are exact in double in ANY
+    summation order, means are a single exact-operand division, distances
+    are fixed-order two-term expressions, and the argmin tie-break
+    (smallest cluster id among equal distances) is ORDER BY dist, cluster
+    in both engines. No engine-specific float drift exists anywhere in
+    the loop. Empty clusters drop out of the avg naturally — the
+    reference's empty-cluster-shrink semantics (codeText.txt:79-109).
+    """
+    init_rows = " UNION ALL ".join(
+        f"SELECT {i} AS cluster, CAST({c[0]} AS DOUBLE) AS c0,"
+        f" CAST({c[1]} AS DOUBLE) AS c1"
+        for i, c in enumerate(inits)
+    )
+    parts = [
+        f"pts AS MATERIALIZED ({feat_sql})",
+        f"ct0 AS MATERIALIZED ({init_rows})",
+    ]
+    for i in range(1, max_iter + 1):
+        parts.append(
+            f"""ct{i} AS MATERIALIZED (
+  SELECT cluster, avg(f0) AS c0, avg(f1) AS c1 FROM (
+    SELECT p.event_id, p.f0, p.f1, c.cluster
+    FROM pts p CROSS JOIN ct{i - 1} c
+    QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY
+      (p.f0 - c.c0)*(p.f0 - c.c0) + (p.f1 - c.c1)*(p.f1 - c.c1),
+      c.cluster) = 1)
+  GROUP BY cluster),
+eq{i} AS MATERIALIZED (SELECT CASE WHEN
+  (SELECT count(*) FROM (SELECT * FROM ct{i} EXCEPT SELECT * FROM ct{i - 1})) = 0
+  AND (SELECT count(*) FROM (SELECT * FROM ct{i - 1} EXCEPT SELECT * FROM ct{i})) = 0
+  THEN 1 ELSE 0 END AS eq)"""
+        )
+    eqs = " UNION ALL ".join(
+        f"SELECT {i} AS it, eq FROM eq{i}" for i in range(1, max_iter + 1)
+    )
+    allc = " UNION ALL ".join(
+        f"SELECT {i} AS it, * FROM ct{i}" for i in range(1, max_iter + 1)
+    )
+    parts.append(f"eqs AS ({eqs})")
+    parts.append(f"allc AS ({allc})")
+    parts.append(
+        f"niter AS (SELECT coalesce(min(it) FILTER (eq = 1), {max_iter})"
+        " AS n, count(*) FILTER (eq = 1) > 0 AS conv FROM eqs)"
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(row_number() OVER (ORDER BY a.cluster) - 1 AS BIGINT) AS cluster,
+       round(a.c0, 6) AS c0, round(a.c1, 6) AS c1,
+       CAST(niter.n AS BIGINT) AS n_iter, niter.conv AS converged
+FROM allc a, niter WHERE a.it = niter.n"""
+
+
+def _sql_cluster_shape() -> str:
+    """q_cluster_shape's per-cluster covariance eigen-structure in closed
+    form: 2x2 symmetric eigenvalues are (tr +- sqrt((vx-vy)^2+4cxy^2))/2
+    over var_samp/covar_samp (np.cov ddof=1 twins); round(6) absorbs the
+    LAPACK-vs-closed-form and summation-order drift (~1e-12)."""
+    dists = [
+        f"((f0 - {c[0]})*(f0 - {c[0]}) + (f1 - {c[1]})*(f1 - {c[1]}))"
+        for c in CENTROIDS_4
+    ]
+    d0, d1, d2, d3 = dists
+    argmin = (
+        f"CASE WHEN {d0} <= {d1} AND {d0} <= {d2} AND {d0} <= {d3} THEN 0 "
+        f"WHEN {d1} <= {d2} AND {d1} <= {d3} THEN 1 "
+        f"WHEN {d2} <= {d3} THEN 2 ELSE 3 END"
+    )
+    return f"""
+WITH f AS (SELECT CAST(hour(ts) AS DOUBLE) AS f0,
+                  CAST({_SQL_DOW} AS DOUBLE) AS f1 FROM events),
+a AS (SELECT f0, f1, {argmin} AS cluster FROM f),
+s AS (SELECT cluster, count(*) AS n, var_samp(f0) AS vx, var_samp(f1) AS vy,
+             covar_samp(f0, f1) AS cxy
+      FROM a GROUP BY cluster),
+e AS (SELECT cluster, n,
+             (vx + vy + sqrt((vx - vy)*(vx - vy) + 4*cxy*cxy)) / 2 AS emax,
+             (vx + vy - sqrt((vx - vy)*(vx - vy) + 4*cxy*cxy)) / 2 AS emin
+      FROM s)
+SELECT CAST(cluster AS INTEGER) AS cluster, CAST(n AS BIGINT) AS n,
+       round(emax, 6) AS eig_max, round(emin, 6) AS eig_min,
+       round(CASE WHEN emin > 1e-12 THEN emax / emin
+             ELSE CAST('inf' AS DOUBLE) END, 6) AS anisotropy
+FROM e"""
 
 
 def _sql_part_pagerank(n_iter: int = 8, alpha: float = 0.85, k: int = 20) -> str:
@@ -4335,6 +4436,20 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag""",
     "ann_lsh_topk": _sql_ann_lsh(),
     "part_pagerank": _sql_part_pagerank(),
+    "kmeans_custom": _sql_kmeans_unrolled(
+        CENTROIDS_4,
+        10,
+        "SELECT event_id, hour(ts) AS f0, (isodow(ts) - 1) AS f1"
+        " FROM events",
+    ),
+    "kmeans_custom_k5": _sql_kmeans_unrolled(
+        [[6, 4], [5, 16], [6, 4], [6, 7], [0, 19]],
+        20,
+        "SELECT event_id, (isodow(ts) - 1) AS f0,"
+        " CAST(json_extract_string(props, '$.k') AS BIGINT) % 21 AS f1"
+        " FROM events",
+    ),
+    "cluster_shape": _sql_cluster_shape(),
     # exact because lgConfigK=21 keeps the DataSketches sketch (and its
     # union) in coupon-set mode at fixture cardinalities
     "hll_daily_users": """
@@ -4620,10 +4735,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "centroid_assign": QuerySpec(q_centroid_assign, ORACLES["centroid_assign"]),
     "wcss_fixed": QuerySpec(q_wcss_fixed, ORACLES["wcss_fixed"]),
     "kmeans_one_iter": QuerySpec(q_kmeans_one_iter, ORACLES["kmeans_one_iter"]),
-    "kmeans_custom": QuerySpec(q_kmeans_custom, None),
-    "kmeans_custom_k5": QuerySpec(q_kmeans_custom_k5, None),
+    "kmeans_custom": QuerySpec(q_kmeans_custom, ORACLES["kmeans_custom"]),
+    "kmeans_custom_k5": QuerySpec(q_kmeans_custom_k5, ORACLES["kmeans_custom_k5"]),
     "kmeans_mllib": QuerySpec(q_kmeans_mllib, None),
-    "cluster_shape": QuerySpec(q_cluster_shape, None),
+    "cluster_shape": QuerySpec(q_cluster_shape, ORACLES["cluster_shape"]),
     "kmeans_embeddings": QuerySpec(q_kmeans_embeddings, None),
     "doc_clustering": QuerySpec(q_doc_clustering, None),
     "mllib_scaled_pipeline": QuerySpec(q_mllib_scaled_pipeline, None),
