@@ -782,6 +782,45 @@ def q_elbow_k(spark, sf_dir):
     return spark.createDataFrame(rows, "k long, wcss double, is_optimal boolean")
 
 
+def q_elbow_k_exact(spark, sf_dir):
+    """M5, engine-portable variant: the same WCSS sweep + second-
+    difference elbow, but with the engine's own Lloyd loop seeded by
+    DETERMINISTIC quantile initial centroids ((2i+1)/2k quantiles of the
+    feature) instead of MLlib's RNG — the reproducible-spec version a
+    100 TB pipeline wants. Fully oracled: each k's Lloyd run is unrolled
+    into SQL CTEs (integer features keep the loop float-exact, see
+    _sql_kmeans_unrolled) and the elbow arithmetic is replayed on the
+    SQL side, so WCSS values AND the chosen k hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        preprocess.hour_from_ts(F.col("ts")).cast("long").alias("hour")
+    )
+    k_range = range(2, 9)
+    costs = []
+    for k in k_range:
+        probs = [(2 * i + 1) / (2 * k) for i in range(k)]
+        qs = pts.agg(
+            F.percentile_approx("hour", probs, 1_000_000).alias("q")
+        ).collect()[0]["q"]
+        res = km.kmeans(
+            pts,
+            ["hour"],
+            k=k,
+            max_iter=10,
+            initial_centroids=[[float(v)] for v in qs],
+        )
+        costs.append(km.wcss(pts, ["hour"], res.centroids))
+    deltas = [
+        costs[j] - 2 * costs[j + 1] + costs[j + 2]
+        for j in range(len(costs) - 2)
+    ]
+    optimal = min(range(len(deltas)), key=lambda j: deltas[j]) + list(k_range)[0]
+    rows = [
+        (k, round(c, 4), k == optimal) for k, c in zip(k_range, costs)
+    ]
+    return spark.createDataFrame(rows, "k long, wcss double, is_optimal boolean")
+
+
 # ---------------------------------------------------------------------------
 # text analysis (north star)
 # ---------------------------------------------------------------------------
@@ -1698,6 +1737,52 @@ SELECT CAST(row_number() OVER (ORDER BY a.cluster) - 1 AS BIGINT) AS cluster,
        round(a.c0, 6) AS c0, round(a.c1, 6) AS c1,
        CAST(niter.n AS BIGINT) AS n_iter, niter.conv AS converged
 FROM allc a, niter WHERE a.it = niter.n"""
+
+
+def _sql_elbow_exact(k_range=range(2, 9), max_iter: int = 10) -> str:
+    """q_elbow_k_exact's full sweep in one statement: per k, quantile
+    inits (quantile_disc == exact percentile_approx at fixture scale) +
+    ``max_iter`` unrolled Lloyd iterations + a WCSS aggregate; then the
+    second-difference elbow replayed with the identical arithmetic
+    (w_k - 2*w_{k+1} + w_{k+2}, argmin ties to the smaller k)."""
+    parts = [
+        "pts AS MATERIALIZED (SELECT row_number() OVER () AS rid,"
+        " hour(ts) AS f0 FROM events)"
+    ]
+    cost_rows = []
+    for k in k_range:
+        init_rows = " UNION ALL ".join(
+            f"SELECT {i} AS cluster, CAST(quantile_disc(f0,"
+            f" {2 * i + 1}/{2 * k}.0) AS DOUBLE) AS c0 FROM pts"
+            for i in range(k)
+        )
+        parts.append(f"ct0_{k} AS MATERIALIZED ({init_rows})")
+        for it in range(1, max_iter + 1):
+            parts.append(
+                f"""ct{it}_{k} AS MATERIALIZED (
+  SELECT cluster, avg(f0) AS c0 FROM (
+    SELECT p.rid, p.f0, c.cluster FROM pts p CROSS JOIN ct{it - 1}_{k} c
+    QUALIFY row_number() OVER (PARTITION BY p.rid ORDER BY
+      (p.f0 - c.c0)*(p.f0 - c.c0), c.cluster) = 1)
+  GROUP BY cluster)"""
+            )
+        parts.append(
+            f"""w_{k} AS MATERIALIZED (SELECT sum(md) AS w FROM (
+  SELECT min((p.f0 - c.c0)*(p.f0 - c.c0)) AS md
+  FROM pts p CROSS JOIN ct{max_iter}_{k} c GROUP BY p.rid))"""
+        )
+        cost_rows.append(f"SELECT {k} AS k, (SELECT w FROM w_{k}) AS w")
+    parts.append("costs AS (" + " UNION ALL ".join(cost_rows) + ")")
+    parts.append(
+        """deltas AS (SELECT k, w - 2*lead(w, 1) OVER (ORDER BY k)
+                  + lead(w, 2) OVER (ORDER BY k) AS d2 FROM costs),
+opt AS (SELECT k FROM deltas WHERE d2 IS NOT NULL ORDER BY d2, k LIMIT 1)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(k AS BIGINT) AS k, round(w, 4) AS wcss,
+       k = (SELECT k FROM opt) AS is_optimal
+FROM costs"""
 
 
 def _sql_cluster_shape() -> str:
@@ -4450,6 +4535,7 @@ FROM lineitem GROUP BY l_returnflag""",
         " FROM events",
     ),
     "cluster_shape": _sql_cluster_shape(),
+    "elbow_k_exact": _sql_elbow_exact(),
     # exact because lgConfigK=21 keeps the DataSketches sketch (and its
     # union) in coupon-set mode at fixture cardinalities
     "hll_daily_users": """
@@ -4743,6 +4829,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_clustering": QuerySpec(q_doc_clustering, None),
     "mllib_scaled_pipeline": QuerySpec(q_mllib_scaled_pipeline, None),
     "elbow_k": QuerySpec(q_elbow_k, None),
+    "elbow_k_exact": QuerySpec(q_elbow_k_exact, ORACLES["elbow_k_exact"]),
     # text analysis
     "token_counts": QuerySpec(q_token_counts, ORACLES["token_counts"]),
     "text_quality": QuerySpec(q_text_quality, ORACLES["text_quality"]),
