@@ -81,3 +81,75 @@ def test_join_correct_at_scale(spark, big_lineitem):
     got = {r["p_brand"]: r["n"] for r in joined.collect()}
     expected = {r["p_brand"]: r["n"] * REPLICAS for r in base.collect()}
     assert got == expected
+
+
+def test_lsh_hot_bucket_at_scale(spark):
+    """1M identical minhash signatures (the boilerplate-web-corpus worst
+    case): the capped LSH pipeline must finish in bounded time/memory
+    with LINEAR star-pair output, where uncapped in-bucket expansion
+    would attempt ~4e12 pairs."""
+    from customer_segmentation_pyspark_spark.operators import dedup
+
+    n = 1_000_000
+    sig = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.lit(i * 31 + 5).cast("long") for i in range(16)]).alias(
+            "sig"
+        ),
+    )
+    t0 = time.perf_counter()
+    pairs = dedup.lsh_candidate_pairs(sig, max_bucket_size=1024)
+    assert pairs.count() == n - 1
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 120, f"hot-bucket LSH at 1M took {elapsed:.1f}s"
+
+
+def test_star_cc_deep_chain_at_scale(spark):
+    """100k-node path (diameter ~1e5 — label propagation would need 1e5
+    shuffle rounds): star CC must converge in O(log n) rounds with the
+    exact single-component answer."""
+    from customer_segmentation_pyspark_spark.operators import dedup
+
+    n = 100_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels, rounds = dedup.star_connected_components(edges)
+    assert rounds <= 25, f"expected O(log n) rounds, got {rounds}"
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("component").alias("s"),
+        F.max("component").alias("m"),
+    ).collect()[0]
+    assert (agg["n"], agg["s"], agg["m"]) == (n, 0, 0)
+
+
+def test_block_gemm_neardup_at_scale(spark):
+    """Block-pair GEMM on 50k synthetic 32-dim vectors: bounded task
+    memory (rows_per_block=4096 -> ~70 block pairs), exact pair count
+    for the planted duplicate pairs."""
+    from customer_segmentation_pyspark_spark.operators import dedup
+
+    n = 50_000
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda i: F.when((F.col("id") + i) % 97 < 48, 1.0).otherwise(-1.0),
+        ).alias("embedding"),
+    )
+    # vec 0 is all-ones (its whole window [id, id+31] stays < 48 mod 97);
+    # for +-1 vectors cos >= 0.999 forces bit-identity, so its neighbors
+    # are exactly the other all-ones ids (residues 0..16 mod 97)
+    pairs = dedup.embedding_neardup_pairs(
+        base.filter(F.col("vec_id") < 10_000),
+        threshold=0.999,
+        rows_per_block=4096,
+    )
+    got = pairs.filter(F.col("id_a") == 0).count()
+    expected = sum(
+        1
+        for x in range(1, 10_000)
+        if all((x + i) % 97 < 48 for i in range(32))
+    )
+    assert got == expected
