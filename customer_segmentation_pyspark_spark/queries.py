@@ -783,33 +783,65 @@ def q_elbow_k(spark, sf_dir):
 
 
 def q_elbow_k_exact(spark, sf_dir):
-    """M5, engine-portable variant: the same WCSS sweep + second-
-    difference elbow, but with the engine's own Lloyd loop seeded by
-    DETERMINISTIC quantile initial centroids ((2i+1)/2k quantiles of the
-    feature) instead of MLlib's RNG — the reproducible-spec version a
-    100 TB pipeline wants. Fully oracled: each k's Lloyd run is unrolled
-    into SQL CTEs (integer features keep the loop float-exact, see
-    _sql_kmeans_unrolled) and the elbow arithmetic is replayed on the
-    SQL side, so WCSS values AND the chosen k hash-match."""
+    """M5, engine-portable variant: the WCSS sweep + second-difference
+    elbow with DETERMINISTIC quantile initial centroids ((2i+1)/2k
+    quantiles) instead of MLlib's RNG — the reproducible-spec version a
+    100 TB pipeline wants.
+
+    Physical plan for 100 TB: the 1-D feature has 24 distinct values, so
+    the ONLY distributed work is one hash-aggregate histogram (24 rows to
+    the driver); the whole 7-k Lloyd sweep then runs exactly on the
+    weighted histogram — integer value*count sums keep every mean
+    float-exact, identical to iterating over the raw rows. (This replaces
+    ~70 cluster jobs with one; the same collapse applies to any
+    low-cardinality feature at any scale.) Fully oracled: the SQL replays
+    the histogram, the quantile rank rule, every unrolled iteration and
+    the elbow arithmetic, so WCSS values AND the chosen k hash-match."""
+    import math
+
     ev = load_table(spark, sf_dir, "events")
-    pts = ev.select(
-        preprocess.hour_from_ts(F.col("ts")).cast("long").alias("hour")
+    hist = sorted(
+        (r["hour"], r["c"])
+        for r in ev.select(
+            preprocess.hour_from_ts(F.col("ts")).cast("long").alias("hour")
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
+    n = sum(c for _, c in hist)
+
+    def quantile(p: float) -> float:
+        # discrete quantile: smallest value whose cumulative count
+        # reaches ceil(p*n) — quantile_disc's rank rule
+        target = max(1, math.ceil(p * n))
+        cum = 0
+        for v, c in hist:
+            cum += c
+            if cum >= target:
+                return float(v)
+        return float(hist[-1][0])
+
     k_range = range(2, 9)
     costs = []
     for k in k_range:
-        probs = [(2 * i + 1) / (2 * k) for i in range(k)]
-        qs = pts.agg(
-            F.percentile_approx("hour", probs, 1_000_000).alias("q")
-        ).collect()[0]["q"]
-        res = km.kmeans(
-            pts,
-            ["hour"],
-            k=k,
-            max_iter=10,
-            initial_centroids=[[float(v)] for v in qs],
+        cents = [quantile((2 * i + 1) / (2 * k)) for i in range(k)]
+        for _ in range(10):
+            sums: dict[int, int] = {}
+            cnts: dict[int, int] = {}
+            for v, c in hist:
+                j = min(
+                    range(len(cents)), key=lambda j: ((v - cents[j]) ** 2, j)
+                )
+                sums[j] = sums.get(j, 0) + v * c
+                cnts[j] = cnts.get(j, 0) + c
+            new = [sums[j] / cnts[j] for j in sorted(cnts)]
+            if new == cents:
+                break
+            cents = new
+        costs.append(
+            sum(c * min((v - m) ** 2 for m in cents) for v, c in hist)
         )
-        costs.append(km.wcss(pts, ["hour"], res.centroids))
     deltas = [
         costs[j] - 2 * costs[j + 1] + costs[j + 2]
         for j in range(len(costs) - 2)
@@ -1740,36 +1772,44 @@ FROM allc a, niter WHERE a.it = niter.n"""
 
 
 def _sql_elbow_exact(k_range=range(2, 9), max_iter: int = 10) -> str:
-    """q_elbow_k_exact's full sweep in one statement: per k, quantile
-    inits (quantile_disc == exact percentile_approx at fixture scale) +
-    ``max_iter`` unrolled Lloyd iterations + a WCSS aggregate; then the
-    second-difference elbow replayed with the identical arithmetic
-    (w_k - 2*w_{k+1} + w_{k+2}, argmin ties to the smaller k)."""
+    """q_elbow_k_exact's full sweep in one statement, mirroring its
+    histogram collapse: ONE 24-row value histogram, the explicit
+    ceil(p*n) discrete-quantile rank rule for inits, ``max_iter``
+    unrolled weighted-Lloyd iterations per k (integer value*count sums
+    keep every mean float-exact), a weighted WCSS (round(4) absorbs the
+    24-term summation-order drift), then the second-difference elbow
+    with the identical arithmetic (w_k - 2*w_{k+1} + w_{k+2}, argmin
+    ties to the smaller k)."""
     parts = [
-        "pts AS MATERIALIZED (SELECT row_number() OVER () AS rid,"
-        " hour(ts) AS f0 FROM events)"
+        "hist AS MATERIALIZED (SELECT hour(ts) AS h, count(*) AS c"
+        " FROM events GROUP BY 1)",
+        "cum AS MATERIALIZED (SELECT h, c,"
+        " sum(c) OVER (ORDER BY h) AS cum FROM hist)",
+        "nn AS MATERIALIZED (SELECT sum(c) AS n FROM hist)",
     ]
     cost_rows = []
     for k in k_range:
         init_rows = " UNION ALL ".join(
-            f"SELECT {i} AS cluster, CAST(quantile_disc(f0,"
-            f" {2 * i + 1}/{2 * k}.0) AS DOUBLE) AS c0 FROM pts"
+            f"SELECT {i} AS cluster, CAST((SELECT min(h) FROM cum, nn"
+            f" WHERE cum >= greatest(1, ceil({(2 * i + 1)}/{2 * k}.0 * n)))"
+            " AS DOUBLE) AS c0"
             for i in range(k)
         )
         parts.append(f"ct0_{k} AS MATERIALIZED ({init_rows})")
         for it in range(1, max_iter + 1):
             parts.append(
                 f"""ct{it}_{k} AS MATERIALIZED (
-  SELECT cluster, avg(f0) AS c0 FROM (
-    SELECT p.rid, p.f0, c.cluster FROM pts p CROSS JOIN ct{it - 1}_{k} c
-    QUALIFY row_number() OVER (PARTITION BY p.rid ORDER BY
-      (p.f0 - c.c0)*(p.f0 - c.c0), c.cluster) = 1)
+  SELECT cluster,
+         CAST(sum(h * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS c0 FROM (
+    SELECT p.h, p.c, ct.cluster FROM hist p CROSS JOIN ct{it - 1}_{k} ct
+    QUALIFY row_number() OVER (PARTITION BY p.h ORDER BY
+      (p.h - ct.c0)*(p.h - ct.c0), ct.cluster) = 1)
   GROUP BY cluster)"""
             )
         parts.append(
-            f"""w_{k} AS MATERIALIZED (SELECT sum(md) AS w FROM (
-  SELECT min((p.f0 - c.c0)*(p.f0 - c.c0)) AS md
-  FROM pts p CROSS JOIN ct{max_iter}_{k} c GROUP BY p.rid))"""
+            f"""w_{k} AS MATERIALIZED (SELECT sum(c * md) AS w FROM (
+  SELECT p.c, min((p.h - ct.c0)*(p.h - ct.c0)) AS md
+  FROM hist p CROSS JOIN ct{max_iter}_{k} ct GROUP BY p.h, p.c))"""
         )
         cost_rows.append(f"SELECT {k} AS k, (SELECT w FROM w_{k}) AS w")
     parts.append("costs AS (" + " UNION ALL ".join(cost_rows) + ")")
