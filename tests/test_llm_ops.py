@@ -166,6 +166,12 @@ def test_embedding_neardup_tiled_matches_single_block(emb):
     single-block answer. Guards the diagonal-triangle vs cross-block
     dedup logic and proves task memory is bounded by rows_per_block, not
     corpus size — no driver-side corpus materialization exists at all."""
+    import inspect
+
+    # driver-RSS bound by construction: the operator must never collect
+    # the corpus to the driver (the r01 design did, capped at 2M rows)
+    src = inspect.getsource(dedup.embedding_neardup_pairs)
+    assert "toPandas" not in src and "sc.broadcast" not in src
     single = {
         (r["id_a"], r["id_b"], r["cos_sim"])
         for r in dedup.embedding_neardup_pairs(
@@ -403,6 +409,27 @@ def test_star_cc_long_chain_logarithmic_rounds(spark):
     assert rounds <= 12, f"expected O(log n) rounds, got {rounds}"
     got = {r["id"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_same_via_both_cc_bodies(docs):
+    """The dedup_clusters pipeline (ngram pairs -> components) must be
+    body-agnostic: swapping label propagation for star CC yields the
+    identical (doc_id, cluster_id) map on the fixture corpus — so the
+    oracled default certifies the star body too."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    lp = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(
+            pairs, src="doc_a", dst="doc_b", algorithm="label_prop"
+        ).collect()
+    }
+    st = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(
+            pairs, src="doc_a", dst="doc_b", algorithm="star"
+        ).collect()
+    }
+    assert lp and lp == st
 
 
 def test_star_cc_matches_label_prop_on_random_graph(spark):
