@@ -220,3 +220,49 @@ def repetition_stats(
     return out.withColumn(
         "repetitive", F.col("top_gram_frac") > F.lit(threshold)
     )
+
+
+def fuzzy_edit1_pairs(df: DataFrame, col: str) -> DataFrame:
+    """All distinct string pairs at Levenshtein distance exactly 1 —
+    SymSpell-style: candidate pairs come from an equi-join on the
+    single-character DELETION neighborhood (the string itself plus every
+    one-char deletion), then the exact distance filter prunes false
+    candidates.
+
+    Completeness: two strings at edit distance 1 always share a deletion
+    variant (substitution -> delete the differing position from both;
+    insert/delete -> the shorter string IS a deletion of the longer), so
+    the equi-join misses nothing.
+
+    Scale shape: candidates are generated by a shuffle on the md5 of the
+    variant — O(total characters) join keys instead of the O(V^2)
+    all-pairs scan (which remains the ORACLE's job at fixture scale).
+    Bucket skew is bounded: a deletion variant of length L has at most
+    ~(L+1)*|alphabet| possible sources, so no hot key grows with corpus
+    size. The fuzzy-match step a typo-dedup / entity-resolution pipeline
+    needs next to the exact and near-dup (MinHash) passes.
+    """
+    s = df.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
+    variants = F.expr(
+        "array_union(array(s), transform(sequence(1, length(s)),"
+        " i -> concat(left(s, i-1), substring(s, i+1))))"
+    )
+    keyed = s.select(
+        "s", F.explode(variants).alias("variant")
+    ).select("s", F.md5(F.col("variant").cast("binary")).alias("vh"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.vh") == F.col("b.vh"),
+                F.col("a.s") < F.col("b.s"),
+            ],
+        )
+        .select(
+            F.col("a.s").alias("name_a"), F.col("b.s").alias("name_b")
+        )
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+    )

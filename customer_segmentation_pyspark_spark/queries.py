@@ -1472,6 +1472,17 @@ def q_approx_percentiles(spark, sf_dir):
     )
 
 
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Entity-resolution fuzzy match: all customer-name pairs at
+    Levenshtein distance exactly 1, found via the SymSpell
+    deletion-neighborhood equi-join (textops.fuzzy_edit1_pairs) —
+    O(total chars) candidate keys instead of the O(V^2) all-pairs scan
+    the oracle runs. Hash-exact: completeness of the deletion
+    neighborhood means both engines emit the identical pair set."""
+    c = load_table(spark, sf_dir, "customer")
+    return textops.fuzzy_edit1_pairs(c, "c_name")
+
+
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style repetition quality gate: per-doc top-bigram fraction
     (with multiplicity) + a boolean filter flag."""
@@ -4576,6 +4587,14 @@ FROM lineitem GROUP BY l_returnflag""",
     ),
     "cluster_shape": _sql_cluster_shape(),
     "elbow_k_exact": _sql_elbow_exact(),
+    # the oracle does the O(V^2) scan the engine's deletion-neighborhood
+    # join avoids; identical levenshtein in both engines
+    "fuzzy_name_pairs": """
+WITH v AS (SELECT DISTINCT c_name AS s FROM customer WHERE s IS NOT NULL)
+SELECT a.s AS name_a, b.s AS name_b
+FROM v a JOIN v b
+  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+ AND levenshtein(a.s, b.s) = 1""",
     # exact because lgConfigK=21 keeps the DataSketches sketch (and its
     # union) in coupon-set mode at fixture cardinalities
     "hll_daily_users": """
@@ -4719,6 +4738,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "repetition_filter": QuerySpec(
         q_repetition_filter, ORACLES["repetition_filter"]
+    ),
+    "fuzzy_name_pairs": QuerySpec(
+        q_fuzzy_name_pairs, ORACLES["fuzzy_name_pairs"]
     ),
     "multimodal_embed": QuerySpec(
         q_multimodal_embed, ORACLES["multimodal_embed"]

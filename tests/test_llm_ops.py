@@ -188,6 +188,46 @@ def test_embedding_neardup_tiled_matches_single_block(emb):
     assert tiled == single
 
 
+def test_fuzzy_edit1_pairs_complete_vs_brute_force(spark):
+    """Deletion-neighborhood candidates must find EVERY distance-1 pair
+    (substitution, insertion, deletion) and nothing else — checked
+    against a brute-force Levenshtein over a crafted vocab with typos,
+    transpositions (distance 2 — excluded) and unrelated words."""
+    from customer_segmentation_pyspark_spark.operators.textops import (
+        fuzzy_edit1_pairs,
+    )
+
+    vocab = [
+        "spark", "spork", "sparks", "park", "shark", "sprk",
+        "flink", "blink", "clink", "think",
+        "query", "quary", "queryy", "qeury",  # qeury = transposition (d2)
+        "data", "date", "gate", "dta",
+    ]
+    df = spark.createDataFrame([(w,) for w in vocab], "name string")
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_edit1_pairs(df, "name").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expected = set()
+    for i, x in enumerate(vocab):
+        for y in vocab[i + 1:]:
+            if lev(x, y) == 1:
+                expected.add((min(x, y), max(x, y)))
+    assert ("qeury", "query") not in got  # transposition is distance 2
+    assert got == expected and got
+
+
 def test_simhash_similar_docs_close_hamming(docs):
     """Near-dup pairs (Jaccard >= 0.9) should have small SimHash Hamming
     distance; random pairs should average ~bits/2."""
