@@ -61,11 +61,17 @@ HEADLINE = [
     "quantize_error",
     "multimodal_meta",
     # late-added operators (r02): SQL-recursion, graph, subquery
-    # decorrelation, IVF ANN — benched so regressions are visible
+    # decorrelation, IVF ANN, fuzzy/simhash pair joins — benched so
+    # regressions are visible
     "recursive_cte",
     "part_pagerank",
     "catalyst_decorrelation",
     "ann_ivf_topk",
+    "fuzzy_name_pairs",
+    # simhash_pairs is oracled but not benched: the fixture's 31-word
+    # vocabulary makes every doc near-identical, so Hamming<=3 output is
+    # inherently quadratic HERE (3.5M pairs at sf0.1) — not an operator
+    # property on real corpora
 ]
 
 

@@ -364,6 +364,63 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     return sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``,
+    found with the pigeonhole band join: split the ``bits``-bit
+    fingerprint into ``bands`` equal slices — any pair within
+    ``max_hamming`` <= bands-1 flipped bits must agree EXACTLY on at
+    least one slice — equi-join on (band_idx, band_value), then verify
+    with the exact popcount. Same complexity shape as MinHash LSH
+    (linear candidate generation, one shuffle on the band key) but over
+    the Hamming metric; the standard companion to `simhash` for
+    template-heavy corpora where cosine/Jaccard are too coarse.
+    Requires bands > max_hamming (pigeonhole) — asserted.
+    """
+    assert bits % bands == 0 and bands > max_hamming
+    width = bits // bands
+    fp = simhash(df, text_col, bits)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(slices).alias("b")
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -263,6 +263,8 @@ def fuzzy_edit1_pairs(df: DataFrame, col: str) -> DataFrame:
         .select(
             F.col("a.s").alias("name_a"), F.col("b.s").alias("name_b")
         )
-        .distinct()
+        # verify BEFORE distinct: the exact-distance filter is cheap per
+        # candidate and shrinks the distinct's shuffle to true pairs only
         .filter(F.levenshtein("name_a", "name_b") == 1)
+        .distinct()
     )

@@ -986,6 +986,17 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(d, bits=16)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3) via the pigeonhole band
+    join — linear candidate generation over the Hamming metric; oracle
+    is the O(N^2) xor-popcount scan the band join avoids. 32-bit
+    fingerprints (8-bit bands): candidate buckets shrink 16x vs the
+    16-bit `simhash` surface, keeping the band join selective as the
+    corpus grows."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, bits=32, max_hamming=3, bands=4)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs baseline)."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -4364,6 +4375,12 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2""",
     "simhash": _sql_simhash(16),
+    "simhash_pairs": f"""
+WITH sh AS ({_sql_simhash(32)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "dedup_clusters": f"""
 WITH RECURSIVE {_SQL_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
@@ -4911,6 +4928,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(q_dedup_clusters, ORACLES["dedup_clusters"]),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLES["ngram_jaccard"]),
     "simhash": QuerySpec(q_simhash, ORACLES["simhash"]),
+    "simhash_pairs": QuerySpec(q_simhash_pairs, ORACLES["simhash_pairs"]),
     "embedding_neardup": QuerySpec(
         q_embedding_neardup, ORACLES["embedding_neardup"]
     ),
