@@ -364,6 +364,38 @@ def q_deterministic_sample(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted reservoir sampling (Efraimidis-Spirakis):
+    pick the top-16 lineitems with probability proportional to quantity
+    by ranking on ln(u)/weight, where u is an md5-derived uniform in
+    (0, 1] — the quality-weighted training-data sampler. Engine-portable
+    (identical md5 uniform both sides) and single-pass at any scale: the
+    rank key is a pure row function, so the sample is one
+    TakeOrderedAndProject over the scan — no shuffle of the corpus, no
+    RNG state, and re-running on 100 TB yields the identical sample."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", "l_orderkey", "l_linenumber")
+    # (h+1)/2^32 in (0, 1]: ln is finite, maximizing ln(u)/w == u^(1/w)
+    u = (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    rk = F.log(u) / F.col("l_quantity")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("weight"),
+            F.round(rk, 12).alias("rank_key"),
+        )
+        .orderBy(
+            F.col("rank_key").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(16)
+    )
+
+
 def q_hist2d_events(spark, sf_dir):
     """A6: distributed 2-D histogram (hour x value density grid)."""
     ev = load_table(spark, sf_dir, "events")
@@ -4604,6 +4636,17 @@ FROM lineitem GROUP BY l_returnflag""",
     ),
     "cluster_shape": _sql_cluster_shape(),
     "elbow_k_exact": _sql_elbow_exact(),
+    # identical md5 uniform + ln + division in both engines; round(12)
+    # absorbs any last-ulp libm difference in ln
+    "weighted_sample": """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_quantity AS weight,
+         round(ln((CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+                + 1.0) / 4294967296.0) / l_quantity, 12) AS rank_key
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, weight, rank_key
+FROM s ORDER BY rank_key DESC, l_orderkey, l_linenumber LIMIT 16""",
     # the oracle does the O(V^2) scan the engine's deletion-neighborhood
     # join avoids; identical levenshtein in both engines
     "fuzzy_name_pairs": """
@@ -4758,6 +4801,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "fuzzy_name_pairs": QuerySpec(
         q_fuzzy_name_pairs, ORACLES["fuzzy_name_pairs"]
+    ),
+    "weighted_sample": QuerySpec(
+        q_weighted_sample, ORACLES["weighted_sample"]
     ),
     "multimodal_embed": QuerySpec(
         q_multimodal_embed, ORACLES["multimodal_embed"]

@@ -59,6 +59,15 @@ def test_topk_uses_take_ordered(spark):
     assert "Exchange rangepartitioning" not in p
 
 
+def test_weighted_sample_uses_take_ordered(spark):
+    """Weighted reservoir sampling must be one TakeOrderedAndProject over
+    the scan — no global sort, no shuffle of the corpus."""
+    df = REGISTRY["weighted_sample"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
 def test_centroid_assign_has_no_shuffle(spark):
     """Assignment is a pure projection — zero exchanges, whole-stage
     codegen ('*(n)' spans in simple mode)."""
