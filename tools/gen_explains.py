@@ -20,6 +20,10 @@ NAMES = [
     "word_freq", "supplier_wait", "small_qty_revenue", "large_orders",
     "trailing_window_sum", "untapped_customers", "market_share",
     "cohort_retention", "funnel_steps", "dedup_canonical",
+    # r02 additions: capped LSH, block GEMM, pigeonhole simhash join,
+    # deletion-neighborhood fuzzy join, IVF probe, weighted reservoir
+    "embedding_neardup", "simhash_pairs", "fuzzy_name_pairs",
+    "ann_ivf_topk", "weighted_sample",
 ]
 
 
