@@ -396,6 +396,45 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_table_profile(spark, sf_dir):
+    """Data-quality profiling pass: per-column row/null/distinct counts
+    and numeric min/max/mean for lineitem, unpivoted to one row per
+    (column, stat). ONE wide aggregate over the table — at 100 TB the
+    profile costs a single scan with map-side partials, not a pass per
+    column (the df.summary() shape, but exact, typed and oracled)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    key_cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    for c in key_cols + num_cols:
+        aggs += [
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__n_null"),
+        ]
+    wide = li.agg(*aggs)
+    stats = [f.name for f in wide.schema.fields]
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("stat"),
+                    F.col(s).cast("double").alias("value"),
+                )
+                for s in stats
+            ]
+        )
+    )
+    return wide.select(stack.alias("kv")).select("kv.stat", "kv.value")
+
+
 def q_hist2d_events(spark, sf_dir):
     """A6: distributed 2-D histogram (hour x value density grid)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1714,6 +1753,36 @@ SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
        CAST(sum(chunk_tokens) AS BIGINT) AS sum_chunk_tokens
 FROM chunks GROUP BY lang
 """
+
+
+def _sql_table_profile() -> str:
+    """Mirror of q_table_profile: one wide aggregate, unpivoted via
+    UNION ALL over the materialized single-row CTE."""
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    key_cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    exprs = ["CAST(count(*) AS DOUBLE) AS n_rows"]
+    names = ["n_rows"]
+    for c in num_cols:
+        for stat, fn in (("min", "min"), ("max", "max"), ("mean", "avg")):
+            exprs.append(
+                f"CAST(round({fn}({c}), 4) AS DOUBLE) AS {c}__{stat}"
+            )
+            names.append(f"{c}__{stat}")
+    for c in key_cols + num_cols:
+        exprs.append(
+            f"CAST(count(DISTINCT {c}) AS DOUBLE) AS {c}__n_distinct"
+        )
+        names.append(f"{c}__n_distinct")
+        exprs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+            f" AS {c}__n_null"
+        )
+        names.append(f"{c}__n_null")
+    wide = "SELECT " + ", ".join(exprs) + " FROM lineitem"
+    sel = " UNION ALL ".join(
+        f"SELECT '{n}' AS stat, {n} AS value FROM w" for n in names
+    )
+    return f"WITH w AS MATERIALIZED ({wide}) {sel}"
 
 
 def _sql_ann_lsh(bits_per_table: int = 3, k: int = 5) -> str:
@@ -4619,6 +4688,7 @@ SELECT l_returnflag,
        CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90,
        CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) AS p99
 FROM lineitem GROUP BY l_returnflag""",
+    "table_profile": _sql_table_profile(),
     "ann_lsh_topk": _sql_ann_lsh(),
     "part_pagerank": _sql_part_pagerank(),
     "kmeans_custom": _sql_kmeans_unrolled(
@@ -4805,6 +4875,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "weighted_sample": QuerySpec(
         q_weighted_sample, ORACLES["weighted_sample"]
     ),
+    "table_profile": QuerySpec(q_table_profile, ORACLES["table_profile"]),
     "multimodal_embed": QuerySpec(
         q_multimodal_embed, ORACLES["multimodal_embed"]
     ),
