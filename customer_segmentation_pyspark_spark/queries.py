@@ -435,6 +435,41 @@ def q_table_profile(spark, sf_dir):
     return wide.select(stack.alias("kv")).select("kv.stat", "kv.value")
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier gate per return flag: median + MAD (median absolute
+    deviation) of extended price, and the count of rows beyond the
+    standard 3 * 1.4826 * MAD robust-z fence — the data-cleaning filter
+    that, unlike mean/stddev z-scores (`zscore_window`), is immune to
+    the outliers it hunts. Exact at fixture scale: percentile_approx at
+    accuracy 1e6 has rank error < 1 row, so both medians are the exact
+    discrete elements DuckDB's quantile_disc picks. Two grouped
+    aggregates + two broadcast joins of 3-row stats — the corpus is
+    scanned twice, never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1_000_000).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile_approx("adev", 0.5, 1_000_000).alias("mad")
+    )
+    fenced = dev.join(F.broadcast(mad), "l_returnflag")
+    return (
+        fenced.groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("med"), 2).alias("median_price"),
+            F.round(F.first("mad"), 2).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
 def q_hist2d_events(spark, sf_dir):
     """A6: distributed 2-D histogram (hour x value density grid)."""
     ev = load_table(spark, sf_dir, "events")
@@ -4689,6 +4724,22 @@ SELECT l_returnflag,
        CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE) AS p99
 FROM lineitem GROUP BY l_returnflag""",
     "table_profile": _sql_table_profile(),
+    # medians are exact discrete elements in both engines (GK accuracy
+    # 1e6 at fixture scale == quantile_disc)
+    "mad_outliers": """
+WITH med AS (SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med
+             FROM lineitem GROUP BY 1),
+dev AS (SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS adev, m.med
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+mad AS (SELECT l_returnflag, quantile_disc(adev, 0.5) AS mad
+        FROM dev GROUP BY 1)
+SELECT d.l_returnflag,
+       round(any_value(d.med), 2) AS median_price,
+       round(any_value(x.mad), 2) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * x.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad x ON d.l_returnflag = x.l_returnflag
+GROUP BY d.l_returnflag""",
     "ann_lsh_topk": _sql_ann_lsh(),
     "part_pagerank": _sql_part_pagerank(),
     "kmeans_custom": _sql_kmeans_unrolled(
@@ -4876,6 +4927,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_weighted_sample, ORACLES["weighted_sample"]
     ),
     "table_profile": QuerySpec(q_table_profile, ORACLES["table_profile"]),
+    "mad_outliers": QuerySpec(q_mad_outliers, ORACLES["mad_outliers"]),
     "multimodal_embed": QuerySpec(
         q_multimodal_embed, ORACLES["multimodal_embed"]
     ),
