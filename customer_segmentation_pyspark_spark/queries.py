@@ -3627,7 +3627,50 @@ def q_catalyst_decorrelation(spark, sf_dir):
     )
 
 
+def q_bloom_prune_join(spark, sf_dir):
+    """Bloom-pruned fact-dim join (operators/bloom.py): the keys of
+    high-value orders (~5% of orders) are folded into a 128 KiB
+    expression-level Bloom filter that rides a broadcast to filter
+    lineitem BEFORE the join shuffle — at 100 TB the fact shuffle is the
+    cost, and the map-side bloom discards ~95% of it for the price of
+    five xxhash64 probes per row.  False positives are removed by the
+    exact join that follows, so bloom_prune + join ≡ join and the oracle
+    is the PLAIN join SQL — the hash match certifies that pruning never
+    drops a matching row."""
+    from customer_segmentation_pyspark_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 475000.0
+    )
+    filt = bloom_build(dim.select("o_orderkey"), "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", filt)
+    return (
+        pruned.join(
+            dim.select("o_orderkey", "o_orderpriority"),
+            pruned["l_orderkey"] == dim["o_orderkey"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "bloom_prune_join": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 475000.0
+GROUP BY o_orderpriority""",
     "catalyst_decorrelation": _CORRELATED_SQL.format(
         customer="customer", orders="orders"
     ),
@@ -5113,4 +5156,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(q_multimodal_meta, ORACLES["multimodal_meta"]),
     "decode_image_stub": QuerySpec(q_decode_image_stub, ORACLES["decode_image_stub"]),
     "frame_sample": QuerySpec(q_frame_sample, ORACLES["frame_sample"]),
+    # scale-pattern operators
+    "bloom_prune_join": QuerySpec(
+        q_bloom_prune_join, ORACLES["bloom_prune_join"]
+    ),
 }
