@@ -3627,6 +3627,57 @@ def q_catalyst_decorrelation(spark, sf_dir):
     )
 
 
+def q_skyline_parts(spark, sf_dir):
+    """2-D Pareto frontier (skyline) of parts: cheapest-vs-biggest —
+    parts no other part beats on both price (lower-or-equal) and size
+    (higher-or-equal) with one strict.  operators/analytics.py replaces
+    the textbook quadratic NOT-EXISTS self-join with one hash agg + a
+    window over DISTINCT prices + a broadcast join back — the oracle IS
+    the quadratic NOT EXISTS, so the hash match proves the linear-scan
+    formulation computes the identical dominance set, ties and duplicate
+    optima included."""
+    from customer_segmentation_pyspark_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    return skyline_2d(
+        p.select("p_partkey", "p_retailprice", "p_size"),
+        minimize="p_retailprice",
+        maximize="p_size",
+    )
+
+
+def q_interval_concurrency(spark, sf_dir):
+    """Sweep-line max concurrency: each event opens a deterministic
+    [start, start + 300 + event_id % 3600) second interval; per event
+    type, how many are live at the busiest instant, and when that peak
+    first occurs.  The +1/-1 boundary unpivot + one windowed running
+    sum (operators/analytics.py) costs 2 rows per interval through a
+    single shuffle — the plan that survives a million-interval key,
+    where an overlap self-join is quadratic.  Ends sort before starts
+    at the same tick, so touching intervals never double-count."""
+    from customer_segmentation_pyspark_spark.operators.analytics import (
+        interval_concurrency,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + F.lit(300)
+            + F.col("event_id") % F.lit(3600)
+        ).alias("e"),
+    )
+    return interval_concurrency(
+        iv, part_col="event_type", start_col="s", end_col="e",
+        id_col="event_id",
+    )
+
+
 def q_bloom_prune_join(spark, sf_dir):
     """Bloom-pruned fact-dim join (operators/bloom.py): the keys of
     high-value orders (~5% of orders) are folded into a 128 KiB
@@ -3665,6 +3716,39 @@ def q_bloom_prune_join(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "skyline_parts": """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""",
+    "interval_concurrency": """
+WITH iv AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 + event_id % 3600 AS e
+  FROM events),
+b AS (
+  SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS delta, event_id FROM iv),
+r AS (
+  SELECT event_type, t, delta,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM b),
+m AS (
+  SELECT event_type, CAST(max(run) AS BIGINT) AS max_conc,
+         CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_intervals
+  FROM r GROUP BY event_type)
+SELECT m.event_type AS event_type, m.max_conc, m.n_intervals,
+       CAST(min(r.t) AS BIGINT) AS peak_t
+FROM m JOIN r ON r.event_type = m.event_type AND r.run = m.max_conc
+GROUP BY m.event_type, m.max_conc, m.n_intervals""",
     "bloom_prune_join": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -5159,5 +5243,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # scale-pattern operators
     "bloom_prune_join": QuerySpec(
         q_bloom_prune_join, ORACLES["bloom_prune_join"]
+    ),
+    "skyline_parts": QuerySpec(q_skyline_parts, ORACLES["skyline_parts"]),
+    "interval_concurrency": QuerySpec(
+        q_interval_concurrency, ORACLES["interval_concurrency"]
     ),
 }

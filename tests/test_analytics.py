@@ -1,0 +1,90 @@
+"""Skyline + interval-concurrency invariants (operators/analytics.py) on
+hand-built frames where the answer is known by inspection — the sf0.01
+DuckDB hash match lives in test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.operators.analytics import (
+    interval_concurrency,
+    skyline_2d,
+)
+
+
+def test_skyline_keeps_duplicate_optima_and_drops_dominated(spark):
+    rows = [
+        # (id, price, size)
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # duplicate of 1 — neither dominates, both kept
+        (3, 10.0, 4),   # same price, smaller size — dominated by 1
+        (4, 20.0, 9),   # frontier (pricier but bigger)
+        (5, 25.0, 9),   # dominated by 4 (same size, pricier)
+        (6, 5.0, 1),    # frontier (cheapest)
+        (7, 30.0, 8),   # dominated by 4 on both axes
+    ]
+    df = spark.createDataFrame(rows, ["id", "price", "size"])
+    got = sorted(
+        r["id"] for r in skyline_2d(df, "price", "size").collect()
+    )
+    assert got == [1, 2, 4, 6]
+
+
+def test_skyline_brute_force_agreement(spark):
+    """Window formulation == quadratic dominance filter on a real table
+    slice (part at smoke scale)."""
+    from tests.conftest import SF_SMOKE
+
+    p = spark.read.parquet(f"{SF_SMOKE}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    fast = {
+        r["p_partkey"]
+        for r in skyline_2d(p, "p_retailprice", "p_size").collect()
+    }
+    rows = p.collect()
+    slow = {
+        a["p_partkey"]
+        for a in rows
+        if not any(
+            b["p_retailprice"] <= a["p_retailprice"]
+            and b["p_size"] >= a["p_size"]
+            and (
+                b["p_retailprice"] < a["p_retailprice"]
+                or b["p_size"] > a["p_size"]
+            )
+            for b in rows
+        )
+    }
+    assert fast == slow
+
+
+def test_interval_concurrency_known_answer(spark):
+    rows = [
+        # (key, id, start, end)
+        ("a", 1, 0, 10),
+        ("a", 2, 5, 15),    # overlaps 1 -> conc 2 at t=5
+        ("a", 3, 10, 20),   # touches 1's end: must NOT make conc 3
+        ("b", 4, 0, 1),
+        ("b", 5, 1, 2),     # touching only -> max stays 1
+    ]
+    df = spark.createDataFrame(rows, ["k", "id", "s", "e"])
+    got = {
+        r["k"]: (r["max_conc"], r["n_intervals"], r["peak_t"])
+        for r in interval_concurrency(df, "k", "s", "e", "id").collect()
+    }
+    assert got == {"a": (2, 3, 5), "b": (1, 2, 0)}
+
+
+def test_interval_concurrency_bounds(spark):
+    """Concurrency is at least 1 and at most the interval count; the
+    peak instant lies inside the observed time range."""
+    df = spark.range(0, 500).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("id"),
+        (F.col("id") * 3 % 101).alias("s"),
+        (F.col("id") * 3 % 101 + 5 + F.col("id") % 11).alias("e"),
+    )
+    for r in interval_concurrency(df, "k", "s", "e", "id").collect():
+        assert 1 <= r["max_conc"] <= r["n_intervals"]
+        assert 0 <= r["peak_t"] <= 111
