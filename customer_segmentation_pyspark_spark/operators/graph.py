@@ -79,6 +79,76 @@ def pagerank(
     return ranks
 
 
+def triangle_counts(canon_edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected graph given as
+    CANONICAL edges ``(pa, pb)`` with ``pa < pb``, one row per edge.
+
+    Compact-forward / node-iterator with degree orientation: orient each
+    edge from its lower-(degree, id) endpoint to the higher one, join the
+    out-edge list with itself on the pivot ``u`` to enumerate wedges
+    (u→v, u→w), and close each wedge against the canonical edge set.
+    Each triangle is produced exactly once (at its lowest-degree vertex),
+    then exploded to its three corners for the per-node counts.
+
+    The orientation is the whole scale story: max out-degree after
+    degree-ordering is O(sqrt(m)), so the wedge join is near-linear in m
+    for real (power-law) graphs instead of quadratic in the hub degree —
+    a celebrity node with 10M neighbors contributes wedges only through
+    its (rare) higher-degree peers.  Three shuffles total: degree agg,
+    wedge self-join on u, closing equi-join on (v, w)."""
+    deg = (
+        canon_edges.select(F.col("pa").alias("n"))
+        .unionByName(canon_edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        canon_edges.join(
+            deg.select(F.col("n").alias("pa"), F.col("d").alias("da")),
+            "pa",
+        )
+        .join(
+            deg.select(F.col("n").alias("pb"), F.col("d").alias("db")),
+            "pb",
+        )
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))),
+                F.col("pa"),
+            )
+            .otherwise(F.col("pb"))
+            .alias("u"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))),
+                F.col("pb"),
+            )
+            .otherwise(F.col("pa"))
+            .alias("v"),
+        )
+    )
+    w1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    closing = canon_edges.select(
+        F.least("pa", "pb").alias("x"), F.greatest("pa", "pb").alias("y")
+    )
+    tris = wedges.join(
+        closing,
+        (F.least("b", "c") == F.col("x"))
+        & (F.greatest("b", "c") == F.col("y")),
+    ).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_tri")
+    )
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected part-co-purchase graph from lineitem: two parts are
     linked when they appear in the same order.  Emitted as both directed

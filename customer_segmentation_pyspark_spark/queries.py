@@ -3627,6 +3627,34 @@ def q_catalyst_decorrelation(spark, sf_dir):
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-part triangle participation in the co-purchase graph (parts
+    linked when bought in the same order), top 20.  The engine runs the
+    degree-oriented compact-forward algorithm (operators/graph.py:
+    triangle_counts) — wedges pivot only on each edge's LOWER-degree
+    endpoint, bounding the self-join fan-out by O(sqrt(m)) on power-law
+    graphs instead of the hub's full neighborhood.  The oracle is the
+    naive three-way canonical-edge self-join (a<b<c), so the hash match
+    proves the oriented enumeration finds the identical triangle set."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_edges,
+        triangle_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = (
+        copurchase_edges(li)
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
+    )
+    return (
+        triangle_counts(canon)
+        .select(F.col("node").alias("part_key"), "n_tri")
+        .orderBy(F.col("n_tri").desc(), "part_key")
+        .limit(20)
+    )
+
+
 def q_skyline_parts(spark, sf_dir):
     """2-D Pareto frontier (skyline) of parts: cheapest-vs-biggest —
     parts no other part beats on both price (lower-or-equal) and size
@@ -3716,6 +3744,24 @@ def q_bloom_prune_join(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "triangle_count": """
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.pa = e1.pb
+  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_tri
+FROM corners GROUP BY node
+ORDER BY n_tri DESC, part_key LIMIT 20""",
     "skyline_parts": """
 SELECT p.p_partkey, p.p_retailprice, p.p_size
 FROM part p
@@ -5245,6 +5291,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_bloom_prune_join, ORACLES["bloom_prune_join"]
     ),
     "skyline_parts": QuerySpec(q_skyline_parts, ORACLES["skyline_parts"]),
+    "triangle_count": QuerySpec(q_triangle_count, ORACLES["triangle_count"]),
     "interval_concurrency": QuerySpec(
         q_interval_concurrency, ORACLES["interval_concurrency"]
     ),

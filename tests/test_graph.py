@@ -83,3 +83,29 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(empty, n_iter=3)
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["node", "rank"]
+
+
+def test_triangle_counts_known_graphs(spark):
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4: every one of the 4 triangles touches 3 nodes -> each node in 3
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], ["pa", "pb"]
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(k4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # 4-cycle: no triangles at all
+    square = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["pa", "pb"]
+    )
+    assert triangle_counts(square).collect() == []
+
+    # star + one chord: exactly one triangle (hub, 2, 3)
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)], ["pa", "pb"]
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(star).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
