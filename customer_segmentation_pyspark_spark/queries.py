@@ -3627,6 +3627,35 @@ def q_catalyst_decorrelation(spark, sf_dir):
     )
 
 
+def q_lag_features(spark, sf_dir):
+    """Per-user lag-feature matrix — the feature-engineering pass a
+    training pipeline runs before sequence models: previous-1/-2 values,
+    first difference, seconds since the previous event, and 5-row
+    rolling min/max, all from ONE window definition so Catalyst computes
+    every feature in a single sort+scan per user partition (check the
+    plan: one Window node, one exchange on user_id).  Rolling min/max
+    are order-independent exact; the float lags round like every other
+    oracled float column."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, Window.currentRow)
+    sec = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1).over(w), 4).alias("lag1"),
+        F.round(F.lag("value", 2).over(w), 4).alias("lag2"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias(
+            "delta1"
+        ),
+        (sec - F.lag(sec, 1).over(w)).cast("long").alias("gap_s"),
+        F.round(F.min("value").over(w5), 4).alias("min5"),
+        F.round(F.max("value").over(w5), 4).alias("max5"),
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-part triangle participation in the co-purchase graph (parts
     linked when bought in the same order), top 20.  The engine runs the
@@ -3744,6 +3773,19 @@ def q_bloom_prune_join(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "lag_features": """
+SELECT event_id, user_id,
+       round(lag(value, 1) OVER w, 4) AS lag1,
+       round(lag(value, 2) OVER w, 4) AS lag2,
+       round(value - lag(value, 1) OVER w, 4) AS delta1,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS gap_s,
+       round(min(value) OVER w5, 4) AS min5,
+       round(max(value) OVER w5, 4) AS max5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
     "triangle_count": """
 WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
@@ -5292,6 +5334,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "skyline_parts": QuerySpec(q_skyline_parts, ORACLES["skyline_parts"]),
     "triangle_count": QuerySpec(q_triangle_count, ORACLES["triangle_count"]),
+    "lag_features": QuerySpec(q_lag_features, ORACLES["lag_features"]),
     "interval_concurrency": QuerySpec(
         q_interval_concurrency, ORACLES["interval_concurrency"]
     ),

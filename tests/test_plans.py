@@ -188,3 +188,12 @@ def test_window_rank_uses_window_group_limit(spark):
     whole group at 100 TB."""
     p = plan(REGISTRY["window_rank"].fn(spark, SF_ORACLE), mode="simple")
     assert "WindowGroupLimit" in p, p[:800]
+
+
+def test_lag_features_single_window_pass(spark):
+    """Six features over the same (user_id, ts) ordering must fuse into
+    ONE Window node behind ONE exchange — per-feature window passes
+    would re-sort the 100 TB event stream once per column."""
+    p = plan(REGISTRY["lag_features"].fn(spark, SF_ORACLE), mode="simple")
+    assert p.count("Window") == 1, p[:800]
+    assert p.count("Exchange") == 1, p[:800]
