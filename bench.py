@@ -68,6 +68,11 @@ HEADLINE = [
     "catalyst_decorrelation",
     "ann_ivf_topk",
     "fuzzy_name_pairs",
+    # r02 batch 2: bloom-pruned join, degree-oriented triangles,
+    # sweep-line concurrency
+    "bloom_prune_join",
+    "triangle_count",
+    "interval_concurrency",
     # simhash_pairs is oracled but not benched: the fixture's 31-word
     # vocabulary makes every doc near-identical, so Hamming<=3 output is
     # inherently quadratic HERE (3.5M pairs at sf0.1) — not an operator

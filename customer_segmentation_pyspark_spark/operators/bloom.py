@@ -51,10 +51,20 @@ def bloom_build(df: DataFrame, key_col: str, num_bits: int = 1 << 20,
         F.expr("shiftleft(1L, cast(p % 64 AS int))").alias("m"),
     )
     agg = words.groupBy("w").agg(F.bit_or("m").alias("mask"))
+    # Densify the sparse (word -> mask) entries into an array indexed by
+    # word — ONCE, in this one-row aggregate.  Spark's map element_at is
+    # a linear scan over ArrayBasedMapData, so probing a 16k-entry map
+    # per fact row would be O(words) per probe; array element_at is O(1).
+    n_words = num_bits // 64
     return agg.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias(
-            "bloom"
+            "bloom_map"
         )
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), "
+            "i -> coalesce(element_at(bloom_map, cast(i AS bigint)), 0L))"
+        ).alias("bloom")
     )
 
 
@@ -71,6 +81,6 @@ def bloom_prune(probe: DataFrame, key_col: str, bloom_row: DataFrame,
         p = f"pmod(xxhash64({key_col}, {i}), {num_bits}L)"
         m = f"shiftleft(1L, cast({p} % 64 AS int))"
         hits.append(
-            f"(coalesce(element_at(bloom, {p} div 64), 0L) & {m}) = {m}"
+            f"(element_at(bloom, cast({p} div 64 AS int) + 1) & {m}) = {m}"
         )
     return tagged.where(F.expr(" AND ".join(hits))).drop("bloom")

@@ -96,6 +96,9 @@ def triangle_counts(canon_edges: DataFrame) -> DataFrame:
     a celebrity node with 10M neighbors contributes wedges only through
     its (rare) higher-degree peers.  Three shuffles total: degree agg,
     wedge self-join on u, closing equi-join on (v, w)."""
+    # the edge list feeds three consumers (degrees, orientation, closing
+    # join) — materialize once instead of re-deriving its lineage 3x
+    canon_edges = canon_edges.localCheckpoint()
     deg = (
         canon_edges.select(F.col("pa").alias("n"))
         .unionByName(canon_edges.select(F.col("pb").alias("n")))
