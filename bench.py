@@ -73,6 +73,10 @@ HEADLINE = [
     "bloom_prune_join",
     "triangle_count",
     "interval_concurrency",
+    # r02 batch 3: LLM sequence packing (applyInPandas fold) + Markov
+    # transition matrix (lead window)
+    "sequence_pack",
+    "event_transitions",
     # simhash_pairs is oracled but not benched: the fixture's 31-word
     # vocabulary makes every doc near-identical, so Hamming<=3 output is
     # inherently quadratic HERE (3.5M pairs at sf0.1) — not an operator

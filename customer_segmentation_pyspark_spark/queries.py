@@ -3772,6 +3772,61 @@ def q_bloom_prune_join(spark, sf_dir):
     )
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Greedy sequence packing (operators/packing.py): documents are
+    binned per-language into 512-token training sequences — append
+    while it fits, overflow starts a new sequence, oversized docs pack
+    alone.  The fold is non-associative, so it runs as one Arrow batch
+    per shard via applyInPandas (the shard column is the parallelism
+    unit at 100 TB: shard by (lang, hash % n) and packing costs ONE
+    shuffle).  The DuckDB oracle replays the identical greedy recurrence
+    as a recursive CTE, so the hash match pins every per-doc sequence
+    assignment and token offset, not just the counts."""
+    from customer_segmentation_pyspark_spark.operators.packing import (
+        sequence_pack,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        textops.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return sequence_pack(
+        toks, shard_col="lang", order_col="doc_id", tok_col="n_tok",
+        capacity=512,
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    for each (src, dst) event-type pair, how often dst immediately
+    follows src, and the row-normalized transition probability.  One
+    window (lead over the per-user time order — same exchange shape as
+    every other per-user feature pass) + one hash agg; the probability
+    normalizer is a window over the ~|types|^2 aggregated frame, so it
+    costs nothing at scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "lag_features": """
 SELECT event_id, user_id,
@@ -5062,6 +5117,39 @@ SELECT doc_id, CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
           for i in generate_series(1, CAST(n AS INT), CAST(stride AS INT))],
          '')) AS thumb_md5
 FROM s""",
+    # replays the greedy pack as a recursive CTE: one recursion step per
+    # row-rank, all shards advancing in lockstep; the CASE mirrors the
+    # "fits -> append, else new sequence" rule including oversized docs
+    "sequence_pack": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+pack AS (
+  SELECT lang, rn, doc_id, n_tok,
+         CAST(1 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS tok_offset,
+         n_tok AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.rn, t.doc_id, t.n_tok,
+         CASE WHEN p.fill > 0 AND p.fill + t.n_tok > 512
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill > 0 AND p.fill + t.n_tok > 512
+              THEN 0 ELSE p.fill END,
+         CASE WHEN p.fill > 0 AND p.fill + t.n_tok > 512
+              THEN t.n_tok ELSE p.fill + t.n_tok END
+  FROM pack p JOIN toks t ON t.lang = p.lang AND t.rn = p.rn + 1)
+SELECT lang, doc_id, n_tok, seq_id, tok_offset FROM pack""",
+    "event_transitions": """
+WITH nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / sum(count(*)) OVER (PARTITION BY src), 6) AS prob
+FROM nxt WHERE dst IS NOT NULL GROUP BY src, dst""",
 }
 
 
@@ -5337,5 +5425,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "lag_features": QuerySpec(q_lag_features, ORACLES["lag_features"]),
     "interval_concurrency": QuerySpec(
         q_interval_concurrency, ORACLES["interval_concurrency"]
+    ),
+    "sequence_pack": QuerySpec(q_sequence_pack, ORACLES["sequence_pack"]),
+    "event_transitions": QuerySpec(
+        q_event_transitions, ORACLES["event_transitions"]
     ),
 }

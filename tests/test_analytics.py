@@ -88,3 +88,24 @@ def test_interval_concurrency_bounds(spark):
     for r in interval_concurrency(df, "k", "s", "e", "id").collect():
         assert 1 <= r["max_conc"] <= r["n_intervals"]
         assert 0 <= r["peak_t"] <= 111
+
+
+def test_event_transitions_row_stochastic(spark):
+    """Transition probabilities sum to 1 per source state and the pair
+    count equals n_events - n_users (one lead pair per consecutive
+    event within a user)."""
+    from customer_segmentation_pyspark_spark.queries import (
+        q_event_transitions,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = q_event_transitions(spark, SF_SMOKE)
+    sums = (
+        out.groupBy("src")
+        .agg(F.round(F.sum("prob"), 4).alias("p"), F.sum("n").alias("n"))
+        .collect()
+    )
+    assert sums and all(abs(r["p"] - 1.0) < 1e-3 for r in sums)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    expected_pairs = ev.count() - ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in sums) == expected_pairs
