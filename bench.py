@@ -77,6 +77,8 @@ HEADLINE = [
     # transition matrix (lead window)
     "sequence_pack",
     "event_transitions",
+    "doc_entropy",
+    "snapshot_diff",
     # simhash_pairs is oracled but not benched: the fixture's 31-word
     # vocabulary makes every doc near-identical, so Hamming<=3 output is
     # inherently quadratic HERE (3.5M pairs at sf0.1) — not an operator

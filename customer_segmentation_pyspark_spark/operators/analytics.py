@@ -100,3 +100,51 @@ def interval_concurrency(
             "peak_t",
         )
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    hash_col: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed /
+    unchanged between two dataset versions.
+
+    Both inputs carry a precomputed payload hash column (md5 of the
+    canonicalized payload), so the compare is one full-outer shuffle
+    join on the key plus a constant-width hash equality — never a
+    column-by-column compare of wide rows.  That is the shape that
+    holds at 100 TB: the shuffle carries (key, 128-bit hash) only, and
+    co-partitioned/bucketed snapshots would eliminate the exchange
+    entirely.  The audit pass every dataset-versioning pipeline runs
+    between crawl N and crawl N+1."""
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.col(hash_col).alias("old_hash"),
+        *[F.col(c).alias(f"old_{c}") for c in carry_cols],
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.col(hash_col).alias("new_hash"),
+        *[F.col(c).alias(f"new_{c}") for c in carry_cols],
+    )
+    joined = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        status.alias("status"),
+        "old_hash",
+        "new_hash",
+        # carried payload: the surviving (new-side-preferred) value
+        *[
+            F.coalesce(F.col(f"new_{c}"), F.col(f"old_{c}")).alias(c)
+            for c in carry_cols
+        ],
+    )

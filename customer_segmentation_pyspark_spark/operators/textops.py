@@ -268,3 +268,29 @@ def fuzzy_edit1_pairs(df: DataFrame, col: str) -> DataFrame:
         .filter(F.levenshtein("name_a", "name_b") == 1)
         .distinct()
     )
+
+
+def char_entropy(text: Column) -> Column:
+    """Character-level Shannon entropy in bits/char — the cheap
+    gibberish/boilerplate signal a corpus-quality pass computes next to
+    length and stopword ratios (low entropy = repeated filler, high =
+    random noise).
+
+    Zero-shuffle by construction: the char histogram is built per row
+    with array higher-order functions (distinct chars -> count each via
+    filter), so the whole thing is one codegen'd projection — no
+    explode, no groupBy, nothing leaves the row.  O(distinct * len)
+    per row, which beats an explode+groupBy's shuffle of one row PER
+    CHARACTER at any scale.  Terms are accumulated as
+    (n_c/n) * log2(n/n_c) — all positive — so there's no -0.0 edge."""
+    chars = F.split(text, "")
+    n = F.size(chars).cast("double")
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    return F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc + (cnt / n) * F.log2(n / cnt),
+    )

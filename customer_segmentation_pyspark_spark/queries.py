@@ -3827,6 +3827,116 @@ def q_event_transitions(spark, sf_dir):
     )
 
 
+def q_doc_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/boilerplate quality signal (operators/textops.py
+    char_entropy).  Zero-shuffle: the per-row char histogram is built
+    with array higher-order functions inside one codegen'd projection
+    (no explode+groupBy, which would shuffle a row per CHARACTER).  The
+    DuckDB oracle rebuilds the identical histogram with list
+    comprehensions; terms are positive ((n_c/n)*log2(n/n_c)) so
+    summation-order drift stays below the round(6)."""
+    from customer_segmentation_pyspark_spark.operators.textops import (
+        char_entropy,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    return d.where(F.length("text") > 0).select(
+        "doc_id",
+        F.size(chars).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(chars)).cast("long").alias("n_distinct"),
+        F.round(char_entropy(F.col("text")), 6).alias("entropy_bits"),
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between two dataset versions (operators/analytics.py
+    dataset_diff): crawl N = orders without the %7 keys, crawl N+1 =
+    orders without the %5 keys and a 10% price bump on the %3 keys.
+    Rows compare by a 128-bit md5 payload hash, so the full-outer join
+    shuffles (key, hash, cents) — constant width no matter how wide the
+    real payload is, the shape that survives a 100 TB version audit.
+    Prices are compared in integer cents (exact, engine-portable)."""
+    from customer_segmentation_pyspark_spark.operators.analytics import (
+        dataset_diff,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    def with_hash(df):
+        return df.withColumn(
+            "h",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("st"), F.col("cents").cast("string")
+                ).cast("binary")
+            ),
+        )
+
+    old = with_hash(o.where(F.col("k") % 7 != 0))
+    new = with_hash(
+        o.where(F.col("k") % 5 != 0).withColumn(
+            "cents",
+            F.col("cents")
+            + F.when(
+                F.col("k") % 3 == 0, F.expr("cents div 10")
+            ).otherwise(F.lit(0)),
+        )
+    )
+    diff = dataset_diff(old, new, key_col="k", hash_col="h",
+                        carry_cols=("cents",))
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Applies the water-filling mixture plan (q_mixture_weights) as an
+    actual sampling pass: per-language rates ride a broadcast join onto
+    documents, and each doc keeps iff its md5-uniform < rate — a pure
+    row function, so the sample is reproducible across engines and
+    partitionings (unlike seeded sampleBy).  Map-only over the corpus:
+    one tiny agg for the plan, broadcast back, filter, one agg out."""
+    d = load_table(spark, sf_dir, "documents")
+    w_expr = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_WEIGHTS.items() for x in kv]
+    )
+    per = d.groupBy("lang").agg(F.count("*").alias("n_docs")).withColumn(
+        "target_w", F.element_at(w_expr, F.col("lang"))
+    )
+    cap = per.agg(
+        F.min(F.col("n_docs") / F.col("target_w")).alias("capacity")
+    )
+    rates = per.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        (
+            F.col("capacity") * F.col("target_w") / F.col("n_docs")
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = d.join(F.broadcast(rates), "lang").where(u < F.col("rate"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "lag_features": """
 SELECT event_id, user_id,
@@ -5150,6 +5260,69 @@ WITH nxt AS (
 SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
        round(count(*) / sum(count(*)) OVER (PARTITION BY src), 6) AS prob
 FROM nxt WHERE dst IS NOT NULL GROUP BY src, dst""",
+    # per-row char histogram via list comprehensions — mirrors the
+    # engine's HOF projection; positive terms keep order drift < 1e-6
+    "doc_entropy": """
+WITH c AS (
+  SELECT doc_id, len(text) AS n,
+         [substr(text, CAST(i AS INT), 1)
+          for i in generate_series(1, len(text))] AS chars
+  FROM documents WHERE len(text) > 0),
+d AS (SELECT doc_id, n, chars, list_distinct(chars) AS dchars FROM c)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       CAST(len(dchars) AS BIGINT) AS n_distinct,
+       round(list_sum(
+         [(len(list_filter(chars, x -> x = ch)) / CAST(n AS DOUBLE))
+          * log2(CAST(n AS DOUBLE)
+                 / len(list_filter(chars, x -> x = ch)))
+          for ch in dchars]), 6) AS entropy_bits
+FROM d""",
+    # integer-cents payloads keep the hash compare engine-portable
+    "snapshot_diff": """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+old AS (
+  SELECT k, cents,
+         md5(st || '|' || CAST(cents AS VARCHAR)) AS h
+  FROM base WHERE k % 7 <> 0),
+new AS (
+  SELECT k, cents + CASE WHEN k % 3 = 0 THEN cents // 10 ELSE 0 END
+            AS cents,
+         md5(st || '|' ||
+             CAST(cents + CASE WHEN k % 3 = 0 THEN cents // 10 ELSE 0 END
+                  AS VARCHAR)) AS h
+  FROM base WHERE k % 5 <> 0)
+SELECT CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN o.h = n.h THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(coalesce(n.cents, o.cents)) AS BIGINT) AS sum_cents
+FROM old o FULL JOIN new n ON o.k = n.k
+GROUP BY 1""",
+    # identical float-op order as the engine: capacity = min(n/w),
+    # rate = capacity * w / n, uniform = first-8-md5-hex / 2^32
+    "mixture_sample": """
+WITH per AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+w AS (SELECT lang, n_docs,
+             CASE lang WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.2
+                       WHEN 'fr' THEN 0.2 WHEN 'de' THEN 0.1
+                       WHEN 'zh' THEN 0.1 END AS tw
+      FROM per),
+cap AS (SELECT min(n_docs / tw) AS capacity FROM w),
+r AS (SELECT lang, capacity * tw / n_docs AS rate FROM w, cap),
+u AS (SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents)
+SELECT u.lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(u.n_chars) AS BIGINT) AS sum_chars
+FROM u JOIN r ON u.lang = r.lang
+WHERE u.u < r.rate
+GROUP BY u.lang""",
 }
 
 
@@ -5429,5 +5602,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "sequence_pack": QuerySpec(q_sequence_pack, ORACLES["sequence_pack"]),
     "event_transitions": QuerySpec(
         q_event_transitions, ORACLES["event_transitions"]
+    ),
+    "doc_entropy": QuerySpec(q_doc_entropy, ORACLES["doc_entropy"]),
+    "snapshot_diff": QuerySpec(q_snapshot_diff, ORACLES["snapshot_diff"]),
+    "mixture_sample": QuerySpec(
+        q_mixture_sample, ORACLES["mixture_sample"]
     ),
 }

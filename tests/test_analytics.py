@@ -109,3 +109,64 @@ def test_event_transitions_row_stochastic(spark):
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     expected_pairs = ev.count() - ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in sums) == expected_pairs
+
+
+def test_char_entropy_known_values(spark):
+    from customer_segmentation_pyspark_spark.operators.textops import (
+        char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("ab",), ("aabb",), ("abcd",)], ["text"]
+    )
+    got = [
+        round(r["e"], 9)
+        for r in df.select(
+            F.round(char_entropy(F.col("text")), 9).alias("e")
+        ).collect()
+    ]
+    # constant -> 0 bits, fair coin -> 1 bit, 4 uniform chars -> 2 bits
+    assert got == [0.0, 1.0, 1.0, 2.0]
+
+
+def test_snapshot_diff_partitions_both_snapshots(spark):
+    """added+changed+unchanged == |new|, removed+changed+unchanged ==
+    |old|, and the four statuses are disjoint by construction."""
+    from customer_segmentation_pyspark_spark.queries import q_snapshot_diff
+    from tests.conftest import SF_SMOKE
+
+    res = {r["status"]: r["n_rows"]
+           for r in q_snapshot_diff(spark, SF_SMOKE).collect()}
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n_old = o.where(F.col("o_orderkey") % 7 != 0).count()
+    n_new = o.where(F.col("o_orderkey") % 5 != 0).count()
+    assert res.get("added", 0) + res.get("changed", 0) + res.get(
+        "unchanged", 0
+    ) == n_new
+    assert res.get("removed", 0) + res.get("changed", 0) + res.get(
+        "unchanged", 0
+    ) == n_old
+    assert res.get("changed", 0) > 0 and res.get("added", 0) > 0
+
+
+def test_mixture_sample_binding_lang_keeps_everything(spark):
+    """The water-filling capacity is set by the scarcest language (min
+    n/w) — its sample rate is exactly 1.0, so every one of its docs
+    survives; no language over-samples."""
+    from customer_segmentation_pyspark_spark.queries import (
+        MIXTURE_WEIGHTS,
+        q_mixture_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    per = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        if r["lang"] in MIXTURE_WEIGHTS
+    }
+    binding = min(per, key=lambda l: per[l] / MIXTURE_WEIGHTS[l])
+    got = {r["lang"]: r["n_sampled"]
+           for r in q_mixture_sample(spark, SF_SMOKE).collect()}
+    assert got[binding] == per[binding]
+    assert all(got[l] <= per[l] for l in got)
