@@ -79,6 +79,11 @@ HEADLINE = [
     "event_transitions",
     "doc_entropy",
     "snapshot_diff",
+    # r02 batch 4: C4-style segment dedup, CDC compaction, telemetry
+    # window dedup
+    "line_dedup",
+    "cdc_apply",
+    "event_dedup_window",
     # simhash_pairs is oracled but not benched: the fixture's 31-word
     # vocabulary makes every doc near-identical, so Hamming<=3 output is
     # inherently quadratic HERE (3.5M pairs at sf0.1) — not an operator

@@ -707,3 +707,139 @@ def star_connected_components(
         )
     )
     return labels, rounds
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-document segment dedup: cut each doc
+    into fixed ``seg_words``-word segments, drop every segment whose
+    exact text appears in >= ``min_docs`` distinct documents, and return
+    per-doc stats plus the retained text (segments rejoined in order).
+
+    Scale shape: segments are built with array HOFs (sequence + slice,
+    no per-word explode); the corpus-wide frequency pass is ONE hash
+    aggregate on the 128-bit segment hash; the join back re-uses the
+    same hash partitioning. Two shuffles on compact keys, never a sort —
+    the boilerplate-removal pass a 100 TB web corpus needs.
+
+    Output: (id_col, n_segs, n_dup_segs, clean_text).
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n_segs = F.ceil(F.size(words) / F.lit(float(seg_words))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * seg_words + 1, seg_words), " "
+        ),
+    )
+    seg = df.select(
+        id_col, F.posexplode(segs).alias("seg_id", "seg_text")
+    ).withColumn("h", F.md5(F.col("seg_text").cast("binary")))
+    seg_df = seg.groupBy("h").agg(
+        F.count_distinct(id_col).alias("n_docs")
+    )
+    flagged = seg.join(seg_df, "h")
+    kept_struct = F.when(
+        F.col("n_docs") < min_docs, F.struct("seg_id", "seg_text")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("n_docs") >= min_docs, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_segs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["seg_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Set-similarity join with PPJoin-style prefix filtering (Chaudhuri
+    et al. SSJoin / Bayardo et al. all-pairs): pairs with n-gram Jaccard
+    >= ``threshold`` WITHOUT joining on every co-occurring shingle.
+
+    Under a global shingle order (document frequency asc, then text —
+    rarest first), any pair with Jaccard >= t must share a shingle
+    within each doc's first ``|x| - ceil(t*|x|) + 1`` shingles, so the
+    candidate join only explodes the rare prefix, not the whole set.
+    Candidates are then verified with the exact intersection count, so
+    the filter is lossless: output == the naive all-co-occurrence join.
+
+    Scale shape: the equi-join key is (rare shingle) — document
+    frequency of prefix shingles is low BY CONSTRUCTION (they sort
+    rarest-first), which bounds per-key fan-out exactly where the plain
+    co-occurrence join blows up on stop-shingles. One df aggregate, one
+    per-doc window (keyed by doc, balanced), candidate equi-join,
+    verify join restricted to candidates.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("rn")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh"))
+            + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -3937,7 +3937,432 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style cross-document segment dedup: cut each doc into fixed
+    8-word segments, drop every segment whose exact text appears in >=2
+    distinct documents, report per-doc retained-text fingerprints.
+    See ``operators.dedup.segment_dedup`` for the scale analysis; the
+    query hashes the retained text so the result stays compact."""
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.segment_dedup(d, seg_words=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_dup_segs",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+def q_cdc_apply(spark, sf_dir):
+    """Change-data-capture apply: a versioned change log (insert /
+    update / delete-tombstone) collapses to the current snapshot with
+    latest-version-wins semantics. ONE window shuffle on the key — the
+    standard CDC-compaction shape (Debezium->lakehouse); at 100 TB the
+    log is already key-partitioned and this is a per-partition window,
+    no global sort. Log synthesized deterministically from orders:
+    v1 insert all keys, v2 update (+10%% cents) for key%%3==0,
+    v3 tombstone for key%%7==0."""
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    log = (
+        base.select(
+            "k", F.lit("I").alias("op"), F.lit(1).alias("version"), "cents"
+        )
+        .unionAll(
+            base.where(F.col("k") % 3 == 0).select(
+                "k",
+                F.lit("U").alias("op"),
+                F.lit(2).alias("version"),
+                (F.col("cents") + F.expr("cents div 10")).alias("cents"),
+            )
+        )
+        .unionAll(
+            base.where(F.col("k") % 7 == 0).select(
+                "k",
+                F.lit("D").alias("op"),
+                F.lit(3).alias("version"),
+                F.lit(None).cast("bigint").alias("cents"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("version"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "op", F.col("version").cast("bigint").alias("version"),
+                "cents")
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (market segment, nation,
+    account-balance band): group sizes plus an at-risk flag for groups
+    smaller than k=5 — the governance pass run before releasing a
+    dataset. One hash aggregate on the quasi-identifier tuple; the
+    flag is a map-side expression on the agg output."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias(
+                "bal_bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "at_risk",
+            F.when(F.col("n") < 5, 1).otherwise(0).cast("bigint"),
+        )
+    )
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Join/agg-key skew diagnosis: per-key frequencies for lineitem's
+    supplier key, top-20 heaviest keys with corpus share and running
+    cumulative share — the profile you read before choosing salting /
+    AQE-skew-join settings. One partial-aggregated count per key, a
+    broadcast scalar for the total, TakeOrdered for the top-k; the
+    cumulative window runs on 20 rows, not the corpus. The running sum
+    is exact bigint arithmetic divided once, so float ordering can't
+    drift between engines."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("tot"))
+    top = cnt.orderBy(F.desc("n"), "k").limit(20).crossJoin(
+        F.broadcast(tot)
+    )
+    w = (
+        Window.orderBy(F.desc("n"), "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return top.select(
+        "k",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("pct"),
+        F.round(F.sum("n").over(w) / F.col("tot"), 6).alias("cum_pct"),
+    )
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (0.8/0.1/0.1) via an
+    md5-derived uniform on the document key — a pure row function, so
+    the split is reproducible across engines, partitionings and scales
+    (the property a training pipeline needs so that re-running the job
+    never migrates a test doc into train). Map-only + one agg."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def q_event_dedup_window(spark, sf_dir):
+    """Telemetry dedup: keep the first event per (user, type, hour
+    bucket), count kept vs dropped per type — the at-most-once-per-hour
+    collapse applied to clickstreams before sessionization. ONE window
+    shuffle keyed by (user, type, bucket); at 100 TB the key is
+    high-cardinality so partitions stay balanced."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 3600)
+    w = Window.partitionBy("user_id", "event_type", bucket).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def q_prefix_jaccard(spark, sf_dir):
+    """PPJoin-style prefix-filtered 3-gram Jaccard >= 0.5 join. The
+    oracle is the NAIVE all-co-occurrence exact join — hash equality
+    proves the prefix filter is lossless (no false negatives) while the
+    Spark plan only explodes the rarest-first prefix of each shingle
+    set, the property that keeps the join linear-ish on 100 TB corpora
+    where stop-shingles make the naive join quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+def q_split_leakage(spark, sf_dir):
+    """Train/test leakage audit: documents in the held-out splits whose
+    exact normalized fingerprint also appears in train — the
+    decontamination gate run after q_dataset_split. Broadcast-friendly:
+    the train fingerprint set is distinct-reduced before the semi-join,
+    and the probe is a hash join on a 128-bit key."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast(
+            "binary"
+        )
+    )
+    tagged = d.select("doc_id", "lang", split.alias("split"), fp.alias("fp"))
+    train_fps = (
+        tagged.where(F.col("split") == "train").select("fp").distinct()
+    )
+    held = tagged.where(F.col("split") != "train")
+    leaked = held.join(train_fps, "fp", "left_semi")
+    return (
+        held.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            leaked.groupBy("split", "lang").agg(
+                F.count(F.lit(1)).alias("n_leaked")
+            ),
+            ["split", "lang"],
+            "left",
+        )
+        .withColumn("n_leaked", F.coalesce("n_leaked", F.lit(0)))
+    )
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit over order totals: observed share per
+    leading significant digit vs the Benford expectation, with the
+    chi-square contribution — the fraud/integrity screen. The digit is
+    taken from the DECIMAL CENTS bigint's string form (leading
+    significant digit is invariant under x100), so no float log10 near
+    power-of-ten boundaries can disagree between engines. One hash agg
+    on 9 groups + a broadcast scalar total."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("bigint")
+    per = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per.agg(F.sum("n").alias("tot"))
+    expected = F.log(10.0, 1.0 + 1.0 / F.col("digit"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+            F.round(expected, 6).alias("benford"),
+            F.round(
+                F.pow(F.col("n") / F.col("tot") - expected, 2) / expected,
+                9,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build: term -> document frequency, total term
+    frequency, and an md5 over the ascending posting list — the IR /
+    RAG index construction pass. Per-(term, doc) tf is map-side
+    combinable; the posting-list digest keeps the result row constant
+    width no matter how long the postings get (the full list would be
+    written to the index sink, not returned)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("postings_md5"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "prefix_jaccard": f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shd a JOIN shd b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5""",
+    "split_leakage": """
+WITH tagged AS (
+  SELECT doc_id, lang,
+         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS split,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM (SELECT *,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 AS u
+        FROM documents)),
+train_fps AS (
+  SELECT DISTINCT fp FROM tagged WHERE split = 'train'),
+held AS (SELECT * FROM tagged WHERE split <> 'train'),
+leaked AS (
+  SELECT h.split, h.lang, count(*) AS n_leaked
+  FROM held h WHERE h.fp IN (SELECT fp FROM train_fps)
+  GROUP BY 1, 2)
+SELECT h.split, h.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(any_value(l.n_leaked), 0) AS BIGINT) AS n_leaked
+FROM held h LEFT JOIN leaked l ON h.split = l.split AND h.lang = l.lang
+GROUP BY h.split, h.lang""",
+    "benford_audit": """
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1),
+tot AS (SELECT sum(n) AS tot FROM per)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / tot, 6) AS share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford,
+       round(pow(n / tot - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 9) AS chi2_term
+FROM per CROSS JOIN tot""",
+    "inverted_index": """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS postings_md5
+FROM tf GROUP BY term""",
+    "line_dedup": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(
+           0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS s
+  FROM toks),
+segs AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS seg_id,
+         array_to_string(t[s * 8 + 1 : s * 8 + 8], ' ') AS seg_text
+  FROM starts),
+hashed AS (
+  SELECT doc_id, seg_id, seg_text, md5(seg_text) AS h FROM segs),
+dfc AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM hashed GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_segs,
+       md5(coalesce(string_agg(CASE WHEN n_docs < 2 THEN seg_text END,
+                               ' ' ORDER BY seg_id), '')) AS clean_md5
+FROM hashed JOIN dfc USING (h)
+GROUP BY doc_id""",
+    "cdc_apply": """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+log AS (
+  SELECT k, 'I' AS op, 1 AS version, cents FROM base
+  UNION ALL
+  SELECT k, 'U', 2, cents + cents // 10 FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT k, 'D', 3, NULL FROM base WHERE k % 7 = 0),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY version DESC)
+            AS rn
+  FROM log)
+SELECT k, op, CAST(version AS BIGINT) AS version, cents
+FROM latest WHERE rn = 1 AND op <> 'D'""",
+    "k_anonymity": """
+SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS at_risk
+FROM customer GROUP BY 1, 2, 3""",
+    "key_skew_profile": """
+WITH cnt AS (
+  SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+tot AS (SELECT sum(n) AS tot FROM cnt),
+top AS (SELECT k, n FROM cnt ORDER BY n DESC, k LIMIT 20)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       round(n / tot, 6) AS pct,
+       round(sum(n) OVER (ORDER BY n DESC, k ROWS UNBOUNDED PRECEDING)
+             / tot, 6) AS cum_pct
+FROM top CROSS JOIN tot""",
+    "dataset_split": """
+WITH u AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents)
+SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM u GROUP BY 1, 2""",
+    "event_dedup_window": """
+WITH r AS (
+  SELECT event_type,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, floor(epoch(ts) / 3600)
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_type,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM r GROUP BY 1""",
     "lag_features": """
 SELECT event_id, user_id,
        round(lag(value, 1) OVER w, 4) AS lag1,
@@ -5607,5 +6032,21 @@ REGISTRY: dict[str, QuerySpec] = {
     "snapshot_diff": QuerySpec(q_snapshot_diff, ORACLES["snapshot_diff"]),
     "mixture_sample": QuerySpec(
         q_mixture_sample, ORACLES["mixture_sample"]
+    ),
+    "line_dedup": QuerySpec(q_line_dedup, ORACLES["line_dedup"]),
+    "cdc_apply": QuerySpec(q_cdc_apply, ORACLES["cdc_apply"]),
+    "k_anonymity": QuerySpec(q_k_anonymity, ORACLES["k_anonymity"]),
+    "key_skew_profile": QuerySpec(
+        q_key_skew_profile, ORACLES["key_skew_profile"]
+    ),
+    "dataset_split": QuerySpec(q_dataset_split, ORACLES["dataset_split"]),
+    "event_dedup_window": QuerySpec(
+        q_event_dedup_window, ORACLES["event_dedup_window"]
+    ),
+    "prefix_jaccard": QuerySpec(q_prefix_jaccard, ORACLES["prefix_jaccard"]),
+    "split_leakage": QuerySpec(q_split_leakage, ORACLES["split_leakage"]),
+    "benford_audit": QuerySpec(q_benford_audit, ORACLES["benford_audit"]),
+    "inverted_index": QuerySpec(
+        q_inverted_index, ORACLES["inverted_index"]
     ),
 }

@@ -59,13 +59,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # parquet TIMESTAMP(NANOS) arrives as long (see session.py); convert
-        # to Spark's microsecond timestamp. Integer division is exact —
-        # float division at epoch-nanos magnitude (~1.7e18, double ulp
-        # ~256ns) could land ±1µs off.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # Normalize ts to Spark's session-zone TimestampType whatever the
+        # fixture generation wrote: TIMESTAMP(NANOS) arrives as long under
+        # nanosAsLong (integer div is exact — float division at epoch-nanos
+        # magnitude ~1.7e18, double ulp ~256ns, could land ±1µs off);
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ
+        # and is reinterpreted as UTC-instant (session zone is UTC above).
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -170,3 +170,36 @@ def test_mixture_sample_binding_lang_keeps_everything(spark):
            for r in q_mixture_sample(spark, SF_SMOKE).collect()}
     assert got[binding] == per[binding]
     assert all(got[l] <= per[l] for l in got)
+
+
+def test_cdc_apply_semantics(spark):
+    """Tombstoned keys are gone, updated keys carry the v2 payload, and
+    untouched keys survive with their insert version."""
+    from customer_segmentation_pyspark_spark.queries import q_cdc_apply
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["k"]: r for r in q_cdc_apply(spark, SF_SMOKE).collect()}
+    assert rows, "snapshot is empty"
+    assert not any(k % 7 == 0 for k in rows), "tombstones leaked"
+    for k, r in rows.items():
+        if k % 3 == 0:
+            assert r["op"] == "U" and r["version"] == 2
+        else:
+            assert r["op"] == "I" and r["version"] == 1
+
+
+def test_key_skew_profile_monotone(spark):
+    """Counts are non-increasing, shares are positive, and the running
+    cumulative share is non-decreasing and <= 1."""
+    from customer_segmentation_pyspark_spark.queries import (
+        q_key_skew_profile,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_key_skew_profile(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    cum = [r["cum_pct"] for r in rows]
+    assert all(b >= a for a, b in zip(cum, cum[1:]))
+    assert cum[-1] <= 1.0 + 1e-9

@@ -578,3 +578,69 @@ def test_resize_stub_budget_and_determinism(spark):
         assert r["out_w"] == 16 and r["out_h"] == 16
         assert 0 < len(r["thumb_bytes"]) <= 256
         assert bytes(r["thumb_bytes"]) == bytes(byb[doc_id]["thumb_bytes"])
+
+
+def test_segment_dedup_removes_cross_doc_boilerplate(spark):
+    """A boilerplate run shared by two docs is dropped from both; the
+    unique document is untouched; within-doc repeats (one document)
+    survive because the frequency is counted in distinct docs."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        segment_dedup,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"c{i}" for i in range(8))
+    solo = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),
+            (2, f"{boiler} {uniq_b}"),
+            (3, f"{solo} {solo}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_words=8, min_docs=2).collect()
+    }
+    assert out[1]["n_dup_segs"] == 1 and out[1]["clean_text"] == uniq_a
+    assert out[2]["n_dup_segs"] == 1 and out[2]["clean_text"] == uniq_b
+    # doc 3 repeats its own segment: distinct-doc frequency is 1 -> kept
+    assert out[3]["n_dup_segs"] == 0
+    assert out[3]["clean_text"] == f"{solo} {solo}"
+    assert all(r["n_segs"] == 2 for r in out.values())
+
+
+def test_prefix_jaccard_equals_naive_join(spark):
+    """Prefix filtering is lossless: on a corpus with planted near-dups
+    the PPJoin-style plan returns exactly the naive co-occurrence
+    join's pairs at the same threshold."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),          # near-dup of 1
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "one two three four five six seven eight nine ten"),  # dup of 3
+            (5, "totally different words with no overlap here at all now"),
+        ],
+        ["doc_id", "text"],
+    )
+    fast = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    naive = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=None
+        ).collect()
+    )
+    assert fast == naive
+    assert (3, 4, 1.0) in fast and any(a == 1 and b == 2 for a, b, _ in fast)
