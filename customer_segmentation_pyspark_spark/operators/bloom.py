@@ -84,7 +84,14 @@ def bloom_prune(probe: DataFrame, key_col: str, bloom_row,
         words = list(bloom_row.first()["bloom"])
     else:
         words = list(bloom_row)
-    arr = F.lit(words)
+    # One py4j string transfer + JVM-side parse. F.lit(words) crosses the
+    # py4j bridge once PER ELEMENT (~10 s for 16k words — measured); a
+    # lambda HOF (transform) would NOT constant-fold and re-parses the
+    # string per row; CAST of a foldable split IS foldable, so Catalyst
+    # folds this to a plain array<bigint> literal before codegen
+    # (verified on the optimized plan).
+    csv = ",".join(map(str, words))
+    arr = F.expr(f"cast(split('{csv}', ',') AS array<bigint>)")
     hits = []
     for i in range(k):
         p = f"pmod(xxhash64({key_col}, {i}), {num_bits}L)"
