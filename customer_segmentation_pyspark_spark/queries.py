@@ -3666,16 +3666,12 @@ def q_triangle_count(spark, sf_dir):
     naive three-way canonical-edge self-join (a<b<c), so the hash match
     proves the oriented enumeration finds the identical triangle set."""
     from customer_segmentation_pyspark_spark.operators.graph import (
-        copurchase_edges,
+        copurchase_pairs,
         triangle_counts,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    canon = (
-        copurchase_edges(li)
-        .where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
-    )
+    canon = copurchase_pairs(li)
     return (
         triangle_counts(canon)
         .select(F.col("node").alias("part_key"), "n_tri")
