@@ -197,3 +197,47 @@ def test_lag_features_single_window_pass(spark):
     p = plan(REGISTRY["lag_features"].fn(spark, SF_ORACLE), mode="simple")
     assert p.count("Window") == 1, p[:800]
     assert p.count("Exchange") == 1, p[:800]
+
+
+def test_line_dedup_two_hash_shuffles_no_sort(spark):
+    """Segment dedup is two hash-partition exchanges (segment-hash agg +
+    doc regroup; plus the small-file spread) and never a global sort."""
+    df = REGISTRY["line_dedup"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "Sort [" not in p.replace("SortAggregate", ""), p
+    assert p.count("Exchange rangepartitioning") == 0
+
+
+def test_cdc_apply_single_window_shuffle(spark):
+    """CDC compaction is ONE window over the key — no extra exchanges
+    beyond the key hash partitioning of the unioned log."""
+    df = REGISTRY["cdc_apply"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert p.count("Window") >= 1
+    # all exchanges hash-partition on the key k; none range-partition
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_key_skew_profile_take_ordered(spark):
+    """Top-20 heavy keys use TakeOrdered, not a global sort of all keys."""
+    df = REGISTRY["key_skew_profile"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_event_dedup_single_window(spark):
+    df = REGISTRY["event_dedup_window"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    # exactly one window operator (formatted mode prints each node twice:
+    # tree + detail — count the windowspec itself)
+    assert p.count("windowspecdefinition") == 1
+
+
+def test_bloom_probe_is_scan_side_filter(spark):
+    """The Bloom probe runs as a Filter directly over the fact scan —
+    before the join exchange — so pruned rows never shuffle."""
+    df = REGISTRY["bloom_prune_join"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "xxhash64" in p, "bloom probe expression missing from plan"
+    scan_block = p[p.index("Scan parquet"):] if "Scan parquet" in p else p
+    assert "xxhash64" in p.split("Exchange")[0] or "BroadcastExchange" in p

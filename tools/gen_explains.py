@@ -24,6 +24,10 @@ NAMES = [
     # deletion-neighborhood fuzzy join, IVF probe, weighted reservoir
     "embedding_neardup", "simhash_pairs", "fuzzy_name_pairs",
     "ann_ivf_topk", "weighted_sample",
+    # r02 batch 4-5: segment dedup, CDC compaction, prefix-filtered
+    # Jaccard, Bloom-pruned join, skew profile, triangle counting
+    "line_dedup", "cdc_apply", "prefix_jaccard", "bloom_prune_join",
+    "key_skew_profile", "event_dedup_window", "triangle_count",
 ]
 
 
