@@ -84,6 +84,9 @@ HEADLINE = [
     "line_dedup",
     "cdc_apply",
     "event_dedup_window",
+    # r02 batch 5: prefix-filtered similarity join, unigram perplexity
+    "prefix_jaccard",
+    "unigram_ppl",
     # simhash_pairs is oracled but not benched: the fixture's 31-word
     # vocabulary makes every doc near-identical, so Hamming<=3 output is
     # inherently quadratic HERE (3.5M pairs at sf0.1) — not an operator

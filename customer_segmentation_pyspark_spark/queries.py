@@ -4235,7 +4235,199 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_unigram_ppl(spark, sf_dir):
+    """CCNet-style perplexity filter with a corpus-trained unigram LM:
+    P(w) = count(w)/total over the whole corpus, per-doc cross-entropy
+    -avg(ln P) and perplexity exp(ce). The LM 'training' is one term
+    aggregate; scoring joins (doc,term,tf) to the term table ON TERM —
+    map-side combinable tf first, so the shuffle carries distinct
+    (doc,term) not every token. At 100 TB the vocab table shuffles
+    (never driver-collected) and the same two-agg shape holds."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lm = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tf.join(lm, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (
+                -F.sum(
+                    F.col("tf")
+                    * F.log(F.col("cnt") / F.col("total"))
+                )
+                / F.sum("tf")
+            ).alias("ce"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("ce", 6).alias("cross_entropy"),
+        F.round(F.exp("ce"), 4).alias("ppl"),
+    )
+
+
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-vocab coverage: fraction of tokens outside the corpus
+    top-20 vocabulary per document — the OOV-rate screen run before
+    committing to a tokenizer. The vocab is a broadcast 20-row frame
+    (deterministic ties: count desc, term asc); scoring is a broadcast
+    left join + one doc aggregate."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    w = Window.orderBy(F.desc("cnt"), "term")
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+def q_source_quota(spark, sf_dir):
+    """Per-source document quota: keep the 3 largest docs per source
+    (ties by doc_id) — the corpus-balancing cap that stops one crawl
+    domain from dominating a training mix. ONE window shuffle keyed by
+    source; at scale the key cardinality is domains, so AQE handles the
+    hot-domain skew."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent PRIOR click. One window pass over (user, ts) —
+    the conditional running max packs (ts, event_id) into a sortable
+    fixed-width string key, so no as-of self-join and no second shuffle.
+    Output: purchase id, user, attributed click id (null = organic) and
+    the click->purchase gap in seconds."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", key)
+    ).over(w)
+    return (
+        e.withColumn("click_key", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.substring("click_key", 21, 10)
+            .cast("bigint")
+            .alias("click_id"),
+            (
+                (
+                    F.unix_micros("ts")
+                    - F.substring("click_key", 1, 20).cast("bigint")
+                )
+                / F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("gap_seconds"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "unigram_ppl": """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+lm AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM lm),
+scored AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         -sum(tf * ln(cnt / total)) / sum(tf) AS ce
+  FROM tf JOIN lm USING (term) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(ce, 6) AS cross_entropy,
+       round(exp(ce), 4) AS ppl
+FROM scored""",
+    "oov_rate": """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+    FROM terms GROUP BY term) WHERE rk <= 20)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS oov_rate
+FROM terms t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY doc_id""",
+    "source_quota": """
+SELECT source, doc_id, n_chars, rk FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+  FROM documents) WHERE rk <= 3""",
+    "attribution_last_touch": """
+WITH keyed AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'click' THEN
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+               lpad(CAST(event_id AS VARCHAR), 10, '0') END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_key
+  FROM events)
+SELECT event_id AS purchase_id, user_id,
+       CAST(substr(click_key, 21, 10) AS BIGINT) AS click_id,
+       CAST((epoch_us(ts) - CAST(substr(click_key, 1, 20) AS BIGINT))
+            // 1000000 AS BIGINT) AS gap_seconds
+FROM keyed WHERE event_type = 'purchase'""",
     "approx_distinct": """
 SELECT l_returnflag,
        CAST(count(DISTINCT l_partkey) AS BIGINT) AS approx_parts,
@@ -6058,6 +6250,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "dataset_split": QuerySpec(q_dataset_split, ORACLES["dataset_split"]),
     "event_dedup_window": QuerySpec(
         q_event_dedup_window, ORACLES["event_dedup_window"]
+    ),
+    "unigram_ppl": QuerySpec(q_unigram_ppl, ORACLES["unigram_ppl"]),
+    "oov_rate": QuerySpec(q_oov_rate, ORACLES["oov_rate"]),
+    "source_quota": QuerySpec(q_source_quota, ORACLES["source_quota"]),
+    "attribution_last_touch": QuerySpec(
+        q_attribution_last_touch, ORACLES["attribution_last_touch"]
     ),
     "prefix_jaccard": QuerySpec(q_prefix_jaccard, ORACLES["prefix_jaccard"]),
     "split_leakage": QuerySpec(q_split_leakage, ORACLES["split_leakage"]),
