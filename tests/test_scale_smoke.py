@@ -153,3 +153,77 @@ def test_block_gemm_neardup_at_scale(spark):
         if all((x + i) % 97 < 48 for i in range(32))
     )
     assert got == expected
+
+
+def test_segment_dedup_hot_boilerplate_at_scale(spark):
+    """500k docs all sharing one boilerplate segment: the corpus-wide
+    frequency agg must stay a hash aggregate on the segment hash (the
+    hot segment COMPRESSES map-side, it never materializes a per-doc
+    list) and every doc must lose exactly the boilerplate."""
+    import time
+
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        segment_dedup,
+    )
+
+    n = 500_000
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(boiler + " unique"),
+                F.col("id").cast("string"),
+                F.lit(" words here padding out segment two"),
+            ).alias("text"),
+        )
+    )
+    t0 = time.perf_counter()
+    out = segment_dedup(docs, seg_words=8, min_docs=2)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_dup_segs").alias("dropped"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert agg["n_docs"] == n
+    assert agg["dropped"] == n  # exactly the boilerplate segment per doc
+    assert elapsed < 120, f"hot-segment dedup took {elapsed:.0f}s"
+
+
+def test_prefix_jaccard_stop_shingle_at_scale(spark):
+    """100k docs sharing a universal (stop) shingle but pairwise-distinct
+    elsewhere: rarest-first prefix selection must keep the hot shingle
+    OUT of every prefix, so the candidate join stays ~empty instead of
+    quadratic. Completes fast and returns zero >=0.5 pairs."""
+    import time
+
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    n = 100_000
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("common stop shingle "),
+                F.col("id").cast("string"),
+                F.lit("a "),
+                F.col("id").cast("string"),
+                F.lit("b "),
+                F.col("id").cast("string"),
+                F.lit("c "),
+                F.col("id").cast("string"),
+                F.lit("d "),
+                F.col("id").cast("string"),
+                F.lit("e"),
+            ).alias("text"),
+        )
+    )
+    t0 = time.perf_counter()
+    n_pairs = prefix_jaccard_pairs(docs, n=3, threshold=0.5).count()
+    elapsed = time.perf_counter() - t0
+    assert n_pairs == 0
+    assert elapsed < 120, f"stop-shingle prefix join took {elapsed:.0f}s"
