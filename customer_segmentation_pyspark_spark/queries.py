@@ -2861,6 +2861,38 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_text_roundtrip(spark, sf_dir):
+    """Line-oriented text source/sink (spark.read/write.text — the raw
+    corpus-ingest format): write document texts as lines, read them
+    back, aggregate token counts. Docs contain no newlines (asserted by
+    the guard filter) so lines == docs; the oracle from the parquet view
+    proves the round-trip is byte-lossless."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(~F.col("text").contains("\n"))
+        .select(F.col("text").alias("value"))
+    )
+    path = _scratch_path("text_roundtrip/docs")
+    d.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.withColumn(
+        "n_tokens", F.size(F.split(F.col("value"), r"\s+"))
+    ).groupBy("n_tokens").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.md5(F.col("value").cast("binary")))
+                    ),
+                    lambda x: x,
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("content_md5"),
+    )
+
+
 def q_part_pagerank(spark, sf_dir):
     """PageRank centrality over the part co-purchase graph (parts linked
     when bought in the same order): 8 power iterations, top 20 parts.
@@ -4377,6 +4409,13 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "text_roundtrip": """
+WITH lines AS (
+  SELECT text AS value FROM documents WHERE NOT contains(text, chr(10)))
+SELECT CAST(len(string_split_regex(value, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(md5(value), ',' ORDER BY md5(value))) AS content_md5
+FROM lines GROUP BY 1""",
     "unigram_ppl": """
 WITH terms AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
@@ -6106,6 +6145,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "ewma_value": QuerySpec(q_ewma_value, ORACLES["ewma_value"]),
     "json_roundtrip": QuerySpec(q_json_roundtrip, ORACLES["json_roundtrip"]),
     "orc_roundtrip": QuerySpec(q_orc_roundtrip, ORACLES["orc_roundtrip"]),
+    "text_roundtrip": QuerySpec(q_text_roundtrip, ORACLES["text_roundtrip"]),
     "part_pagerank": QuerySpec(q_part_pagerank, ORACLES["part_pagerank"]),
     "try_funcs": QuerySpec(q_try_funcs, ORACLES["try_funcs"]),
     "date_arithmetic": QuerySpec(

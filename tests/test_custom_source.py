@@ -97,3 +97,27 @@ def test_streaming_reader_matches_batch_rows(spark, tmp_path):
                 b["lang"],
                 b["n_tokens"],
             )
+
+
+def test_binaryfile_source_reads_blobs(spark, tmp_path):
+    """spark.read.format('binaryFile') — the multimodal raw-ingest path:
+    opaque blobs arrive as (path, modificationTime, length, content)
+    rows; content round-trips byte-exact and pathGlobFilter prunes
+    non-matching files at the listing level."""
+    blobs = {
+        "a.img": b"\x89fakepng\x00\x01\x02",
+        "b.img": b"\xffjpegish" * 100,
+        "skip.txt": b"not an image",
+    }
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(str(tmp_path))
+    )
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    for name, r in rows.items():
+        assert bytes(r["content"]) == blobs[name]
+        assert r["length"] == len(blobs[name])
