@@ -2861,6 +2861,62 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_knn_classify(spark, sf_dir):
+    """k-NN classification: label each query vector (vec_id < 10) by
+    majority vote of its 5 nearest labeled neighbors (cosine); vote
+    ties break to the smaller label, neighbor ties to the smaller id —
+    fully deterministic, so the whole classifier is hash-oracled.
+    Scale shape = cosine_topk's (broadcast query side, per-query window
+    top-k) plus one tiny vote aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    nn = similarity.brute_force_topk(corpus, q, k=5)
+    labels = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+    )
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.col("n_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").cast("bigint").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
+
+
+def q_label_centroids(spark, sf_dir):
+    """Class-prototype vectors: the mean embedding per label, emitted in
+    long form (label, pos, mean_val) — the representation that scales
+    (no giant array cell; one hash agg on (label, pos)). posexplode
+    fans each vector out once; partial aggregation compresses map-side
+    so the shuffle carries (labels x dims) rows, not (rows x dims)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy(F.col("label").cast("bigint").alias("label"),
+                 F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"),
+        )
+    )
+
+
 def q_text_roundtrip(spark, sf_dir):
     """Line-oriented text source/sink (spark.read/write.text — the raw
     corpus-ingest format): write document texts as lines, read them
@@ -4409,6 +4465,35 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "knn_classify": """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 10),
+scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                  c.label AS n_label,
+                  round(list_cosine_similarity(q.qv, c.v), 4) AS cos_sim
+           FROM c, q),
+nn AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5),
+votes AS (SELECT query_id, n_label, count(*) AS votes
+          FROM nn GROUP BY 1, 2)
+SELECT query_id, CAST(n_label AS BIGINT) AS pred_label,
+       CAST(votes AS BIGINT) AS votes
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, n_label) AS rn
+      FROM votes) WHERE rn = 1""",
+    "label_centroids": """
+WITH fan AS (
+  SELECT label, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+FROM fan GROUP BY 1, 2""",
     "text_roundtrip": """
 WITH lines AS (
   SELECT text AS value FROM documents WHERE NOT contains(text, chr(10)))
@@ -6146,6 +6231,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "json_roundtrip": QuerySpec(q_json_roundtrip, ORACLES["json_roundtrip"]),
     "orc_roundtrip": QuerySpec(q_orc_roundtrip, ORACLES["orc_roundtrip"]),
     "text_roundtrip": QuerySpec(q_text_roundtrip, ORACLES["text_roundtrip"]),
+    "label_centroids": QuerySpec(
+        q_label_centroids, ORACLES["label_centroids"]
+    ),
+    "knn_classify": QuerySpec(q_knn_classify, ORACLES["knn_classify"]),
     "part_pagerank": QuerySpec(q_part_pagerank, ORACLES["part_pagerank"]),
     "try_funcs": QuerySpec(q_try_funcs, ORACLES["try_funcs"]),
     "date_arithmetic": QuerySpec(
