@@ -2861,6 +2861,100 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_brand_affinity(spark, sf_dir):
+    """Market-basket association mining over part brands: for every
+    brand pair co-purchased in an order, the support counts and lift
+    P(a,b)·N / (P(a)·P(b)). The brand dimension rides a broadcast join
+    onto lineitem; baskets collapse to DISTINCT (order, brand) before
+    the pair self-join, which is keyed by order (bounded fan-out =
+    brands-per-order squared, never corpus-quadratic). Integer
+    support counts; lift computed once at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand")
+    )
+    ob = (
+        li.join(F.broadcast(p), "l_partkey")
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    per_brand = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_brand")
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.brand") < F.col("b.brand"),
+            ],
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = per_brand.select(
+        F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    nb = per_brand.select(
+        F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                * F.lit(float(n_orders))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_twap_value(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each event's value
+    is weighted by the seconds until the user's next event (trapezoid-
+    free step interpolation — the metering/billing semantics). ONE
+    window pass for the lead timestamps; users with a single event drop
+    out (zero observed span). Integer-microsecond weights keep the
+    arithmetic exact until the final division."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros(F.col("ts"))).over(w)
+    dur = (nxt - F.unix_micros(F.col("ts"))).cast("double")
+    return (
+        e.withColumn("dur", dur)
+        .where(F.col("dur").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            (F.sum(F.col("value") * F.col("dur")) / F.sum("dur")).alias(
+                "_twap"
+            ),
+            (F.sum("dur") / F.lit(1e6)).alias("_span"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round("_twap", 6).alias("twap"),
+            F.round("_span", 3).alias("span_seconds"),
+        )
+    )
+
+
 def q_knn_classify(spark, sf_dir):
     """k-NN classification: label each query vector (vec_id < 10) by
     majority vote of its 5 nearest labeled neighbors (cosine); vote
@@ -4465,6 +4559,35 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "brand_affinity": """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+pb AS (SELECT brand, count(*) AS n_brand FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_both
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2)
+SELECT brand_a, brand_b, CAST(n_both AS BIGINT) AS n_both,
+       CAST(na.n_brand AS BIGINT) AS n_a,
+       CAST(nb.n_brand AS BIGINT) AS n_b,
+       round(n_both * CAST(n_orders AS DOUBLE)
+             / (na.n_brand * nb.n_brand), 6) AS lift
+FROM pairs JOIN pb na ON na.brand = brand_a
+           JOIN pb nb ON nb.brand = brand_b
+           CROSS JOIN n""",
+    "twap_value": """
+WITH d AS (
+  SELECT user_id, value,
+         CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) - epoch_us(ts) AS DOUBLE) AS dur
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       round(sum(value * dur) / sum(dur), 6) AS twap,
+       round(sum(dur) / 1e6, 3) AS span_seconds
+FROM d WHERE dur IS NOT NULL GROUP BY user_id""",
     "knn_classify": """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
@@ -6235,6 +6358,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_label_centroids, ORACLES["label_centroids"]
     ),
     "knn_classify": QuerySpec(q_knn_classify, ORACLES["knn_classify"]),
+    "twap_value": QuerySpec(q_twap_value, ORACLES["twap_value"]),
+    "brand_affinity": QuerySpec(
+        q_brand_affinity, ORACLES["brand_affinity"]
+    ),
     "part_pagerank": QuerySpec(q_part_pagerank, ORACLES["part_pagerank"]),
     "try_funcs": QuerySpec(q_try_funcs, ORACLES["try_funcs"]),
     "date_arithmetic": QuerySpec(
