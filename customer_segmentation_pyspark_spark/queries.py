@@ -2861,6 +2861,78 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_dp_count(spark, sf_dir):
+    """Differentially-private release of per-segment counts: Laplace
+    (sensitivity 1, eps 0.5) noise via inverse-CDF over an md5-seeded
+    uniform on the GROUP KEY — pseudorandom but reproducible across
+    engines/partitionings, so the noisy release itself is hash-oracled.
+    (A production release would use a secret seed; the mechanism and
+    plan shape are identical.) One hash agg + a map-only noise layer."""
+    c = load_table(spark, sf_dir, "customer")
+    per = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp-seed-1|"), "c_mktsegment").cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    b = F.lit(1.0 / 0.5)  # sensitivity / epsilon
+    centered = u - 0.5
+    noise = (
+        -b
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return per.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n",
+        F.round(F.col("n") + noise, 6).alias("dp_n"),
+    )
+
+
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile-boundary) histogram of order totals: exact
+    discrete quartile boundaries via percentile_disc, then per-bucket
+    counts and sums in integer cents. Two passes: one tiny aggregate
+    for the 3 boundaries (broadcast back as a scalar row), one hash agg
+    for the buckets — the equi-DEPTH complement to the equi-width
+    value_histogram."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = o.select(cents.alias("cents"))
+    qs = w.agg(
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.5)).alias("q2"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    ).select(
+        F.floor("q1").cast("bigint").alias("q1"),
+        F.floor("q2").cast("bigint").alias("q2"),
+        F.floor("q3").cast("bigint").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("cents") <= F.col("q1"), 0)
+        .when(F.col("cents") <= F.col("q2"), 1)
+        .when(F.col("cents") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        w.crossJoin(F.broadcast(qs))
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
 def q_brand_affinity(spark, sf_dir):
     """Market-basket association mining over part brands: for every
     brand pair co-purchased in an order, the support counts and lift
@@ -4559,6 +4631,34 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "dp_count": """
+WITH per AS (
+  SELECT c_mktsegment AS segment, count(*) AS n
+  FROM customer GROUP BY 1),
+noised AS (
+  SELECT segment, n,
+         CAST(('0x' || substr(md5('dp-seed-1|' || segment), 1, 8))
+              AS BIGINT) / 4294967296.0 - 0.5 AS centered
+  FROM per)
+SELECT segment, CAST(n AS BIGINT) AS n,
+       round(n + (-2.0) * sign(centered) * ln(1.0 - 2.0 * abs(centered)),
+             6) AS dp_n
+FROM noised""",
+    "equidepth_histogram": """
+WITH w AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+qs AS (
+  SELECT CAST(floor(quantile_cont(cents, 0.25)) AS BIGINT) AS q1,
+         CAST(floor(quantile_cont(cents, 0.50)) AS BIGINT) AS q2,
+         CAST(floor(quantile_cont(cents, 0.75)) AS BIGINT) AS q3
+  FROM w)
+SELECT CAST(CASE WHEN cents <= q1 THEN 0 WHEN cents <= q2 THEN 1
+            WHEN cents <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM w CROSS JOIN qs GROUP BY 1""",
     "brand_affinity": """
 WITH ob AS (
   SELECT DISTINCT l_orderkey, p_brand AS brand
@@ -6361,6 +6461,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "twap_value": QuerySpec(q_twap_value, ORACLES["twap_value"]),
     "brand_affinity": QuerySpec(
         q_brand_affinity, ORACLES["brand_affinity"]
+    ),
+    "dp_count": QuerySpec(q_dp_count, ORACLES["dp_count"]),
+    "equidepth_histogram": QuerySpec(
+        q_equidepth_histogram, ORACLES["equidepth_histogram"]
     ),
     "part_pagerank": QuerySpec(q_part_pagerank, ORACLES["part_pagerank"]),
     "try_funcs": QuerySpec(q_try_funcs, ORACLES["try_funcs"]),
