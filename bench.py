@@ -84,8 +84,13 @@ HEADLINE = [
     "line_dedup",
     "cdc_apply",
     "event_dedup_window",
-    # r02 batch 5: prefix-filtered similarity join, unigram perplexity
-    "prefix_jaccard",
+    # r02 batch 5: unigram perplexity. prefix_jaccard is oracled but not
+    # benched for the same reason as simhash_pairs below: the fixture's
+    # 31-word vocabulary packs ~300 shingles/doc into a ~29k shingle
+    # space (df ~ 50 at sf0.1), so even rarest-first prefixes collide
+    # quadratically HERE — on a real corpus prefix shingles have df ~ 1
+    # (the scale smoke pins that: 100k docs w/ a stop shingle -> 0-pair
+    # candidate set in seconds)
     "unigram_ppl",
     # simhash_pairs is oracled but not benched: the fixture's 31-word
     # vocabulary makes every doc near-identical, so Hamming<=3 output is

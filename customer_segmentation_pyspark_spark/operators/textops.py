@@ -247,9 +247,13 @@ def fuzzy_edit1_pairs(df: DataFrame, col: str) -> DataFrame:
         "array_union(array(s), transform(sequence(1, length(s)),"
         " i -> concat(left(s, i-1), substring(s, i+1))))"
     )
+    # join key = xxhash64(variant): an 8-byte bigint sorts/shuffles ~4x
+    # cheaper than a 32-char md5 hex string, and a hash collision can
+    # only ADD a candidate (removed by the exact-distance verify below),
+    # never drop a true pair — equal variants always hash equal
     keyed = s.select(
         "s", F.explode(variants).alias("variant")
-    ).select("s", F.md5(F.col("variant").cast("binary")).alias("vh"))
+    ).select("s", F.xxhash64(F.col("variant")).alias("vh"))
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
