@@ -130,3 +130,81 @@ def test_morton_key_is_bijective_and_decodable(spark):
         assert decode(r["z"]) == (r["x"], r["y"])
         seen.add(r["z"])
     assert len(seen) == len(set(pts))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_segment_dedup_matches_python(spark, docs):
+    """segment_dedup (2-word segments) == a plain-Python reference on
+    arbitrary tiny corpora: per-doc segment count, dup-segment count
+    (distinct-doc frequency >= 2), and retained text."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        segment_dedup,
+    )
+
+    texts = [" ".join(w for w in doc) for doc in docs]
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_dup_segs"], r["clean_text"])
+        for r in segment_dedup(sdf, seg_words=2, min_docs=2).collect()
+    }
+
+    def segs(t):
+        ws = t.split(" ")
+        return [
+            " ".join(ws[i : i + 2]) for i in range(0, len(ws), 2)
+        ]
+
+    seg_docs = {}
+    for i, t in enumerate(texts):
+        for s in set(segs(t)):
+            seg_docs.setdefault(s, set()).add(i)
+    for i, t in enumerate(texts):
+        ss = segs(t)
+        dup = [s for s in ss if len(seg_docs[s]) >= 2]
+        kept = [s for s in ss if len(seg_docs[s]) < 2]
+        assert got[i] == (len(ss), len(dup), " ".join(kept)), (
+            texts,
+            got[i],
+        )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 4), st.integers(0, 99)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cdc_latest_version_wins_matches_python(spark, log):
+    """Latest-version-wins over an arbitrary (key, version, payload) log
+    (ties broken arbitrarily are avoided: hypothesis may emit duplicate
+    (k, v) rows, so dedupe to the max payload per (k, v) first)."""
+    from pyspark.sql import Window
+
+    dedup = {}
+    for k, v, p in log:
+        dedup[(k, v)] = max(p, dedup.get((k, v), -1))
+    rows = [(k, v, p) for (k, v), p in dedup.items()]
+    sdf = spark.createDataFrame(rows, ["k", "version", "payload"])
+    w = Window.partitionBy("k").orderBy(F.desc("version"))
+    got = {
+        r["k"]: (r["version"], r["payload"])
+        for r in sdf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    expected = {}
+    for k, v, p in rows:
+        if k not in expected or v > expected[k][0]:
+            expected[k] = (v, p)
+    assert got == expected
