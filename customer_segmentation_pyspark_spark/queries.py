@@ -2861,6 +2861,45 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_chi_square(spark, sf_dir):
+    """Chi-square test of independence on the (market segment x nation)
+    contingency table: per-cell observed vs expected counts and the
+    chi2 contribution, plus degrees of freedom — the categorical-
+    association screen next to corr_matrix's numeric one. One hash agg
+    for cells; marginals ride broadcast scalar joins; all arithmetic on
+    exact bigint counts until the final division."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    row_m = cells.groupBy("segment").agg(F.sum("observed").alias("row_n"))
+    col_m = cells.groupBy("nation").agg(F.sum("observed").alias("col_n"))
+    tot = cells.agg(
+        F.sum("observed").alias("n"),
+        F.count_distinct("segment").alias("n_seg"),
+        F.count_distinct("nation").alias("n_nat"),
+    )
+    expected = F.col("row_n") * F.col("col_n") / F.col("n")
+    return (
+        cells.join(F.broadcast(row_m), "segment")
+        .join(F.broadcast(col_m), "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "nation",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("observed") - expected, 2) / expected, 9
+            ).alias("chi2_term"),
+            ((F.col("n_seg") - 1) * (F.col("n_nat") - 1))
+            .cast("bigint")
+            .alias("dof"),
+        )
+    )
+
+
 def q_dp_count(spark, sf_dir):
     """Differentially-private release of per-segment counts: Laplace
     (sensitivity 1, eps 0.5) noise via inverse-CDF over an md5-seeded
@@ -4631,6 +4670,21 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "chi_square": """
+WITH cells AS (
+  SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+         count(*) AS observed
+  FROM customer GROUP BY 1, 2),
+rm AS (SELECT segment, sum(observed) AS row_n FROM cells GROUP BY 1),
+cm AS (SELECT nation, sum(observed) AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT sum(observed) AS n, count(DISTINCT segment) AS n_seg,
+               count(DISTINCT nation) AS n_nat FROM cells)
+SELECT segment, nation, CAST(observed AS BIGINT) AS observed,
+       round(row_n * col_n / n, 6) AS expected,
+       round(pow(observed - row_n * col_n / n, 2)
+             / (row_n * col_n / n), 9) AS chi2_term,
+       CAST((n_seg - 1) * (n_nat - 1) AS BIGINT) AS dof
+FROM cells JOIN rm USING (segment) JOIN cm USING (nation) CROSS JOIN tot""",
     "dp_count": """
 WITH per AS (
   SELECT c_mktsegment AS segment, count(*) AS n
@@ -6463,6 +6517,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_brand_affinity, ORACLES["brand_affinity"]
     ),
     "dp_count": QuerySpec(q_dp_count, ORACLES["dp_count"]),
+    "chi_square": QuerySpec(q_chi_square, ORACLES["chi_square"]),
     "equidepth_histogram": QuerySpec(
         q_equidepth_histogram, ORACLES["equidepth_histogram"]
     ),
