@@ -60,3 +60,17 @@ def test_short_document_shingles(spark):
     # and chunking still yields exactly one (short) chunk
     chunks = textops.chunk_documents(df).collect()
     assert len(chunks) == 1 and chunks[0]["chunk_tokens"] == 2
+
+
+def test_r02_batch_ops_on_empty(spark):
+    """segment dedup, prefix-filtered Jaccard, and fuzzy edit-1 pairs
+    return empty frames (same schema, no crash) on empty corpora."""
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.lit(False))
+    out = dedup.segment_dedup(docs)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "n_segs", "n_dup_segs", "clean_text",
+    }
+    assert dedup.prefix_jaccard_pairs(docs).count() == 0
+    cust = load_table(spark, SF_SMOKE, "customer").filter(F.lit(False))
+    assert textops.fuzzy_edit1_pairs(cust, "c_name").count() == 0
