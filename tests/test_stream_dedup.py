@@ -42,3 +42,46 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids)) == ev.count()
     ev.unpersist()
+
+
+def test_streaming_corpus_dedup_by_fingerprint(spark, tmp_path):
+    """Incremental corpus ingestion: a second wave re-delivers the same
+    documents under NEW doc_ids (a crawler re-fetch). Streaming dedup on
+    the CONTENT fingerprint drops them; survivors equal the batch
+    exact-dedup group count."""
+    from customer_segmentation_pyspark_spark.operators import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100).cache()
+    n_groups = dedup.exact_dedup(docs).count()
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    # wave 2: same texts, shifted ids — content dupes, id-distinct
+    docs.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+        ).cast("binary")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+        .withColumn("fp", fp)
+        .dropDuplicates(["fp"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_corpus_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fp FROM stream_corpus_dedup").collect()
+    fps = [r["fp"] for r in got]
+    assert len(fps) == len(set(fps)) == n_groups
+    docs.unpersist()
