@@ -2861,6 +2861,80 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_token_ids(spark, sf_dir):
+    """Hashing-trick tokenization: map each whitespace token to a
+    32k-bucket id via md5 (engine-portable — xxhash64 exists only in
+    Spark), emit per-doc id-sequence digests. The shape of real
+    tokenize-to-ids: map-only, no vocab table to join, output width
+    constant (the id arrays would stream to the training sink)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    ids = F.transform(
+        toks,
+        lambda w: F.conv(
+            F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 32000,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(ids, lambda x: x.cast("string")), ","
+            ).cast("binary")
+        ).alias("ids_md5"),
+        F.size(F.array_distinct(ids)).cast("bigint").alias("n_distinct_ids"),
+    )
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5-style span-corruption masks: deterministic pseudo-random spans
+    per document (seeded by doc_id and span index via md5 uniforms —
+    reproducible across engines/partitionings, like every sampling op
+    here). Each doc emits ceil(n_tokens * 0.15 / 3) spans of length 3;
+    span starts are md5-uniform draws over the token range. Map-only
+    fan-out; the mask table is what a masking data loader consumes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_spans = F.ceil(n.cast("double") * 0.15 / 3.0).cast("int")
+    fan = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("span_idx"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("doc_id").cast("string"),
+                        F.col("span_idx").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    start = F.floor(
+        u * F.greatest(F.col("n_tokens") - 3, F.lit(1)).cast("double")
+    ).cast("bigint")
+    return fan.select(
+        "doc_id",
+        F.col("span_idx").cast("bigint").alias("span_idx"),
+        start.alias("span_start"),
+        F.least(F.lit(3).cast("bigint"), F.col("n_tokens") - start).alias(
+            "span_len"
+        ),
+    )
+
+
 def q_chi_square(spark, sf_dir):
     """Chi-square test of independence on the (market segment x nation)
     contingency table: per-cell observed vs expected counts and the
@@ -4670,6 +4744,40 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "token_ids": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+  FROM documents),
+ids AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         [CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 32000
+          for w in t] AS id_list
+  FROM toks)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       md5(array_to_string(id_list, ',')) AS ids_md5,
+       CAST(len(list_distinct(id_list)) AS BIGINT) AS n_distinct_ids
+FROM ids""",
+    "span_corruption": """
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+  FROM documents),
+fan AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(0,
+           CAST(ceil(n_tokens * 0.15 / 3.0) AS INT) - 1)) AS span_idx
+  FROM toks),
+drawn AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, n_tokens,
+         CAST(floor(
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                                 CAST(span_idx AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0)
+           * greatest(n_tokens - 3, 1)) AS BIGINT) AS span_start
+  FROM fan)
+SELECT doc_id, span_idx, span_start,
+       CAST(least(3, n_tokens - span_start) AS BIGINT) AS span_len
+FROM drawn""",
     "chi_square": """
 WITH cells AS (
   SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
@@ -6518,6 +6626,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dp_count": QuerySpec(q_dp_count, ORACLES["dp_count"]),
     "chi_square": QuerySpec(q_chi_square, ORACLES["chi_square"]),
+    "token_ids": QuerySpec(q_token_ids, ORACLES["token_ids"]),
+    "span_corruption": QuerySpec(
+        q_span_corruption, ORACLES["span_corruption"]
+    ),
     "equidepth_histogram": QuerySpec(
         q_equidepth_histogram, ORACLES["equidepth_histogram"]
     ),
