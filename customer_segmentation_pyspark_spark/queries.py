@@ -1695,6 +1695,67 @@ FROM bands a JOIN bands b
 """
 
 
+def _sql_minhash_accuracy(num_hashes: int = 16, bands: int = 8, rpb: int = 2) -> str:
+    """Oracle for q_minhash_accuracy: _sql_minhash's signature/band CTEs
+    plus the per-candidate estimate (matching positions / 16) and the
+    exact shingle Jaccard."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        packed = f"h{b * rpb}"
+        for r in range(1, rpb):
+            packed = f"({packed}) * {MINHASH_P} + h{b * rpb + r}"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, CAST({packed} AS BIGINT) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+hashed AS (SELECT doc_id,
+    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
+  FROM shd),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN shd p ON p.doc_id = c.doc_a
+              JOIN shd q ON q.doc_id = c.doc_b AND q.shingle = p.shingle
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       round(({matches}) / {num_hashes}.0, 4) AS minhash_est,
+       round(coalesce(i, 0) / (sa.n + sb.n - coalesce(i, 0)), 4)
+         AS exact_jaccard,
+       round(abs(({matches}) / {num_hashes}.0
+                 - coalesce(i, 0) / (sa.n + sb.n - coalesce(i, 0))), 4)
+         AS abs_err
+FROM cand c
+JOIN sig a ON a.doc_id = c.doc_a
+JOIN sig b ON b.doc_id = c.doc_b
+LEFT JOIN inter ON inter.doc_a = c.doc_a AND inter.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
 def _sql_simhash(bits: int = 16) -> str:
     sums = ", ".join(
         f"sum(CASE WHEN ascii(substring(h, {p + 1}, 1)) >= 56 THEN 1 ELSE -1 END) AS s{p}"
@@ -2858,6 +2919,83 @@ def q_orc_roundtrip(spark, sf_dir):
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+def q_degree_distribution(spark, sf_dir):
+    """Log-binned degree distribution of the co-purchase graph — the
+    profile read before choosing graph-algorithm orientation/salting
+    (is this power-law or near-regular?). One agg for degrees, one for
+    the log2 histogram; floor(log2) is exact at bucket boundaries
+    (powers of two are exact doubles in both engines)."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(li).localCheckpoint(eager=True)
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionByName(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    bucket = F.floor(F.log2("deg")).cast("bigint")
+    return deg.groupBy(bucket.alias("log2_deg")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )
+
+
+def q_minhash_accuracy(spark, sf_dir):
+    """Sketch-quality diagnostic: for every LSH candidate pair, the
+    MinHash similarity ESTIMATE (fraction of the 16 signature positions
+    that agree) next to the EXACT shingle Jaccard and the absolute
+    error — the evaluation loop that decides num_hashes/bands before a
+    100 TB dedup run. Signatures checkpoint once; the exact side only
+    runs on candidates (never all pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(d, "text", 3)
+    sig = dedup.minhash_signatures(sh, 16).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sig, bands=8, rows_per_band=2)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        / F.lit(16.0)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    exact = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 4).alias("minhash_est"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
     )
 
 
@@ -4744,6 +4882,22 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "degree_distribution": """
+WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs)
+  GROUP BY node)
+SELECT CAST(floor(log2(deg)) AS BIGINT) AS log2_deg,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1""",
+    "minhash_accuracy": _sql_minhash_accuracy(),
     "token_ids": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
@@ -6627,6 +6781,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "dp_count": QuerySpec(q_dp_count, ORACLES["dp_count"]),
     "chi_square": QuerySpec(q_chi_square, ORACLES["chi_square"]),
     "token_ids": QuerySpec(q_token_ids, ORACLES["token_ids"]),
+    "minhash_accuracy": QuerySpec(
+        q_minhash_accuracy, ORACLES["minhash_accuracy"]
+    ),
+    "degree_distribution": QuerySpec(
+        q_degree_distribution, ORACLES["degree_distribution"]
+    ),
     "span_corruption": QuerySpec(
         q_span_corruption, ORACLES["span_corruption"]
     ),
