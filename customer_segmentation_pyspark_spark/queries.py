@@ -2922,6 +2922,44 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_repeat_purchase_interval(spark, sf_dir):
+    """Repeat-purchase cadence per market segment: day gaps between a
+    customer's consecutive orders, with mean and exact-discrete p50/p90
+    (percentile_approx at accuracy 1e6 picks the same discrete element
+    as DuckDB's quantile_disc — the mad_outliers pattern). One window
+    shuffle on customer + one segment aggregate; the segment dimension
+    rides a broadcast."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gap = F.datediff(
+        F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+    )
+    return (
+        o.join(F.broadcast(c), "o_custkey")
+        .withColumn("gap", gap)
+        .where(F.col("gap").isNotNull())
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+            F.percentile_approx("gap", 0.5, 1_000_000)
+            .cast("bigint")
+            .alias("p50_gap"),
+            F.percentile_approx("gap", 0.9, 1_000_000)
+            .cast("bigint")
+            .alias("p90_gap"),
+        )
+    )
+
+
 def q_degree_distribution(spark, sf_dir):
     """Log-binned degree distribution of the co-purchase graph — the
     profile read before choosing graph-algorithm orientation/salting
@@ -4882,6 +4920,19 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "repeat_purchase_interval": """
+WITH g AS (
+  SELECT c.c_mktsegment AS segment,
+         date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_intervals,
+       round(avg(gap), 4) AS avg_gap_days,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap
+FROM g WHERE gap IS NOT NULL GROUP BY 1""",
     "degree_distribution": """
 WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
@@ -6786,6 +6837,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "degree_distribution": QuerySpec(
         q_degree_distribution, ORACLES["degree_distribution"]
+    ),
+    "repeat_purchase_interval": QuerySpec(
+        q_repeat_purchase_interval, ORACLES["repeat_purchase_interval"]
     ),
     "span_corruption": QuerySpec(
         q_span_corruption, ORACLES["span_corruption"]
