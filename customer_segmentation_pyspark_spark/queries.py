@@ -2922,6 +2922,51 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_feature_cross(spark, sf_dir):
+    """Hashed cross features (CTR-style feature engineering): the
+    (segment x nation) cross hashed into 256 buckets via md5 —
+    engine-portable, no vocab table. Output: bucket occupancy (count,
+    distinct crosses per bucket — the collision diagnostic). Map-only
+    hash + one agg."""
+    c = load_table(spark, sf_dir, "customer")
+    cross = F.concat_ws(
+        "|", "c_mktsegment", F.col("c_nationkey").cast("string")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(cross.cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 256
+    )
+    return (
+        c.select(cross.alias("cross"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("cross").alias("n_crosses"),
+        )
+    )
+
+
+def q_freshness_audit(spark, sf_dir):
+    """Data-freshness audit: per event type, the newest event's lag
+    behind the global high-water mark — the staleness monitor a
+    pipeline scheduler reads. Two tiny aggs; the global mark rides a
+    broadcast scalar."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("max_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    glob = per.agg(F.max("max_us").alias("hwm"))
+    return per.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n_events",
+        ((F.col("hwm") - F.col("max_us")) / F.lit(1000000))
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )
+
+
 def q_repeat_purchase_interval(spark, sf_dir):
     """Repeat-purchase cadence per market segment: day gaps between a
     customer's consecutive orders, with mean and exact-discrete p50/p90
@@ -4920,6 +4965,25 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "feature_cross": """
+WITH x AS (
+  SELECT c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) AS crs,
+         CAST(('0x' || substr(md5(c_mktsegment || '|' ||
+                              CAST(c_nationkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS bucket
+  FROM customer)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT crs) AS BIGINT) AS n_crosses
+FROM x GROUP BY 1""",
+    "freshness_audit": """
+WITH per AS (
+  SELECT event_type, max(epoch_us(ts)) AS max_us,
+         count(*) AS n_events
+  FROM events GROUP BY 1),
+g AS (SELECT max(max_us) AS hwm FROM per)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST((hwm - max_us) // 1000000 AS BIGINT) AS lag_seconds
+FROM per CROSS JOIN g""",
     "repeat_purchase_interval": """
 WITH g AS (
   SELECT c.c_mktsegment AS segment,
@@ -6840,6 +6904,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "repeat_purchase_interval": QuerySpec(
         q_repeat_purchase_interval, ORACLES["repeat_purchase_interval"]
+    ),
+    "feature_cross": QuerySpec(q_feature_cross, ORACLES["feature_cross"]),
+    "freshness_audit": QuerySpec(
+        q_freshness_audit, ORACLES["freshness_audit"]
     ),
     "span_corruption": QuerySpec(
         q_span_corruption, ORACLES["span_corruption"]
