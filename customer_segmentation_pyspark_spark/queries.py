@@ -2922,6 +2922,80 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def _jl_matrix(out_dim: int = 16, in_dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix, seeded
+    by md5 — a module constant, so the Spark plan and the generated SQL
+    oracle embed the IDENTICAL literals (the ann_lsh plane pattern)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl|{k}|{j}".encode()).digest()[0] % 2 == 0
+            else -1
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+JL_R = _jl_matrix()
+
+
+def q_jl_projection(spark, sf_dir):
+    """Random-projection dimensionality reduction (Johnson-
+    Lindenstrauss): 64-dim embeddings down to 16 dims with a plan-
+    literal +-1 matrix, scaled 1/sqrt(16); output checks the JL promise
+    per vector (norm ratio ~ 1). Map-only — each projection is a
+    zip_with/aggregate fold over the row, no shuffle, no driver state
+    beyond the 16x64 literal. The fold order is ascending j in BOTH
+    engines, so the doubles agree bit-for-bit before rounding."""
+    from customer_segmentation_pyspark_spark.functions.arrays import (
+        array_lit,
+        dot,
+        norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    projs = [
+        dot(v, array_lit([float(x) for x in row])) / F.lit(4.0)
+        for row in JL_R
+    ]
+    proj_norm = F.sqrt(
+        sum((p * p for p in projs), F.lit(0.0))
+    )
+    return e.select(
+        "vec_id",
+        F.round(norm(v), 4).alias("orig_norm"),
+        F.round(proj_norm, 4).alias("proj_norm"),
+        F.round(proj_norm / norm(v), 4).alias("norm_ratio"),
+    )
+
+
+def _sql_jl_projection() -> str:
+    terms = []
+    for k, row in enumerate(JL_R):
+        t = " + ".join(
+            f"({'' if r > 0 else '-'}CAST(embedding[{j + 1}] AS DOUBLE))"
+            for j, r in enumerate(row)
+        )
+        terms.append(f"(({t}) / 4.0)")
+    proj_sq = " + ".join(f"({t}) * ({t})" for t in terms)
+    orig = (
+        "sqrt(" + " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * "
+            f"CAST(embedding[{j + 1}] AS DOUBLE)"
+            for j in range(64)
+        ) + ")"
+    )
+    return f"""
+SELECT vec_id, round({orig}, 4) AS orig_norm,
+       round(sqrt({proj_sq}), 4) AS proj_norm,
+       round(sqrt({proj_sq}) / {orig}, 4) AS norm_ratio
+FROM embeddings"""
+
+
 def q_feature_cross(spark, sf_dir):
     """Hashed cross features (CTR-style feature engineering): the
     (segment x nation) cross hashed into 256 buckets via md5 —
@@ -4965,6 +5039,7 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "jl_projection": _sql_jl_projection(),
     "feature_cross": """
 WITH x AS (
   SELECT c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) AS crs,
@@ -6906,6 +6981,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_repeat_purchase_interval, ORACLES["repeat_purchase_interval"]
     ),
     "feature_cross": QuerySpec(q_feature_cross, ORACLES["feature_cross"]),
+    "jl_projection": QuerySpec(
+        q_jl_projection, ORACLES["jl_projection"]
+    ),
     "freshness_audit": QuerySpec(
         q_freshness_audit, ORACLES["freshness_audit"]
     ),
