@@ -2922,6 +2922,41 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Bigram LM training counts with the Kneser-Ney ingredient: per
+    bigram the corpus count, and per RIGHT word its continuation count
+    (distinct left contexts) — what KN smoothing actually needs. Bigram
+    arrays are built per doc with a HOF (no token self-join), then ONE
+    explode feeds both aggregates; top-50 bigrams by (count desc, text)
+    keep the result bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, (i + 1).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+    pairs = d.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_bigram")
+    )
+    cont = counts.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("continuation")
+    )
+    return (
+        counts.join(cont, "w2")
+        .orderBy(F.desc("n_bigram"), "w1", "w2")
+        .limit(50)
+        .select("w1", "w2", "n_bigram", F.col("continuation").cast("bigint"))
+    )
+
+
 def _jl_matrix(out_dim: int = 16, in_dim: int = 64) -> list[list[int]]:
     """Deterministic ±1 Johnson-Lindenstrauss projection matrix, seeded
     by md5 — a module constant, so the Spark plan and the generated SQL
@@ -5039,6 +5074,21 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "bigram_lm": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+  FROM documents),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+counts AS (
+  SELECT w1, w2, count(*) AS n_bigram FROM pairs GROUP BY 1, 2),
+cont AS (SELECT w2, count(*) AS continuation FROM counts GROUP BY 1)
+SELECT w1, w2, CAST(n_bigram AS BIGINT) AS n_bigram,
+       CAST(continuation AS BIGINT) AS continuation
+FROM counts JOIN cont USING (w2)
+ORDER BY n_bigram DESC, w1, w2 LIMIT 50""",
     "jl_projection": _sql_jl_projection(),
     "feature_cross": """
 WITH x AS (
@@ -6984,6 +7034,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "jl_projection": QuerySpec(
         q_jl_projection, ORACLES["jl_projection"]
     ),
+    "bigram_lm": QuerySpec(q_bigram_lm, ORACLES["bigram_lm"]),
     "freshness_audit": QuerySpec(
         q_freshness_audit, ORACLES["freshness_audit"]
     ),
