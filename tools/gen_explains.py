@@ -28,6 +28,10 @@ NAMES = [
     # Jaccard, Bloom-pruned join, skew profile, triangle counting
     "line_dedup", "cdc_apply", "prefix_jaccard", "bloom_prune_join",
     "key_skew_profile", "event_dedup_window", "triangle_count",
+    # r02 batch 6: perplexity LM, attribution window, JL projection,
+    # bigram LM
+    "unigram_ppl", "attribution_last_touch", "jl_projection",
+    "bigram_lm",
 ]
 
 
