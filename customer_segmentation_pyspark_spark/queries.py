@@ -2922,6 +2922,64 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def q_corpus_curation_pipeline(spark, sf_dir):
+    """r02 curation capstone: segment dedup -> content gate -> md5
+    train/val/test split -> per-source quota -> shard manifest. Shows
+    the round's operators COMPOSE into one plan with a single composed
+    SQL oracle (the llm_prep_pipeline pattern): boilerplate segments
+    are removed corpus-wide, docs keeping >= 2 clean segments survive,
+    each (split, source) keeps its 3 largest survivors by cleaned
+    token count, and the manifest row is (split, source, n_docs,
+    sum_tokens, ids_md5)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = dedup.segment_dedup(d, seg_words=8, min_docs=2)
+    survivors = (
+        cleaned.where(
+            (F.col("n_segs") - F.col("n_dup_segs")) >= 2
+        )
+        .join(d.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.col("clean_text"), r"\s+")).cast("bigint"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    tagged = survivors.withColumn("split", split)
+    w = Window.partitionBy("split", "source").orderBy(
+        F.desc("n_tokens"), "doc_id"
+    )
+    kept = tagged.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 3
+    )
+    return kept.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("ids_md5"),
+    )
+
+
 def q_bigram_lm(spark, sf_dir):
     """Bigram LM training counts with the Kneser-Ney ingredient: per
     bigram the corpus count, and per RIGHT word its continuation count
@@ -5074,6 +5132,51 @@ def q_attribution_last_touch(spark, sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "corpus_curation_pipeline": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(
+           0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS s
+  FROM toks),
+segs AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS seg_id,
+         array_to_string(t[s * 8 + 1 : s * 8 + 8], ' ') AS seg_text
+  FROM starts),
+hashed AS (
+  SELECT doc_id, seg_id, seg_text, md5(seg_text) AS h FROM segs),
+dfc AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM hashed GROUP BY 1),
+cleaned AS (
+  SELECT doc_id,
+         count(*) AS n_segs,
+         sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_segs,
+         coalesce(string_agg(CASE WHEN n_docs < 2 THEN seg_text END,
+                             ' ' ORDER BY seg_id), '') AS clean_text
+  FROM hashed JOIN dfc USING (h)
+  GROUP BY doc_id),
+survivors AS (
+  SELECT c.doc_id, d.source,
+         CAST(len(string_split_regex(c.clean_text, '\\s+')) AS BIGINT)
+           AS n_tokens,
+         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM cleaned c
+  JOIN (SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM documents) d USING (doc_id)
+  WHERE c.n_segs - c.n_dup_segs >= 2),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY split, source
+              ORDER BY n_tokens DESC, doc_id) AS rk
+    FROM survivors) WHERE rk <= 3)
+SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS ids_md5
+FROM kept GROUP BY 1, 2""",
     "bigram_lm": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
@@ -7035,6 +7138,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_jl_projection, ORACLES["jl_projection"]
     ),
     "bigram_lm": QuerySpec(q_bigram_lm, ORACLES["bigram_lm"]),
+    "corpus_curation_pipeline": QuerySpec(
+        q_corpus_curation_pipeline, ORACLES["corpus_curation_pipeline"]
+    ),
     "freshness_audit": QuerySpec(
         q_freshness_audit, ORACLES["freshness_audit"]
     ),
