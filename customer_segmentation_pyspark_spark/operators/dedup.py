@@ -849,3 +849,82 @@ def prefix_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication for web-scale pretraining corpora — cluster the
+    embedding space, then drop within-cluster near-duplicates by cosine,
+    keeping the lowest-id representative of each near-dup group.
+
+    The quadratic all-pairs problem is blocked by the cluster key: with
+    K ∝ N / target_cluster_size the per-cluster pair expansion is
+    bounded, and the only shuffle is the cluster-keyed self-join (the
+    cross-cluster pairs SemDeDup deliberately ignores are what make it
+    sub-quadratic). Assignment is one codegen'd projection — the
+    centroids ride the plan as literals, exactly like the K-means
+    assign stage (plans/kmeans.py), so at 100 TB you train centroids on
+    a sample with the engine's own kmeans and splice them in here.
+
+    Deterministic + oracle-exact: squared-Euclidean assignment folds
+    per-dimension terms left-to-right (bit-identical in DuckDB), argmin
+    breaks ties on the first minimum, cosine is rounded to 4 decimals
+    before the threshold, and "keep" is the id-ordered survivor rule —
+    no iteration, no RNG.
+
+    Returns (vec_id, cluster, keep).
+    """
+    from customer_segmentation_pyspark_spark.functions.arrays import (
+        array_argmin,
+        cosine_similarity,
+    )
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+
+    def sqdist(cent: list[float]) -> Column:
+        expr = None
+        for d, c in enumerate(cent):
+            t = F.col("v").getItem(d) - F.lit(float(c))
+            term = t * t
+            expr = term if expr is None else expr + term
+        return expr
+
+    assigned = base.select(
+        "vec_id",
+        "v",
+        array_argmin(F.array(*[sqdist(c) for c in centroids]))
+        .cast("long")
+        .alias("cluster"),
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
+        )
+    )

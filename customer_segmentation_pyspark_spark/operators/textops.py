@@ -331,3 +331,75 @@ def char_entropy(text: Column) -> Column:
     )
     n = F.length(text).cast("double")
     return F.log2(n) - run_sum / n
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones, the Okapi weighting
+    every search engine ships) for one fixed term query; the ranked-list
+    half of the IR stack whose index half is ``q_inverted_index``.
+
+    Scale shape: the corpus-wide term explode is filtered to the query
+    terms BEFORE any shuffle (an IN-list the scan pushes down post-
+    explode), so shuffle volume is O(docs containing a query term), not
+    O(total tokens). Doc lengths ride the same tokenization pass;
+    (N, avgdl) is a broadcast scalar; per-term document frequencies are a
+    broadcast dim. One doc_id-keyed shuffle joins tf to dl; the final
+    top-k is TakeOrderedAndProject, never a global sort.
+
+    Determinism: scores are rounded to 6 decimals before ranking (absorbs
+    last-ulp libm ``ln`` differences between engines) and ties break on
+    ascending id, so the ranked list is hash-exact vs the SQL oracle.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        terms.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    part = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        part.groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -5131,7 +5131,83 @@ def q_attribution_last_touch(spark, sf_dir):
     )
 
 
+BM25_QUERY_TERMS = ["spark", "window", "hash"]
+
+# SemDeDup cluster centroids: deterministic plan literals (at corpus scale
+# these come from the engine's own kmeans over a sample — plans/kmeans.py —
+# and splice into the same assignment projection).
+def _sem_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
+    import numpy as np
+
+    return np.random.RandomState(7).normal(size=(k, dim)).tolist()
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 for a fixed 3-term query (k1=1.2, b=0.75) — the
+    ranked-retrieval half of the IR stack over `documents`. Shuffle
+    volume is bounded by docs containing a query term (IN-list filter
+    before any agg); (N, avgdl) and per-term df ride broadcasts; final
+    ranking is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.bm25_topk(d, BM25_QUERY_TERMS, k=10)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic near-dup removal: literal-centroid cluster
+    assignment blocks the quadratic cosine check; lowest-id survivor per
+    near-dup group. Hash-exact vs the SQL oracle (fold-ordered distance
+    terms, round(4) cosine, deterministic keep rule)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(e, _sem_centroids(), threshold=0.4)
+
+
+def _sql_semantic_dedup(threshold: float = 0.4) -> str:
+    """Mirror of q_semantic_dedup: identical centroid literals, identical
+    left-to-right distance folds, same first-min argmin tie-break."""
+    cents = _sem_centroids()
+    dists = []
+    for cent in cents:
+        terms = " + ".join(
+            f"(CAST(v[{d + 1}] AS DOUBLE) - ({x!r}))"
+            f" * (CAST(v[{d + 1}] AS DOUBLE) - ({x!r}))"
+            for d, x in enumerate(cent)
+        )
+        dists.append(f"({terms})")
+    argmin = _sql_argmin4(dists)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+a AS (SELECT vec_id, v, CAST({argmin} AS BIGINT) AS cluster FROM e),
+dup AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {threshold})
+SELECT a.vec_id, a.cluster, (dup.vec_id IS NULL) AS keep
+FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id"""
+
+
 ORACLES: dict[str, str] = {
+    "bm25_topk": """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT * FROM terms WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+part AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats s)
+SELECT doc_id, round(sum(part), 6) AS bm25
+FROM part GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    "semantic_dedup": _sql_semantic_dedup(),
     "corpus_curation_pipeline": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
@@ -7306,5 +7382,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "benford_audit": QuerySpec(q_benford_audit, ORACLES["benford_audit"]),
     "inverted_index": QuerySpec(
         q_inverted_index, ORACLES["inverted_index"]
+    ),
+    "bm25_topk": QuerySpec(q_bm25_topk, ORACLES["bm25_topk"]),
+    "semantic_dedup": QuerySpec(
+        q_semantic_dedup, ORACLES["semantic_dedup"]
     ),
 }

@@ -644,3 +644,85 @@ def test_prefix_jaccard_equals_naive_join(spark):
     )
     assert fast == naive
     assert (3, 4, 1.0) in fast and any(a == 1 and b == 2 for a, b, _ in fast)
+
+
+def test_bm25_returned_docs_contain_query_terms(docs):
+    """Every BM25 hit must contain at least one query term (scores only
+    arise from tf rows), scores are positive and non-increasing, and the
+    list respects k."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    terms = ["spark", "window", "hash"]
+    out = textops.bm25_topk(docs, terms, k=10).collect()
+    assert 0 < len(out) <= 10
+    scores = [r["bm25"] for r in out]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    hits = {r["doc_id"] for r in out}
+    texts = {
+        r["doc_id"]: r["text"].lower()
+        for r in docs.filter(F.col("doc_id").isin(list(hits))).collect()
+    }
+    for d in hits:
+        assert any(t in texts[d].split() for t in terms)
+
+
+def test_bm25_rare_term_outscores_common_term(spark):
+    """IDF sanity: a doc matching only a rare term beats a doc matching
+    only a ubiquitous term at equal tf and length."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    rows = [(0, "rare aaa bbb"), (1, "common aaa bbb")] + [
+        (i, "common xxx yyy") for i in range(2, 12)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in textops.bm25_topk(d, ["rare", "common"], k=20).collect()
+    }
+    assert out[0] > out[1]
+
+
+def test_semantic_dedup_keeps_lowest_id_survivor(emb):
+    """Row-preserving; every dropped vec has a kept lower-id near-dup in
+    its own cluster (cosine >= threshold); threshold > 1 keeps all."""
+    from customer_segmentation_pyspark_spark.queries import _sem_centroids
+
+    cents = _sem_centroids()
+    out = dedup.semantic_dedup(emb, cents, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+
+    kept = {r["vec_id"] for r in rows if r["keep"]}
+    dropped = {r["vec_id"] for r in rows if not r["keep"]}
+    assert dropped, "fixture should contain semantic near-dups"
+    cluster = {r["vec_id"]: r["cluster"] for r in rows}
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 4
+        )
+
+    for d in dropped:
+        ok = any(
+            u < d
+            and cluster[u] == cluster[d]
+            and cos(vecs[u], vecs[d]) >= 0.4
+            for u in vecs
+        )
+        assert ok, f"vec {d} dropped without a lower-id near-dup witness"
+    # the lowest id of every cluster can never be dropped
+    import collections
+
+    low = {}
+    for v, c in cluster.items():
+        low[c] = min(low.get(c, v), v)
+    assert set(low.values()) <= kept
+
+    all_keep = dedup.semantic_dedup(emb, cents, threshold=1.1)
+    assert all_keep.filter(~F.col("keep")).count() == 0
