@@ -92,6 +92,10 @@ HEADLINE = [
     # (the scale smoke pins that: 100k docs w/ a stop shingle -> 0-pair
     # candidate set in seconds)
     "unigram_ppl",
+    # r02 session-2: IR + semantic-dedup additions
+    "bm25_topk",
+    "semantic_dedup",
+    "ann_ivf_fixed",
     # simhash_pairs is oracled but not benched: the fixture's 31-word
     # vocabulary makes every doc near-identical, so Hamming<=3 output is
     # inherently quadratic HERE (3.5M pairs at sf0.1) — not an operator

@@ -153,6 +153,7 @@ def ivf_topk_cosine(
     vec_col: str = "embedding",
     trainer: str = "sample_numpy",
     train_rows: int = 4096,
+    cells: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus with K-means
     cells, probe each query's ``n_probe`` nearest cells, exact-rescore.
@@ -177,7 +178,13 @@ def ivf_topk_cosine(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     )
-    if trainer == "sample_numpy":
+    if cells is not None:
+        # pre-trained / fixed coarse quantizer: the centers are plan
+        # literals supplied by the caller (production shape: train once on
+        # a sample, reuse across every probe query) — and the whole IVF
+        # path becomes deterministic enough to SQL-oracle exactly.
+        cells = [list(map(float, cent)) for cent in cells]
+    elif trainer == "sample_numpy":
         cells = _train_cells_sample_numpy(c, n_cells, train_rows, seed)
         if cells is None:
             return corpus.sparkSession.createDataFrame(

@@ -5142,6 +5142,75 @@ def _sem_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
     return np.random.RandomState(7).normal(size=(k, dim)).tolist()
 
 
+def _ivf_fixed_cells(k: int = 8, dim: int = 64) -> list[list[float]]:
+    import numpy as np
+
+    return np.random.RandomState(11).normal(size=(k, dim)).tolist()
+
+
+def q_ann_ivf_fixed(spark, sf_dir):
+    """IVF ANN with a FIXED plan-literal coarse quantizer (8 cells,
+    probe 3, top-5) — the production IVF shape: train the quantizer once
+    on a sample, then reuse it across every probe query. With literal
+    centers the whole path (cell assignment, probe ranking, rescore) is
+    deterministic, so unlike the engine-trained `ann_ivf_topk` this one
+    is hash-exact vs the SQL oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk_cosine(
+        e, q, n_probe=3, k=5, cells=_ivf_fixed_cells()
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_ann_ivf_fixed(n_probe: int = 3, k: int = 5) -> str:
+    """Mirror of q_ann_ivf_fixed: identical center literals, identical
+    left-to-right squared-distance folds, first-min cell assignment,
+    (distance, cell)-ordered probe ranking, round(4) cosine rescore."""
+    cells = _ivf_fixed_cells()
+    dcols = []
+    for j, cent in enumerate(cells):
+        terms = " + ".join(
+            f"(v[{d + 1}] - ({x!r})) * (v[{d + 1}] - ({x!r}))"
+            for d, x in enumerate(cent)
+        )
+        dcols.append(f"({terms}) AS d{j}")
+    n = len(cells)
+    whens = []
+    for i in range(n - 1):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, n))
+        whens.append(f"WHEN {conds} THEN {i}")
+    argmin = "CASE " + " ".join(whens) + f" ELSE {n - 1} END"
+    packs = ", ".join(
+        f"struct_pack(cell := {j}, d := d{j})" for j in range(n)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dd AS (SELECT vec_id, v, {", ".join(dcols)} FROM e),
+a AS (SELECT vec_id, v, {argmin} AS cell FROM dd),
+qu AS (SELECT vec_id AS query_id, v AS qv, unnest([{packs}]) AS u
+       FROM dd WHERE vec_id < 5),
+qc AS (SELECT query_id, qv, u.cell AS cell, u.d AS d FROM qu),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cell)
+           AS pr FROM qc) WHERE pr <= {n_probe}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, a.v), 4) AS cos_sim
+  FROM probes p JOIN a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-10 for a fixed 3-term query (k1=1.2, b=0.75) — the
     ranked-retrieval half of the IR stack over `documents`. Shuffle
@@ -5208,6 +5277,7 @@ SELECT doc_id, round(sum(part), 6) AS bm25
 FROM part GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
+    "ann_ivf_fixed": _sql_ann_ivf_fixed(),
     "corpus_curation_pipeline": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
@@ -7334,6 +7404,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(q_cosine_topk, ORACLES["cosine_topk"]),
     "ann_lsh_topk": QuerySpec(q_ann_lsh_topk, ORACLES["ann_lsh_topk"]),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, None),
+    "ann_ivf_fixed": QuerySpec(q_ann_ivf_fixed, ORACLES["ann_ivf_fixed"]),
     # multimodal
     "llm_prep_pipeline": QuerySpec(
         q_llm_prep_pipeline, ORACLES["llm_prep_pipeline"]

@@ -726,3 +726,23 @@ def test_semantic_dedup_keeps_lowest_id_survivor(emb):
 
     all_keep = dedup.semantic_dedup(emb, cents, threshold=1.1)
     assert all_keep.filter(~F.col("keep")).count() == 0
+
+
+def test_ivf_fixed_cells_recall_vs_brute_force(emb):
+    """Fixed plan-literal quantizer (8 cells, probe 3): recall@5 vs the
+    exact baseline. 1.0 on the fixture; 0.7 is the regression floor
+    (an assignment/probe-ranking bug craters it to ~cell-fraction)."""
+    from customer_segmentation_pyspark_spark.queries import _ivf_fixed_cells
+
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk_cosine(
+            emb, q, n_probe=3, k=5, cells=_ivf_fixed_cells()
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.7
