@@ -403,3 +403,110 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    importance weights from hashed-token bag-of-words models of a
+    target subset vs the raw corpus. ``target`` is a boolean Column
+    marking the in-domain rows; each doc scores
+    sum_tokens[ ln p_target(bucket) - ln p_raw(bucket) ] with add-1
+    smoothing, so ``log_ratio > 0`` means "more target-like than raw"
+    — the resampling key for domain-matched pretraining selection.
+
+    Scale shape: ONE token explode feeds both the bucket-count agg and
+    the per-doc score; the bucket model is at most ``n_buckets`` rows
+    (a broadcast dim, independent of corpus size) and the corpus
+    totals ride a broadcast scalar. Two shuffles total (bucket agg,
+    doc agg) — both map-side combinable. Hash buckets are md5-derived
+    (engine-portable); scores round to 6 decimals so the cross-engine
+    sum-order/libm wobble is absorbed and the output is hash-exact.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("is_target"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).filter(F.col("w") != "")
+    tb = toks.select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10
+            ).cast("bigint")
+            % n_buckets
+        ).alias("b"),
+    )
+    counts = tb.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+    )
+    nb = F.lit(float(n_buckets))
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + nb))
+            - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + nb))
+        ).alias("lw"),
+    )
+    return (
+        tb.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lw"), 6).alias("log_ratio"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "log_ratio",
+            (F.col("log_ratio") > 0).alias("selected"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, top: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """The first iteration of BPE tokenizer training (Sennrich et al.
+    2016): corpus-wide adjacent-symbol-pair frequencies, the statistic
+    the merge rule greedily maximizes. Symbols here are characters
+    within whitespace words (the standard BPE pre-tokenization).
+
+    Scale shape: pair generation happens on the DISTINCT-word table
+    weighted by word frequency — the heavy explode runs over the
+    vocabulary (sublinear in corpus size, Zipf caps it), not the raw
+    token stream; at 100 TB that is the difference between exploding
+    ~1e6 vocab entries and ~1e13 tokens. One agg builds the vocab
+    (map-side combinable), one agg sums pair weights, and the top-k is
+    TakeOrderedAndProject. Exact integer counts — hash-exact oracle.
+    """
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    pairs = vocab.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(top)
+    )

@@ -5211,6 +5211,23 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   FROM scored) WHERE rank <= {k}"""
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling scores: target = English docs, raw =
+    whole corpus; hashed-unigram bag-of-words log-ratio per doc plus
+    the selected flag. Bucket model is a broadcast dim; two
+    map-side-combinable shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.dsir_scores(d, F.col("lang") == "en")
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training statistic: top-20 adjacent character
+    pairs weighted by word frequency, generated over the DISTINCT
+    vocabulary (Zipf-bounded), not the raw token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.bpe_pair_counts(d, top=20)
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-10 for a fixed 3-term query (k1=1.2, b=0.75) — the
     ranked-retrieval half of the IR stack over `documents`. Shuffle
@@ -5278,6 +5295,42 @@ FROM part GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "ann_ivf_fixed": _sql_ann_ivf_fixed(),
+    "dsir_select": """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+tb AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 10000 AS b
+  FROM toks WHERE w <> ''),
+counts AS (
+  SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM tb GROUP BY b),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+weights AS (
+  SELECT b, ln((ct + 1.0) / (tt + 10000.0))
+            - ln((cr + 1.0) / (tr + 10000.0)) AS lw
+  FROM counts, tot),
+sc AS (
+  SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(w.lw), 6) AS log_ratio
+  FROM tb JOIN weights w ON tb.b = w.b GROUP BY tb.doc_id)
+SELECT doc_id, n_tokens, log_ratio, log_ratio > 0 AS selected FROM sc""",
+    "bpe_pair_counts": """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+vocab AS (
+  SELECT w, count(*) AS n FROM words WHERE len(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT n, unnest([substr(w, i, 2)
+                    for i in generate_series(1, len(w) - 1)]) AS pair
+  FROM vocab)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20""",
     "corpus_curation_pipeline": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
@@ -7455,6 +7508,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_inverted_index, ORACLES["inverted_index"]
     ),
     "bm25_topk": QuerySpec(q_bm25_topk, ORACLES["bm25_topk"]),
+    "dsir_select": QuerySpec(q_dsir_select, ORACLES["dsir_select"]),
+    "bpe_pair_counts": QuerySpec(
+        q_bpe_pair_counts, ORACLES["bpe_pair_counts"]
+    ),
     "semantic_dedup": QuerySpec(
         q_semantic_dedup, ORACLES["semantic_dedup"]
     ),

@@ -746,3 +746,35 @@ def test_ivf_fixed_cells_recall_vs_brute_force(emb):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.7
+
+
+def test_dsir_separates_target_tokens(spark):
+    """Docs made of target-exclusive tokens score positive; docs of
+    raw-only tokens score negative; token counts exact."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    rows = (
+        [(i, "tgt tok " * 5, "en") for i in range(5)]
+        + [(i, "raw only junk " * 5, "xx") for i in range(5, 10)]
+    )
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r
+        for r in textops.dsir_scores(d, F.col("lang") == "en").collect()
+    }
+    assert all(out[i]["log_ratio"] > 0 and out[i]["selected"] for i in range(5))
+    assert all(
+        out[i]["log_ratio"] < 0 and not out[i]["selected"]
+        for i in range(5, 10)
+    )
+    assert out[0]["n_tokens"] == 10 and out[5]["n_tokens"] == 15
+
+
+def test_bpe_pair_counts_known_answer(spark):
+    """["ab ab", "abc"] -> vocab {ab:2, abc:1} -> pair ab has weight 3,
+    bc weight 1."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    d = spark.createDataFrame([(0, "ab ab"), (1, "abc")], ["doc_id", "text"])
+    out = {r["pair"]: r["n"] for r in textops.bpe_pair_counts(d).collect()}
+    assert out == {"ab": 3, "bc": 1}
