@@ -5211,6 +5211,68 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   FROM scored) WHERE rank <= {k}"""
 
 
+def q_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints, k=8 w=6: map-only
+    HOF pipeline, zero shuffles, constant-width output per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.winnowing_fingerprints(d, k=8, w=6)
+
+
+def q_welch_ttest(spark, sf_dir):
+    """Welch two-sample t-test: order totals of BUILDING vs MACHINERY
+    customers — the experiment-analysis primitive. One broadcast dim
+    join + ONE conditional-sum aggregation (single pass, map-side
+    combinable, one row out); moments to t-stat and Welch-Satterthwaite
+    df are driver-free scalar arithmetic in the projection."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(
+            c.filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            ).select("c_custkey", "c_mktsegment")
+        ),
+        o.o_custkey == F.col("c_custkey"),
+    )
+
+    def side(seg, agg_col):
+        m = F.col("c_mktsegment") == seg
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).cast("double").alias(f"n{agg_col}"),
+            F.sum(F.when(m, F.col("o_totalprice")).otherwise(0.0)).alias(
+                f"s{agg_col}"
+            ),
+            F.sum(
+                F.when(
+                    m, F.col("o_totalprice") * F.col("o_totalprice")
+                ).otherwise(0.0)
+            ).alias(f"q{agg_col}"),
+        ]
+
+    stats = j.agg(*side("BUILDING", "1"), *side("MACHINERY", "2"))
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+        + (v2 / F.col("n2")) * (v2 / F.col("n2")) / (F.col("n2") - 1)
+    )
+    return stats.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(m1 - m2, 4).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-resampling scores: target = English docs, raw =
     whole corpus; hashed-unigram bag-of-words log-ratio per doc plus
@@ -5295,6 +5357,55 @@ FROM part GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "ann_ivf_fixed": _sql_ann_ivf_fixed(),
+    "winnowing": """
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents),
+g AS (SELECT doc_id,
+             [substr(s, i, 8) for i in generate_series(1, len(s) - 7)]
+               AS grams
+      FROM nt),
+h AS (SELECT doc_id,
+             [CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)
+              for x in grams] AS hs
+      FROM g),
+m AS (SELECT doc_id, len(hs) AS n_grams,
+             list_sort(list_distinct(
+               [list_min(hs[i:i+5])
+                for i in generate_series(1, len(hs) - 5)])) AS fps
+      FROM h)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS fp_md5
+FROM m""",
+    "welch_ttest": """
+WITH j AS (
+  SELECT o.o_totalprice AS x, c.c_mktsegment AS seg
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+st AS (
+  SELECT CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n1,
+         sum(CASE WHEN seg = 'BUILDING' THEN x ELSE 0.0 END) AS s1,
+         sum(CASE WHEN seg = 'BUILDING' THEN x * x ELSE 0.0 END) AS q1,
+         CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n2,
+         sum(CASE WHEN seg = 'MACHINERY' THEN x ELSE 0.0 END) AS s2,
+         sum(CASE WHEN seg = 'MACHINERY' THEN x * x ELSE 0.0 END) AS q2
+  FROM j),
+d AS (
+  SELECT n1, n2, s1 / n1 - s2 / n2 AS mean_diff,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+         (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+  FROM st),
+e AS (
+  SELECT n1, n2, mean_diff, v1, v2, v1 / n1 + v2 / n2 AS se2 FROM d)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(mean_diff, 4) AS mean_diff,
+       round(mean_diff / sqrt(se2), 6) AS t_stat,
+       round((se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+             + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS welch_df
+FROM e""",
     "dsir_select": """
 WITH toks AS (
   SELECT doc_id, lang = 'en' AS is_target,
@@ -7509,6 +7620,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "bm25_topk": QuerySpec(q_bm25_topk, ORACLES["bm25_topk"]),
     "dsir_select": QuerySpec(q_dsir_select, ORACLES["dsir_select"]),
+    "winnowing": QuerySpec(q_winnowing, ORACLES["winnowing"]),
+    "welch_ttest": QuerySpec(q_welch_ttest, ORACLES["welch_ttest"]),
     "bpe_pair_counts": QuerySpec(
         q_bpe_pair_counts, ORACLES["bpe_pair_counts"]
     ),

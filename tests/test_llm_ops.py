@@ -778,3 +778,63 @@ def test_bpe_pair_counts_known_answer(spark):
     d = spark.createDataFrame([(0, "ab ab"), (1, "abc")], ["doc_id", "text"])
     out = {r["pair"]: r["n"] for r in textops.bpe_pair_counts(d).collect()}
     assert out == {"ab": 3, "bc": 1}
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; unrelated docs of
+    distinct characters share none; short docs yield zero prints."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "AAA " + shared + " BBB"),
+        (1, "CCC " + shared + " DDD"),
+        (2, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"),
+        (3, "tiny"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.winnowing_fingerprints(d, k=8, w=6)
+    assert out.count() == 4
+    row3 = out.filter(F.col("doc_id") == 3).first()
+    assert row3["n_fingerprints"] == 0
+
+    # recompute raw fingerprint sets to check sharing
+    ex = (
+        d.filter(F.col("doc_id") < 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.length(
+                            F.trim(
+                                F.regexp_replace(
+                                    F.lower("text"), r"\s+", " "
+                                )
+                            )
+                        )
+                        - 7,
+                    ),
+                    lambda i: F.trim(
+                        F.regexp_replace(F.lower("text"), r"\s+", " ")
+                    ).substr(i, F.lit(8)),
+                )
+            ),
+        )
+        .collect()
+    )
+    import hashlib
+
+    fps = {0: set(), 1: set(), 2: set()}
+    grams = {0: [], 1: [], 2: []}
+    for r in ex:
+        grams[r["doc_id"]].append(
+            int(hashlib.md5(r["col"].encode()).hexdigest()[:12], 16)
+        )
+    for doc, hs in grams.items():
+        for i in range(len(hs) - 5):
+            fps[doc].add(min(hs[i : i + 6]))
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
