@@ -241,3 +241,46 @@ def test_bloom_probe_is_scan_side_filter(spark):
     assert "xxhash64" in p, "bloom probe expression missing from plan"
     scan_block = p[p.index("Scan parquet"):] if "Scan parquet" in p else p
     assert "xxhash64" in p.split("Exchange")[0] or "BroadcastExchange" in p
+
+
+def test_bm25_broadcast_stats_and_take_ordered(spark):
+    """BM25: term IN-list filters before any exchange, (N,avgdl) and df
+    ride broadcasts, and the top-k folds to TakeOrderedAndProject."""
+    df = REGISTRY["bm25_topk"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_semantic_dedup_single_cluster_join_no_udf(spark):
+    """SemDeDup: centroid assignment is a pure projection (no UDF);
+    the only equi-join key is the cluster id; no cartesian product."""
+    df = REGISTRY["semantic_dedup"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_winnowing_single_data_shuffle(spark):
+    """Winnowing: window minima + per-doc rollup reuse the doc_id
+    partitioning — the gram stream is shuffled once (plus the tiny
+    short-doc branch)."""
+    df = REGISTRY["winnowing"].fn(spark, SF_ORACLE)
+    p = plan(df, mode="simple")
+    assert p.count("Exchange") <= 3
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_bucket_model_broadcasts(spark):
+    """DSIR: the bucket weight model and corpus totals are broadcast —
+    per-doc scoring never shuffles the token stream by bucket."""
+    df = REGISTRY["dsir_select"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_bpe_pair_counts_take_ordered(spark):
+    df = REGISTRY["bpe_pair_counts"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p

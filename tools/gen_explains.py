@@ -32,6 +32,10 @@ NAMES = [
     # bigram LM
     "unigram_ppl", "attribution_last_touch", "jl_projection",
     "bigram_lm",
+    # r02 session-2: IR ranking, semantic dedup, fixed-quantizer IVF,
+    # DSIR selection, BPE pair stats, winnowing fingerprints
+    "bm25_topk", "semantic_dedup", "ann_ivf_fixed", "dsir_select",
+    "bpe_pair_counts", "winnowing",
 ]
 
 
