@@ -595,3 +595,88 @@ def winnowing_fingerprints(
             ).cast("binary")
         ).alias("fp_md5"),
     )
+
+
+def quality_classifier(
+    feats: DataFrame, weights: dict[str, float]
+) -> DataFrame:
+    """Linear quality gate over ``quality_features`` output — the
+    fastText-classifier-shaped filter every corpus pipeline runs (CCNet/
+    RefinedWeb style), with plan-literal weights so the whole scorer is
+    one codegen'd projection (swap in learned weights the same way the
+    K-means plan splices trained centroids).
+
+    score = sigmoid(b + w·x) with x = (ln n_chars, n_tokens,
+    avg_token_len, punct_ratio, stopword_ratio); ``keep`` compares the
+    raw logit to 0 (exact — no rounding boundary), score is rounded for
+    the hash-stable report."""
+    z = (
+        F.lit(weights["bias"])
+        + F.lit(weights["ln_chars"]) * F.log(F.col("n_chars_calc"))
+        + F.lit(weights["n_tokens"]) * F.col("n_tokens")
+        + F.lit(weights["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(weights["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(weights["stopword_ratio"]) * F.col("stopword_ratio")
+    )
+    return feats.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (z > 0).alias("keep"),
+    )
+
+
+def hash_embedding(
+    docs: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing text embedding (hashing-trick bag of words with
+    random signs — Weinberger et al. 2009): dimension d accumulates ±1
+    per token by the d-th hex digit of the token's md5, then the vector
+    is L2-normalized. The cheapest text->vector bridge: deterministic,
+    vocabulary-free, engine-portable, and good enough to feed the ANN /
+    semantic-dedup operators when no model embeddings exist.
+
+    Scale shape: one token explode -> ONE map-side-combinable agg with
+    ``dim`` conditional sums (exact integers) -> normalize in the final
+    projection. Shuffle volume is docs x dim, independent of token
+    count."""
+    assert dim <= 32  # md5 has 32 hex digits
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).filter(F.col("w") != "")
+    h = F.md5(F.col("w").cast("binary"))
+    sums = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(
+                F.when(
+                    F.substring(h, d + 1, 1).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                ).otherwise(-1)
+            )
+            .cast("double")
+            .alias(f"s{d}")
+            for d in range(dim)
+        ],
+    )
+    nrm = None
+    for d in range(dim):
+        t = F.col(f"s{d}") * F.col(f"s{d}")
+        nrm = t if nrm is None else nrm + t
+    nrm = F.sqrt(nrm)
+    return sums.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        *[
+            F.round(
+                F.when(nrm == 0, F.lit(0.0)).otherwise(F.col(f"s{d}") / nrm),
+                6,
+            ).alias(f"e{d}")
+            for d in range(dim)
+        ],
+    )

@@ -5211,6 +5211,33 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   FROM scored) WHERE rank <= {k}"""
 
 
+QUALITY_W = {
+    "bias": -1.2,
+    "ln_chars": 0.15,
+    "n_tokens": 0.01,
+    "avg_token_len": 0.4,
+    "punct_ratio": -8.0,
+    "stopword_ratio": 3.0,
+}
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-shaped linear quality gate: sigmoid score + keep flag
+    from plan-literal weights over the quality_features projection —
+    one codegen'd pass, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.quality_classifier(
+        textops.quality_features(d), QUALITY_W
+    )
+
+
+def q_hash_embedding(spark, sf_dir):
+    """Feature-hashing ±1 text embedding (16-dim, md5 hex-digit signs,
+    L2-normalized): one explode + one conditional-sum agg."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.hash_embedding(d, dim=16)
+
+
 def q_winnowing(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints, k=8 w=6: map-only
     HOF pipeline, zero shuffles, constant-width output per doc."""
@@ -5357,6 +5384,36 @@ FROM part GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "ann_ivf_fixed": _sql_ann_ivf_fixed(),
+    "hash_embedding": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+t2 AS (SELECT doc_id, md5(w) AS h FROM toks WHERE w <> ''),
+sums AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         {SUMS}
+  FROM t2 GROUP BY doc_id),
+n AS (SELECT *, sqrt({NORM}) AS nrm FROM sums)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       {OUTS}
+FROM n""".replace(
+        "{SUMS}",
+        ", ".join(
+            "CAST(sum(CASE WHEN substr(h, %d, 1) IN ('8','9','a','b','c',"
+            "'d','e','f') THEN 1 ELSE -1 END) AS DOUBLE) AS s%d" % (d + 1, d)
+            for d in range(16)
+        ),
+    ).replace(
+        "{NORM}",
+        " + ".join(f"s{d} * s{d}" for d in range(16)),
+    ).replace(
+        "{OUTS}",
+        ", ".join(
+            f"round(CASE WHEN nrm = 0 THEN 0.0 ELSE s{d} / nrm END, 6)"
+            f" AS e{d}"
+            for d in range(16)
+        ),
+    ),
     "winnowing": """
 WITH nt AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
@@ -7273,6 +7330,23 @@ GROUP BY u.lang""",
 }
 
 
+# composed post-literal: the classifier oracle scores the text_quality
+# feature SQL with the same plan-literal weights (term order mirrored
+# exactly; `keep` compares the raw logit so there is no rounding boundary)
+ORACLES["quality_classifier"] = f"""
+WITH f AS ({ORACLES["text_quality"]}),
+z AS (
+  SELECT doc_id,
+         ({QUALITY_W["bias"]!r}) + ({QUALITY_W["ln_chars"]!r}) * ln(n_chars_calc)
+         + ({QUALITY_W["n_tokens"]!r}) * n_tokens
+         + ({QUALITY_W["avg_token_len"]!r}) * avg_token_len
+         + ({QUALITY_W["punct_ratio"]!r}) * punct_ratio
+         + ({QUALITY_W["stopword_ratio"]!r}) * stopword_ratio AS z
+  FROM f)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score, z > 0 AS keep
+FROM z"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # relational core
     "project_select": QuerySpec(q_project_select, ORACLES["project_select"]),
@@ -7621,6 +7695,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "bm25_topk": QuerySpec(q_bm25_topk, ORACLES["bm25_topk"]),
     "dsir_select": QuerySpec(q_dsir_select, ORACLES["dsir_select"]),
     "winnowing": QuerySpec(q_winnowing, ORACLES["winnowing"]),
+    "quality_classifier": QuerySpec(
+        q_quality_classifier, ORACLES["quality_classifier"]
+    ),
+    "hash_embedding": QuerySpec(
+        q_hash_embedding, ORACLES["hash_embedding"]
+    ),
     "welch_ttest": QuerySpec(q_welch_ttest, ORACLES["welch_ttest"]),
     "bpe_pair_counts": QuerySpec(
         q_bpe_pair_counts, ORACLES["bpe_pair_counts"]

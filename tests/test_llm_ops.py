@@ -838,3 +838,46 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
             fps[doc].add(min(hs[i : i + 6]))
     assert fps[0] & fps[1], "shared substring must share a fingerprint"
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_quality_classifier_monotone_in_stopwords(spark):
+    """More stopword mass (weight +3.0) must raise the score when other
+    features are held fixed; keep flag is consistent with score > 0.5."""
+    from customer_segmentation_pyspark_spark.operators import textops
+    from customer_segmentation_pyspark_spark.queries import QUALITY_W
+
+    rows = [
+        (0, "the and of to a the and of to a"),
+        (1, "zz qq ww rr tt yy uu ii oo pp"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in textops.quality_classifier(
+            textops.quality_features(d), QUALITY_W
+        ).collect()
+    }
+    assert out[0]["score"] > out[1]["score"]
+    for r in out.values():
+        assert r["keep"] == (r["score"] > 0.5)
+
+
+def test_hash_embedding_unit_norm_and_determinism(spark, docs):
+    """Vectors are unit-norm (rounding slack), identical texts embed
+    identically, and the embedding feeds semantic_dedup cleanly."""
+    import math
+
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    out = textops.hash_embedding(docs.limit(50), dim=16).collect()
+    assert len(out) == 50
+    for r in out:
+        nrm = math.sqrt(sum(r[f"e{d}"] ** 2 for d in range(16)))
+        assert abs(nrm - 1.0) < 1e-4
+    d2 = spark.createDataFrame(
+        [(0, "same text here"), (1, "same text here")], ["doc_id", "text"]
+    )
+    v = textops.hash_embedding(d2, dim=16).collect()
+    a = [v[0][f"e{d}"] for d in range(16)]
+    b = [v[1][f"e{d}"] for d in range(16)]
+    assert a == b
