@@ -879,6 +879,13 @@ def semantic_dedup(
     no iteration, no RNG.
 
     Returns (vec_id, cluster, keep).
+
+    Caller note: if ``vec_col`` is a DERIVED column (not read from
+    storage), materialize it first (localCheckpoint / parquet snapshot)
+    — the self-join otherwise re-evaluates the full derivation
+    expression per PAIR row, a multiplicative expression blowup
+    (measured 40x wall on a 500-doc corpus with computed embeddings;
+    see q_retrieval_index_pipeline).
     """
     from customer_segmentation_pyspark_spark.functions.arrays import (
         array_argmin,

@@ -5238,6 +5238,132 @@ def q_hash_embedding(spark, sf_dir):
     return textops.hash_embedding(d, dim=16)
 
 
+def _retr_centroids(k: int = 4, dim: int = 16) -> list[list[float]]:
+    import numpy as np
+
+    return np.random.RandomState(13).normal(size=(k, dim)).tolist()
+
+
+def q_retrieval_index_pipeline(spark, sf_dir):
+    """Session-2 capstone, the IR-index build: quality gate
+    (plan-literal logistic) -> feature-hash embedding -> SemDeDup on
+    those embeddings (4 literal 16-dim centroids, cosine>=0.95 —
+    exact-text dups embed identically so they always cross it) -> BM25
+    top-10 over the surviving corpus, each hit tagged with its semantic
+    cluster. Every stage is an already-oracled operator; the composed
+    SQL oracle replays the whole chain.
+
+    Two tiny localCheckpoint pins, both the snapshots a production
+    pipeline would write anyway, and both load-bearing:
+      * the embedding table — without it the self-join evaluates each
+        16-dim vector as its full derivation expression (round/when/
+        sqrt over agg outputs), ~20k expression nodes per PAIR row;
+        measured 90 s for 500 docs vs ~2 s pinned;
+      * the survivor id/cluster list — BM25 references its corpus four
+        times (doc lengths, corpus stats, tf, df), and without the pin
+        each reference re-expands the self-joined dedup lineage
+        (measured: 8 GB heap OOM at sf0.01 purely from plan
+        duplication).
+    General engine rule: materialize where a diamond-shaped DAG
+    re-references an expensive subplan (see connected_components,
+    PageRank) — at 100 TB these pins are parquet snapshots, not
+    executor memory."""
+    d = load_table(spark, sf_dir, "documents")
+    gate = (
+        textops.quality_classifier(textops.quality_features(d), QUALITY_W)
+        .filter("keep")
+        .select("doc_id")
+    )
+    kept = d.join(gate, "doc_id")
+    emb = textops.hash_embedding(kept, dim=16)
+    vec = emb.select(
+        "doc_id", F.array(*[f"e{i}" for i in range(16)]).alias("embedding")
+    ).localCheckpoint(eager=True)
+    sem = dedup.semantic_dedup(
+        vec, _retr_centroids(), threshold=0.95, id_col="doc_id"
+    )
+    surv = (
+        sem.filter("keep")
+        .select(F.col("vec_id").alias("doc_id"), "cluster")
+        .localCheckpoint(eager=True)
+    )
+    corpus = d.join(surv.select("doc_id"), "doc_id")
+    ranked = textops.bm25_topk(corpus, BM25_QUERY_TERMS, k=10)
+    return ranked.join(surv, "doc_id").select("doc_id", "bm25", "cluster")
+
+
+def _sql_retrieval_pipeline(threshold: float = 0.95) -> str:
+    """Composed mirror of q_retrieval_index_pipeline; generated from the
+    same weight/centroid literals as the Spark plan."""
+    cents = _retr_centroids()
+    dists = []
+    for cent in cents:
+        terms = " + ".join(
+            f"(v[{d + 1}] - ({x!r})) * (v[{d + 1}] - ({x!r}))"
+            for d, x in enumerate(cent)
+        )
+        dists.append(f"({terms})")
+    argmin = _sql_argmin4(dists)
+    sums = ", ".join(
+        "CAST(sum(CASE WHEN substr(h, %d, 1) IN ('8','9','a','b','c','d',"
+        "'e','f') THEN 1 ELSE -1 END) AS DOUBLE) AS s%d" % (i + 1, i)
+        for i in range(16)
+    )
+    nrm = " + ".join(f"s{i} * s{i}" for i in range(16))
+    vlist = ", ".join(
+        f"round(CASE WHEN nrm = 0 THEN 0.0 ELSE s{i} / nrm END, 6)"
+        for i in range(16)
+    )
+    w = QUALITY_W
+    return f"""
+WITH f AS ({ORACLES["text_quality"]}),
+gate AS (
+  SELECT doc_id FROM f
+  WHERE ({w["bias"]!r}) + ({w["ln_chars"]!r}) * ln(n_chars_calc)
+        + ({w["n_tokens"]!r}) * n_tokens
+        + ({w["avg_token_len"]!r}) * avg_token_len
+        + ({w["punct_ratio"]!r}) * punct_ratio
+        + ({w["stopword_ratio"]!r}) * stopword_ratio > 0),
+toks0 AS (
+  SELECT d.doc_id, unnest(string_split_regex(lower(d.text), '\\s+')) AS tk
+  FROM documents d JOIN gate g ON d.doc_id = g.doc_id),
+t2 AS (SELECT doc_id, md5(tk) AS h FROM toks0 WHERE tk <> ''),
+sums AS (SELECT doc_id, {sums} FROM t2 GROUP BY doc_id),
+nn AS (SELECT *, sqrt({nrm}) AS nrm FROM sums),
+vv AS (SELECT doc_id, [{vlist}] AS v FROM nn),
+a AS (SELECT doc_id, v, CAST({argmin} AS BIGINT) AS cluster FROM vv),
+dup AS (
+  SELECT DISTINCT y.doc_id
+  FROM a x JOIN a y ON x.cluster = y.cluster AND x.doc_id < y.doc_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {threshold}),
+surv AS (
+  SELECT a.doc_id, a.cluster FROM a
+  LEFT JOIN dup ON a.doc_id = dup.doc_id WHERE dup.doc_id IS NULL),
+terms AS (
+  SELECT d.doc_id, unnest(string_split_regex(lower(d.text), '\\s+')) AS term
+  FROM documents d JOIN surv s ON d.doc_id = s.doc_id),
+bt2 AS (SELECT * FROM terms WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM bt2 GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM bt2
+       WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+part AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+ranked AS (
+  SELECT doc_id, round(sum(part), 6) AS bm25
+  FROM part GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 10)
+SELECT r.doc_id, r.bm25, s.cluster
+FROM ranked r JOIN surv s ON r.doc_id = s.doc_id"""
+
+
 def q_winnowing(spark, sf_dir):
     """Winnowing (MOSS) rolling-hash fingerprints, k=8 w=6: map-only
     HOF pipeline, zero shuffles, constant-width output per doc."""
@@ -7346,6 +7472,8 @@ z AS (
 SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score, z > 0 AS keep
 FROM z"""
 
+ORACLES["retrieval_index_pipeline"] = _sql_retrieval_pipeline()
+
 
 REGISTRY: dict[str, QuerySpec] = {
     # relational core
@@ -7700,6 +7828,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "hash_embedding": QuerySpec(
         q_hash_embedding, ORACLES["hash_embedding"]
+    ),
+    "retrieval_index_pipeline": QuerySpec(
+        q_retrieval_index_pipeline, ORACLES["retrieval_index_pipeline"]
     ),
     "welch_ttest": QuerySpec(q_welch_ttest, ORACLES["welch_ttest"]),
     "bpe_pair_counts": QuerySpec(
