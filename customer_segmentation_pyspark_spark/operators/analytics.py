@@ -148,3 +148,71 @@ def dataset_diff(
             for c in carry_cols
         ],
     )
+
+
+def dq_row_checks(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
+    """Declarative data-quality gate, Deequ/Great-Expectations shape:
+    ``rules`` maps check name -> boolean Column that is TRUE when a row
+    VIOLATES the check. ALL rules evaluate in ONE conditional-sum
+    aggregate — one scan of the table regardless of rule count — then
+    the 1-row wide result pivots to long form through an inline literal
+    struct array (no second shuffle; the explode input is one row).
+
+    Returns (check, n_violations, ok) — union with ``dq_unique`` /
+    ``dq_referential`` rows for a full suite.
+    """
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(name).alias("n_violations"),
+            )
+            for name in rules
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select(
+        F.col("r.check").alias("check"),
+        F.col("r.n_violations").alias("n_violations"),
+        (F.col("r.n_violations") == 0).alias("ok"),
+    )
+
+
+def dq_unique(df: DataFrame, cols: "list[str]", name: str) -> DataFrame:
+    """Uniqueness expectation: n_violations = rows - distinct(cols).
+    count + count_distinct in one aggregate (one scan; the distinct
+    rides Spark's expand-based partial aggregation, map-side combined).
+    """
+    wide = df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+        .cast("long")
+        .alias("n_violations")
+    )
+    return wide.select(
+        F.lit(name).alias("check"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("ok"),
+    )
+
+
+def dq_referential(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str,
+    name: str,
+) -> DataFrame:
+    """Referential-integrity expectation: count of child rows whose key
+    has no parent (left_anti join — broadcast when the parent dim is
+    small, hash-partitioned otherwise; Spark picks via AQE)."""
+    orphans = child.select(F.col(child_key).alias("k")).join(
+        parent.select(F.col(parent_key).alias("k")), "k", "left_anti"
+    )
+    return orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    ).select(
+        F.lit(name).alias("check"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("ok"),
+    )

@@ -935,3 +935,80 @@ def semantic_dedup(
             F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def duplicated_span_profile(
+    df: DataFrame,
+    span_len: int = 24,
+    stride: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    The reference engine has no substring dedup (its corpus ops stop at
+    whole-row dedup, codeText.txt:118); this is the training-corpus
+    extension: long verbatim spans shared across documents (licenses,
+    boilerplate, quoted text) are what actually gets memorized, and
+    whole-doc near-dup misses them.
+
+    Approximation of the suffix-array algorithm that distributes:
+    slide a ``span_len``-char window at ``stride`` over each doc, hash
+    every span (md5 prefix -> 64-bit), count global span multiplicity,
+    and report per doc how much of it is covered by spans seen >= 2
+    times anywhere in the corpus (including intra-doc repeats, which
+    ExactSubstr also removes).
+
+    Scale shape: rows exploded = chars/stride (linear, ~len/6 here);
+    ONE map-side-combinable count per span hash; one broadcast-able?
+    no — spans rejoin by hash (linear equi-join, 8-byte key) and
+    re-aggregate per doc. No sort, no quadratic blowup: a span shared
+    by a million docs costs one counter, not a million-wide bucket
+    (contrast LSH bucket expansion — here we only need multiplicity,
+    never the pair list). Output is one constant-width row per doc.
+    """
+    n = F.length(F.col(text_col))
+    # positions 1, 1+stride, ... while pos + span_len - 1 <= len
+    pos = F.when(
+        n >= span_len,
+        F.sequence(F.lit(1), n - span_len + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = df.select(
+        F.col(id_col),
+        F.explode(pos).alias("p"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        # 64-bit slice of md5 keeps the shuffle key narrow and is
+        # replayable in ANSI SQL (substr(md5(..),1,16))
+        F.substring(
+            F.md5(F.substring(F.col(text_col), F.col("p"), span_len)), 1, 16
+        ).alias("h"),
+    )
+    mult = spans.groupBy("h").agg(F.count("*").alias("mult"))
+    per_doc = (
+        spans.join(mult, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("mult") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_ratio"),
+        )
+    )

@@ -324,3 +324,95 @@ def lsh_topk_cosine(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def rrf_fuse(
+    ranked_lists: Sequence[DataFrame],
+    k_const: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-retrieval combiner (lexical BM25 + dense cosine
+    in the RAG stack). Each input holds (id_col, rank); a doc absent
+    from a list simply contributes nothing for it.
+
+    Scale shape: inputs are top-k lists (tiny by construction — each
+    produced by TakeOrderedAndProject upstream), so the union + one
+    hash agg + final TakeOrdered is bounded by N*k rows regardless of
+    corpus size. Score = sum over lists of 1/(k_const + rank), rounded
+    to 6 so the fused ordering is hash-exact vs a SQL replay.
+    """
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col("rank"))).alias(
+                "contrib"
+            ),
+        )
+        for r in ranked_lists
+    ]
+    u = reduce(DataFrame.unionByName, contribs)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-prep step): for each query vector, the top-k most cosine-similar
+    corpus vectors with a DIFFERENT label — maximally confusing
+    negatives, which train far better than random ones.
+
+    Same scale shape as ``brute_force_topk``: broadcast the bounded query
+    set, one codegen'd scoring pass over the corpus, per-query top-k via
+    window over the scored (still corpus-sized, pre-top-k) frame. The
+    label inequality rides the broadcast-join condition so excluded rows
+    never reach the window. Swap the scoring pass for the IVF/LSH probe
+    when the corpus outgrows brute force (same contract).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neg_label") != F.col("q_label")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("neg_label").cast("long").alias("neg_label"),
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "cos_sim", "rank")
+    )

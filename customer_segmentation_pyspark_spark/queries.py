@@ -5462,6 +5462,182 @@ def q_semantic_dedup(spark, sf_dir):
     return dedup.semantic_dedup(e, _sem_centroids(), threshold=0.4)
 
 
+def _rrf_query_vec(dim: int = 64) -> list[float]:
+    """Deterministic dense query vector (plan literal, like the IVF/
+    SemDeDup centroids — at production scale this is the encoder output
+    for the user query, spliced in per request)."""
+    import numpy as np
+
+    return [
+        round(float(x), 6)
+        for x in np.random.RandomState(13).normal(size=dim)
+    ]
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 (lexical) + cosine top-20 vs a
+    literal query vector (dense, vec_id==doc_id) fused by reciprocal
+    rank (k=60) into a final top-10. Both source lists end in
+    TakeOrderedAndProject; ranks attach via a row_number over the
+    already-k-row lists, so the fusion stage touches 40 rows total no
+    matter the corpus size."""
+    from pyspark.sql import Window
+
+    from customer_segmentation_pyspark_spark.functions import arrays
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    lex = textops.bm25_topk(d, BM25_QUERY_TERMS, k=20)
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+
+    qarr = F.array(*[F.lit(x) for x in _rrf_query_vec()])
+    sem = (
+        e.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                arrays.cosine_similarity(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    qarr,
+                ),
+                4,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    sem_r = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    return similarity.rrf_fuse([lex_r, sem_r], k_const=60, k=10)
+
+
+def _sql_rrf_fusion() -> str:
+    qv = ", ".join(repr(x) for x in _rrf_query_vec())
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT * FROM terms WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+part AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+lex AS (
+  SELECT doc_id, round(sum(part), 6) AS bm25
+  FROM part GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 20),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM lex),
+sem AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      [{qv}]), 4) AS cos
+  FROM embeddings
+  ORDER BY cos DESC, doc_id LIMIT 20),
+semr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+  FROM sem),
+u AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM lexr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM semr)
+SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive-training hard-negative mining: per query (vec_id<5),
+    top-5 most-similar vectors with a DIFFERENT label. Broadcast query
+    set, one scoring pass, per-query window top-k — the DPR data-prep
+    primitive."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.hard_negatives(e, q, k=5)
+
+
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality suite (Deequ/Great-Expectations shape):
+    row-level rules evaluate in ONE conditional-sum scan per table;
+    uniqueness is count-minus-distinct in the same agg pattern;
+    referential integrity is a left_anti orphan count (broadcast-able
+    parent). Output: one (check, n_violations, ok) row per expectation
+    — the pre-training corpus admission gate."""
+    from customer_segmentation_pyspark_spark.operators import analytics
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    suite = [
+        analytics.dq_row_checks(
+            o,
+            {
+                "orders_totalprice_nonneg": F.col("o_totalprice") < 0,
+                "orders_orderdate_nonnull": F.col("o_orderdate").isNull(),
+                "orders_status_domain": ~F.col("o_orderstatus").isin(
+                    "O", "F", "P"
+                ),
+            },
+        ),
+        analytics.dq_row_checks(
+            li,
+            {
+                "lineitem_qty_range": (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                "lineitem_discount_range": (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+                "lineitem_tax_nonneg": F.col("l_tax") < 0,
+            },
+        ),
+        analytics.dq_unique(o, ["o_orderkey"], "orders_orderkey_unique"),
+        analytics.dq_unique(
+            li, ["l_orderkey", "l_linenumber"], "lineitem_line_unique"
+        ),
+        analytics.dq_referential(
+            o, c, "o_custkey", "c_custkey", "orders_custkey_fk"
+        ),
+        analytics.dq_referential(
+            li, o, "l_orderkey", "o_orderkey", "lineitem_orderkey_fk"
+        ),
+    ]
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, suite).orderBy("check")
+
+
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr-style duplicated-span profile: 24-char windows at
+    stride 6, md5-hashed; per-doc count/ratio of spans whose hash
+    multiplicity >= 2 corpus-wide. Linear explode + one span-hash count
+    + one linear rejoin — multiplicity, never the pair list, so a
+    million-copy span costs one counter (the LSH-bucket failure mode
+    cannot occur here)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_span_profile(d, span_len=24, stride=6)
+
+
 def _sql_semantic_dedup(threshold: float = 0.4) -> str:
     """Mirror of q_semantic_dedup: identical centroid literals, identical
     left-to-right distance folds, same first-min argmin tie-break."""
@@ -5509,6 +5685,88 @@ SELECT doc_id, round(sum(part), 6) AS bm25
 FROM part GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
+    "rrf_fusion": _sql_rrf_fusion(),
+    "hard_negatives": """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+      FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(c.label AS BIGINT) AS neg_label,
+         round(list_cosine_similarity(q.qv, c.v), 4) AS cos_sim
+  FROM e c, q
+  WHERE c.vec_id <> q.query_id AND c.label <> q.q_label)
+SELECT query_id, neighbor_id, neg_label, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= 5""",
+    "dq_checks": """
+WITH checks AS (
+  SELECT 'orders_totalprice_nonneg' AS check,
+         CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations FROM orders
+  UNION ALL
+  SELECT 'orders_orderdate_nonnull',
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders_status_domain',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_qty_range',
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_tax_nonneg',
+         CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_orderkey_unique',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'lineitem_line_unique',
+         CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT)
+  FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+SELECT "check", n_violations, (n_violations = 0) AS ok
+FROM checks ORDER BY "check" """,
+    "substring_dedup": """
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, n - 24 + 1, 6)) AS p
+  FROM docs WHERE n >= 24),
+spans AS (
+  SELECT doc_id, substr(md5(substr(text, p, 24)), 1, 16) AS h FROM pos),
+mult AS (SELECT h, count(*) AS mult FROM spans GROUP BY 1),
+per AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN m.mult >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM spans s JOIN mult m USING (h) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN coalesce(per.n_spans, 0) > 0
+            THEN round(per.n_dup_spans * 1.0 / per.n_spans, 4)
+            ELSE 0.0 END AS dup_span_ratio
+FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id""",
     "ann_ivf_fixed": _sql_ann_ivf_fixed(),
     "hash_embedding": """
 WITH toks AS (
@@ -7839,4 +8097,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "semantic_dedup": QuerySpec(
         q_semantic_dedup, ORACLES["semantic_dedup"]
     ),
+    "substring_dedup": QuerySpec(
+        q_substring_dedup, ORACLES["substring_dedup"]
+    ),
+    "rrf_fusion": QuerySpec(q_rrf_fusion, ORACLES["rrf_fusion"]),
+    "hard_negatives": QuerySpec(
+        q_hard_negatives, ORACLES["hard_negatives"]
+    ),
+    "dq_checks": QuerySpec(q_dq_checks, ORACLES["dq_checks"]),
 }

@@ -881,3 +881,60 @@ def test_hash_embedding_unit_norm_and_determinism(spark, docs):
     a = [v[0][f"e{d}"] for d in range(16)]
     b = [v[1][f"e{d}"] for d in range(16)]
     assert a == b
+
+
+def test_duplicated_span_profile_planted_dups(spark):
+    """A doc pair sharing a long verbatim run is caught span-for-span;
+    a doc of unique random-ish text reports ratio 0; a doc shorter than
+    the span length yields zero spans (no crash, ratio 0)."""
+    import hashlib
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again "
+    uniq = hashlib.sha256(b"entropy").hexdigest() * 3
+    rows = [
+        (1, "LICENSE: " + boiler * 4),
+        (2, "COPY:    " + boiler * 4),   # same boilerplate, different head
+        (3, uniq),                        # unique content
+        (4, "tiny"),                      # shorter than span_len
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_span_profile(
+            df, span_len=24, stride=6
+        ).collect()
+    }
+    assert out[4]["n_spans"] == 0 and out[4]["dup_span_ratio"] == 0.0
+    assert out[3]["n_dup_spans"] == 0
+    # the shared boilerplate dominates both docs: most spans duplicated
+    assert out[1]["dup_span_ratio"] > 0.8
+    assert out[2]["dup_span_ratio"] > 0.8
+    # intra-doc repetition (boiler * 4) also counts, per ExactSubstr
+    assert out[1]["n_dup_spans"] <= out[1]["n_spans"]
+
+
+def test_hard_negatives_label_constraint(emb):
+    """Every mined negative must carry a label different from its
+    query's label, and ranks must be dense 1..k per query."""
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.hard_negatives(emb, q, k=5).collect()
+    labels = {
+        r["vec_id"]: r["label"] for r in q.select("vec_id", "label").collect()
+    }
+    by_q = {}
+    for r in out:
+        assert r["neg_label"] != labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hard_negatives_are_hardest(emb):
+    """The top hard negative's cosine must be >= any other different-
+    label vector's cosine (it is the max over the eligible set)."""
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.hard_negatives(emb, q, k=1).collect()
+    assert len(out) == 1
+    top = out[0]
+    all_scored = similarity.hard_negatives(emb, q, k=10**6).collect()
+    assert all(top["cos_sim"] >= r["cos_sim"] for r in all_scored)

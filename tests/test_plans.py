@@ -284,3 +284,42 @@ def test_bpe_pair_counts_take_ordered(spark):
     df = REGISTRY["bpe_pair_counts"].fn(spark, SF_ORACLE)
     p = plan(df)
     assert "TakeOrderedAndProject" in p
+
+
+def test_substring_dedup_no_sort_linear_joins(spark):
+    """Span-profile must be hash-shuffles only (explode -> count ->
+    rejoin): no sort anywhere, no broadcast of the corpus-sized span
+    frame, no Python UDF."""
+    df = REGISTRY["substring_dedup"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_rrf_fusion_take_ordered_lists(spark):
+    """Both source rankings and the fused result must end in
+    TakeOrderedAndProject — never a global sort of the corpus."""
+    df = REGISTRY["rrf_fusion"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    """The query side must broadcast; corpus must not sort globally."""
+    df = REGISTRY["hard_negatives"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_dq_checks_one_scan_per_row_rule_table(spark):
+    """Row rules fold into single aggregates; referential checks are
+    left_anti joins (no cartesian, no Python)."""
+    df = REGISTRY["dq_checks"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
