@@ -416,3 +416,104 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neg_label", "cos_sim", "rank")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with exact rescore (Jegou et al. 2011):
+    split each vector into M subvectors, quantize each against its own
+    K-entry literal codebook (first-min argmin), take a ``shortlist`` of
+    candidates per query by asymmetric distance (exact query subvector
+    vs the neighbor's quantized code), then rescore the shortlist with
+    the exact distance and keep top-k.
+
+    This is the 100 TB storage path the IVF/LSH probes pair with: the
+    corpus collapses to M small ints per vector (here 16 codes vs 256
+    bytes of floats), encode is a one-pass codegen'd projection, and
+    the ADC scan reads ONLY the codes — raw vectors are fetched again
+    (an equi-join on id, broadcast because the shortlist is |Q|*S rows)
+    solely for the |Q|*S rescore pairs. Codebooks are plan literals
+    trained offline on a distribution-matched sample (production: the
+    engine's own kmeans over a corpus sample, spliced in like the IVF
+    cells). Recall@5 ~0.9 on the weakly-clustered fixture (asserted in
+    tests vs the brute-force baseline).
+    """
+    from customer_segmentation_pyspark_spark.functions.arrays import (
+        array_argmin,
+        sq_dist,
+    )
+
+    sub_dim = len(codebooks[0][0])
+
+    cv = _as_double(F.col(vec_col))
+    enc_cols = []
+    for m, cb in enumerate(codebooks):
+        sub = F.slice(cv, m * sub_dim + 1, sub_dim)
+        dists = F.array(
+            *[
+                sq_dist(sub, F.array(*[F.lit(float(x)) for x in cent]))
+                for cent in cb
+            ]
+        )
+        enc_cols.append(array_argmin(dists).alias(f"c{m}"))
+    enc = corpus.select(F.col(id_col).alias("neighbor_id"), *enc_cols)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    joined = enc.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    )
+    total = F.lit(0.0)
+    for m, cb in enumerate(codebooks):
+        qsub = F.slice(F.col("qv"), m * sub_dim + 1, sub_dim)
+        expr = None
+        for code, cent in enumerate(cb):
+            d = sq_dist(qsub, F.array(*[F.lit(float(x)) for x in cent]))
+            expr = (
+                F.when(F.col(f"c{m}") == code, d)
+                if expr is None
+                else expr.when(F.col(f"c{m}") == code, d)
+            )
+        total = total + expr
+    adc_scored = joined.select(
+        "query_id", "neighbor_id", F.round(total, 6).alias("adc_dist")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        adc_scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore on the bounded |Q|*shortlist candidate set: fetch the
+    # raw vectors back by id (broadcast the tiny shortlist), then rank by
+    # true squared distance
+    cand = F.broadcast(short).join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ),
+        "neighbor_id",
+    )
+    rescored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(sq_dist(F.col("qv"), F.col("cv")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )

@@ -5568,6 +5568,113 @@ FROM u GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 10"""
 
 
+_PQ_CACHE: list | None = None
+
+
+def _pq_codebooks(
+    m_sub: int = 16, k_codes: int = 16, dim: int = 64
+) -> list[list[list[float]]]:
+    """PQ codebooks as deterministic plan literals: per-subspace Lloyd's
+    k-means trained on a seeded sample drawn from the embedding
+    distribution (~N(0, 0.125) per dim) — pure numpy, no I/O, identical
+    floats every call, so the Spark plan and the SQL oracle splice in
+    the same constants. Production trains on an actual corpus sample
+    via plans/kmeans; the splice is identical."""
+    global _PQ_CACHE
+    if _PQ_CACHE is not None:
+        return _PQ_CACHE
+    import numpy as np
+
+    rs = np.random.RandomState(17)
+    sample = rs.normal(scale=0.125, size=(4096, dim))
+    d = dim // m_sub
+    cbs = []
+    for m in range(m_sub):
+        x = sample[:, m * d : (m + 1) * d]
+        c = x[rs.choice(len(x), k_codes, replace=False)]
+        for _ in range(25):
+            a = ((x[:, None, :] - c[None]) ** 2).sum(-1).argmin(1)
+            for kk in range(k_codes):
+                if (a == kk).any():
+                    c[kk] = x[a == kk].mean(0)
+        cbs.append(c.round(6).tolist())
+    _PQ_CACHE = cbs
+    return cbs
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN with exact rescore: 64-dim vectors ->
+    16 sub-codes (K=16 literal codebooks, first-min argmin), ADC
+    shortlist of 50 per query, exact-distance rescore to top-5. Encode
+    is one codegen'd projection; the ADC scan reads only the codes;
+    raw vectors are re-fetched just for the |Q|*50 rescore pairs.
+    Recall@5 ~0.9 vs brute force on the fixture (tested)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(e, q, _pq_codebooks(), k=5, shortlist=50)
+
+
+def _sql_pq_topk(k: int = 5, shortlist: int = 50) -> str:
+    """Mirror of q_pq_topk: identical codebook literals, identical
+    left-to-right squared-distance folds, first-min argmin via
+    list_position(l, min(l)) (1-based, first occurrence — the same
+    tie-break as Spark array_position), same shortlist + rescore."""
+    cbs = _pq_codebooks()
+    sub_dim = len(cbs[0][0])
+
+    def sqd(vec: str, m: int, cent: list[float]) -> str:
+        return " + ".join(
+            f"({vec}[{m * sub_dim + j + 1}] - ({x!r}))"
+            f" * ({vec}[{m * sub_dim + j + 1}] - ({x!r}))"
+            for j, x in enumerate(cent)
+        )
+
+    lists = ", ".join(
+        "[" + ", ".join(f"({sqd('v', m, cent)})" for cent in cb) + f"] AS l{m}"
+        for m, cb in enumerate(cbs)
+    )
+    enc = ", ".join(
+        f"CAST(list_position(l{m}, list_aggregate(l{m}, 'min')) - 1 AS INT)"
+        f" AS c{m}"
+        for m in range(len(cbs))
+    )
+    adc_terms = []
+    for m, cb in enumerate(cbs):
+        branches = " ".join(
+            f"WHEN {code} THEN ({sqd('qv', m, cent)})"
+            for code, cent in enumerate(cb)
+        )
+        adc_terms.append(f"(CASE c{m} {branches} END)")
+    adc = " + ".join(adc_terms)
+    exact = " + ".join(
+        f"(qq.qv[{i}] - c.v[{i}]) * (qq.qv[{i}] - c.v[{i}])"
+        for i in range(1, 65)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dl AS (SELECT vec_id, v, {lists} FROM e),
+enc AS (SELECT vec_id, {enc} FROM dl),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+adc AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id,
+         round({adc}, 6) AS adc_dist
+  FROM enc, q WHERE enc.vec_id <> q.query_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id) AS ar
+    FROM adc) WHERE ar <= {shortlist}),
+resc AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({exact}, 6) AS dist
+  FROM short s JOIN e c ON s.neighbor_id = c.vec_id
+       JOIN q qq ON s.query_id = qq.query_id)
+SELECT query_id, neighbor_id, dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY dist ASC, neighbor_id) AS BIGINT) AS rank
+  FROM resc) WHERE rank <= {k}"""
+
+
 def q_hard_negatives(spark, sf_dir):
     """Contrastive-training hard-negative mining: per query (vec_id<5),
     top-5 most-similar vectors with a DIFFERENT label. Broadcast query
@@ -5686,6 +5793,7 @@ FROM part GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "rrf_fusion": _sql_rrf_fusion(),
+    "pq_topk": _sql_pq_topk(),
     "hard_negatives": """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
@@ -8105,4 +8213,5 @@ REGISTRY: dict[str, QuerySpec] = {
         q_hard_negatives, ORACLES["hard_negatives"]
     ),
     "dq_checks": QuerySpec(q_dq_checks, ORACLES["dq_checks"]),
+    "pq_topk": QuerySpec(q_pq_topk, ORACLES["pq_topk"]),
 }

@@ -938,3 +938,44 @@ def test_hard_negatives_are_hardest(emb):
     top = out[0]
     all_scored = similarity.hard_negatives(emb, q, k=10**6).collect()
     assert all(top["cos_sim"] >= r["cos_sim"] for r in all_scored)
+
+
+def test_pq_recall_vs_brute_force(emb):
+    """PQ shortlist-50 + exact rescore must recover >= 0.8 of the true
+    euclidean top-5 over 20 queries (measured ~0.9; random codebooks
+    crater to ~0.1, so this catches an encode/ADC sign or slicing bug)."""
+    from pyspark.sql import Window
+
+    from customer_segmentation_pyspark_spark.functions.arrays import sq_dist
+    from customer_segmentation_pyspark_spark.queries import _pq_codebooks
+
+    q = emb.filter(F.col("vec_id") < 20)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(
+            emb, q, _pq_codebooks(), k=5, shortlist=50
+        ).collect()
+    }
+    qq = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in c.join(
+            F.broadcast(qq), F.col("neighbor_id") != F.col("query_id")
+        )
+        .select("query_id", "neighbor_id", sq_dist("qv", "cv").alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .filter("r <= 5")
+        .collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall too low: {recall}"

@@ -323,3 +323,13 @@ def test_dq_checks_one_scan_per_row_rule_table(spark):
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "LeftAnti" in p
+
+
+def test_pq_topk_codes_only_adc_no_python(spark):
+    """PQ: no Python eval, no global sort; the ADC scan must join
+    broadcast (queries) against the encoded frame."""
+    df = REGISTRY["pq_topk"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
