@@ -100,6 +100,12 @@ HEADLINE = [
     # vocabulary makes every doc near-identical, so Hamming<=3 output is
     # inherently quadratic HERE (3.5M pairs at sf0.1) — not an operator
     # property on real corpora
+    # r02 session-3: substring dedup, hybrid retrieval, PQ ANN, DQ suite
+    "substring_dedup",
+    "rrf_fusion",
+    "hard_negatives",
+    "dq_checks",
+    "pq_topk",
 ]
 
 

@@ -960,21 +960,24 @@ def duplicated_span_profile(
     times anywhere in the corpus (including intra-doc repeats, which
     ExactSubstr also removes).
 
-    Scale shape: rows exploded = chars/stride (linear, ~len/6 here);
-    ONE map-side-combinable count per span hash; one broadcast-able?
-    no — spans rejoin by hash (linear equi-join, 8-byte key) and
-    re-aggregate per doc. No sort, no quadratic blowup: a span shared
-    by a million docs costs one counter, not a million-wide bucket
-    (contrast LSH bucket expansion — here we only need multiplicity,
-    never the pair list). Output is one constant-width row per doc.
+    Scale shape: rows exploded = chars/stride (linear); ONE pass over
+    the text (explode -> per-(doc,span) pre-agg, map-side combinable),
+    then global multiplicity rides a window SUM over the pre-aggregated
+    frame partitioned by span hash — no join back, no second text scan,
+    nothing materialized. A span shared by a million docs costs one
+    summed counter, never a bucket array (the LSH hot-bucket failure
+    mode cannot occur: we need multiplicity, not the pair list).
+    Output is one constant-width row per doc.
     """
+    from pyspark.sql import Window
+
     n = F.length(F.col(text_col))
     # positions 1, 1+stride, ... while pos + span_len - 1 <= len
     pos = F.when(
         n >= span_len,
         F.sequence(F.lit(1), n - span_len + 1, F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
-    spans = df.select(
+    spans = _spread(df).select(
         F.col(id_col),
         F.explode(pos).alias("p"),
         F.col(text_col),
@@ -986,13 +989,14 @@ def duplicated_span_profile(
             F.md5(F.substring(F.col(text_col), F.col("p"), span_len)), 1, 16
         ).alias("h"),
     )
-    mult = spans.groupBy("h").agg(F.count("*").alias("mult"))
+    g = spans.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    mult = F.sum("c").over(Window.partitionBy("h"))
     per_doc = (
-        spans.join(mult, "h")
+        g.select(F.col(id_col), F.col("c"), mult.alias("mult"))
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("mult") >= 2, 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("mult") >= 2, F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_dup_spans"),
         )

@@ -435,56 +435,77 @@ def pq_topk(
     the exact distance and keep top-k.
 
     This is the 100 TB storage path the IVF/LSH probes pair with: the
-    corpus collapses to M small ints per vector (here 16 codes vs 256
-    bytes of floats), encode is a one-pass codegen'd projection, and
-    the ADC scan reads ONLY the codes — raw vectors are fetched again
-    (an equi-join on id, broadcast because the shortlist is |Q|*S rows)
+    corpus collapses to M small ints per vector (16 codes vs 256 bytes
+    of floats), encode is a one-pass projection over the corpus, and
+    the ADC scan is 16 array lookups per pair against a per-query
+    distance TABLE (the classic PQ trick): each query precomputes its
+    256 subspace-to-centroid distances ONCE (|Q| rows, broadcast), so
+    the corpus-sized scan never re-evaluates a distance expression.
+    Raw vectors are re-fetched (equi-join on id, broadcast shortlist)
     solely for the |Q|*S rescore pairs. Codebooks are plan literals
     trained offline on a distribution-matched sample (production: the
     engine's own kmeans over a corpus sample, spliced in like the IVF
-    cells). Recall@5 ~0.9 on the weakly-clustered fixture (asserted in
-    tests vs the brute-force baseline).
-    """
-    from customer_segmentation_pyspark_spark.functions.arrays import (
-        array_argmin,
-        sq_dist,
-    )
+    cells). Recall@5 ~0.9 on the weakly-clustered fixture (tested vs
+    brute force).
 
+    Implementation notes (SCALE.md plan-literal cost model): every
+    expression ships as ONE selectExpr string (a py4j crossing per
+    element otherwise); per-element arithmetic with inline casts, no
+    transform() pre-cast (Catalyst collapses projections, so a
+    transform'd alias re-inlines the whole 64-element lambda into
+    every element_at reference) and no zip_with/aggregate lambdas
+    (never codegen'd).
+    """
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
     sub_dim = len(codebooks[0][0])
 
-    cv = _as_double(F.col(vec_col))
-    enc_cols = []
-    for m, cb in enumerate(codebooks):
-        sub = F.slice(cv, m * sub_dim + 1, sub_dim)
-        dists = F.array(
-            *[
-                sq_dist(sub, F.array(*[F.lit(float(x)) for x in cent]))
-                for cent in cb
-            ]
+    def sqd(vec: str, m: int, cent: Sequence[float]) -> str:
+        return " + ".join(
+            f"(cast(element_at({vec}, {m * sub_dim + j + 1}) as double)"
+            f" - ({x!r}))"
+            f" * (cast(element_at({vec}, {m * sub_dim + j + 1}) as double)"
+            f" - ({x!r}))"
+            for j, x in enumerate(cent)
         )
-        enc_cols.append(array_argmin(dists).alias(f"c{m}"))
-    enc = corpus.select(F.col(id_col).alias("neighbor_id"), *enc_cols)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    cvx = corpus.selectExpr(f"{id_col} as neighbor_id", f"{vec_col} as cv")
+    lists = cvx.selectExpr(
+        "neighbor_id",
+        *[
+            "array("
+            + ", ".join(f"({sqd('cv', m, cent)})" for cent in cb)
+            + f") as l{m}"
+            for m, cb in enumerate(codebooks)
+        ],
+    )
+    enc = lists.selectExpr(
+        "neighbor_id",
+        *[
+            f"cast(array_position(l{m}, array_min(l{m})) - 1 as int) as c{m}"
+            for m in range(n_sub)
+        ],
+    )
+
+    # per-query ADC distance table: entry m*K + k = sqdist(q_sub_m, cb[m][k])
+    qtab = queries.selectExpr(
+        f"{id_col} as query_id",
+        "array("
+        + ", ".join(
+            f"({sqd(vec_col, m, cent)})"
+            for m, cb in enumerate(codebooks)
+            for cent in cb
+        )
+        + ") as dtab",
     )
     joined = enc.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+        F.broadcast(qtab), F.col("neighbor_id") != F.col("query_id")
     )
-    total = F.lit(0.0)
-    for m, cb in enumerate(codebooks):
-        qsub = F.slice(F.col("qv"), m * sub_dim + 1, sub_dim)
-        expr = None
-        for code, cent in enumerate(cb):
-            d = sq_dist(qsub, F.array(*[F.lit(float(x)) for x in cent]))
-            expr = (
-                F.when(F.col(f"c{m}") == code, d)
-                if expr is None
-                else expr.when(F.col(f"c{m}") == code, d)
-            )
-        total = total + expr
-    adc_scored = joined.select(
-        "query_id", "neighbor_id", F.round(total, 6).alias("adc_dist")
+    adc = " + ".join(
+        f"element_at(dtab, {m * n_codes} + c{m} + 1)" for m in range(n_sub)
+    )
+    adc_scored = joined.selectExpr(
+        "query_id", "neighbor_id", f"round({adc}, 6) as adc_dist"
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
@@ -497,17 +518,17 @@ def pq_topk(
     # exact rescore on the bounded |Q|*shortlist candidate set: fetch the
     # raw vectors back by id (broadcast the tiny shortlist), then rank by
     # true squared distance
-    cand = F.broadcast(short).join(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("cv"),
-        ),
-        "neighbor_id",
+    exact = " + ".join(
+        f"(cast(element_at(qv, {i}) as double)"
+        f" - cast(element_at(cv, {i}) as double))"
+        f" * (cast(element_at(qv, {i}) as double)"
+        f" - cast(element_at(cv, {i}) as double))"
+        for i in range(1, sub_dim * n_sub + 1)
     )
-    rescored = cand.join(F.broadcast(q), "query_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(sq_dist(F.col("qv"), F.col("cv")), 6).alias("dist"),
+    q = queries.selectExpr(f"{id_col} as query_id", f"{vec_col} as qv")
+    cand = F.broadcast(short).join(cvx, "neighbor_id")
+    rescored = cand.join(F.broadcast(q), "query_id").selectExpr(
+        "query_id", "neighbor_id", f"round({exact}, 6) as dist"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()

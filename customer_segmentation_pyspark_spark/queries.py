@@ -5618,8 +5618,11 @@ def _sql_pq_topk(k: int = 5, shortlist: int = 50) -> str:
     """Mirror of q_pq_topk: identical codebook literals, identical
     left-to-right squared-distance folds, first-min argmin via
     list_position(l, min(l)) (1-based, first occurrence — the same
-    tie-break as Spark array_position), same shortlist + rescore."""
+    tie-break as Spark array_position), the same per-query ADC distance
+    table (entry m*K + code), same shortlist + rescore."""
     cbs = _pq_codebooks()
+    n_sub = len(cbs)
+    n_codes = len(cbs[0])
     sub_dim = len(cbs[0][0])
 
     def sqd(vec: str, m: int, cent: list[float]) -> str:
@@ -5636,29 +5639,32 @@ def _sql_pq_topk(k: int = 5, shortlist: int = 50) -> str:
     enc = ", ".join(
         f"CAST(list_position(l{m}, list_aggregate(l{m}, 'min')) - 1 AS INT)"
         f" AS c{m}"
-        for m in range(len(cbs))
+        for m in range(n_sub)
     )
-    adc_terms = []
-    for m, cb in enumerate(cbs):
-        branches = " ".join(
-            f"WHEN {code} THEN ({sqd('qv', m, cent)})"
-            for code, cent in enumerate(cb)
+    dtab = (
+        "["
+        + ", ".join(
+            f"({sqd('qv', m, cent)})" for m, cb in enumerate(cbs) for cent in cb
         )
-        adc_terms.append(f"(CASE c{m} {branches} END)")
-    adc = " + ".join(adc_terms)
+        + "]"
+    )
+    adc = " + ".join(
+        f"dtab[{m * n_codes} + c{m} + 1]" for m in range(n_sub)
+    )
     exact = " + ".join(
         f"(qq.qv[{i}] - c.v[{i}]) * (qq.qv[{i}] - c.v[{i}])"
-        for i in range(1, 65)
+        for i in range(1, sub_dim * n_sub + 1)
     )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 dl AS (SELECT vec_id, v, {lists} FROM e),
 enc AS (SELECT vec_id, {enc} FROM dl),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qtab AS (SELECT query_id, {dtab} AS dtab FROM q),
 adc AS (
-  SELECT q.query_id, enc.vec_id AS neighbor_id,
+  SELECT qtab.query_id, enc.vec_id AS neighbor_id,
          round({adc}, 6) AS adc_dist
-  FROM enc, q WHERE enc.vec_id <> q.query_id),
+  FROM enc, qtab WHERE enc.vec_id <> qtab.query_id),
 short AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id

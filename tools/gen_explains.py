@@ -36,6 +36,9 @@ NAMES = [
     # DSIR selection, BPE pair stats, winnowing fingerprints
     "bm25_topk", "semantic_dedup", "ann_ivf_fixed", "dsir_select",
     "bpe_pair_counts", "winnowing",
+    # r02 session-3: substring dedup, hybrid retrieval, PQ ANN, DQ suite
+    "substring_dedup", "rrf_fusion", "hard_negatives", "dq_checks",
+    "pq_topk",
 ]
 
 
