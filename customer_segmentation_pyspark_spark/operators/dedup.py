@@ -887,48 +887,72 @@ def semantic_dedup(
     (measured 40x wall on a 500-doc corpus with computed embeddings;
     see q_retrieval_index_pipeline).
     """
-    from customer_segmentation_pyspark_spark.functions.arrays import (
-        array_argmin,
-        cosine_similarity,
+    n_dim = len(centroids[0])
+
+    def elem(vec: str, i: int) -> str:
+        return f"cast(element_at({vec}, {i + 1}) as double)"
+
+    base = emb.selectExpr(f"{id_col} as vec_id", f"{vec_col} as v")
+
+    def sqdist(cent: list[float]) -> str:
+        return " + ".join(
+            f"({elem('v', d)} - ({c!r})) * ({elem('v', d)} - ({c!r}))"
+            for d, c in enumerate(cent)
+        )
+
+    # assignment + per-row norm in codegen'd string expressions: no
+    # zip_with/aggregate lambdas (interpreted, never codegen'd) and no
+    # transform() pre-cast (projection collapse would re-inline the full
+    # lambda into every element reference — see SCALE.md; this exact
+    # operator ran 45 s at sf0.1 in the HOF form, ~3 s in this form).
+    # Norms are computed ONCE per row pre-join so the pair stage is a
+    # 64-term dot product + one divide.
+    dists = (
+        "array(" + ", ".join(f"({sqdist(c)})" for c in centroids) + ")"
     )
-
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
-
-    def sqdist(cent: list[float]) -> Column:
-        expr = None
-        for d, c in enumerate(cent):
-            t = F.col("v").getItem(d) - F.lit(float(c))
-            term = t * t
-            expr = term if expr is None else expr + term
-        return expr
-
-    assigned = base.select(
+    lists = base.selectExpr("vec_id", "v", f"{dists} as dl")
+    assigned = lists.selectExpr(
         "vec_id",
         "v",
-        array_argmin(F.array(*[sqdist(c) for c in centroids]))
-        .cast("long")
-        .alias("cluster"),
+        "cast(array_position(dl, array_min(dl)) - 1 as bigint) as cluster",
     )
-    a = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-    )
+    # Pair stage: per-cluster GEMM inside grouped applyInPandas — the
+    # same sanctioned Arrow kernel as embedding_neardup_pairs. The JVM
+    # expression form (64-term dot per pair) measured ~5 s for 1.5M
+    # pairs at sf0.1 (~300k pairs/s: element_at extraction dominates);
+    # the numpy GEMM does the same cluster in milliseconds. Group task
+    # memory is O(cluster_size * dim) — bounded because SemDeDup picks
+    # K ∝ N / target_cluster_size; for a pathological hot cluster,
+    # switch that cluster to the block-pair index of
+    # embedding_neardup_pairs (same kernel, sub-divided groups).
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("vec_id", T.LongType())])
+
+    def dropped_in_cluster(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        m = m / nrm[:, None]
+        sims = np.round(m @ m.T, 4)
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        dup = np.unique(ids[np.nonzero(mask)[1]])
+        return pd.DataFrame({"vec_id": dup})
+
     dropped = (
-        a.join(b, ["cluster"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4)
-            >= F.lit(threshold)
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
+        assigned.select("cluster", "vec_id", "v")
+        .groupBy("cluster")
+        .applyInPandas(dropped_in_cluster, schema=schema)
         .withColumn("is_dup", F.lit(True))
     )
     return (
-        assigned.join(dropped, "vec_id", "left")
+        assigned.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
         .select(
             "vec_id",
             "cluster",
@@ -1015,4 +1039,73 @@ def duplicated_span_profile(
             .otherwise(F.lit(0.0))
             .alias("dup_span_ratio"),
         )
+    )
+
+
+def duplicated_span_intervals(
+    df: DataFrame,
+    span_len: int = 24,
+    stride: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup: merge each document's
+    duplicated spans (global multiplicity >= 2, as in
+    ``duplicated_span_profile``) into maximal character intervals
+    [start, end] — the byte ranges a corpus cleaner would cut or
+    dedup-mask before training.
+
+    Interval merge is the classic gaps-and-islands shape done at scale:
+    per doc, order spans by start, carry the running max end with a
+    window frame (rows unbounded preceding -> 1 preceding), start a new
+    island where the current start exceeds it, then one agg per island.
+    Two keyed shuffles total (span-hash multiplicity + per-doc window);
+    nothing quadratic, no pair lists.
+    """
+    from pyspark.sql import Window
+
+    n = F.length(F.col(text_col))
+    pos = F.when(
+        n >= span_len,
+        F.sequence(F.lit(1), n - span_len + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = _spread(df).select(
+        F.col(id_col),
+        F.explode(pos).alias("p"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "p",
+        F.substring(
+            F.md5(F.substring(F.col(text_col), F.col("p"), span_len)), 1, 16
+        ).alias("h"),
+    )
+    mult = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup = spans.withColumn("mult", mult).filter(F.col("mult") >= 2)
+    w = Window.partitionBy(id_col).orderBy(F.col("p").asc())
+    prev_max_end = F.max(F.col("p") + span_len - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.select(
+        id_col,
+        "p",
+        F.when(
+            F.col("p") > F.coalesce(prev_max_end, F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("p").cast("long").alias("start"),
+            (F.max("p") + span_len - 1).cast("long").alias("end"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+        .select(id_col, "start", "end", "n_spans")
     )

@@ -680,3 +680,137 @@ def hash_embedding(
             for d in range(dim)
         ],
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """RLHF/DPO preference-pair construction: per group, the best-scored
+    row becomes ``chosen`` and the worst becomes ``rejected``.
+
+    ONE aggregation, no window sort: chosen rides max(struct(score,
+    -id)) and rejected min(struct(score, id)) — lexicographic struct
+    ordering gives max-score-then-lowest-id / min-score-then-lowest-id
+    tie-breaks with a single map-side-combinable shuffle (contrast the
+    two-window formulation: two full partition sorts). Groups with only
+    one distinct row still emit a pair with gap 0 — filter on
+    ``score_gap > 0`` for training."""
+    s = (score if score is not None else token_count(F.col("text"))).cast(
+        "long"
+    )
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        s.alias("s"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.max(F.struct(F.col("s"), (-F.col("id")).alias("nid"))).alias("mx"),
+        F.min(F.struct(F.col("s"), F.col("id"))).alias("mn"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        (-F.col("mx.nid")).cast("long").alias("chosen_id"),
+        F.col("mx.s").alias("chosen_score"),
+        F.col("mn.id").cast("long").alias("rejected_id"),
+        F.col("mn.s").alias("rejected_score"),
+        (F.col("mx.s") - F.col("mn.s")).alias("score_gap"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Memorization/contamination eval: deterministically split the
+    corpus into train/eval halves (md5(id) parity — the engine's
+    standard seedless split), then score each EVAL doc by the fraction
+    of its distinct word n-grams never seen in ANY train doc
+    ("novelty"; 0 = fully memorizable from train, 1 = fully novel).
+
+    Scale shape: shingle explode is linear; the train shingle
+    vocabulary is a distinct agg; membership is a left join on the
+    shingle key (linear, no pair expansion) followed by one per-doc
+    agg. A stop-shingle present in every train doc costs one vocab row,
+    not a blowup — the join output stays one row per eval-doc shingle.
+    """
+    from customer_segmentation_pyspark_spark.operators.dedup import shingles
+
+    sh = shingles(df, text_col=text_col, n=n)
+    is_train = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 32, 1), 16, 10)
+        .cast("int")
+        % 2
+        == 0
+    )
+    sh = sh.withColumn("is_train", is_train)
+    train_vocab = (
+        sh.filter(F.col("is_train")).select("shingle").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    ev = sh.filter(~F.col("is_train")).join(train_vocab, "shingle", "left")
+    return (
+        ev.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    stages: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum data ordering: rank docs by a difficulty proxy (mean
+    token length — long words ~ harder text), cut into ``stages``
+    ntiles (easy -> hard), and give each doc a deterministic position
+    within its stage by hash (so the within-stage order is a seedless
+    shuffle, reproducible across engines and runs).
+
+    Two window passes over (difficulty, id) and (stage, hash) orderings
+    — at corpus scale swap the global ntile for a quantile-boundary
+    broadcast (computed once) to avoid the single-ordering sort; the
+    output contract is identical."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    difficulty = F.round(
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", ""))
+        / F.greatest(F.size(toks), F.lit(1)),
+        4,
+    )
+    base = df.select(
+        F.col(id_col),
+        difficulty.alias("difficulty"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    w_diff = Window.orderBy(F.col("difficulty").asc(), F.col(id_col).asc())
+    staged = base.withColumn(
+        "stage", F.ntile(stages).over(w_diff).cast("long")
+    )
+    w_pos = Window.partitionBy("stage").orderBy(
+        F.col("h").asc(), F.col(id_col).asc()
+    )
+    return staged.select(
+        id_col,
+        "difficulty",
+        "stage",
+        F.row_number().over(w_pos).cast("long").alias("position"),
+    )

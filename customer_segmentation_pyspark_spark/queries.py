@@ -5740,6 +5740,37 @@ def q_dq_checks(spark, sf_dir):
     return reduce(DataFrame.unionByName, suite).orderBy("check")
 
 
+def q_preference_pairs(spark, sf_dir):
+    """RLHF/DPO pair construction: per source, best/worst doc by token
+    count via ONE aggregation (max(struct(score,-id)) / min(struct) —
+    no window sort, single combinable shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.preference_pairs(d, group_col="source")
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Memorization eval: md5-parity train/eval split; per eval doc the
+    fraction of its distinct 3-gram shingles unseen in the train half.
+    Linear shingle join, one per-doc agg."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.ngram_novelty(d, n=3)
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: mean-token-length difficulty, 4 ntile
+    stages, hash-shuffled deterministic position within stage."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.curriculum_order(d, stages=4)
+
+
+def q_dup_span_intervals(spark, sf_dir):
+    """ExactSubstr removal intervals: per-doc maximal merged [start,end]
+    character ranges covered by corpus-duplicated 24-char spans —
+    gaps-and-islands over span starts, two keyed shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_span_intervals(d, span_len=24, stride=6)
+
+
 def q_substring_dedup(spark, sf_dir):
     """ExactSubstr-style duplicated-span profile: 24-char windows at
     stride 6, md5-hashed; per-doc count/ratio of spans whose hash
@@ -5800,6 +5831,86 @@ ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "rrf_fusion": _sql_rrf_fusion(),
     "pq_topk": _sql_pq_topk(),
+    "preference_pairs": """
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS s
+  FROM documents),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY s DESC, doc_id ASC) AS r_best,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY s ASC, doc_id ASC) AS r_worst
+  FROM scored)
+SELECT b.source,
+       b.doc_id AS chosen_id, b.s AS chosen_score,
+       w.doc_id AS rejected_id, w.s AS rejected_score,
+       b.s - w.s AS score_gap
+FROM (SELECT * FROM ranked WHERE r_best = 1) b
+JOIN (SELECT * FROM ranked WHERE r_worst = 1) w USING (source)""",
+    "ngram_novelty": f"""
+WITH {_SQL_SHINGLES},
+tagged AS (
+  SELECT doc_id, shingle,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+              AS BIGINT) % 2 = 0 AS is_train
+  FROM shd),
+vocab AS (SELECT DISTINCT shingle FROM tagged WHERE is_train),
+ev AS (SELECT t.doc_id, t.shingle, v.shingle IS NOT NULL AS seen
+       FROM tagged t LEFT JOIN vocab v ON t.shingle = v.shingle
+       WHERE NOT t.is_train)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN seen THEN 0 ELSE 1 END) * 1.0 / count(*), 4)
+         AS novelty
+FROM ev GROUP BY doc_id""",
+    "curriculum_order": """
+WITH base AS (
+  SELECT doc_id,
+         round(length(regexp_replace(lower(text), '\\s+', '', 'g')) * 1.0
+               / greatest(len(string_split_regex(lower(text), '\\s+')), 1),
+               4) AS difficulty,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+staged AS (
+  SELECT doc_id, difficulty, h,
+         CAST(ntile(4) OVER (ORDER BY difficulty ASC, doc_id ASC)
+              AS BIGINT) AS stage
+  FROM base)
+SELECT doc_id, difficulty, stage,
+       CAST(row_number() OVER (PARTITION BY stage
+                               ORDER BY h ASC, doc_id ASC) AS BIGINT)
+         AS position
+FROM staged""",
+    "dup_span_intervals": """
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, n - 24 + 1, 6)) AS p
+  FROM docs WHERE n >= 24),
+spans AS (
+  SELECT doc_id, p, substr(md5(substr(text, p, 24)), 1, 16) AS h FROM pos),
+dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS mult FROM spans)
+  WHERE mult >= 2),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p > coalesce(max(p + 24 - 1) OVER (
+                  PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup),
+isl2 AS (
+  SELECT doc_id, p,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS start,
+       CAST(max(p) + 24 - 1 AS BIGINT) AS "end",
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM isl2 GROUP BY doc_id, island""",
     "hard_negatives": """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
@@ -8220,4 +8331,14 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dq_checks": QuerySpec(q_dq_checks, ORACLES["dq_checks"]),
     "pq_topk": QuerySpec(q_pq_topk, ORACLES["pq_topk"]),
+    "preference_pairs": QuerySpec(
+        q_preference_pairs, ORACLES["preference_pairs"]
+    ),
+    "ngram_novelty": QuerySpec(q_ngram_novelty, ORACLES["ngram_novelty"]),
+    "curriculum_order": QuerySpec(
+        q_curriculum_order, ORACLES["curriculum_order"]
+    ),
+    "dup_span_intervals": QuerySpec(
+        q_dup_span_intervals, ORACLES["dup_span_intervals"]
+    ),
 }

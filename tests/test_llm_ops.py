@@ -979,3 +979,86 @@ def test_pq_recall_vs_brute_force(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"PQ recall too low: {recall}"
+
+
+def test_preference_pairs_order_and_gap(docs):
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    out = textops.preference_pairs(docs, group_col="source").collect()
+    assert out, "fixture has sources"
+    for r in out:
+        assert r["chosen_score"] >= r["rejected_score"]
+        assert r["score_gap"] == r["chosen_score"] - r["rejected_score"]
+
+
+def test_ngram_novelty_planted(spark):
+    """An eval doc cloned from a train doc scores novelty 0; an eval doc
+    with entirely unseen vocabulary scores 1. (md5-parity split: doc_id
+    1 is eval, 2 is train, 21 is eval — verified inside.)"""
+    import hashlib
+
+    def is_train(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[31], 16) % 2 == 0
+
+    train_id = next(i for i in range(100) if is_train(i))
+    ev_ids = [i for i in range(100) if not is_train(i)][:2]
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (train_id, shared),
+        (ev_ids[0], shared),                       # clone -> novelty 0
+        (ev_ids[1], "qq ww ee rr tt yy uu ii"),    # disjoint -> novelty 1
+    ]
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.ngram_novelty(df, n=3).collect()}
+    assert train_id not in out  # train docs are not scored
+    assert out[ev_ids[0]]["novelty"] == 0.0
+    assert out[ev_ids[1]]["novelty"] == 1.0
+
+
+def test_dup_span_intervals_merge(spark):
+    """Two docs sharing one long verbatim run: each reports ONE merged
+    interval covering the shared run (plus nothing for unique text);
+    intervals never overlap within a doc."""
+    import hashlib
+
+    boiler = "shared license text block that repeats verbatim everywhere! "
+    u1 = hashlib.sha256(b"u1").hexdigest() * 2
+    u2 = hashlib.sha256(b"u2").hexdigest() * 2
+    rows = [(1, u1 + boiler * 3 + u2), (2, boiler * 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.duplicated_span_intervals(df, span_len=24, stride=6).collect()
+    by_doc = {}
+    for r in out:
+        assert r["start"] <= r["end"]
+        by_doc.setdefault(r["doc_id"], []).append((r["start"], r["end"]))
+    for doc, ivals in by_doc.items():
+        ivals.sort()
+        for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
+            assert s2 > e1, f"overlapping intervals in doc {doc}"
+    # doc 2 is entirely boilerplate: one interval covering ~whole text
+    assert len(by_doc[2]) == 1
+    s, e = by_doc[2][0]
+    assert s == 1 and e >= len(boiler * 3) - 24
+
+
+def test_curriculum_order_stage_properties(docs):
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    out = textops.curriculum_order(docs, stages=4).collect()
+    n = len(out)
+    stages = {}
+    for r in out:
+        stages.setdefault(r["stage"], []).append(r)
+    assert set(stages) == {1, 2, 3, 4}
+    sizes = [len(v) for _, v in sorted(stages.items())]
+    assert max(sizes) - min(sizes) <= 1  # ntile balance
+    for st, rows in stages.items():
+        poss = sorted(r["position"] for r in rows)
+        assert poss == list(range(1, len(rows) + 1))
+    # difficulty must be (weakly) non-decreasing across stage boundaries
+    maxes = [max(r["difficulty"] for r in stages[s]) for s in (1, 2, 3)]
+    mins = [min(r["difficulty"] for r in stages[s]) for s in (2, 3, 4)]
+    for mx, mn in zip(maxes, mins):
+        assert mx <= mn + 1e-9
