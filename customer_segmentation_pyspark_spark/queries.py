@@ -4785,6 +4785,176 @@ def q_k_anonymity(spark, sf_dir):
     )
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (Machanavajjhala et al. 2007) — the step after
+    k-anonymity: a QI group is unsafe if its SENSITIVE attribute is
+    near-constant even when the group is large. Per (nation,
+    balance-band) group: distinct-l over order priority, entropy
+    l-diversity via ln(n) - sum(c*ln c)/n (one two-level aggregate,
+    no window), and the l<3 at-risk flag."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(
+        F.broadcast(
+            c.select(
+                "c_custkey",
+                F.col("c_nationkey").cast("bigint").alias("nation"),
+                F.floor(F.col("c_acctbal") / 2000)
+                .cast("bigint")
+                .alias("bal_bucket"),
+            )
+        ),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    g1 = j.groupBy("nation", "bal_bucket", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        g1.groupBy("nation", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.sum("c").cast("long").alias("n"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+        .withColumn(
+            "at_risk",
+            F.when(F.col("l_distinct") < 3, 1).otherwise(0).cast("long"),
+        )
+    )
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal anomaly counts: per event type, subtract the
+    (type, hour-of-day) seasonal mean, z-score the residual within the
+    type, and count |z| > 3. Seasonal profile and residual moments are
+    two broadcast-able aggregates (6 types x 24 hours); every pass over
+    events is linear, no window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.hour("ts").alias("hh"), F.col("value")
+    )
+    seasonal = base.groupBy("event_type", "hh").agg(
+        F.avg("value").alias("mu_h")
+    )
+    resid = base.join(F.broadcast(seasonal), ["event_type", "hh"]).select(
+        "event_type", (F.col("value") - F.col("mu_h")).alias("r")
+    )
+    stats = resid.groupBy("event_type").agg(
+        F.avg("r").alias("mu_r"), F.stddev_pop("r").alias("sd_r")
+    )
+    return (
+        resid.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            ((F.col("r") - F.col("mu_r")) / F.col("sd_r")).alias("z"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.abs("z") > 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+            F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+        )
+    )
+
+
+def q_join_cardinality(spark, sf_dir):
+    """Optimizer cardinality diagnostics: exact join size of
+    orders |><| lineitem (sum over keys of n_o * n_l — no join executed,
+    two key histograms) vs the textbook estimate |R|*|S|/max(V(R),V(S)),
+    with the error ratio. The way a cost-based planner sanity-checks its
+    own estimate against a one-pass sketch."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ho = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    hl = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    exact = (
+        ho.join(hl, "k")
+        .agg(F.sum(F.col("n_o") * F.col("n_l")).alias("exact_card"))
+    )
+    est = (
+        o.agg(
+            F.count(F.lit(1)).alias("n_r"),
+            F.count_distinct("o_orderkey").alias("v_r"),
+        )
+        .crossJoin(
+            li.agg(
+                F.count(F.lit(1)).alias("n_s"),
+                F.count_distinct("l_orderkey").alias("v_s"),
+            )
+        )
+        .select(
+            F.floor(
+                F.col("n_r")
+                * F.col("n_s")
+                / F.greatest("v_r", "v_s")
+            ).alias("est_card")
+        )
+    )
+    return exact.crossJoin(est).select(
+        F.col("exact_card").cast("long"),
+        F.col("est_card").cast("long"),
+        F.round(F.col("est_card") / F.col("exact_card"), 4).alias(
+            "est_ratio"
+        ),
+    )
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor: md5-parity reference/current
+    split, then cosine between the two MEAN vectors, L2 shift, and
+    mean-norm ratio — the cheap production check that an encoder change
+    didn't move the space. One posexplode pass + per-(half, dim) agg
+    (64*2 rows), scalar fold at the end."""
+    e = load_table(spark, sf_dir, "embeddings")
+    half = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 32, 1), 16, 10
+        ).cast("int")
+        % 2
+    ).alias("half")
+    dims = e.select(
+        half, F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select("half", "pos", F.col("x").cast("double").alias("x"))
+    means = dims.groupBy("half", "pos").agg(F.avg("x").alias("m"))
+    a = means.filter(F.col("half") == 0).select(
+        "pos", F.col("m").alias("ma")
+    )
+    b = means.filter(F.col("half") == 1).select(
+        "pos", F.col("m").alias("mb")
+    )
+    return (
+        a.join(b, "pos")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("na"),
+            F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nb"),
+            F.sqrt(
+                F.sum(
+                    (F.col("ma") - F.col("mb"))
+                    * (F.col("ma") - F.col("mb"))
+                )
+            ).alias("l2"),
+        )
+        .select(
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_means"
+            ),
+            F.round("l2", 6).alias("l2_shift"),
+            F.round(F.col("na") / F.col("nb"), 6).alias("norm_ratio"),
+        )
+    )
+
+
 def q_key_skew_profile(spark, sf_dir):
     """Join/agg-key skew diagnosis: per-key frequencies for lineitem's
     supplier key, top-20 heaviest keys with corpus share and running
@@ -5831,6 +6001,74 @@ ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "rrf_fusion": _sql_rrf_fusion(),
     "pq_topk": _sql_pq_topk(),
+    "l_diversity": """
+WITH j AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+         o.o_orderpriority
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+g1 AS (
+  SELECT nation, bal_bucket, o_orderpriority, count(*) AS c
+  FROM j GROUP BY 1, 2, 3)
+SELECT CAST(nation AS BIGINT) AS nation, bal_bucket,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       CAST(sum(c) AS BIGINT) AS n,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+       CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+FROM g1 GROUP BY nation, bal_bucket""",
+    "seasonal_anomaly": """
+WITH base AS (
+  SELECT event_type, hour(ts) AS hh, value FROM events),
+seasonal AS (
+  SELECT event_type, hh, avg(value) AS mu_h FROM base GROUP BY 1, 2),
+resid AS (
+  SELECT b.event_type, b.value - s.mu_h AS r
+  FROM base b JOIN seasonal s
+       ON b.event_type = s.event_type AND b.hh = s.hh),
+stats AS (
+  SELECT event_type, avg(r) AS mu_r, stddev_pop(r) AS sd_r
+  FROM resid GROUP BY 1),
+z AS (
+  SELECT r.event_type, (r.r - s.mu_r) / s.sd_r AS z
+  FROM resid r JOIN stats s ON r.event_type = s.event_type)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       round(max(abs(z)), 4) AS max_abs_z
+FROM z GROUP BY event_type""",
+    "join_cardinality": """
+WITH ho AS (SELECT o_orderkey AS k, count(*) AS n_o FROM orders GROUP BY 1),
+hl AS (SELECT l_orderkey AS k, count(*) AS n_l FROM lineitem GROUP BY 1),
+exact AS (SELECT sum(n_o * n_l) AS exact_card FROM ho JOIN hl USING (k)),
+est AS (
+  SELECT CAST(floor(r.n_r * s.n_s * 1.0 / greatest(r.v_r, s.v_s))
+              AS BIGINT) AS est_card
+  FROM (SELECT count(*) AS n_r, count(DISTINCT o_orderkey) AS v_r
+        FROM orders) r,
+       (SELECT count(*) AS n_s, count(DISTINCT l_orderkey) AS v_s
+        FROM lineitem) s)
+SELECT CAST(exact_card AS BIGINT) AS exact_card, est_card,
+       round(est_card * 1.0 / exact_card, 4) AS est_ratio
+FROM exact, est""",
+    "embedding_drift": """
+WITH e AS (
+  SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)
+              AS BIGINT) % 2 AS half,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+dims AS (
+  SELECT half, r.range - 1 AS pos, v[r.range] AS x
+  FROM e, range(1, 65) r),
+means AS (SELECT half, pos, avg(x) AS m FROM dims GROUP BY 1, 2),
+ab AS (
+  SELECT a.pos, a.m AS ma, b.m AS mb
+  FROM (SELECT * FROM means WHERE half = 0) a
+  JOIN (SELECT * FROM means WHERE half = 1) b USING (pos))
+SELECT round(sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6)
+         AS cos_means,
+       round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS l2_shift,
+       round(sqrt(sum(ma * ma)) / sqrt(sum(mb * mb)), 6) AS norm_ratio
+FROM ab""",
     "preference_pairs": """
 WITH scored AS (
   SELECT source, doc_id,
@@ -8340,5 +8578,15 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dup_span_intervals": QuerySpec(
         q_dup_span_intervals, ORACLES["dup_span_intervals"]
+    ),
+    "l_diversity": QuerySpec(q_l_diversity, ORACLES["l_diversity"]),
+    "seasonal_anomaly": QuerySpec(
+        q_seasonal_anomaly, ORACLES["seasonal_anomaly"]
+    ),
+    "join_cardinality": QuerySpec(
+        q_join_cardinality, ORACLES["join_cardinality"]
+    ),
+    "embedding_drift": QuerySpec(
+        q_embedding_drift, ORACLES["embedding_drift"]
     ),
 }

@@ -333,3 +333,35 @@ def test_pq_topk_codes_only_adc_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Exchange rangepartitioning" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_l_diversity_two_aggs_no_window(spark):
+    """Entropy l-diversity must be the two-level aggregate form — no
+    window sort, dim side broadcast."""
+    df = REGISTRY["l_diversity"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_seasonal_anomaly_broadcast_profiles(spark):
+    """Seasonal profile and residual moments are tiny aggregates —
+    both joins back to events must broadcast; no sort anywhere."""
+    df = REGISTRY["seasonal_anomaly"].fn(spark, SF_ORACLE)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_join_cardinality_never_executes_the_join(spark):
+    """The exact cardinality must come from the key-histogram join
+    (post-agg), never by materializing orders x lineitem: the plan's
+    joins may only see aggregated inputs."""
+    df = REGISTRY["join_cardinality"].fn(spark, SF_ORACLE)
+    p = plan(df, mode="simple")
+    # histogram join inputs are HashAggregates, so every join in the
+    # plan sits above at least one aggregate
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p  # scalar crossJoins broadcast
