@@ -4955,6 +4955,63 @@ def q_embedding_drift(spark, sf_dir):
     )
 
 
+def q_forget_cascade(spark, sf_dir):
+    """Right-to-be-forgotten impact audit: given a deletion cohort
+    (customers with deeply negative balances as the stand-in tombstone
+    list), count the cascade — their orders, and those orders'
+    lineitems — as (entity, n_delete, pct) rows. Each fact table is
+    scanned ONCE (left join against the broadcast doomed-key set +
+    conditional sum); nothing is actually deleted, which is exactly how
+    a production purge is sized before running."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    doomed_c = c.filter(F.col("c_acctbal") < -900).select(
+        F.col("c_custkey").alias("k")
+    )
+    c_stats = c.join(
+        F.broadcast(doomed_c), c.c_custkey == F.col("k"), "left"
+    ).agg(
+        F.lit("customer").alias("entity"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_delete"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    o_flagged = o.join(
+        F.broadcast(doomed_c), o.o_custkey == F.col("k"), "left"
+    )
+    o_stats = o_flagged.agg(
+        F.lit("orders").alias("entity"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_delete"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    doomed_o = o_flagged.filter(F.col("k").isNotNull()).select(
+        F.col("o_orderkey").alias("ok")
+    )
+    li_stats = li.join(
+        F.broadcast(doomed_o), li.l_orderkey == F.col("ok"), "left"
+    ).agg(
+        F.lit("lineitem").alias("entity"),
+        F.sum(F.when(F.col("ok").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_delete"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    return (
+        c_stats.unionByName(o_stats)
+        .unionByName(li_stats)
+        .select(
+            "entity",
+            "n_delete",
+            F.round(F.col("n_delete") / F.col("total"), 4).alias("pct"),
+        )
+        .orderBy("entity")
+    )
+
+
 def q_key_skew_profile(spark, sf_dir):
     """Join/agg-key skew diagnosis: per-key frequencies for lineitem's
     supplier key, top-20 heaviest keys with corpus share and running
@@ -6001,6 +6058,27 @@ ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "rrf_fusion": _sql_rrf_fusion(),
     "pq_topk": _sql_pq_topk(),
+    "forget_cascade": """
+WITH doomed_c AS (
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900),
+doomed_o AS (
+  SELECT o_orderkey AS ok FROM orders
+  WHERE o_custkey IN (SELECT k FROM doomed_c)),
+rows_ AS (
+  SELECT 'customer' AS entity,
+         (SELECT count(*) FROM doomed_c) AS n_delete,
+         (SELECT count(*) FROM customer) AS total
+  UNION ALL
+  SELECT 'orders', (SELECT count(*) FROM doomed_o),
+         (SELECT count(*) FROM orders)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT ok FROM doomed_o)),
+         (SELECT count(*) FROM lineitem))
+SELECT entity, CAST(n_delete AS BIGINT) AS n_delete,
+       round(n_delete * 1.0 / total, 4) AS pct
+FROM rows_ ORDER BY entity""",
     "l_diversity": """
 WITH j AS (
   SELECT c.c_nationkey AS nation,
@@ -8580,6 +8658,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dup_span_intervals, ORACLES["dup_span_intervals"]
     ),
     "l_diversity": QuerySpec(q_l_diversity, ORACLES["l_diversity"]),
+    "forget_cascade": QuerySpec(
+        q_forget_cascade, ORACLES["forget_cascade"]
+    ),
     "seasonal_anomaly": QuerySpec(
         q_seasonal_anomaly, ORACLES["seasonal_anomaly"]
     ),

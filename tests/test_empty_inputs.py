@@ -74,3 +74,34 @@ def test_r02_batch_ops_on_empty(spark):
     assert dedup.prefix_jaccard_pairs(docs).count() == 0
     cust = load_table(spark, SF_SMOKE, "customer").filter(F.lit(False))
     assert textops.fuzzy_edit1_pairs(cust, "c_name").count() == 0
+
+
+def test_session3_ops_on_empty(spark):
+    """Span profile/intervals, PQ ANN, RRF, preference pairs, novelty,
+    and hard negatives all degrade to empty (or all-zero) frames with
+    stable schemas on empty input — no crash, no driver error."""
+    from customer_segmentation_pyspark_spark.operators import similarity
+    from customer_segmentation_pyspark_spark.queries import _pq_codebooks
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.lit(False))
+    prof = dedup.duplicated_span_profile(docs)
+    assert prof.count() == 0
+    assert set(prof.columns) == {
+        "doc_id", "n_spans", "n_dup_spans", "dup_span_ratio",
+    }
+    assert dedup.duplicated_span_intervals(docs).count() == 0
+    assert textops.preference_pairs(docs).count() == 0
+    assert textops.ngram_novelty(docs).count() == 0
+    assert textops.curriculum_order(docs).count() == 0
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    empty_e = emb.filter(F.lit(False))
+    q = emb.filter(F.col("vec_id") < 3)
+    # empty corpus with live queries / live corpus with empty queries
+    assert similarity.pq_topk(empty_e, q, _pq_codebooks(), k=3).count() == 0
+    assert similarity.pq_topk(emb, empty_e, _pq_codebooks(), k=3).count() == 0
+    assert similarity.hard_negatives(emb, empty_e, k=3).count() == 0
+    assert similarity.rrf_fuse(
+        [empty_e.selectExpr("vec_id as doc_id", "vec_id as rank")], k=5,
+        id_col="doc_id",
+    ).count() == 0
