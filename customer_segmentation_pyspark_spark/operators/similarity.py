@@ -460,21 +460,29 @@ def pq_topk(
     n_codes = len(codebooks[0])
     sub_dim = len(codebooks[0][0])
 
-    def sqd(vec: str, m: int, cent: Sequence[float]) -> str:
-        return " + ".join(
-            f"(cast(element_at({vec}, {m * sub_dim + j + 1}) as double)"
-            f" - ({x!r}))"
-            f" * (cast(element_at({vec}, {m * sub_dim + j + 1}) as double)"
-            f" - ({x!r}))"
+    def score(vec: str, m: int, cent: Sequence[float]) -> str:
+        # ||x-c||^2 rewritten as <c,c> - 2<x,c> (the ||x||^2 term is
+        # constant within a subspace's argmin and within a query's ADC
+        # table, so it cancels for both uses): HALF the expression size
+        # and arithmetic of the squared-difference form. The SQL oracle
+        # uses the identical formula, so the floats — and therefore the
+        # argmin/shortlist decisions — match bit-for-bit.
+        cc = 0.0
+        for x in cent:
+            cc += float(x) * float(x)
+        dot2 = " + ".join(
+            f"cast(element_at({vec}, {m * sub_dim + j + 1}) as double)"
+            f" * ({2.0 * float(x)!r})"
             for j, x in enumerate(cent)
         )
+        return f"({cc!r} - ({dot2}))"
 
     cvx = corpus.selectExpr(f"{id_col} as neighbor_id", f"{vec_col} as cv")
     lists = cvx.selectExpr(
         "neighbor_id",
         *[
             "array("
-            + ", ".join(f"({sqd('cv', m, cent)})" for cent in cb)
+            + ", ".join(f"({score('cv', m, cent)})" for cent in cb)
             + f") as l{m}"
             for m, cb in enumerate(codebooks)
         ],
@@ -492,7 +500,7 @@ def pq_topk(
         f"{id_col} as query_id",
         "array("
         + ", ".join(
-            f"({sqd(vec_col, m, cent)})"
+            f"({score(vec_col, m, cent)})"
             for m, cb in enumerate(codebooks)
             for cent in cb
         )

@@ -5852,15 +5852,20 @@ def _sql_pq_topk(k: int = 5, shortlist: int = 50) -> str:
     n_codes = len(cbs[0])
     sub_dim = len(cbs[0][0])
 
-    def sqd(vec: str, m: int, cent: list[float]) -> str:
-        return " + ".join(
-            f"({vec}[{m * sub_dim + j + 1}] - ({x!r}))"
-            f" * ({vec}[{m * sub_dim + j + 1}] - ({x!r}))"
+    def score(vec: str, m: int, cent: list[float]) -> str:
+        # mirror of the Spark-side <c,c> - 2<x,c> rewrite (constant
+        # ||x||^2 cancels inside each argmin / ADC table)
+        cc = 0.0
+        for x in cent:
+            cc += float(x) * float(x)
+        dot2 = " + ".join(
+            f"{vec}[{m * sub_dim + j + 1}] * ({2.0 * float(x)!r})"
             for j, x in enumerate(cent)
         )
+        return f"({cc!r} - ({dot2}))"
 
     lists = ", ".join(
-        "[" + ", ".join(f"({sqd('v', m, cent)})" for cent in cb) + f"] AS l{m}"
+        "[" + ", ".join(f"({score('v', m, cent)})" for cent in cb) + f"] AS l{m}"
         for m, cb in enumerate(cbs)
     )
     enc = ", ".join(
@@ -5871,7 +5876,7 @@ def _sql_pq_topk(k: int = 5, shortlist: int = 50) -> str:
     dtab = (
         "["
         + ", ".join(
-            f"({sqd('qv', m, cent)})" for m, cb in enumerate(cbs) for cent in cb
+            f"({score('qv', m, cent)})" for m, cb in enumerate(cbs) for cent in cb
         )
         + "]"
     )
