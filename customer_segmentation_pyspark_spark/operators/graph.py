@@ -215,3 +215,54 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+
+
+def k_core(
+    edges: DataFrame, k: int = 3, max_rounds: int = 50
+) -> DataFrame:
+    """k-core of an undirected graph given as canonical edges
+    ``(pa, pb)``: iteratively peel nodes of degree < k until the
+    remaining subgraph is stable; returns ``(node, degree_in_core)``.
+
+    The third iterative-graph shape next to components and PageRank —
+    unlike those, its round count is data-dependent (termination =
+    "no node was peeled"), so the loop is driven by a scalar count per
+    round (never a collect of the frame). Peeling is one degree agg +
+    one semi-join per round over a monotonically SHRINKING edge list;
+    lineage is truncated per round (localCheckpoint), and each round's
+    survivor count is the loop's only driver-side value. Real graphs
+    peel in a handful of rounds (degeneracy ordering shells).
+    """
+    e = (
+        edges.select("pa", "pb")
+        .filter(F.col("pa") != F.col("pb"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("pa").alias("n"))
+            .unionByName(e.select(F.col("pb").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint(
+            eager=True
+        )
+        e2 = (
+            e.join(keep.withColumnRenamed("n", "pa"), "pa", "semi")
+            .join(keep.withColumnRenamed("n", "pb"), "pb", "semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+        before, after = e.count(), e2.count()
+        e = e2
+        if after == before or after == 0:
+            break
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionByName(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_in_core"))
+    )
+    return deg

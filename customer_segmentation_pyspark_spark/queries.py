@@ -4955,6 +4955,151 @@ def q_embedding_drift(spark, sf_dir):
     )
 
 
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per event type: cumulative sum of
+    mean-centered values in (ts, event_id) order; the change point is
+    the position of max |cusum| (tie -> earliest). One window pass per
+    type + one struct-max aggregate — bit-identical cumsums in both
+    engines because the summation ORDER is pinned by the ordering key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    base = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value") - F.col("mu")).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cs = base.select(
+        "event_type",
+        "ts",
+        F.round(
+            F.abs(F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0))),
+            4,
+        ).alias("abs_cs"),
+    )
+    return (
+        cs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max(
+                F.struct(
+                    F.col("abs_cs"),
+                    (-F.unix_micros("ts")).alias("neg_us"),
+                )
+            ).alias("mx"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("mx.abs_cs").alias("max_cusum"),
+            F.timestamp_micros(-F.col("mx.neg_us")).alias("cp_ts"),
+        )
+    )
+
+
+def q_woe_binning(spark, sf_dir):
+    """Weight-of-evidence feature binning (credit-scoring transform):
+    decile-bin l_extendedprice (deterministic ntile ordering), then per
+    bin WoE = ln((events/total_events)/(nonevents/total_nonevents))
+    against the 'returned' target, plus the IV contribution. At corpus
+    scale the global ntile becomes broadcast quantile boundaries
+    (equidepth_histogram); the output contract is identical."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    binned = li.select(
+        F.ntile(10).over(w).cast("long").alias("bin"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("events"),
+    )
+    tot = g.agg(
+        F.sum("events").alias("te"),
+        F.sum(F.col("n") - F.col("events")).alias("tn"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "events",
+            F.round(
+                F.log(
+                    (F.col("events") / F.col("te"))
+                    / ((F.col("n") - F.col("events")) / F.col("tn"))
+                ),
+                6,
+            ).alias("woe"),
+            F.round(
+                (
+                    F.col("events") / F.col("te")
+                    - (F.col("n") - F.col("events")) / F.col("tn")
+                )
+                * F.log(
+                    (F.col("events") / F.col("te"))
+                    / ((F.col("n") - F.col("events")) / F.col("tn"))
+                ),
+                6,
+            ).alias("iv_part"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q_skipgram_pairs(spark, sf_dir):
+    """Word2vec training-data prep: skip-gram (center, context) pair
+    counts within a +/-2 window, top 30. The position join is an
+    EQUI-join on (doc, pos+offset) — offsets ride a 4-element explode,
+    so pair generation is linear in corpus tokens, never a per-doc
+    cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    ctx = toks.select(
+        "doc_id",
+        F.col("w").alias("center"),
+        F.explode(F.array(*[F.lit(o) for o in (-2, -1, 1, 2)])).alias("off"),
+        F.col("pos"),
+    ).select(
+        "doc_id", "center", (F.col("pos") + F.col("off")).alias("tpos")
+    )
+    pairs = ctx.join(
+        toks.select(
+            "doc_id", F.col("pos").alias("tpos"), F.col("w").alias("context")
+        ),
+        ["doc_id", "tpos"],
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "center", "context")
+        .limit(30)
+    )
+
+
+def q_k_core(spark, sf_dir):
+    """3-core of the co-purchase graph: iterative peeling with
+    data-dependent termination (rows-only: the loop is not
+    SQL-expressible without recursion on aggregates; invariants are
+    pinned in test_graph.py — every core member has in-core degree >= 3,
+    planted cliques survive, chains peel away)."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_pairs,
+        k_core,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return k_core(copurchase_pairs(li), k=3)
+
+
 def q_forget_cascade(spark, sf_dir):
     """Right-to-be-forgotten impact audit: given a deletion cohort
     (customers with deeply negative balances as the stand-in tombstone
@@ -6063,6 +6208,61 @@ ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "rrf_fusion": _sql_rrf_fusion(),
     "pq_topk": _sql_pq_topk(),
+    "cusum_changepoint": """
+WITH mu AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
+base AS (
+  SELECT e.event_type, e.ts, e.event_id, e.value - m.mu AS d
+  FROM events e JOIN mu m ON e.event_type = m.event_type),
+cs AS (
+  SELECT event_type, ts,
+         round(abs(sum(d) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+           AS abs_cs
+  FROM base),
+ranked AS (
+  SELECT event_type, ts, abs_cs,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs_cs DESC, ts ASC) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM cs)
+SELECT event_type, CAST(n AS BIGINT) AS n, abs_cs AS max_cusum,
+       ts AS cp_ts
+FROM ranked WHERE r = 1""",
+    "woe_binning": """
+WITH binned AS (
+  SELECT ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                         l_linenumber) AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+g AS (SELECT bin, count(*) AS n, sum(y) AS events FROM binned GROUP BY 1),
+tot AS (SELECT sum(events) AS te, sum(n - events) AS tn FROM g)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(events AS BIGINT) AS events,
+       round(ln((events * 1.0 / te) / ((n - events) * 1.0 / tn)), 6)
+         AS woe,
+       round((events * 1.0 / te - (n - events) * 1.0 / tn)
+             * ln((events * 1.0 / te) / ((n - events) * 1.0 / tn)), 6)
+         AS iv_part
+FROM g, tot ORDER BY bin""",
+    "skipgram_pairs": """
+WITH toks AS (
+  SELECT doc_id, w, CAST(pos AS BIGINT) - 1 AS pos FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS w,
+           unnest(generate_series(1,
+             len(string_split_regex(lower(text), '\\s+')))) AS pos
+    FROM documents) WHERE w <> ''),
+ctx AS (
+  SELECT t.doc_id, t.w AS center, t.pos + o.off AS tpos
+  FROM toks t, (SELECT unnest([-2, -1, 1, 2]) AS off) o),
+pairs AS (
+  SELECT c.center, t2.w AS context
+  FROM ctx c JOIN toks t2
+       ON c.doc_id = t2.doc_id AND c.tpos = t2.pos)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2
+ORDER BY n_pairs DESC, center, context LIMIT 30""",
     "forget_cascade": """
 WITH doomed_c AS (
   SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900),
@@ -8666,6 +8866,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "forget_cascade": QuerySpec(
         q_forget_cascade, ORACLES["forget_cascade"]
     ),
+    "cusum_changepoint": QuerySpec(
+        q_cusum_changepoint, ORACLES["cusum_changepoint"]
+    ),
+    "woe_binning": QuerySpec(q_woe_binning, ORACLES["woe_binning"]),
+    "skipgram_pairs": QuerySpec(
+        q_skipgram_pairs, ORACLES["skipgram_pairs"]
+    ),
+    "k_core": QuerySpec(q_k_core, None),
     "seasonal_anomaly": QuerySpec(
         q_seasonal_anomaly, ORACLES["seasonal_anomaly"]
     ),

@@ -109,3 +109,32 @@ def test_triangle_counts_known_graphs(spark):
     )
     got = {r["node"]: r["n_tri"] for r in triangle_counts(star).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_k_core_planted_clique_survives_chain_peels(spark):
+    """A 5-clique is its own 3-core (every member keeps degree 4); a
+    long chain has max degree 2 and must peel away entirely."""
+    from customer_segmentation_pyspark_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(100 + i, 101 + i) for i in range(30)]
+    e = spark.createDataFrame(clique + chain, ["pa", "pb"])
+    out = {r["node"]: r["degree_in_core"] for r in k_core(e, k=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(d == 4 for d in out.values())
+
+
+def test_k_core_membership_invariant(spark):
+    """Every node reported in the 3-core has in-core degree >= 3 (the
+    defining property), on the real co-purchase graph."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_pairs,
+        k_core,
+    )
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = k_core(copurchase_pairs(li), k=3)
+    assert out.filter("degree_in_core < 3").count() == 0
+    assert out.count() > 0  # dense co-purchase graph has a 3-core
