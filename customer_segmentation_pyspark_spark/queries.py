@@ -5100,6 +5100,109 @@ def q_k_core(spark, sf_dir):
     return k_core(copurchase_pairs(li), k=3)
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Entity-resolution capstone: SymSpell deletion-neighborhood fuzzy
+    match (edit distance 1) -> name-level edges keyed by each name's
+    min custkey -> min-label connected components -> every customer row
+    tagged with its entity id (singletons keep their own key). The
+    composed pipeline a dedup/mastering system runs: linear candidate
+    generation, component grouping, full-table tag-back — no all-pairs
+    stage anywhere. Oracle replays it with a recursive CTE."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    names = (
+        c.filter(F.col("c_name").isNotNull())
+        .groupBy("c_name")
+        .agg(F.min("c_custkey").alias("rep"))
+    )
+    pairs = textops.fuzzy_edit1_pairs(c, "c_name")
+    edges = (
+        pairs.join(
+            names.select(F.col("c_name").alias("name_a"), F.col("rep").alias("src")),
+            "name_a",
+        )
+        .join(
+            names.select(F.col("c_name").alias("name_b"), F.col("rep").alias("dst")),
+            "name_b",
+        )
+        .select("src", "dst")
+    )
+    cc = connected_components(edges)
+    tagged = names.join(
+        cc.select(F.col("id").alias("rep"), "component"), "rep", "left"
+    ).select(
+        "c_name",
+        F.coalesce("component", F.col("rep")).alias("entity_id"),
+    )
+    return (
+        c.join(F.broadcast(tagged), "c_name")
+        .select(
+            F.col("c_custkey"),
+            "c_name",
+            F.col("entity_id").cast("long").alias("entity_id"),
+        )
+    )
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """IR evaluation harness: score the BM25 top-10 against the
+    deterministic relevance oracle "doc contains ALL three query terms"
+    — NDCG@10 (log2 discount), MRR, and precision@10 in one scalar row.
+    The ranked list is 10 rows; relevance flags ride one broadcast
+    semi-join against the corpus; every metric is a fold over <= 10
+    values."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = textops.bm25_topk(d, BM25_QUERY_TERMS, k=10)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    ranked = ranked.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("rank")
+    )
+    lower = F.lower(F.col("text"))
+    rel = d.select(
+        "doc_id",
+        F.when(
+            (F.array_contains(F.split(lower, r"\s+"), "spark"))
+            & (F.array_contains(F.split(lower, r"\s+"), "window"))
+            & (F.array_contains(F.split(lower, r"\s+"), "hash")),
+            1,
+        )
+        .otherwise(0)
+        .alias("rel"),
+    )
+    j = ranked.join(rel, "doc_id")
+    n_rel_total = rel.agg(F.sum("rel").alias("n_rel"))
+    metrics = j.agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("dcg"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum("rel").cast("long").alias("n_rel_at_10"),
+    )
+    # ideal DCG: all relevant docs (capped at 10) in the top positions —
+    # a <=10-element fold on the single metrics row
+    return metrics.crossJoin(F.broadcast(n_rel_total)).select(
+        F.round(
+            F.col("dcg")
+            / F.aggregate(
+                F.sequence(
+                    F.lit(1), F.least(F.col("n_rel"), F.lit(10))
+                ),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.lit(1.0) / F.log2(i.cast("double") + 1),
+            ),
+            6,
+        ).alias("ndcg_at_10"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(F.col("n_rel_at_10") / 10.0, 4).alias("p_at_10"),
+    )
+
+
 def q_forget_cascade(spark, sf_dir):
     """Right-to-be-forgotten impact audit: given a deletion cohort
     (customers with deeply negative balances as the stand-in tombstone
@@ -6208,6 +6311,80 @@ ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "rrf_fusion": _sql_rrf_fusion(),
     "pq_topk": _sql_pq_topk(),
+    "entity_resolution": """
+WITH RECURSIVE names AS (
+  SELECT c_name, min(c_custkey) AS rep FROM customer
+  WHERE c_name IS NOT NULL GROUP BY 1),
+p AS (
+  SELECT a.rep AS ka, b.rep AS kb
+  FROM names a JOIN names b
+    ON a.c_name < b.c_name
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+   AND levenshtein(a.c_name, b.c_name) = 1),
+edges AS (SELECT ka AS a, kb AS b FROM p
+          UNION ALL SELECT kb, ka FROM p),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+tagged AS (
+  SELECT n.c_name, coalesce(c.component, n.rep) AS entity_id
+  FROM names n LEFT JOIN comp c ON n.rep = c.id)
+SELECT cu.c_custkey, cu.c_name, CAST(t.entity_id AS BIGINT) AS entity_id
+FROM customer cu JOIN tagged t ON cu.c_name = t.c_name""",
+    "retrieval_eval": """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT * FROM terms WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+part AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+lex AS (
+  SELECT doc_id, round(sum(part), 6) AS bm25
+  FROM part GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 10),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM lex),
+rel AS (
+  SELECT doc_id,
+         CASE WHEN list_contains(string_split_regex(lower(text), '\\s+'),
+                                 'spark')
+               AND list_contains(string_split_regex(lower(text), '\\s+'),
+                                 'window')
+               AND list_contains(string_split_regex(lower(text), '\\s+'),
+                                 'hash')
+              THEN 1 ELSE 0 END AS rel
+  FROM documents),
+j AS (SELECT r.rank, rel.rel FROM ranked r
+      JOIN rel ON r.doc_id = rel.doc_id),
+tot AS (SELECT sum(rel) AS n_rel FROM rel),
+m AS (SELECT sum(rel / log2(rank + 1)) AS dcg,
+             min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+             sum(rel) AS n10
+      FROM j),
+idcg AS (
+  SELECT sum(1.0 / log2(i + 1)) AS idcg
+  FROM tot, (SELECT unnest(generate_series(1, 10)) AS i)
+  WHERE i <= least(n_rel, 10))
+SELECT round(m.dcg / idcg.idcg, 6) AS ndcg_at_10,
+       round(coalesce(1.0 / m.first_rel, 0.0), 6) AS mrr,
+       round(m.n10 / 10.0, 4) AS p_at_10
+FROM m, idcg""",
     "cusum_changepoint": """
 WITH mu AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
 base AS (
@@ -8874,6 +9051,12 @@ REGISTRY: dict[str, QuerySpec] = {
         q_skipgram_pairs, ORACLES["skipgram_pairs"]
     ),
     "k_core": QuerySpec(q_k_core, None),
+    "entity_resolution": QuerySpec(
+        q_entity_resolution, ORACLES["entity_resolution"]
+    ),
+    "retrieval_eval": QuerySpec(
+        q_retrieval_eval, ORACLES["retrieval_eval"]
+    ),
     "seasonal_anomaly": QuerySpec(
         q_seasonal_anomaly, ORACLES["seasonal_anomaly"]
     ),
