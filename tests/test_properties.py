@@ -208,3 +208,81 @@ def test_cdc_latest_version_wins_matches_python(spark, log):
         if k not in expected or v > expected[k][0]:
             expected[k] = (v, p)
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_profile_matches_python(spark, texts):
+    """duplicated_span_profile == a plain-Python reference on arbitrary
+    corpora over a tiny alphabet (maximizing span collisions): same
+    span positions, same global multiplicity rule, same ratios."""
+    import hashlib
+    from collections import Counter
+
+    from customer_segmentation_pyspark_spark.operators import dedup
+
+    L, S = 6, 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in dedup.duplicated_span_profile(
+            df, span_len=L, stride=S
+        ).collect()
+    }
+
+    spans = {}  # doc -> list of hashes
+    counts = Counter()
+    for i, t in rows:
+        hs = []
+        p = 0
+        while p + L <= len(t):
+            h = hashlib.md5(t[p : p + L].encode()).hexdigest()[:16]
+            hs.append(h)
+            counts[h] += 1
+            p += S
+        spans[i] = hs
+    for i, _t in rows:
+        n = len(spans[i])
+        nd = sum(1 for h in spans[i] if counts[h] >= 2)
+        assert got[i] == (n, nd), f"doc {i}: {got[i]} != {(n, nd)}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 50)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_preference_pairs_matches_python(spark, rows):
+    """preference_pairs == Python max/min with the documented
+    tie-breaks (max score -> lowest id wins chosen; min score ->
+    lowest id wins rejected) on arbitrary (group, score) data."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    data = [(f"g{g % 3}", i, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "source string, doc_id long, s long")
+    out = {
+        r["source"]: (
+            r["chosen_id"], r["chosen_score"],
+            r["rejected_id"], r["rejected_score"],
+        )
+        for r in textops.preference_pairs(
+            df, group_col="source", score=F.col("s")
+        ).collect()
+    }
+    groups = {}
+    for g, i, s in data:
+        groups.setdefault(g, []).append((i, s))
+    for g, members in groups.items():
+        chosen = max(members, key=lambda t: (t[1], -t[0]))
+        rejected = min(members, key=lambda t: (t[1], t[0]))
+        assert out[g] == (chosen[0], chosen[1], rejected[0], rejected[1])

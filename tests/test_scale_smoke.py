@@ -227,3 +227,35 @@ def test_prefix_jaccard_stop_shingle_at_scale(spark):
     elapsed = time.perf_counter() - t0
     assert n_pairs == 0
     assert elapsed < 120, f"stop-shingle prefix join took {elapsed:.0f}s"
+
+
+def test_substring_dedup_hot_span_at_scale(spark):
+    """500k docs all sharing one boilerplate license block (the
+    million-copy hot-span case): span multiplicity is a summed counter,
+    never a bucket array, so the profile completes in seconds and every
+    doc reports the boilerplate spans as duplicated."""
+    import time
+
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        duplicated_span_profile,
+    )
+
+    n = 500_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("LICENSE: this block is identical in every document "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    out = duplicated_span_profile(docs, span_len=24, stride=6)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_dup_spans").alias("min_dup"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert agg["n"] == n
+    # the shared prefix alone yields several duplicated spans per doc
+    assert agg["min_dup"] >= 3
+    assert elapsed < 120, f"hot-span profile took {elapsed:.0f}s"
