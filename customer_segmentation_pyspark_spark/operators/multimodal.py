@@ -215,3 +215,66 @@ def resize_stub(
             )
 
     return cols.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.DoubleType()),
+    ]
+)
+
+
+def audio_frames_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame: int = 64,
+    hop: int = 32,
+) -> DataFrame:
+    """Arrow-batched audio framing stage: treat the payload bytes as
+    8-bit PCM samples, cut them into ``frame``-sample windows at ``hop``
+    stride (full frames only), and emit per-frame energy (mean of
+    squared sample values) — the STFT-front-end shape every audio
+    pipeline starts with. A real implementation swaps the byte
+    interpretation for soundfile/ffmpeg decode and keeps the identical
+    schema, batching, and partition behavior.
+
+    Deterministic and SQL-mirrorable: sample values are byte values
+    (ASCII payloads: ord of each char); the squared-sum is an exact
+    integer in float64 and /frame is a power-of-two division, so the
+    energy is bit-exact in any engine with NO rounding step (a round()
+    here would actually break parity: Python rounds half-even, SQL
+    half-away, and exact .x5 halves occur)."""
+    import numpy as np
+
+    cols = df.select("doc_id", payload_col)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, ns, es = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.float64
+                )
+                fid = 0
+                p = 0
+                while p + frame <= len(b):
+                    w = b[p : p + frame]
+                    ids.append(doc_id)
+                    fids.append(fid)
+                    ns.append(frame)
+                    es.append(float(np.mean(w * w)))
+                    fid += 1
+                    p += hop
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(es, dtype="float64"),
+                }
+            )
+
+    return cols.mapInPandas(frames, schema=AUDIO_FRAMES_SCHEMA)

@@ -1219,6 +1219,17 @@ def q_multimodal_meta(spark, sf_dir):
     ).select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "content_md5")
 
 
+def q_audio_frames(spark, sf_dir):
+    """Audio front-end plumbing: payload bytes as 8-bit PCM, framed
+    64/hop-32, per-frame energy via Arrow-batched mapInPandas — exact
+    vs the SQL oracle because sample values are integer byte codes
+    (every sum exact in float64)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_frames_stub(
+        multimodal.with_binary_payload(d), frame=64, hop=32
+    )
+
+
 def q_multimodal_embed(spark, sf_dir):
     """Feature-extraction stage (fake deterministic 'vision encoder'):
     binary payload -> md5-derived 8-dim embedding rows via mapInPandas.
@@ -6385,6 +6396,22 @@ SELECT round(m.dcg / idcg.idcg, 6) AS ndcg_at_10,
        round(coalesce(1.0 / m.first_rel, 0.0), 6) AS mrr,
        round(m.n10 / 10.0, 4) AS p_at_10
 FROM m, idcg""",
+    "audio_frames": """
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+starts AS (
+  SELECT doc_id, text, unnest(generate_series(1, n - 64 + 1, 32)) AS p
+  FROM docs WHERE n >= 64),
+frames AS (
+  SELECT doc_id, text, p,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS frame_id
+  FROM starts),
+samples AS (
+  SELECT doc_id, frame_id, ord(substr(text, p + j.i, 1)) AS s
+  FROM frames, (SELECT unnest(generate_series(0, 63)) AS i) j)
+SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       sum(s * s) / 64.0 AS energy
+FROM samples GROUP BY 1, 2""",
     "cusum_changepoint": """
 WITH mu AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
 base AS (
@@ -9051,6 +9078,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_skipgram_pairs, ORACLES["skipgram_pairs"]
     ),
     "k_core": QuerySpec(q_k_core, None),
+    "audio_frames": QuerySpec(q_audio_frames, ORACLES["audio_frames"]),
     "entity_resolution": QuerySpec(
         q_entity_resolution, ORACLES["entity_resolution"]
     ),

@@ -1062,3 +1062,27 @@ def test_curriculum_order_stage_properties(docs):
     mins = [min(r["difficulty"] for r in stages[s]) for s in (2, 3, 4)]
     for mx, mn in zip(maxes, mins):
         assert mx <= mn + 1e-9
+
+
+def test_audio_frames_plumbing_shapes(docs):
+    """Frame count per doc = floor((n-64)/32)+1 for n>=64 (full frames
+    only); frame_ids dense from 0; energies positive and bounded by
+    127^2 for ASCII payloads."""
+    out = multimodal.audio_frames_stub(
+        multimodal.with_binary_payload(docs), frame=64, hop=32
+    ).collect()
+    lens = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select(
+            "doc_id", F.length("text").alias("n_chars")
+        ).collect()
+    }
+    per_doc = {}
+    for r in out:
+        assert r["n_samples"] == 64
+        assert 0 < r["energy"] <= 127 * 127
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_id"])
+    for doc_id, fids in per_doc.items():
+        n = lens[doc_id]
+        expect = (n - 64) // 32 + 1
+        assert sorted(fids) == list(range(expect))
