@@ -5214,6 +5214,117 @@ def q_retrieval_eval(spark, sf_dir):
     )
 
 
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) test: order totals of
+    BUILDING vs MACHINERY customers — the nonparametric twin of
+    `welch_ttest`. Midranks handle ties exactly (rank + (ties-1)/2 via
+    one value-ordered window), U from the rank-sum identity, and the
+    normal approximation with tie correction. One window pass + one
+    aggregate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(
+            c.filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            ).select("c_custkey", "c_mktsegment")
+        ),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("g"), F.col("o_totalprice").alias("x"))
+    w = Window.orderBy("x")
+    ranked = j.select(
+        "g",
+        "x",
+        (
+            F.rank().over(w)
+            + (F.count(F.lit(1)).over(
+                Window.partitionBy("x")
+            ) - 1) / 2.0
+        ).alias("midrank"),
+        F.count(F.lit(1)).over(Window.partitionBy("x")).alias("t"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("g") == "BUILDING", F.col("midrank"))).alias("r1"),
+        F.sum(F.when(F.col("g") == "BUILDING", 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == "MACHINERY", 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+        # tie correction: sum over distinct tie groups of t^3 - t; each
+        # group of size t contributes t copies of (t^2 - 1) = (t^3-t)/t
+        F.sum(F.col("t") * F.col("t") - 1).alias("tie_sum"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    mu = F.col("n1") * F.col("n2") / 2
+    sigma2 = (
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * ((n + 1) - F.col("tie_sum") / (n * (n - 1)))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u1, 2).alias("u_stat"),
+        F.round((u1 - mu) / F.sqrt(sigma2), 6).alias("z_score"),
+    )
+
+
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D statistic (exact): max ECDF gap
+    between BUILDING and MACHINERY order totals. ECDFs via cumulative
+    conditional counts over ONE value-ordered window (gap evaluated at
+    every order statistic), then a max aggregate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(
+            c.filter(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            ).select("c_custkey", "c_mktsegment")
+        ),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("g"), F.col("o_totalprice").alias("x"))
+    tot = j.groupBy().pivot("g", ["BUILDING", "MACHINERY"]).count()
+    w = (
+        Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # evaluate at the upper edge of each tie group: order by (x, g) and
+    # take the running counts at the LAST row of each x — use
+    # range-frame on x so ties collapse identically in both engines
+    wr = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, 0)
+    cum = j.select(
+        "x",
+        F.sum(F.when(F.col("g") == "BUILDING", 1).otherwise(0))
+        .over(wr)
+        .alias("c1"),
+        F.sum(F.when(F.col("g") == "MACHINERY", 1).otherwise(0))
+        .over(wr)
+        .alias("c2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c1") / F.col("BUILDING")
+                    - F.col("c2") / F.col("MACHINERY")
+                )
+            ).alias("d_raw"),
+            F.max("BUILDING").cast("long").alias("n1"),
+            F.max("MACHINERY").cast("long").alias("n2"),
+        )
+        .select("n1", "n2", F.round("d_raw", 6).alias("ks_d"))
+    )
+
+
 def q_forget_cascade(spark, sf_dir):
     """Right-to-be-forgotten impact audit: given a deletion cohort
     (customers with deeply negative balances as the stand-in tombstone
@@ -6467,6 +6578,54 @@ pairs AS (
 SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY 1, 2
 ORDER BY n_pairs DESC, center, context LIMIT 30""",
+    "mann_whitney": """
+WITH j AS (
+  SELECT c.c_mktsegment AS g, o.o_totalprice AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+ranked AS (
+  SELECT g, x,
+         rank() OVER (ORDER BY x)
+           + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS midrank,
+         count(*) OVER (PARTITION BY x) AS t
+  FROM j),
+agg AS (
+  SELECT sum(CASE WHEN g = 'BUILDING' THEN midrank END) AS r1,
+         CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n1,
+         CAST(sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n2,
+         sum(t * t - 1) AS tie_sum
+  FROM ranked)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(r1 - n1 * (n1 + 1) / 2, 2) AS u_stat,
+       round((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - tie_sum / ((n1 + n2) * (n1 + n2 - 1)))), 6)
+         AS z_score
+FROM agg""",
+    "ks_test": """
+WITH j AS (
+  SELECT c.c_mktsegment AS g, o.o_totalprice AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+tot AS (
+  SELECT sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS n2
+  FROM j),
+cum AS (
+  SELECT x,
+         sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+           OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS c1,
+         sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+           OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS c2
+  FROM j)
+SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+       round(max(abs(c1 * 1.0 / t.n1 - c2 * 1.0 / t.n2)), 6) AS ks_d
+FROM cum, tot t GROUP BY t.n1, t.n2""",
     "forget_cascade": """
 WITH doomed_c AS (
   SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900),
@@ -9079,6 +9238,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "k_core": QuerySpec(q_k_core, None),
     "audio_frames": QuerySpec(q_audio_frames, ORACLES["audio_frames"]),
+    "mann_whitney": QuerySpec(q_mann_whitney, ORACLES["mann_whitney"]),
+    "ks_test": QuerySpec(q_ks_test, ORACLES["ks_test"]),
     "entity_resolution": QuerySpec(
         q_entity_resolution, ORACLES["entity_resolution"]
     ),

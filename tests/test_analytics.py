@@ -203,3 +203,85 @@ def test_key_skew_profile_monotone(spark):
     cum = [r["cum_pct"] for r in rows]
     assert all(b >= a for a, b in zip(cum, cum[1:]))
     assert cum[-1] <= 1.0 + 1e-9
+
+
+def test_mann_whitney_matches_python(spark):
+    """U and z agree with a plain-Python midrank implementation on the
+    fixture data (ties included)."""
+    import math
+    from collections import Counter
+
+    from customer_segmentation_pyspark_spark.queries import (
+        REGISTRY,
+    )
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    got = REGISTRY["mann_whitney"].fn(spark, SF_ORACLE).collect()[0]
+    o = load_table(spark, SF_ORACLE, "orders")
+    c = load_table(spark, SF_ORACLE, "customer")
+    rows = (
+        o.join(
+            c.filter(
+                c.c_mktsegment.isin("BUILDING", "MACHINERY")
+            ).select("c_custkey", "c_mktsegment"),
+            o.o_custkey == c.c_custkey,
+        )
+        .select("c_mktsegment", "o_totalprice")
+        .collect()
+    )
+    vals = sorted((r["o_totalprice"], r["c_mktsegment"]) for r in rows)
+    counts = Counter(v for v, _ in vals)
+    # midranks
+    midrank = {}
+    pos = 1
+    for v in sorted(counts):
+        t = counts[v]
+        midrank[v] = pos + (t - 1) / 2.0
+        pos += t
+    r1 = sum(midrank[v] for v, g in vals if g == "BUILDING")
+    n1 = sum(1 for _, g in vals if g == "BUILDING")
+    n2 = len(vals) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2
+    n = n1 + n2
+    tie_sum = sum(t**3 - t for t in counts.values())
+    sigma2 = n1 * n2 / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(sigma2)
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert abs(got["u_stat"] - round(u1, 2)) < 1e-9
+    assert abs(got["z_score"] - round(z, 6)) < 1e-6
+
+
+def test_ks_d_matches_python(spark):
+    """KS D equals the max ECDF gap computed in plain Python."""
+    from customer_segmentation_pyspark_spark.queries import REGISTRY
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_ORACLE
+
+    got = REGISTRY["ks_test"].fn(spark, SF_ORACLE).collect()[0]
+    o = load_table(spark, SF_ORACLE, "orders")
+    c = load_table(spark, SF_ORACLE, "customer")
+    rows = (
+        o.join(
+            c.filter(
+                c.c_mktsegment.isin("BUILDING", "MACHINERY")
+            ).select("c_custkey", "c_mktsegment"),
+            o.o_custkey == c.c_custkey,
+        )
+        .select("c_mktsegment", "o_totalprice")
+        .collect()
+    )
+    a = sorted(r["o_totalprice"] for r in rows if r["c_mktsegment"] == "BUILDING")
+    b = sorted(r["o_totalprice"] for r in rows if r["c_mktsegment"] == "MACHINERY")
+    xs = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b)
+        )
+        for x in xs
+    )
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert abs(got["ks_d"] - round(d, 6)) < 1e-9
