@@ -21,7 +21,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -124,3 +126,76 @@ class _DocsStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, rows: int):
+        self.tmp = tmp
+        self.rows = rows
+
+
+class _JsonlShardWriter(DataSourceWriter):
+    """Task side of the two-phase commit: each task writes its shard to
+    a hidden ``.tmp-*`` file and reports it in the commit message;
+    nothing becomes visible unless the DRIVER commits. A retried or
+    speculated task just leaves an orphan tmp that abort/commit cleans
+    — the reader never observes partial output (same protocol shape as
+    sinks.crash_safe_swap, per-file instead of per-directory)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ShardCommit(tmp=tmp, rows=n)
+
+    def commit(self, messages):
+        import glob as _glob
+        import os
+
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
+        for i, msg in enumerate(messages):
+            os.rename(
+                msg.tmp,
+                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+            )
+        # clean tmps stranded by retried/speculated tasks
+        for stale in _glob.glob(os.path.join(self.path, ".tmp-*.jsonl")):
+            os.remove(stale)
+
+    def abort(self, messages):
+        import os
+
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.tmp):
+                os.remove(msg.tmp)
+
+
+class JsonlShardSink(DataSource):
+    """Custom Python Data Source WRITE path (Spark 4 DataSource API):
+    ``df.write.format("jsonl_shards").option("path", p).save()`` —
+    the sink twin of ``SyntheticDocsSource``. Local filesystem here;
+    a production version swaps file renames for an object-store
+    multipart-commit, keeping the same two-phase protocol."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _JsonlShardWriter(self.options, overwrite)

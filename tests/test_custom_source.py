@@ -121,3 +121,45 @@ def test_binaryfile_source_reads_blobs(spark, tmp_path):
     for name, r in rows.items():
         assert bytes(r["content"]) == blobs[name]
         assert r["length"] == len(blobs[name])
+
+
+def test_custom_python_datasource_writer_round_trip(spark, tmp_path):
+    """df.write.format('jsonl_shards') two-phase commit: all rows land,
+    no .tmp files survive a successful commit, and a second overwrite
+    replaces (not appends) the shards."""
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from customer_segmentation_pyspark_spark.sources.synthetic import (
+        JsonlShardSink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    spark.dataSource.register(JsonlShardSink)
+    out = str(tmp_path / "shards")
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    d.write.format("jsonl_shards").option("path", out).mode(
+        "overwrite"
+    ).save()
+
+    import glob
+    import json
+    import os
+
+    files = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert files, "commit produced no shards"
+    assert not glob.glob(os.path.join(out, ".tmp-*")), "stranded tmp files"
+    rows = []
+    for p in files:
+        with open(p) as f:
+            rows.extend(json.loads(ln) for ln in f)
+    expect = {(r["doc_id"], r["lang"]) for r in d.collect()}
+    assert {(r["doc_id"], r["lang"]) for r in rows} == expect
+
+    # overwrite replaces
+    d.limit(7).write.format("jsonl_shards").option("path", out).mode(
+        "overwrite"
+    ).save()
+    rows2 = []
+    for p in sorted(glob.glob(os.path.join(out, "part-*.jsonl"))):
+        with open(p) as f:
+            rows2.extend(json.loads(ln) for ln in f)
+    assert len(rows2) == 7
