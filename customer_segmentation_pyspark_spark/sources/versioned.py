@@ -1,0 +1,78 @@
+"""Versioned parquet tables with atomic pointer commits — time travel
+for the engine's managed outputs (a lakehouse-format-lite built on the
+same crash-safety ideas as sinks.crash_safe_swap, but APPEND-ONLY:
+versions are immutable directories, so there is no rename gap at all).
+
+Layout:
+    table_dir/
+      v1/ v2/ ... vN/     immutable parquet snapshots
+      _LATEST              text file holding "N" — the only mutable file
+
+Commit protocol: write the new snapshot under an invisible ``.staging-*``
+name, fsync-rename it to ``vN``, then atomically replace ``_LATEST``
+(os.replace — POSIX atomic). A crash at ANY point leaves either the old
+pointer (new version invisible, stranded staging dir cleaned on next
+write) or the new pointer (fully committed). Readers resolve the pointer
+once, then only ever touch an immutable directory — no torn reads.
+
+At cluster scale the pointer lives in an object store with
+put-if-absent / conditional-put (the same role Delta's _last_checkpoint
+or Iceberg's version-hint file plays); the protocol is unchanged.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _pointer(table_dir: str) -> str:
+    return os.path.join(table_dir, "_LATEST")
+
+
+def latest_version(table_dir: str) -> int:
+    """0 if the table does not exist yet."""
+    try:
+        with open(_pointer(table_dir)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def versions(table_dir: str) -> list[int]:
+    """Committed versions only (staging and stranded dirs excluded)."""
+    n = latest_version(table_dir)
+    return list(range(1, n + 1))
+
+
+def write_version(df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as the next version; returns its version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    # clean staging stranded by a previous crash — safe: committed
+    # versions are never under a .staging name
+    for stale in _glob.glob(os.path.join(table_dir, ".staging-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    v = latest_version(table_dir) + 1
+    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(staging)
+    final = os.path.join(table_dir, f"v{v}")
+    os.rename(staging, final)
+    tmp = os.path.join(table_dir, f"._LATEST.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, _pointer(table_dir))  # atomic pointer flip
+    return v
+
+
+def read_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest (default) or any historical version."""
+    v = latest_version(table_dir) if version is None else version
+    if v < 1:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, f"v{v}"))
