@@ -5325,6 +5325,66 @@ def q_ks_test(spark, sf_dir):
     )
 
 
+def q_moment_stats(spark, sf_dir):
+    """Higher-moment profile per return flag: mean, population variance,
+    skewness and excess kurtosis computed from RAW POWER SUMS (sum x,
+    x^2, x^3, x^4 — one map-side-combinable aggregate, no second pass).
+    Both engines evaluate the identical closed-form moment formulas, so
+    no library skew/kurtosis definition mismatch (Spark's built-in is
+    population g1; DuckDB's is sample G1 — neither is used)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice") / 1000.0  # scale to keep x^4 well-conditioned
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * F.col("s2") / F.col("n") + 2 * m * m * m
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * F.col("s3") / F.col("n")
+        + 6 * m * m * F.col("s2") / F.col("n")
+        - 3 * m * m * m * m
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(m, 6).alias("mean_k"),
+        F.round(m2, 6).alias("var_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+def q_sequence_gaps(spark, sf_dir):
+    """Missing-range detection over the orderkey sequence (data-quality
+    / ingestion-audit shape): one lead() window pass finds every gap as
+    [gap_start, gap_end], top 20 widest. No islands materialization —
+    gaps fall straight out of consecutive-pair deltas."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    pairs = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lead("o_orderkey").over(w).alias("nxt"),
+    )
+    return (
+        pairs.filter(F.col("nxt") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).alias("gap_len"),
+        )
+        .orderBy(F.col("gap_len").desc(), "gap_start")
+        .limit(20)
+    )
+
+
 def q_forget_cascade(spark, sf_dir):
     """Right-to-be-forgotten impact audit: given a deletion cohort
     (customers with deeply negative balances as the stand-in tombstone
@@ -6626,6 +6686,39 @@ cum AS (
 SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
        round(max(abs(c1 * 1.0 / t.n1 - c2 * 1.0 / t.n2)), 6) AS ks_d
 FROM cum, tot t GROUP BY t.n1, t.n2""",
+    "moment_stats": """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(l_extendedprice / 1000.0) AS s1,
+         sum((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)) AS s2,
+         sum((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)
+             * (l_extendedprice / 1000.0)) AS s3,
+         sum((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)
+             * (l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)) AS s4
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(s1 / n, 6) AS mean_k,
+       round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop,
+       round((s3 / n - 3 * (s1 / n) * s2 / n
+              + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / power(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+       round((s4 / n - 4 * (s1 / n) * s3 / n
+              + 6 * (s1 / n) * (s1 / n) * s2 / n
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)
+         AS excess_kurtosis
+FROM g""",
+    "sequence_gaps": """
+WITH pairs AS (
+  SELECT o_orderkey AS k,
+         lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+  FROM orders)
+SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+       nxt - k - 1 AS gap_len
+FROM pairs WHERE nxt > k + 1
+ORDER BY gap_len DESC, gap_start LIMIT 20""",
     "forget_cascade": """
 WITH doomed_c AS (
   SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900),
@@ -9240,6 +9333,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "audio_frames": QuerySpec(q_audio_frames, ORACLES["audio_frames"]),
     "mann_whitney": QuerySpec(q_mann_whitney, ORACLES["mann_whitney"]),
     "ks_test": QuerySpec(q_ks_test, ORACLES["ks_test"]),
+    "moment_stats": QuerySpec(q_moment_stats, ORACLES["moment_stats"]),
+    "sequence_gaps": QuerySpec(
+        q_sequence_gaps, ORACLES["sequence_gaps"]
+    ),
     "entity_resolution": QuerySpec(
         q_entity_resolution, ORACLES["entity_resolution"]
     ),
