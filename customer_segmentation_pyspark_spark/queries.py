@@ -5361,13 +5361,17 @@ def q_moment_stats(spark, sf_dir):
 
 
 def q_sequence_gaps(spark, sf_dir):
-    """Missing-range detection over the orderkey sequence (data-quality
-    / ingestion-audit shape): one lead() window pass finds every gap as
-    [gap_start, gap_end], top 20 widest. No islands materialization —
-    gaps fall straight out of consecutive-pair deltas."""
+    """Missing-range detection over a keyed subsequence (data-quality /
+    ingestion-audit shape: "which orderkeys never reached the fulfilled
+    partition?"): one lead() window pass finds every gap as
+    [gap_start, gap_end], top 20 widest (ties by position). No islands
+    materialization — gaps fall straight out of consecutive-pair
+    deltas."""
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
     w = Window.orderBy("o_orderkey")
     pairs = o.select(
         F.col("o_orderkey").alias("k"),
@@ -6714,7 +6718,7 @@ FROM g""",
 WITH pairs AS (
   SELECT o_orderkey AS k,
          lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
-  FROM orders)
+  FROM orders WHERE o_orderstatus = 'F')
 SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
        nxt - k - 1 AS gap_len
 FROM pairs WHERE nxt > k + 1
