@@ -5141,7 +5141,11 @@ def q_entity_resolution(spark, sf_dir):
         )
         .select("src", "dst")
     )
-    cc = connected_components(edges)
+    # star variant: the fixture's sequential names chain into one giant
+    # edit-1 component (diameter ~hundreds — a fixture artifact, real
+    # name data forms small clumps), and large/small-star converges in
+    # O(log n) rounds regardless of diameter
+    cc = connected_components(edges, algorithm="star")
     tagged = names.join(
         cc.select(F.col("id").alias("rep"), "component"), "rep", "left"
     ).select(
