@@ -49,3 +49,65 @@ def test_torn_commit_is_invisible_and_cleaned(spark, tmp_path):
     assert read_table(spark, t).count() == 7
     # the old version remains readable (immutability)
     assert read_table(spark, t, version=1).count() == 5
+
+
+def test_streaming_materialized_view_with_history(spark, tmp_path):
+    """foreachBatch + versioned tables = an incrementally refreshed
+    materialized view whose refresh HISTORY is time-travelable: each
+    micro-batch commits the updated aggregate as a new version; v1 is
+    the batch-1 state, the latest version equals the full batch
+    aggregate; a reader mid-refresh only ever sees a committed
+    version."""
+    import time
+
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(1000).cache()
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "mv")
+    first = ev.filter("event_id % 2 = 0")
+    second = ev.filter("event_id % 2 = 1")
+    first.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.0)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    agg = stream.groupBy("event_type").count()
+
+    def refresh(batch_df, batch_id):
+        write_version(batch_df, tbl)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(refresh)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert latest_version(tbl) >= 2
+    expect_all = {
+        (r["event_type"], r["count"])
+        for r in ev.groupBy("event_type").count().collect()
+    }
+    got_latest = {
+        (r["event_type"], r["count"])
+        for r in read_table(spark, tbl).collect()
+    }
+    assert got_latest == expect_all
+    expect_v1 = {
+        (r["event_type"], r["count"])
+        for r in first.groupBy("event_type").count().collect()
+    }
+    got_v1 = {
+        (r["event_type"], r["count"])
+        for r in read_table(spark, tbl, version=1).collect()
+    }
+    assert got_v1 == expect_v1
+    ev.unpersist()
