@@ -76,3 +76,55 @@ def read_table(
     if v < 1:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
     return spark.read.parquet(os.path.join(table_dir, f"v{v}"))
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes: tombstone overlay on an immutable base table.
+# The COW path (streaming/merge.py) rewrites the snapshot per batch; this
+# is the read-optimized-write twin: deletes append a tiny key file, readers
+# anti-join the tombstone union, and compaction folds them in. The pattern
+# behind Delta deletion vectors / Iceberg merge-on-read, at parquet level.
+# ---------------------------------------------------------------------------
+
+
+def delete_keys(keys_df: DataFrame, table_dir: str, key_col: str) -> None:
+    """Append a tombstone set (O(deleted keys) write — the base table is
+    NOT touched). Idempotent: deleting an already-dead key is a no-op at
+    read time."""
+    out = os.path.join(table_dir, "_deletes", uuid.uuid4().hex[:12])
+    keys_df.select(key_col).write.mode("overwrite").parquet(out)
+
+
+def read_with_deletes(
+    spark: SparkSession, table_dir: str, key_col: str
+) -> DataFrame:
+    """Read the base minus all tombstoned keys: one left_anti join
+    against the (small, broadcast-able) tombstone union."""
+    base = spark.read.parquet(os.path.join(table_dir, "base"))
+    dels = os.path.join(table_dir, "_deletes")
+    if not os.path.isdir(dels) or not os.listdir(dels):
+        return base
+    tomb = spark.read.parquet(os.path.join(dels, "*")).select(key_col)
+    return base.join(tomb, key_col, "left_anti")
+
+
+def write_base(df: DataFrame, table_dir: str) -> None:
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, "base"))
+
+
+def compact_deletes(
+    spark: SparkSession, table_dir: str, key_col: str
+) -> None:
+    """Fold tombstones into the base (the maintenance job): rewrite base
+    as the anti-joined survivors via a staging dir + renames, then drop
+    the tombstone files. Readers before the swap see base+overlay,
+    after it the compacted base — the same survivors either way."""
+    merged = read_with_deletes(spark, table_dir, key_col)
+    staging = os.path.join(table_dir, f".compact-{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(staging)
+    base = os.path.join(table_dir, "base")
+    old = os.path.join(table_dir, f".old-{uuid.uuid4().hex[:8]}")
+    os.rename(base, old)
+    os.rename(staging, base)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(table_dir, "_deletes"), ignore_errors=True)

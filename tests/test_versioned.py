@@ -111,3 +111,43 @@ def test_streaming_materialized_view_with_history(spark, tmp_path):
     }
     assert got_v1 == expect_v1
     ev.unpersist()
+
+
+def test_merge_on_read_deletes_and_compaction(spark, tmp_path):
+    """Tombstone overlay: deletes are O(keys) appends, reads anti-join
+    them out (idempotent for already-dead keys), and compaction folds
+    them into the base with identical survivors."""
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from customer_segmentation_pyspark_spark.sources.versioned import (
+        compact_deletes,
+        delete_keys,
+        read_with_deletes,
+        write_base,
+    )
+    from tests.conftest import SF_SMOKE
+
+    t = str(tmp_path / "mor")
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    write_base(d, t)
+    n = d.count()
+
+    doomed1 = d.filter("doc_id % 10 = 0").select("doc_id")
+    delete_keys(doomed1, t, "doc_id")
+    after1 = read_with_deletes(spark, t, "doc_id")
+    assert after1.count() == n - doomed1.count()
+    assert after1.filter("doc_id % 10 = 0").count() == 0
+
+    # second delete wave overlaps the first (idempotent) + new keys
+    doomed2 = d.filter("doc_id % 5 = 0").select("doc_id")
+    delete_keys(doomed2, t, "doc_id")
+    after2 = read_with_deletes(spark, t, "doc_id")
+    expect = d.filter("doc_id % 5 != 0 and doc_id % 10 != 0").count()
+    assert after2.count() == expect
+
+    survivors_before = {r["doc_id"] for r in after2.collect()}
+    compact_deletes(spark, t, "doc_id")
+    after3 = read_with_deletes(spark, t, "doc_id")
+    assert {r["doc_id"] for r in after3.collect()} == survivors_before
+    import os
+
+    assert not os.path.isdir(os.path.join(t, "_deletes"))
