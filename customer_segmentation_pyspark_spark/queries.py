@@ -5393,6 +5393,77 @@ def q_sequence_gaps(spark, sf_dir):
     )
 
 
+def q_training_mix_pipeline(spark, sf_dir):
+    """Capstone #4 — training-mix assembly from session-3 primitives:
+
+      1. ExactSubstr gate: drop docs with dup_span_ratio > 0.5
+         (boilerplate-heavy docs out; `substring_dedup` machinery);
+      2. temperature-scaled source mixing: per-source keep probability
+         p_s = (n_s / N)^0.5 / Z scaled so the LARGEST source keeps
+         ~half, realized by the engine's md5-uniform seedless sampler;
+      3. curriculum staging: 4 difficulty ntiles over survivors;
+      4. shard manifest: per (stage, shard=md5 bucket) doc + token
+         counts — the write-plan a trainer consumes.
+
+    Every stage is individually oracled elsewhere; the capstone's value
+    is the COMPOSITION being hash-exact vs one composed SQL replay (no
+    intermediate materialization drift). Linear passes + two bounded
+    aggs; the only sort is the curriculum ntile (documented swap:
+    broadcast quantile boundaries at corpus scale)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    prof = dedup.duplicated_span_profile(d, span_len=24, stride=6)
+    gated = d.join(
+        prof.filter(F.col("dup_span_ratio") <= 0.5).select("doc_id"),
+        "doc_id",
+    )
+    counts = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    maxn = counts.agg(F.max("n_s").alias("n_max"))
+    probs = counts.crossJoin(F.broadcast(maxn)).select(
+        "source",
+        (
+            F.lit(0.5)
+            * F.sqrt(F.col("n_s") / F.col("n_max"))
+        ).alias("p_keep"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    sampled = gated.join(F.broadcast(probs), "source").filter(
+        u < F.col("p_keep")
+    )
+    toks = F.size(F.split(F.lower("text"), r"\s+"))
+    diff = F.round(
+        F.length(F.regexp_replace(F.lower("text"), r"\s+", ""))
+        / F.greatest(toks, F.lit(1)),
+        4,
+    )
+    staged = sampled.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        diff.alias("difficulty"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 2), 16, 10)
+        .cast("long")
+        .alias("shard_raw"),
+    ).withColumn(
+        "stage",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("difficulty").asc(), F.col("doc_id")))
+        .cast("long"),
+    )
+    return (
+        staged.groupBy("stage", (F.col("shard_raw") % 4).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("stage", "shard")
+    )
+
+
 def q_forget_cascade(spark, sf_dir):
     """Right-to-be-forgotten impact audit: given a deletion cohort
     (customers with deeply negative balances as the stand-in tombstone
@@ -6727,6 +6798,54 @@ SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
        nxt - k - 1 AS gap_len
 FROM pairs WHERE nxt > k + 1
 ORDER BY gap_len DESC, gap_start LIMIT 20""",
+    "training_mix_pipeline": """
+WITH docs AS (SELECT doc_id, text, source, length(text) AS n
+              FROM documents),
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, n - 24 + 1, 6)) AS p
+  FROM docs WHERE n >= 24),
+spans AS (
+  SELECT doc_id, substr(md5(substr(text, p, 24)), 1, 16) AS h FROM pos),
+mult AS (SELECT h, count(*) AS mult FROM spans GROUP BY 1),
+per AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN m.mult >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM spans s JOIN mult m USING (h) GROUP BY 1),
+prof AS (
+  SELECT d.doc_id,
+         CASE WHEN coalesce(per.n_spans, 0) > 0
+              THEN round(per.n_dup * 1.0 / per.n_spans, 4)
+              ELSE 0.0 END AS dup_span_ratio
+  FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id),
+gated AS (
+  SELECT d.* FROM docs d JOIN prof ON d.doc_id = prof.doc_id
+  WHERE prof.dup_span_ratio <= 0.5),
+counts AS (SELECT source, count(*) AS n_s FROM gated GROUP BY 1),
+maxn AS (SELECT max(n_s) AS n_max FROM counts),
+probs AS (SELECT source, 0.5 * sqrt(n_s * 1.0 / n_max) AS p_keep
+          FROM counts, maxn),
+sampled AS (
+  SELECT g.* FROM gated g JOIN probs p ON g.source = p.source
+  WHERE CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 < p.p_keep),
+staged AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+         round(length(regexp_replace(lower(text), '\s+', '', 'g')) * 1.0
+               / greatest(len(string_split_regex(lower(text), '\s+')), 1),
+               4) AS difficulty,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 2))
+              AS BIGINT) AS shard_raw
+  FROM sampled),
+tiled AS (
+  SELECT *, CAST(ntile(4) OVER (ORDER BY difficulty ASC, doc_id ASC)
+                 AS BIGINT) AS stage
+  FROM staged)
+SELECT stage, shard_raw % 4 AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM tiled GROUP BY stage, shard_raw % 4
+ORDER BY stage, shard""",
     "forget_cascade": """
 WITH doomed_c AS (
   SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900),
@@ -9344,6 +9463,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "moment_stats": QuerySpec(q_moment_stats, ORACLES["moment_stats"]),
     "sequence_gaps": QuerySpec(
         q_sequence_gaps, ORACLES["sequence_gaps"]
+    ),
+    "training_mix_pipeline": QuerySpec(
+        q_training_mix_pipeline, ORACLES["training_mix_pipeline"]
     ),
     "entity_resolution": QuerySpec(
         q_entity_resolution, ORACLES["entity_resolution"]
