@@ -106,6 +106,7 @@ HEADLINE = [
     "hard_negatives",
     "dq_checks",
     "pq_topk",
+    "training_mix_pipeline",
 ]
 
 

@@ -38,7 +38,8 @@ NAMES = [
     "bpe_pair_counts", "winnowing",
     # r02 session-3: substring dedup, hybrid retrieval, PQ ANN, DQ suite
     "substring_dedup", "rrf_fusion", "hard_negatives", "dq_checks",
-    "pq_topk",
+    "pq_topk", "training_mix_pipeline", "entity_resolution",
+    "audio_frames", "mann_whitney", "ks_test", "moment_stats",
 ]
 
 
