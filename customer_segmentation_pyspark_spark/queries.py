@@ -5967,6 +5967,84 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Model-eval harness: confusion metrics of the marker-lexicon
+    language ID against the stored `lang` label — per true class: tp,
+    fp, fn, precision, recall, F1. Two bounded aggregates over the
+    scored frame; metrics are ratio arithmetic on a handful of rows."""
+    d = load_table(spark, sf_dir, "documents")
+    j = d.select("doc_id", "lang").join(
+        textops.language_id(d).select("doc_id", "pred_lang"), "doc_id"
+    )
+    g1 = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    g2 = j.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("pred_n")
+    )
+    out = g1.join(
+        g2, g1.lang == g2.pred_lang, "left"
+    ).select(
+        "lang",
+        "n",
+        "tp",
+        (F.coalesce("pred_n", F.lit(0)) - F.col("tp")).alias("fp"),
+        (F.col("n") - F.col("tp")).alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.col("tp") / F.col("n")
+    f1 = F.when(
+        F.col("tp") > 0,
+        2 * prec * rec / (prec + rec),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "lang",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def q_calibration_curve(spark, sf_dir):
+    """Reliability diagram for the quality classifier: decile bins of
+    the predicted score vs the observed rate of a deterministic label
+    (lang = 'en'); per bin n, mean predicted, observed rate — the
+    monitoring query behind every production classifier."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = textops.quality_classifier(
+        textops.quality_features(d), QUALITY_W
+    ).join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "score",
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_pred"),
+            F.round(F.avg("y"), 6).alias("obs_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
 def q_hash_embedding(spark, sf_dir):
     """Feature-hashing ±1 text embedding (16-dim, md5 hex-digit signs,
     L2-normalized): one explode + one conditional-sum agg."""
@@ -9061,6 +9139,44 @@ FROM z"""
 
 ORACLES["retrieval_index_pipeline"] = _sql_retrieval_pipeline()
 
+ORACLES["lang_confusion"] = f"""
+WITH pred AS (
+  SELECT doc_id, {_LANG_SCORES}, {_LANG_PRED} AS pred_lang
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents)),
+j AS (SELECT d.doc_id, d.lang, p.pred_lang
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id),
+g1 AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp
+  FROM j GROUP BY 1),
+g2 AS (SELECT pred_lang, count(*) AS pred_n FROM j GROUP BY 1)
+SELECT g1.lang, g1.n, g1.tp,
+       CAST(coalesce(g2.pred_n, 0) - g1.tp AS BIGINT) AS fp,
+       CAST(g1.n - g1.tp AS BIGINT) AS fn,
+       round(CASE WHEN coalesce(g2.pred_n, 0) > 0
+                  THEN g1.tp * 1.0 / g2.pred_n ELSE 0.0 END, 6)
+         AS precision,
+       round(g1.tp * 1.0 / g1.n, 6) AS recall,
+       round(CASE WHEN g1.tp > 0
+                  THEN 2 * (g1.tp * 1.0 / g2.pred_n)
+                       * (g1.tp * 1.0 / g1.n)
+                       / (g1.tp * 1.0 / g2.pred_n + g1.tp * 1.0 / g1.n)
+                  ELSE 0.0 END, 6) AS f1
+FROM g1 LEFT JOIN g2 ON g1.lang = g2.pred_lang"""
+
+ORACLES["calibration_curve"] = f"""
+WITH sc AS ({ORACLES["quality_classifier"]}),
+j AS (
+  SELECT least(CAST(floor(sc.score * 10) AS BIGINT), 9) AS bin,
+         sc.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(avg(score), 6) AS mean_pred,
+       round(avg(y * 1.0), 6) AS obs_rate
+FROM j GROUP BY bin ORDER BY bin"""
+
 
 REGISTRY: dict[str, QuerySpec] = {
     # relational core
@@ -9466,6 +9582,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "training_mix_pipeline": QuerySpec(
         q_training_mix_pipeline, ORACLES["training_mix_pipeline"]
+    ),
+    "lang_confusion": QuerySpec(
+        q_lang_confusion, ORACLES["lang_confusion"]
+    ),
+    "calibration_curve": QuerySpec(
+        q_calibration_curve, ORACLES["calibration_curve"]
     ),
     "entity_resolution": QuerySpec(
         q_entity_resolution, ORACLES["entity_resolution"]
