@@ -110,3 +110,78 @@ def streaming_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_user_stats_tws(events, ttl_idle_ms: int = 0):
+    """Per-user running statistics via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API that supersedes
+    applyInPandasWithState: typed state handles, per-state TTL, timers).
+    Keeps ONE ValueState row per user — (count, total, max) — and emits
+    the updated stats each micro-batch; at any point the latest emitted
+    row per user equals the batch aggregate over everything ingested
+    (the twin asserted in tests).
+
+    State is O(1) per user and columnar in the state store; TTL (when
+    ``ttl_idle_ms`` > 0) expires idle users without a manual timer —
+    the knob that bounds state for drive-by keys at corpus scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            ttl = ttl_idle_ms if ttl_idle_ms > 0 else None
+            self.state = handle.getValueState("stats", state_schema, ttl)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = 0, 0.0, float("-inf")
+            if self.state.exists():
+                n, total, mx = self.state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self.state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            UserStats(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

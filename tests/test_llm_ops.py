@@ -1086,3 +1086,27 @@ def test_audio_frames_plumbing_shapes(docs):
         n = lens[doc_id]
         expect = (n - 64) // 32 + 1
         assert sorted(fids) == list(range(expect))
+
+
+def test_arrow_udf_matches_expression(spark, emb):
+    """Spark 4.1 @arrow_udf escape hatch: the Arrow-native squared
+    distance equals the Catalyst expression to 1e-9 (same contract the
+    pandas_udf family is held to)."""
+    import pytest
+
+    from customer_segmentation_pyspark_spark.functions import pandas_fns
+    from customer_segmentation_pyspark_spark.functions.arrays import sq_dist
+
+    if not getattr(pandas_fns, "HAS_ARROW_UDF", False):
+        pytest.skip("arrow_udf not available in this PySpark")
+    two = emb.limit(50).selectExpr(
+        "transform(embedding, x -> cast(x as double)) as a",
+        "transform(reverse(embedding), x -> cast(x as double)) as b",
+    )
+    rows = two.select(
+        sq_dist(F.col("a"), F.col("b")).alias("expr_d"),
+        pandas_fns.sq_dist_arrow(F.col("a"), F.col("b")).alias("arrow_d"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["expr_d"] - r["arrow_d"]) < 1e-9

@@ -3,6 +3,9 @@ implementation (its oracle) on a bounded replay."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from customer_segmentation_pyspark_spark.operators.sessions import session_stats
 from customer_segmentation_pyspark_spark.sources import load_table
 from customer_segmentation_pyspark_spark.streaming.stateful import (
@@ -39,3 +42,88 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in session_stats(ev, gap_minutes=30).collect()
     }
     assert got == expected
+
+
+def test_transform_with_state_running_stats_equals_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API): per-user
+    running (count, sum, max) across two micro-batches — the LAST
+    emitted row per user must equal the batch aggregate over all
+    ingested events.
+
+    Auto-skips where google.protobuf is absent: the TWS state-server
+    client requires it and this container does not ship it (the
+    operator itself is environment-independent — same class of gap as
+    the media codecs; applyInPandasWithState keeps arbitrary-state
+    coverage in CI)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state client needs protobuf",
+    )
+    import time
+
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from customer_segmentation_pyspark_spark.streaming.stateful import (
+        streaming_user_stats_tws,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "value")
+        .limit(1500)
+        .cache()
+    )
+    src = str(tmp_path / "src")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.0)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        streaming_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_stats_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_rows = spark.sql(
+        "SELECT * FROM tws_stats_test"
+    ).collect()
+    # last emission per user wins (batch 2 rows supersede batch 1)
+    last = {}
+    for r in got_rows:
+        last[r["user_id"]] = (
+            r["n_events"],
+            round(r["total_value"], 6),
+            r["max_value"],
+        )
+
+    expect = {
+        r["user_id"]: (
+            r["n"],
+            round(r["total"], 6),
+            r["mx"],
+        )
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    # counts and max match exactly; totals to float tolerance
+    assert set(last) == set(expect)
+    for u in expect:
+        assert last[u][0] == expect[u][0], f"user {u} count"
+        assert abs(last[u][1] - expect[u][1]) < 1e-6, f"user {u} total"
+        assert last[u][2] == expect[u][2], f"user {u} max"
+    ev.unpersist()
