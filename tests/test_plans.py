@@ -8,6 +8,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from customer_segmentation_pyspark_spark.queries import REGISTRY
 from tests.conftest import SF_ORACLE
 
@@ -365,3 +367,53 @@ def test_join_cardinality_never_executes_the_join(spark):
     # plan sits above at least one aggregate
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p  # scalar crossJoins broadcast
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes Spark's join-strategy hints: the same
+    dim join flips between broadcast and shuffle-hash when hinted —
+    the manual override lever when statistics mislead the planner."""
+    from customer_segmentation_pyspark_spark.sources import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    sup = load_table(spark, SF_ORACLE, "supplier").select("s_suppkey")
+    bcast = li.join(
+        sup.hint("broadcast"), li.l_suppkey == sup.s_suppkey
+    )
+    assert "BroadcastHashJoin" in plan(bcast)
+    shj = li.join(
+        sup.hint("shuffle_hash"), li.l_suppkey == sup.s_suppkey
+    )
+    p = plan(shj)
+    assert "ShuffledHashJoin" in p and "BroadcastHashJoin" not in p
+    smj = li.join(
+        sup.hint("merge"), li.l_suppkey == sup.s_suppkey
+    )
+    p = plan(smj)
+    assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p
+
+
+def test_cbo_uses_analyzed_stats_for_broadcast(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS feeds the cost-based optimizer:
+    a saved small table with fresh stats broadcasts under a tight
+    autoBroadcastJoinThreshold that would otherwise see unknown size."""
+    from customer_segmentation_pyspark_spark.sources import load_table
+
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    loc = str(tmp_path / "cbo_dim")
+    load_table(spark, SF_ORACLE, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).write.option("path", loc).saveAsTable("cbo_dim")
+    spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS")
+    est = spark.sql("DESC EXTENDED cbo_dim").filter(
+        "col_name = 'Statistics'"
+    ).collect()
+    assert est, "ANALYZE produced no statistics row"
+    li = load_table(spark, SF_ORACLE, "lineitem").select("l_suppkey")
+    j = li.join(
+        spark.table("cbo_dim"), li.l_suppkey == F.col("s_suppkey")
+    )
+    assert "BroadcastHashJoin" in plan(j)
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
