@@ -5464,6 +5464,113 @@ def q_training_mix_pipeline(spark, sf_dir):
     )
 
 
+SENT_POS = ("fast", "small", "value", "merge")
+SENT_NEG = ("slow", "large", "scan")
+
+
+def q_sentiment_score(spark, sf_dir):
+    """Lexicon sentiment at scale (the EDBT'16 Twitter-on-Spark shape):
+    per-doc polarity from positive/negative marker hits (pure
+    projection), rolled up per source — avg polarity and the
+    pos/neg/neutral mix. One token pass, one small agg; lexicons are
+    plan literals like LANG_MARKERS."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    pos = F.size(F.filter(toks, lambda t: t.isin(*SENT_POS)))
+    neg = F.size(F.filter(toks, lambda t: t.isin(*SENT_NEG)))
+    scored = d.select(
+        "source",
+        pos.alias("p"),
+        neg.alias("n"),
+        F.when(
+            pos + neg > 0, F.round((pos - neg) / (pos + neg), 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("polarity"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("polarity"), 6).alias("avg_polarity"),
+            F.sum(F.when(F.col("polarity") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("polarity") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_user_behavior_topk(spark, sf_dir):
+    """Behavioral-trajectory similarity search (REPOSE/trajectory-top-k
+    shape, relationally): each user's trajectory is summarized as the
+    25-dim event-type TRANSITION profile (lag window per user); cosine
+    between profiles is computed PURELY relationally — join query
+    users' sparse (pair, count) rows against the corpus on the pair key
+    and fold sum-of-products — so no dense vectors ever materialize and
+    the whole search is linear in transition rows. Top-5 per query
+    user (vs users 0..4), ties by neighbor id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("user_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = trans.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    q = trans.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("query_id"),
+        "prev",
+        "cur",
+        F.col("c").alias("qc"),
+    )
+    dots = (
+        trans.join(F.broadcast(q), ["prev", "cur"])
+        .filter(F.col("user_id") != F.col("query_id"))
+        .groupBy("query_id", "user_id")
+        .agg(F.sum(F.col("c") * F.col("qc")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "user_id")
+        .join(
+            F.broadcast(
+                norms.select(
+                    F.col("user_id").alias("query_id"),
+                    F.col("nrm").alias("qnrm"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("user_id").alias("neighbor_id"),
+            F.round(
+                F.col("dot") / (F.col("nrm") * F.col("qnrm")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def q_forget_cascade(spark, sf_dir):
     """Right-to-be-forgotten impact audit: given a deletion cohort
     (customers with deeply negative balances as the stand-in tombstone
@@ -6924,6 +7031,56 @@ SELECT stage, shard_raw % 4 AS shard,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM tiled GROUP BY stage, shard_raw % 4
 ORDER BY stage, shard""",
+    "sentiment_score": """
+WITH scored AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             t -> t IN ('fast', 'small', 'value', 'merge'))) AS p,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             t -> t IN ('slow', 'large', 'scan'))) AS n
+  FROM documents),
+pol AS (
+  SELECT source,
+         CASE WHEN p + n > 0
+              THEN round((p - n) * 1.0 / (p + n), 4) ELSE 0.0 END
+           AS polarity
+  FROM scored)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(polarity), 6) AS avg_polarity,
+       CAST(sum(CASE WHEN polarity > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(sum(CASE WHEN polarity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neg
+FROM pol GROUP BY source ORDER BY source""",
+    "user_behavior_topk": """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         event_type AS cur
+  FROM events),
+trans AS (
+  SELECT user_id, prev, cur, count(*) AS c
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+norms AS (
+  SELECT user_id, sqrt(sum(c * c)) AS nrm FROM trans GROUP BY 1),
+q AS (SELECT user_id AS query_id, prev, cur, c AS qc
+      FROM trans WHERE user_id < 5),
+dots AS (
+  SELECT q.query_id, t.user_id, sum(t.c * q.qc) AS dot
+  FROM trans t JOIN q ON t.prev = q.prev AND t.cur = q.cur
+  WHERE t.user_id <> q.query_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.query_id, d.user_id AS neighbor_id,
+         round(d.dot / (n1.nrm * n2.nrm), 4) AS cos_sim
+  FROM dots d
+  JOIN norms n1 ON d.user_id = n1.user_id
+  JOIN norms n2 ON d.query_id = n2.user_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= 5""",
     "forget_cascade": """
 WITH doomed_c AS (
   SELECT c_custkey AS k FROM customer WHERE c_acctbal < -900),
@@ -9588,6 +9745,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "calibration_curve": QuerySpec(
         q_calibration_curve, ORACLES["calibration_curve"]
+    ),
+    "sentiment_score": QuerySpec(
+        q_sentiment_score, ORACLES["sentiment_score"]
+    ),
+    "user_behavior_topk": QuerySpec(
+        q_user_behavior_topk, ORACLES["user_behavior_topk"]
     ),
     "entity_resolution": QuerySpec(
         q_entity_resolution, ORACLES["entity_resolution"]
