@@ -512,6 +512,119 @@ def bpe_pair_counts(
     )
 
 
+def _merge_adjacent(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of the adjacent symbol
+    pair (left, right) inside a symbol array — the BPE merge-rule
+    application (Sennrich et al. 2016 §3.2), as a single Catalyst
+    ``aggregate`` fold (no Python UDF): the accumulator carries the
+    output list plus one pending symbol; 'aaa' + (a,a) -> ['aa','a'],
+    exactly the reference greedy semantics."""
+    merged = left + right
+
+    def step(acc: Column, s: Column) -> Column:
+        return F.when(
+            (acc["carry"] == F.lit(left)) & (s == F.lit(right)),
+            F.struct(
+                F.array_append(acc["out"], F.lit(merged)).alias("out"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["carry"].isNull(), acc["out"])
+                .otherwise(F.array_append(acc["out"], acc["carry"]))
+                .alias("out"),
+                s.alias("carry"),
+            )
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("carry"),
+        ),
+        step,
+        lambda acc: F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["carry"])
+        ),
+    )
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    spark=None,
+) -> "DataFrame":
+    """Full BPE tokenizer training: iterate ``n_merges`` rounds of
+    (count adjacent symbol pairs over the frequency-weighted vocabulary
+    -> pick the most frequent pair, ties by (left, right) asc -> apply
+    the merge greedily left-to-right). Returns the learned merge table
+    ``(step, left, right, merged, pair_count)`` — the tokenizer
+    artifact shipped to the training pipeline.
+
+    Scale shape (same argument as ``bpe_pair_counts``): every round
+    runs over the DISTINCT-word vocabulary weighted by corpus
+    frequency, so the per-round cost is O(vocab * word_len) — Zipf
+    keeps the vocab sublinear in corpus size, and the 100 TB corpus is
+    touched exactly once (the initial vocab agg). The merge applier is
+    a codegen'd ``aggregate`` fold (no UDF); each round is one
+    pair-count agg + one 1-row ``TakeOrderedAndProject`` collect (the
+    same driver-synchronous scalar-per-round pattern as Lloyd's /
+    PageRank), and the vocab is ``localCheckpoint``-ed per round to
+    bound lineage. Reference analogue: iterative driver loop at
+    codeText.txt:129 (K-means rounds); same engine contract.
+    """
+    spark = spark or docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            # split("", limit=-1) keeps a trailing "" element — drop it
+            F.array_remove(F.split(F.col("w"), "(?!^)"), "").alias(
+                "syms"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step_no in range(1, n_merges + 1):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    lambda s, i: F.struct(
+                        s.alias("l"),
+                        F.element_at(F.col("syms"), i + 2).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step_no, left, right, left + right, cnt))
+        vocab = vocab.select(
+            "n", _merge_adjacent(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "step bigint, left string, right string, merged string, "
+        "pair_count bigint",
+    )
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     k: int = 8,

@@ -5111,6 +5111,52 @@ def q_k_core(spark, sf_dir):
     return k_core(copurchase_pairs(li), k=3)
 
 
+def q_bfs_hops(spark, sf_dir):
+    """Single-source BFS over the min-support-2 co-purchase graph
+    (pairs co-ordered >= 2 times sparsify the near-clique raw graph
+    into something with real hop structure): hop distance from the
+    smallest linked part key, capped at 6 hops. The frontier loop is
+    executor-side; the oracle replays it as a bounded recursive CTE
+    with UNION-distinct (rows bounded by nodes x hops, no path
+    explosion)."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    a = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = lines.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    sup = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    edges = sup.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("src"), F.col("pb").alias("dst")
+                ),
+                F.struct(
+                    F.col("pb").alias("src"), F.col("pa").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    source = sup.agg(F.min("pa")).collect()[0][0]
+    return bfs_hops(edges, int(source), max_hops=6)
+
+
 def q_entity_resolution(spark, sf_dir):
     """Entity-resolution capstone: SymSpell deletion-neighborhood fuzzy
     match (edit distance 1) -> name-level edges keyed by each name's
@@ -6362,6 +6408,81 @@ def q_bpe_pair_counts(spark, sf_dir):
     vocabulary (Zipf-bounded), not the raw token stream."""
     d = load_table(spark, sf_dir, "documents")
     return textops.bpe_pair_counts(d, top=20)
+
+
+def q_bpe_learn(spark, sf_dir):
+    """Full BPE tokenizer training: 8 merge rounds over the
+    frequency-weighted vocabulary; returns the learned merge table
+    (the tokenizer artifact). Iterative driver loop (one 1-row
+    collect per round, same contract as Lloyd's) — rows-only for the
+    driver; semantics pinned by the plain-Python twin in
+    tests/test_llm_ops.py (greedy left-to-right merge parity)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.bpe_learn(d, n_merges=8, spark=spark)
+
+
+def q_bigram_ppl(spark, sf_dir):
+    """Interpolated bigram-LM perplexity per document (the KenLM-shape
+    quality filter one step up from `unigram_ppl`): corpus-trained
+    bigram + unigram models, p = 0.7*P(w2|w1) + 0.3*P(w2), per-doc
+    cross-entropy over bigram positions and ppl = exp(ce).
+
+    Scale shape: token positions come from ONE posexplode; the bigram
+    stream is a `lead` window keyed by doc (one shuffle, reused by the
+    per-doc agg); LM tables join ON key with map-side-combinable
+    counts first, so shuffles carry distinct (doc,bigram) /
+    (bigram,count) rows, never raw tokens. The corpus total rides a
+    broadcast 1-row join. At 100 TB both LM tables stay distributed
+    (never collected)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.col("text")), r"\s+")
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", "term", "nxt")
+    )
+    bf = big.groupBy("doc_id", "term", "nxt").agg(
+        F.count(F.lit(1)).alias("bf")
+    )
+    bigram_lm = bf.groupBy("term", "nxt").agg(
+        F.sum("bf").alias("bcnt")
+    )
+    ctx = bigram_lm.groupBy("term").agg(F.sum("bcnt").alias("ccnt"))
+    uni = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("ucnt"))
+        .withColumnRenamed("term", "nxt")
+    )
+    total = uni.agg(F.sum("ucnt").alias("total"))
+    scored = (
+        bf.join(bigram_lm, ["term", "nxt"])
+        .join(ctx, "term")
+        .join(uni, "nxt")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "p",
+            0.7 * F.col("bcnt") / F.col("ccnt")
+            + 0.3 * F.col("ucnt") / F.col("total"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bf").cast("bigint").alias("n_bigrams"),
+            (-F.sum(F.col("bf") * F.log("p")) / F.sum("bf")).alias("ce"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("ce", 6).alias("cross_entropy"),
+        F.round(F.exp("ce"), 4).alias("ppl"),
+    )
 
 
 def q_bm25_topk(spark, sf_dir):
@@ -7711,6 +7832,52 @@ scored AS (
   FROM tf JOIN lm USING (term) CROSS JOIN tot
   GROUP BY doc_id)
 SELECT doc_id, n_tokens, round(ce, 6) AS cross_entropy,
+       round(exp(ce), 4) AS ppl
+FROM scored""",
+    "bfs_hops": """
+WITH RECURSIVE lines AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+sup AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM lines a JOIN lines b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT pa AS src, pb AS dst FROM sup
+          UNION ALL SELECT pb, pa FROM sup),
+s AS (SELECT min(pa) AS v FROM sup),
+bfs(node, d) AS (
+  SELECT v, 0 FROM s
+  UNION
+  SELECT e.dst, bfs.d + 1
+  FROM edges e JOIN bfs ON e.src = bfs.node WHERE bfs.d < 6
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS hops
+FROM bfs GROUP BY 1""",
+    "bigram_ppl": """
+WITH arr AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+  FROM documents),
+toks AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos
+    FROM arr) WHERE term <> ''),
+big AS (
+  SELECT doc_id, term, nxt FROM (
+    SELECT doc_id, term,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks) WHERE nxt IS NOT NULL),
+bf AS (SELECT doc_id, term, nxt, count(*) AS bf FROM big GROUP BY 1, 2, 3),
+blm AS (SELECT term, nxt, sum(bf) AS bcnt FROM bf GROUP BY 1, 2),
+ctx AS (SELECT term, sum(bcnt) AS ccnt FROM blm GROUP BY 1),
+uni AS (SELECT term AS nxt, count(*) AS ucnt FROM toks GROUP BY 1),
+tot AS (SELECT sum(ucnt) AS total FROM uni),
+scored AS (
+  SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+         -sum(bf * ln(0.7 * bcnt / ccnt + 0.3 * ucnt / total))
+           / sum(bf) AS ce
+  FROM bf JOIN blm USING (term, nxt) JOIN ctx USING (term)
+       JOIN uni USING (nxt) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT doc_id, n_bigrams, round(ce, 6) AS cross_entropy,
        round(exp(ce), 4) AS ppl
 FROM scored""",
     "oov_rate": """
@@ -9669,6 +9836,14 @@ REGISTRY: dict[str, QuerySpec] = {
         q_event_dedup_window, ORACLES["event_dedup_window"]
     ),
     "unigram_ppl": QuerySpec(q_unigram_ppl, ORACLES["unigram_ppl"]),
+    "bigram_ppl": QuerySpec(q_bigram_ppl, ORACLES["bigram_ppl"]),
+    "bfs_hops": QuerySpec(q_bfs_hops, ORACLES["bfs_hops"]),
+    "bpe_learn": QuerySpec(
+        q_bpe_learn,
+        None,
+        doc="iterative merge loop; greedy-merge parity vs plain-Python "
+        "twin in tests/test_llm_ops.py",
+    ),
     "oov_rate": QuerySpec(q_oov_rate, ORACLES["oov_rate"]),
     "source_quota": QuerySpec(q_source_quota, ORACLES["source_quota"]),
     "attribution_last_touch": QuerySpec(

@@ -138,3 +138,36 @@ def test_k_core_membership_invariant(spark):
     out = k_core(copurchase_pairs(li), k=3)
     assert out.filter("degree_in_core < 3").count() == 0
     assert out.count() > 0  # dense co-purchase graph has a 3-core
+
+
+def test_bfs_hops_chain_and_unreachable(spark):
+    """BFS on a directed chain: exact hop counts, the max_hops cap
+    truncates, and the disconnected component never appears."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 10)], "src bigint, dst bigint"
+    )
+    out = sorted(tuple(r) for r in bfs_hops(e, 1, max_hops=2).collect())
+    assert out == [(1, 0), (2, 1), (3, 2)]
+
+
+def test_bfs_hops_cycle_terminates_with_min_distance(spark):
+    """A cycle must not loop forever and each node keeps its MIN hop
+    distance (4 reachable two ways: 1->4 direct at h=1 wins over the
+    1->2->3->4 path)."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 4)],
+        "src bigint, dst bigint",
+    )
+    out = dict(
+        (r["node"], r["hops"])
+        for r in bfs_hops(e, 1, max_hops=10).collect()
+    )
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2}

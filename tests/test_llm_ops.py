@@ -780,6 +780,72 @@ def test_bpe_pair_counts_known_answer(spark):
     assert out == {"ab": 3, "bc": 1}
 
 
+def _bpe_learn_twin(texts: list[str], n_merges: int) -> list[tuple]:
+    """Plain-Python BPE reference (Sennrich et al. 2016): same vocab
+    weighting, same (count desc, left asc, right asc) tie-break, same
+    greedy left-to-right non-overlapping merge."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if len(w) >= 2:
+                vocab[tuple(w)] += 1
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((step, left, right, left + right, cnt))
+        new_vocab = Counter()
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_matches_python_twin(spark):
+    """Distributed BPE training (aggregate-fold merge applier) produces
+    the exact merge table of the plain-Python reference, including on
+    overlap-heavy input ('aaaa' forces the greedy non-overlap rule) and
+    merged-symbol reuse ('er' + 's' in round 2+)."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    texts = [
+        "lower lower lowest newer newer newest",
+        "aaaa aaaa baaa",
+        "wider widest wide er er ers ers",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [tuple(r) for r in textops.bpe_learn(d, n_merges=6).collect()]
+    want = _bpe_learn_twin(texts, 6)
+    assert got == want
+    # the greedy rule must have packed 'aaaa' as (aa)(aa), never (a)(aa)(a)
+    assert any(m[3] == "aa" for m in got)
+
+
 def test_winnowing_shared_substring_shares_fingerprint(spark):
     """The winnowing guarantee: two docs sharing a substring of length
     >= k + w - 1 share at least one fingerprint; unrelated docs of
