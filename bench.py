@@ -107,6 +107,11 @@ HEADLINE = [
     "dq_checks",
     "pq_topk",
     "training_mix_pipeline",
+    # r02 session-4: bigram LM perplexity, BPE tokenizer training
+    # (iterative), frontier BFS
+    "bigram_ppl",
+    "bpe_learn",
+    "bfs_hops",
 ]
 
 
@@ -126,10 +131,30 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so query timings measure the plans
+    # Warm-up: count() every table (parquet footers + OS page cache) and
+    # run one tiny applyInPandas (spins up the Arrow Python worker pool).
+    # Without this, whichever query FIRST touches a table or first needs
+    # a Python worker absorbs multi-second one-time costs and per-query
+    # numbers measure bench ordering, not plans (observed: dedup_exact
+    # 2.2s cold vs 0.5s steady-state purely from scan order).
     from customer_segmentation_pyspark_spark.sources import load_table
 
-    load_table(spark, sf_dir, "lineitem").count()
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        load_table(spark, sf_dir, t).count()
+    spark.createDataFrame([(0, 1.0)], "k int, v double").groupBy(
+        "k"
+    ).applyInPandas(lambda pdf: pdf, "k int, v double").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
