@@ -5112,48 +5112,56 @@ def q_k_core(spark, sf_dir):
 
 
 def q_bfs_hops(spark, sf_dir):
-    """Single-source BFS over the min-support-2 co-purchase graph
-    (pairs co-ordered >= 2 times sparsify the near-clique raw graph
-    into something with real hop structure): hop distance from the
-    smallest linked part key, capped at 6 hops. The frontier loop is
-    executor-side; the oracle replays it as a bounded recursive CTE
-    with UNION-distinct (rows bounded by nodes x hops, no path
-    explosion)."""
+    """Single-source BFS over the customer-name edit-distance-1 graph
+    (the entity-resolution candidate graph: SymSpell deletion-
+    neighborhood pairs, nodes keyed by each name's min custkey).
+    Sequential fixture names chain into a genuinely high-diameter
+    component, so hop distances from the smallest linked key spread
+    across the full 6-hop cap at every SF — unlike the co-purchase
+    graph, which is near-clique at small SF and isolated dots under a
+    support filter at large SF. The frontier loop is executor-side
+    (edge list scanned, never re-shuffled, per round); the oracle
+    replays it as a bounded recursive CTE with UNION-distinct (rows
+    bounded by nodes x hops, no path explosion)."""
     from customer_segmentation_pyspark_spark.operators.graph import (
         bfs_hops,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    lines = li.select("l_orderkey", "l_partkey").distinct()
-    a = lines.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    c = load_table(spark, sf_dir, "customer")
+    names = (
+        c.filter(F.col("c_name").isNotNull())
+        .groupBy("c_name")
+        .agg(F.min("c_custkey").alias("rep"))
     )
-    b = lines.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
-    )
-    sup = (
-        a.join(
-            b,
-            (F.col("ok") == F.col("ok2")) & (F.col("pa") < F.col("pb")),
+    pairs = textops.fuzzy_edit1_pairs(c, "c_name")
+    keyed = (
+        pairs.join(
+            names.select(
+                F.col("c_name").alias("name_a"), F.col("rep").alias("ka")
+            ),
+            "name_a",
         )
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("pa", "pb")
+        .join(
+            names.select(
+                F.col("c_name").alias("name_b"), F.col("rep").alias("kb")
+            ),
+            "name_b",
+        )
+        .select("ka", "kb")
     )
-    edges = sup.select(
+    edges = keyed.select(
         F.explode(
             F.array(
                 F.struct(
-                    F.col("pa").alias("src"), F.col("pb").alias("dst")
+                    F.col("ka").alias("src"), F.col("kb").alias("dst")
                 ),
                 F.struct(
-                    F.col("pb").alias("src"), F.col("pa").alias("dst")
+                    F.col("kb").alias("src"), F.col("ka").alias("dst")
                 ),
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    source = sup.agg(F.min("pa")).collect()[0][0]
+    source = keyed.agg(F.min("ka")).collect()[0][0]
     return bfs_hops(edges, int(source), max_hops=6)
 
 
@@ -7835,15 +7843,18 @@ SELECT doc_id, n_tokens, round(ce, 6) AS cross_entropy,
        round(exp(ce), 4) AS ppl
 FROM scored""",
     "bfs_hops": """
-WITH RECURSIVE lines AS (
-  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-sup AS (
-  SELECT a.p AS pa, b.p AS pb
-  FROM lines a JOIN lines b ON a.ok = b.ok AND a.p < b.p
-  GROUP BY 1, 2 HAVING count(*) >= 2),
-edges AS (SELECT pa AS src, pb AS dst FROM sup
-          UNION ALL SELECT pb, pa FROM sup),
-s AS (SELECT min(pa) AS v FROM sup),
+WITH RECURSIVE names AS (
+  SELECT c_name, min(c_custkey) AS rep FROM customer
+  WHERE c_name IS NOT NULL GROUP BY 1),
+p AS (
+  SELECT a.rep AS ka, b.rep AS kb
+  FROM names a JOIN names b
+    ON a.c_name < b.c_name
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+   AND levenshtein(a.c_name, b.c_name) = 1),
+edges AS (SELECT ka AS src, kb AS dst FROM p
+          UNION ALL SELECT kb, ka FROM p),
+s AS (SELECT min(ka) AS v FROM p),
 bfs(node, d) AS (
   SELECT v, 0 FROM s
   UNION
