@@ -2136,6 +2136,39 @@ SELECT part_key, rank FROM (
 ORDER BY rank DESC, part_key LIMIT {k}"""
 
 
+def _sql_k_core(k: int = 2, unroll: int = 8) -> str:
+    """q_k_core's peeling loop UNROLLED to ``unroll`` rounds of chained
+    CTEs. k-core is confluent and a peel past the fixpoint is a no-op,
+    so any unroll >= the true round count (4 at sf0.01) is exact.
+    MATERIALIZED is load-bearing: every round references its
+    predecessor 3x (two degree projections + the edge filter), so
+    inlining would re-evaluate the chain 3^rounds times."""
+    parts = [
+        """lines AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb FROM lines a JOIN lines b
+  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for i in range(unroll):
+        parts.append(
+            f"""deg_{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT pa AS n FROM e{i} UNION ALL SELECT pb FROM e{i})
+  GROUP BY 1),
+keep_{i} AS MATERIALIZED (SELECT n FROM deg_{i} WHERE d >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.pa, e.pb FROM e{i} e
+  JOIN keep_{i} ka ON e.pa = ka.n
+  JOIN keep_{i} kb ON e.pb = kb.n)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(n AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS degree_in_core
+FROM (SELECT pa AS n FROM e{unroll} UNION ALL SELECT pb FROM e{unroll})
+GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # Subquery shapes: correlated / EXISTS / scalar subqueries decorrelated into
 # idiomatic Spark plans (window aggs, semi/anti joins, broadcast scalars).
@@ -5097,18 +5130,45 @@ def q_skipgram_pairs(spark, sf_dir):
 
 
 def q_k_core(spark, sf_dir):
-    """3-core of the co-purchase graph: iterative peeling with
-    data-dependent termination (rows-only: the loop is not
-    SQL-expressible without recursion on aggregates; invariants are
-    pinned in test_graph.py — every core member has in-core degree >= 3,
-    planted cliques survive, chains peel away)."""
+    """2-core of the min-support-2 co-purchase graph (pairs co-ordered
+    >= 2 times; the raw graph is near-clique, so its cores are
+    degenerate — the support filter leaves a sparse graph whose 2-core
+    peeling actually iterates: 4 rounds to fixpoint at sf0.01).
+    Data-dependent termination on the Spark side; the oracle UNROLLS 8
+    peeling rounds as chained MATERIALIZED CTEs (the part_pagerank
+    pattern — k-core is confluent and peeling is idempotent past the
+    fixpoint, so any unroll >= the true round count is exact; without
+    MATERIALIZED each round references its predecessor 3x and DuckDB's
+    inlining would re-evaluate the chain exponentially). Invariants
+    additionally pinned in test_graph.py."""
     from customer_segmentation_pyspark_spark.operators.graph import (
-        copurchase_pairs,
         k_core,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    return k_core(copurchase_pairs(li), k=3)
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    arr = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    sup = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    return k_core(sup, k=2)
 
 
 def q_bfs_hops(spark, sf_dir):
@@ -9915,7 +9975,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "skipgram_pairs": QuerySpec(
         q_skipgram_pairs, ORACLES["skipgram_pairs"]
     ),
-    "k_core": QuerySpec(q_k_core, None),
+    "k_core": QuerySpec(q_k_core, _sql_k_core()),
     "audio_frames": QuerySpec(q_audio_frames, ORACLES["audio_frames"]),
     "mann_whitney": QuerySpec(q_mann_whitney, ORACLES["mann_whitney"]),
     "ks_test": QuerySpec(q_ks_test, ORACLES["ks_test"]),

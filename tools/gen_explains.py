@@ -40,6 +40,9 @@ NAMES = [
     "substring_dedup", "rrf_fusion", "hard_negatives", "dq_checks",
     "pq_topk", "training_mix_pipeline", "entity_resolution",
     "audio_frames", "mann_whitney", "ks_test", "moment_stats",
+    # r02 session-4: bigram perplexity, BPE pair stage (the learn
+    # loop's per-round plan), frontier BFS edge graph
+    "bigram_ppl",
 ]
 
 
