@@ -2136,6 +2136,81 @@ SELECT part_key, rank FROM (
 ORDER BY rank DESC, part_key LIMIT {k}"""
 
 
+def _sql_bpe_learn(n_merges: int = 8) -> str:
+    """q_bpe_learn's 8 merge rounds UNROLLED into chained MATERIALIZED
+    CTEs — the second iterative algorithm (after pagerank/k-core)
+    certified by exact hash match. Each round is (pair counts over the
+    weighted vocab -> top-1 by (cnt DESC, l, r) -> apply the merge).
+    The greedy left-to-right non-overlapping merge is a
+    ``list_reduce`` fold whose (out, carry) accumulator is ENCODED IN
+    ONE VARCHAR (out symbols joined by chr(31), then chr(30), then the
+    carry; chr(2) sentinel seeds the fold since DuckDB's list_reduce
+    has no initial-value form) — mirroring the Spark side's
+    ``aggregate`` struct fold exactly, including 'aaa' + (a,a) ->
+    ['aa','a']. Assumes the fixture yields >= n_merges productive
+    merges (sf0.01: all 8 counts >= 1831), matching Spark's fixed
+    n_merges=8 loop."""
+    RS, US, SENT = "chr(30)", "chr(31)", "chr(2)"
+
+    def out_of(st: str) -> str:
+        return (
+            f"CASE WHEN split_part({st}, {RS}, 2) = '' "
+            f"THEN split_part({st}, {RS}, 1) "
+            f"WHEN split_part({st}, {RS}, 1) = '' "
+            f"THEN split_part({st}, {RS}, 2) "
+            f"ELSE split_part({st}, {RS}, 1) || {US} || "
+            f"split_part({st}, {RS}, 2) END"
+        )
+
+    parts = [
+        """terms AS MATERIALIZED (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+v0 AS MATERIALIZED (
+  SELECT w, count(*) AS n, string_split(w, '') AS syms
+  FROM terms WHERE length(w) >= 2 GROUP BY w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        j = i - 1
+        fold = f"""list_reduce(list_prepend({SENT}, v.syms),
+      (acc, x) -> CASE
+        WHEN acc = {SENT} THEN {RS} || x
+        WHEN split_part(acc, {RS}, 2) = t.l AND x = t.r
+          THEN CASE WHEN split_part(acc, {RS}, 1) = ''
+                    THEN t.l || t.r
+                    ELSE split_part(acc, {RS}, 1) || {US} || t.l || t.r
+               END || {RS}
+        ELSE (CASE WHEN split_part(acc, {RS}, 2) = ''
+                   THEN split_part(acc, {RS}, 1)
+                   WHEN split_part(acc, {RS}, 1) = ''
+                   THEN split_part(acc, {RS}, 2)
+                   ELSE split_part(acc, {RS}, 1) || {US} ||
+                        split_part(acc, {RS}, 2) END)
+             || {RS} || x END)"""
+        parts.append(
+            f"""pos{i} AS (
+  SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS p
+  FROM v{j} WHERE len(syms) >= 2),
+p{i} AS MATERIALIZED (
+  SELECT syms[p] AS l, syms[p + 1] AS r, sum(n) AS cnt
+  FROM pos{i} GROUP BY 1, 2),
+t{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT v.w, v.n, string_split({out_of(fold)}, {US}) AS syms
+  FROM v{j} v CROSS JOIN t{i} t)"""
+        )
+    body = ",\n".join(parts)
+    tops = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, l, r, cnt FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""WITH {body}
+SELECT CAST(step AS BIGINT) AS step, l AS "left", r AS "right",
+       l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+FROM ({tops}) ORDER BY step"""
+
+
 def _sql_k_core(k: int = 2, unroll: int = 8) -> str:
     """q_k_core's peeling loop UNROLLED to ``unroll`` rounds of chained
     CTEs. k-core is confluent and a peel past the fixpoint is a no-op,
@@ -6482,9 +6557,11 @@ def q_bpe_learn(spark, sf_dir):
     """Full BPE tokenizer training: 8 merge rounds over the
     frequency-weighted vocabulary; returns the learned merge table
     (the tokenizer artifact). Iterative driver loop (one 1-row
-    collect per round, same contract as Lloyd's) — rows-only for the
-    driver; semantics pinned by the plain-Python twin in
-    tests/test_llm_ops.py (greedy left-to-right merge parity)."""
+    collect per round, same contract as Lloyd's), hash-certified by
+    the UNROLLED oracle (_sql_bpe_learn: 8 chained rounds whose merge
+    applier is a VARCHAR-state list_reduce fold mirroring the Spark
+    aggregate fold); greedy-merge semantics additionally pinned by the
+    plain-Python twin in tests/test_llm_ops.py."""
     d = load_table(spark, sf_dir, "documents")
     return textops.bpe_learn(d, n_merges=8, spark=spark)
 
@@ -9911,9 +9988,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "bfs_hops": QuerySpec(q_bfs_hops, ORACLES["bfs_hops"]),
     "bpe_learn": QuerySpec(
         q_bpe_learn,
-        None,
-        doc="iterative merge loop; greedy-merge parity vs plain-Python "
-        "twin in tests/test_llm_ops.py",
+        _sql_bpe_learn(),
+        doc="iterative merge loop, oracled by 8 unrolled rounds with a "
+        "VARCHAR-state list_reduce fold; plus plain-Python twin in "
+        "tests/test_llm_ops.py",
     ),
     "oov_rate": QuerySpec(q_oov_rate, ORACLES["oov_rate"]),
     "source_quota": QuerySpec(q_source_quota, ORACLES["source_quota"]),
