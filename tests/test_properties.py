@@ -286,3 +286,124 @@ def test_preference_pairs_matches_python(spark, rows):
         chosen = max(members, key=lambda t: (t[1], -t[0]))
         rejected = min(members, key=lambda t: (t[1], t[0]))
         assert out[g] == (chosen[0], chosen[1], rejected[0], rejected[1])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "ab", "ba", "b", "cc c", "x"]),
+            min_size=2,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_merge_fold_matches_python(spark, docs):
+    """The Catalyst aggregate-fold greedy merger inside bpe_learn agrees
+    with the plain-Python reference on arbitrary short corpora,
+    including overlap-heavy runs ('aa'*k words) and merged-symbol
+    reuse across rounds."""
+    from customer_segmentation_pyspark_spark.operators import textops
+    from tests.test_llm_ops import _bpe_learn_twin
+
+    texts = [" ".join(ws) for ws in docs]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [tuple(r) for r in textops.bpe_learn(d, n_merges=4).collect()]
+    assert got == _bpe_learn_twin(texts, 4)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["u", "v", "w", "uu", "uv"]),
+            min_size=2,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bigram_ppl_matches_python(spark, docs):
+    """Interpolated bigram-LM cross-entropy agrees with a plain-Python
+    model (same 0.7/0.3 interpolation, corpus-trained counts) to 1e-6
+    on arbitrary corpora."""
+    import math as m
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    texts = [" ".join(ws) for ws in docs]
+    # python reference
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    total = sum(uni.values())
+    big = Counter(
+        (a, b) for ws in toks.values() for a, b in zip(ws, ws[1:])
+    )
+    ctx = Counter()
+    for (a, _b), c in big.items():
+        ctx[a] += c
+    expected = {}
+    for i, ws in toks.items():
+        ps = [
+            0.7 * big[(a, b)] / ctx[a] + 0.3 * uni[b] / total
+            for a, b in zip(ws, ws[1:])
+        ]
+        if ps:
+            expected[i] = -sum(m.log(p) for p in ps) / len(ps)
+    # spark side: same plan as q_bigram_ppl, over an in-memory frame
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    t = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        t.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", "term", "nxt")
+    )
+    bf = bg.groupBy("doc_id", "term", "nxt").agg(
+        F.count(F.lit(1)).alias("bf")
+    )
+    blm = bf.groupBy("term", "nxt").agg(F.sum("bf").alias("bcnt"))
+    cx = blm.groupBy("term").agg(F.sum("bcnt").alias("ccnt"))
+    un = (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+        .withColumnRenamed("term", "nxt")
+    )
+    tot = un.agg(F.sum("ucnt").alias("total"))
+    got = {
+        r["doc_id"]: r["ce"]
+        for r in (
+            bf.join(blm, ["term", "nxt"])
+            .join(cx, "term")
+            .join(un, "nxt")
+            .crossJoin(F.broadcast(tot))
+            .withColumn(
+                "p",
+                0.7 * F.col("bcnt") / F.col("ccnt")
+                + 0.3 * F.col("ucnt") / F.col("total"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                (-F.sum(F.col("bf") * F.log("p")) / F.sum("bf")).alias(
+                    "ce"
+                )
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(expected)
+    for i in expected:
+        assert abs(got[i] - expected[i]) < 1e-6, (i, got[i], expected[i])

@@ -259,3 +259,46 @@ def test_substring_dedup_hot_span_at_scale(spark):
     # the shared prefix alone yields several duplicated spans per doc
     assert agg["min_dup"] >= 3
     assert elapsed < 120, f"hot-span profile took {elapsed:.0f}s"
+
+
+def test_bfs_long_chain_at_scale(spark):
+    """BFS on a 200k-node directed path with max_hops=12: the frontier
+    loop must stay O(rounds) with single-row frontiers (worst case for
+    per-round overhead) and return exactly hops 0..12."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    n = 200_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    t0 = time.perf_counter()
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, 0, 12).collect()}
+    elapsed = time.perf_counter() - t0
+    assert out == {i: i for i in range(13)}
+    assert elapsed < 60, f"13-round BFS took {elapsed:.0f}s"
+
+
+def test_bpe_learn_wide_vocab_at_scale(spark):
+    """BPE training over a 1M-token synthetic corpus (200k docs, skewed
+    Zipf-ish vocab): rounds run over the DISTINCT vocab so the loop
+    must finish fast, and the top merge must be the planted dominant
+    bigram 'qx' (present in every doc's hot word)."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("qxqx"),  # dominant word: 'qx' pair count 2 per doc
+            F.lit(" word"),
+            (F.col("id") % 997).cast("string"),  # 997-word tail vocab
+            F.lit(" filler"),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    merges = textops.bpe_learn(docs, n_merges=3).collect()
+    elapsed = time.perf_counter() - t0
+    assert merges[0]["left"] == "q" and merges[0]["right"] == "x"
+    assert merges[0]["pair_count"] == 400_000
+    assert elapsed < 90, f"3 BPE rounds took {elapsed:.0f}s"
