@@ -108,10 +108,12 @@ HEADLINE = [
     "pq_topk",
     "training_mix_pipeline",
     # r02 session-4: bigram LM perplexity, BPE tokenizer training
-    # (iterative), frontier BFS
+    # (iterative), frontier BFS, capstone #5 (train-and-apply
+    # tokenization)
     "bigram_ppl",
     "bpe_learn",
     "bfs_hops",
+    "tokenizer_pipeline",
 ]
 
 

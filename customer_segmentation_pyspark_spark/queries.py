@@ -2136,43 +2136,27 @@ SELECT part_key, rank FROM (
 ORDER BY rank DESC, part_key LIMIT {k}"""
 
 
-def _sql_bpe_learn(n_merges: int = 8) -> str:
-    """q_bpe_learn's 8 merge rounds UNROLLED into chained MATERIALIZED
-    CTEs — the second iterative algorithm (after pagerank/k-core)
-    certified by exact hash match. Each round is (pair counts over the
-    weighted vocab -> top-1 by (cnt DESC, l, r) -> apply the merge).
-    The greedy left-to-right non-overlapping merge is a
-    ``list_reduce`` fold whose (out, carry) accumulator is ENCODED IN
-    ONE VARCHAR (out symbols joined by chr(31), then chr(30), then the
-    carry; chr(2) sentinel seeds the fold since DuckDB's list_reduce
-    has no initial-value form) — mirroring the Spark side's
-    ``aggregate`` struct fold exactly, including 'aaa' + (a,a) ->
-    ['aa','a']. Assumes the fixture yields >= n_merges productive
-    merges (sf0.01: all 8 counts >= 1831), matching Spark's fixed
-    n_merges=8 loop."""
-    RS, US, SENT = "chr(30)", "chr(31)", "chr(2)"
+_DUCK_RS, _DUCK_US, _DUCK_SENT = "chr(30)", "chr(31)", "chr(2)"
 
-    def out_of(st: str) -> str:
-        return (
-            f"CASE WHEN split_part({st}, {RS}, 2) = '' "
-            f"THEN split_part({st}, {RS}, 1) "
-            f"WHEN split_part({st}, {RS}, 1) = '' "
-            f"THEN split_part({st}, {RS}, 2) "
-            f"ELSE split_part({st}, {RS}, 1) || {US} || "
-            f"split_part({st}, {RS}, 2) END"
-        )
 
-    parts = [
-        """terms AS MATERIALIZED (
-  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
-  FROM documents),
-v0 AS MATERIALIZED (
-  SELECT w, count(*) AS n, string_split(w, '') AS syms
-  FROM terms WHERE length(w) >= 2 GROUP BY w)"""
-    ]
-    for i in range(1, n_merges + 1):
-        j = i - 1
-        fold = f"""list_reduce(list_prepend({SENT}, v.syms),
+def _duck_out(st: str) -> str:
+    """Final accumulator -> merged symbol list (append carry if any)."""
+    RS, US = _DUCK_RS, _DUCK_US
+    return (
+        f"CASE WHEN split_part({st}, {RS}, 2) = '' "
+        f"THEN split_part({st}, {RS}, 1) "
+        f"WHEN split_part({st}, {RS}, 1) = '' "
+        f"THEN split_part({st}, {RS}, 2) "
+        f"ELSE split_part({st}, {RS}, 1) || {US} || "
+        f"split_part({st}, {RS}, 2) END"
+    )
+
+
+def _duck_merge_fold(syms_expr: str) -> str:
+    """list_reduce greedy-merge fold over ``syms_expr``; the merge pair
+    comes from an aliased 1-row table ``t`` (columns l, r) in scope."""
+    RS, US, SENT = _DUCK_RS, _DUCK_US, _DUCK_SENT
+    return f"""list_reduce(list_prepend({SENT}, {syms_expr}),
       (acc, x) -> CASE
         WHEN acc = {SENT} THEN {RS} || x
         WHEN split_part(acc, {RS}, 2) = t.l AND x = t.r
@@ -2187,6 +2171,21 @@ v0 AS MATERIALIZED (
                    ELSE split_part(acc, {RS}, 1) || {US} ||
                         split_part(acc, {RS}, 2) END)
              || {RS} || x END)"""
+
+
+def _sql_bpe_train_ctes(n_merges: int = 8) -> str:
+    """The shared BPE-training CTE chain: terms, v0..v{n}, t1..t{n}."""
+    parts = [
+        """terms AS MATERIALIZED (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents),
+v0 AS MATERIALIZED (
+  SELECT w, count(*) AS n, string_split(w, '') AS syms
+  FROM terms WHERE length(w) >= 2 GROUP BY w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        j = i - 1
+        fold = _duck_merge_fold("v.syms")
         parts.append(
             f"""pos{i} AS (
   SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS p
@@ -2197,10 +2196,27 @@ p{i} AS MATERIALIZED (
 t{i} AS MATERIALIZED (
   SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
 v{i} AS MATERIALIZED (
-  SELECT v.w, v.n, string_split({out_of(fold)}, {US}) AS syms
+  SELECT v.w, v.n, string_split({_duck_out(fold)}, {_DUCK_US}) AS syms
   FROM v{j} v CROSS JOIN t{i} t)"""
         )
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _sql_bpe_learn(n_merges: int = 8) -> str:
+    """q_bpe_learn's 8 merge rounds UNROLLED into chained MATERIALIZED
+    CTEs — the second iterative algorithm (after pagerank/k-core)
+    certified by exact hash match. Each round is (pair counts over the
+    weighted vocab -> top-1 by (cnt DESC, l, r) -> apply the merge).
+    The greedy left-to-right non-overlapping merge is a
+    ``list_reduce`` fold whose (out, carry) accumulator is ENCODED IN
+    ONE VARCHAR (out symbols joined by chr(31), then chr(30), then the
+    carry; chr(2) sentinel seeds the fold since DuckDB's list_reduce
+    has no initial-value form) — mirroring the Spark side's
+    ``aggregate`` struct fold exactly, including 'aaa' + (a,a) ->
+    ['aa','a']. Assumes the fixture yields >= n_merges productive
+    merges (sf0.01: all 8 counts >= 1831), matching Spark's fixed
+    n_merges=8 loop."""
+    body = _sql_bpe_train_ctes(n_merges)
     tops = "\nUNION ALL ".join(
         f"SELECT {i} AS step, l, r, cnt FROM t{i}"
         for i in range(1, n_merges + 1)
@@ -2209,6 +2225,45 @@ v{i} AS MATERIALIZED (
 SELECT CAST(step AS BIGINT) AS step, l AS "left", r AS "right",
        l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
 FROM ({tops}) ORDER BY step"""
+
+
+def _sql_tokenizer_pipeline(n_merges: int = 8) -> str:
+    """q_tokenizer_pipeline's train-and-apply tokenization, fully
+    unrolled: the shared BPE-training chain (_sql_bpe_train_ctes)
+    learns t1..t8, then 8 APPLICATION rounds (a1..a8) replay the
+    learned merges over the FULL distinct vocabulary (including
+    single-char words the training chain excludes), and per-doc token
+    counts come from tf x tokens-per-word. Mirrors the Spark plan's
+    vocab-only fold + join-back exactly."""
+    parts = [_sql_bpe_train_ctes(n_merges)]
+    parts.append(
+        """wt AS MATERIALIZED (
+  SELECT doc_id, n_chars, w, count(*) AS tf FROM (
+    SELECT doc_id, n_chars,
+           unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY 1, 2, 3),
+a0 AS MATERIALIZED (
+  SELECT w, string_split(w, '') AS syms FROM (
+    SELECT DISTINCT w FROM wt))"""
+    )
+    for i in range(1, n_merges + 1):
+        fold = _duck_merge_fold("v.syms")
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT v.w, string_split({_duck_out(fold)}, {_DUCK_US}) AS syms
+  FROM a{i - 1} v CROSS JOIN t{i} t)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+tpw AS (SELECT w, len(syms) AS tpw FROM a{n_merges})
+SELECT wt.doc_id,
+       CAST(sum(wt.tf) AS BIGINT) AS n_words,
+       CAST(sum(wt.tf * tpw.tpw) AS BIGINT) AS n_bpe_tokens,
+       round(any_value(wt.n_chars) / sum(wt.tf * tpw.tpw), 4)
+         AS chars_per_token
+FROM wt JOIN tpw ON wt.w = tpw.w
+GROUP BY wt.doc_id"""
 
 
 def _sql_k_core(k: int = 2, unroll: int = 8) -> str:
@@ -5579,6 +5634,61 @@ def q_sequence_gaps(spark, sf_dir):
         )
         .orderBy(F.col("gap_len").desc(), "gap_start")
         .limit(20)
+    )
+
+
+def q_tokenizer_pipeline(spark, sf_dir):
+    """Capstone #5 — train-and-apply tokenization: learn 8 BPE merges
+    on the corpus (bpe_learn's loop), APPLY the learned merge table to
+    every document, and report per-doc token statistics (whitespace
+    words, BPE tokens, chars-per-token compression — the number a
+    tokenizer eval actually reports).
+
+    Scale shape: the expensive part of applying a merge table is doing
+    it per TOKEN OCCURRENCE; this plan applies the 8 chained
+    aggregate-folds only to the DISTINCT vocabulary (Zipf-bounded,
+    same argument as training) and joins tokens-per-word back to the
+    per-doc (word, tf) frame — corpus-size work is one tokenize pass
+    + one map-side-combinable agg, vocab-size work is the fold chain.
+    The oracle replays training AND application as one unrolled CTE
+    chain (the _sql_bpe_learn fold, plus 8 application rounds over the
+    full vocab)."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = textops.bpe_learn(d, n_merges=8, spark=spark).collect()
+    wt = (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "n_chars", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = wt.select("w").distinct()
+    syms = F.array_remove(F.split(F.col("w"), "(?!^)"), "")
+    for m in merges:
+        syms = textops._merge_adjacent(syms, m["left"], m["right"])
+    tpw = vocab.select("w", F.size(syms).alias("tpw"))
+    return (
+        wt.join(tpw, "w")
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_words"),
+            F.sum(F.col("tf") * F.col("tpw"))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_chars") / F.col("n_bpe_tokens"), 4
+            ).alias("chars_per_token"),
+        )
     )
 
 
@@ -10063,6 +10173,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "training_mix_pipeline": QuerySpec(
         q_training_mix_pipeline, ORACLES["training_mix_pipeline"]
+    ),
+    "tokenizer_pipeline": QuerySpec(
+        q_tokenizer_pipeline, _sql_tokenizer_pipeline()
     ),
     "lang_confusion": QuerySpec(
         q_lang_confusion, ORACLES["lang_confusion"]
