@@ -140,19 +140,11 @@ def main() -> None:
     # numbers measure bench ordering, not plans (observed: dedup_exact
     # 2.2s cold vs 0.5s steady-state purely from scan order).
     from customer_segmentation_pyspark_spark.sources import load_table
+    from customer_segmentation_pyspark_spark.sources.tables import (
+        TABLE_NAMES,
+    )
 
-    for t in (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    ):
+    for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
     spark.createDataFrame([(0, 1.0)], "k int, v double").groupBy(
         "k"

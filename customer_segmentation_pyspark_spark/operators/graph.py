@@ -204,7 +204,11 @@ def bfs_hops(
     """
     spark = edges.sparkSession
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    bcast = edges.count() <= broadcast_max_nodes
+    # guard on the NODE count (what frontier/visited are bounded by),
+    # not the edge count — a sparse 9M-edge graph can have 18M nodes
+    bcast = (
+        edges.select("dst").distinct().count() <= broadcast_max_nodes
+    )
     visited = spark.createDataFrame(
         [(int(source), 0)], "node bigint, d int"
     ).localCheckpoint(eager=True)
@@ -235,21 +239,20 @@ def bfs_hops(
     )
 
 
-def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
-    """Canonical co-purchase pairs ``(pa, pb)`` with pa < pb, one row per
-    undirected edge: two parts are linked when they appear in the same
-    order.
+def copurchase_pair_weights(lineitem: DataFrame) -> DataFrame:
+    """Co-purchase pairs ``(pa, pb, w)`` with pa < pb and w = number of
+    orders containing both parts.
 
     ONE shuffle of the base table (groupBy order, collect_set dedups
-    multi-line parts) + post-shuffle in-array pair expansion, then the
-    cross-order distinct. This replaces the earlier equi-self-join
-    (which shuffled BOTH join sides and sort-merged them before the
-    same distinct — measured 1.8x slower at sf0.1). Per-order pair
-    fan-out is k(k-1)/2 on basket size k; baskets are small and
-    bounded (TPC-H <= 7; retail baskets tens), so the explode never
-    skews a task — a pathological million-line order would need a
-    basket-size cap, the same guard as LSH buckets. Every graph
-    consumer should derive from this ONCE."""
+    multi-line parts) + post-shuffle in-array pair expansion + the
+    cross-order count. This replaces the earlier equi-self-join (which
+    shuffled BOTH join sides and sort-merged them before the same
+    agg — measured 1.8x slower at sf0.1). Per-order pair fan-out is
+    k(k-1)/2 on basket size k; baskets are small and bounded (TPC-H
+    <= 7; retail baskets tens), so the explode never skews a task — a
+    pathological million-line order would need a basket-size cap, the
+    same guard as LSH buckets. Every graph consumer should derive
+    from this ONCE."""
     sets = (
         lineitem.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
@@ -267,9 +270,17 @@ def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
     )
     return (
         sets.select(F.explode(pair_structs).alias("p"))
-        .select("p.pa", "p.pb")
-        .distinct()
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
+
+
+def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
+    """Canonical co-purchase pairs ``(pa, pb)`` with pa < pb, one row
+    per undirected edge (see ``copurchase_pair_weights`` for the
+    physical-shape rationale — the distinct IS the weight agg, minus
+    the count column)."""
+    return copurchase_pair_weights(lineitem).select("pa", "pb")
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:

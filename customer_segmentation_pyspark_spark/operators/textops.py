@@ -524,6 +524,76 @@ def bpe_pair_counts(
     )
 
 
+def bigram_interpolated_ce(
+    docs: DataFrame,
+    lam: float = 0.7,
+    uni_lam: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document (the KenLM-
+    shape quality filter one step up from the unigram LM): corpus-
+    trained bigram + unigram models, p = lam*P(w2|w1) +
+    uni_lam*P(w2), per-doc cross-entropy over bigram positions.
+    Returns ``(doc_id, n_bigrams, ce)`` with ce UNROUNDED — callers
+    (q_bigram_ppl, the property twin test) choose their own rounding.
+    ``uni_lam`` is an explicit literal rather than 1-lam so the float
+    matches the oracle's 0.3 exactly (1.0-0.7 is 0.30000000000000004).
+
+    Scale shape: token positions come from ONE posexplode; the bigram
+    stream is a `lead` window keyed by doc (one shuffle, reused by the
+    per-doc agg); LM tables join ON key with map-side-combinable
+    counts first, so shuffles carry distinct (doc,bigram) /
+    (bigram,count) rows, never raw tokens. The corpus total rides a
+    broadcast 1-row join. At 100 TB both LM tables stay distributed
+    (never collected)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", "term", "nxt")
+    )
+    bf = big.groupBy("doc_id", "term", "nxt").agg(
+        F.count(F.lit(1)).alias("bf")
+    )
+    bigram_lm = bf.groupBy("term", "nxt").agg(
+        F.sum("bf").alias("bcnt")
+    )
+    ctx = bigram_lm.groupBy("term").agg(F.sum("bcnt").alias("ccnt"))
+    uni = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+        .withColumnRenamed("term", "nxt")
+    )
+    total = uni.agg(F.sum("ucnt").alias("total"))
+    return (
+        bf.join(bigram_lm, ["term", "nxt"])
+        .join(ctx, "term")
+        .join(uni, "nxt")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "p",
+            lam * F.col("bcnt") / F.col("ccnt")
+            + uni_lam * F.col("ucnt") / F.col("total"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bf").cast("bigint").alias("n_bigrams"),
+            (-F.sum(F.col("bf") * F.log("p")) / F.sum("bf")).alias(
+                "ce"
+            ),
+        )
+    )
+
+
 def _merge_adjacent(syms: Column, left: str, right: str) -> Column:
     """Greedy left-to-right non-overlapping merge of the adjacent symbol
     pair (left, right) inside a symbol array — the BPE merge-rule

@@ -2194,10 +2194,13 @@ p{i} AS MATERIALIZED (
   SELECT syms[p] AS l, syms[p + 1] AS r, sum(n) AS cnt
   FROM pos{i} GROUP BY 1, 2),
 t{i} AS MATERIALIZED (
-  SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+  SELECT l, r, cnt FROM p{i} WHERE cnt >= 2
+  ORDER BY cnt DESC, l, r LIMIT 1),
 v{i} AS MATERIALIZED (
-  SELECT v.w, v.n, string_split({_duck_out(fold)}, {_DUCK_US}) AS syms
-  FROM v{j} v CROSS JOIN t{i} t)"""
+  SELECT v.w, v.n,
+         CASE WHEN t.l IS NULL THEN v.syms
+              ELSE string_split({_duck_out(fold)}, {_DUCK_US}) END AS syms
+  FROM v{j} v LEFT JOIN t{i} t ON true)"""
         )
     return ",\n".join(parts)
 
@@ -2213,9 +2216,11 @@ def _sql_bpe_learn(n_merges: int = 8) -> str:
     carry; chr(2) sentinel seeds the fold since DuckDB's list_reduce
     has no initial-value form) — mirroring the Spark side's
     ``aggregate`` struct fold exactly, including 'aaa' + (a,a) ->
-    ['aa','a']. Assumes the fixture yields >= n_merges productive
-    merges (sf0.01: all 8 counts >= 1831), matching Spark's fixed
-    n_merges=8 loop."""
+    ['aa','a']. Early-stop parity: each t_i keeps only pairs with
+    cnt >= 2 and the vocab round is a LEFT JOIN no-op when t_i is
+    empty, so a corpus that runs dry before n_merges yields exactly
+    the rows Spark's break emits (sf0.01 is never dry: all 8 counts
+    >= 1831)."""
     body = _sql_bpe_train_ctes(n_merges)
     tops = "\nUNION ALL ".join(
         f"SELECT {i} AS step, l, r, cnt FROM t{i}"
@@ -2251,8 +2256,10 @@ a0 AS MATERIALIZED (
         fold = _duck_merge_fold("v.syms")
         parts.append(
             f"""a{i} AS MATERIALIZED (
-  SELECT v.w, string_split({_duck_out(fold)}, {_DUCK_US}) AS syms
-  FROM a{i - 1} v CROSS JOIN t{i} t)"""
+  SELECT v.w,
+         CASE WHEN t.l IS NULL THEN v.syms
+              ELSE string_split({_duck_out(fold)}, {_DUCK_US}) END AS syms
+  FROM a{i - 1} v LEFT JOIN t{i} t ON true)"""
         )
     body = ",\n".join(parts)
     return f"""WITH {body},
@@ -5272,29 +5279,13 @@ def q_k_core(spark, sf_dir):
     inlining would re-evaluate the chain exponentially). Invariants
     additionally pinned in test_graph.py."""
     from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_pair_weights,
         k_core,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    sets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .filter(F.size("ps") >= 2)
-    )
-    arr = F.col("ps")
-    pair_structs = F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + F.lit(2), F.size(arr)),
-                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-            ),
-        )
-    )
     sup = (
-        sets.select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.pa", "p.pb")
-        .agg(F.count(F.lit(1)).alias("w"))
+        copurchase_pair_weights(li)
         .filter(F.col("w") >= 2)
         .select("pa", "pb")
     )
@@ -5338,6 +5329,9 @@ def q_bfs_hops(spark, sf_dir):
             "name_b",
         )
         .select("ka", "kb")
+        # TWO consumers (min-source collect + the BFS edge list):
+        # materialize once or the SymSpell candidate join runs twice
+        .localCheckpoint(eager=True)
     )
     edges = keyed.select(
         F.explode(
@@ -5352,6 +5346,8 @@ def q_bfs_hops(spark, sf_dir):
         ).alias("e")
     ).select("e.src", "e.dst")
     source = keyed.agg(F.min("ka")).collect()[0][0]
+    if source is None:  # no edit-1 pairs at all: empty graph
+        return spark.createDataFrame([], "node bigint, hops bigint")
     return bfs_hops(edges, int(source), max_hops=6)
 
 
@@ -6680,59 +6676,11 @@ def q_bigram_ppl(spark, sf_dir):
     """Interpolated bigram-LM perplexity per document (the KenLM-shape
     quality filter one step up from `unigram_ppl`): corpus-trained
     bigram + unigram models, p = 0.7*P(w2|w1) + 0.3*P(w2), per-doc
-    cross-entropy over bigram positions and ppl = exp(ce).
-
-    Scale shape: token positions come from ONE posexplode; the bigram
-    stream is a `lead` window keyed by doc (one shuffle, reused by the
-    per-doc agg); LM tables join ON key with map-side-combinable
-    counts first, so shuffles carry distinct (doc,bigram) /
-    (bigram,count) rows, never raw tokens. The corpus total rides a
-    broadcast 1-row join. At 100 TB both LM tables stay distributed
-    (never collected)."""
-    from pyspark.sql import Window
-
+    cross-entropy over bigram positions and ppl = exp(ce). Plan and
+    scale notes: operators/textops.py:bigram_interpolated_ce (the
+    shared body the property twin test also exercises)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.split(F.lower(F.col("text")), r"\s+")
-        ).alias("pos", "term"),
-    ).filter(F.col("term") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        toks.withColumn("nxt", F.lead("term").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", "term", "nxt")
-    )
-    bf = big.groupBy("doc_id", "term", "nxt").agg(
-        F.count(F.lit(1)).alias("bf")
-    )
-    bigram_lm = bf.groupBy("term", "nxt").agg(
-        F.sum("bf").alias("bcnt")
-    )
-    ctx = bigram_lm.groupBy("term").agg(F.sum("bcnt").alias("ccnt"))
-    uni = (
-        toks.groupBy("term").agg(F.count(F.lit(1)).alias("ucnt"))
-        .withColumnRenamed("term", "nxt")
-    )
-    total = uni.agg(F.sum("ucnt").alias("total"))
-    scored = (
-        bf.join(bigram_lm, ["term", "nxt"])
-        .join(ctx, "term")
-        .join(uni, "nxt")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "p",
-            0.7 * F.col("bcnt") / F.col("ccnt")
-            + 0.3 * F.col("ucnt") / F.col("total"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sum("bf").cast("bigint").alias("n_bigrams"),
-            (-F.sum(F.col("bf") * F.log("p")) / F.sum("bf")).alias("ce"),
-        )
-    )
-    return scored.select(
+    return textops.bigram_interpolated_ce(d).select(
         "doc_id",
         "n_bigrams",
         F.round("ce", 6).alias("cross_entropy"),
@@ -8103,7 +8051,7 @@ edges AS (SELECT ka AS src, kb AS dst FROM p
           UNION ALL SELECT kb, ka FROM p),
 s AS (SELECT min(ka) AS v FROM p),
 bfs(node, d) AS (
-  SELECT v, 0 FROM s
+  SELECT v, 0 FROM s WHERE v IS NOT NULL
   UNION
   SELECT e.dst, bfs.d + 1
   FROM edges e JOIN bfs ON e.src = bfs.node WHERE bfs.d < 6

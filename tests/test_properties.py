@@ -335,8 +335,6 @@ def test_bigram_ppl_matches_python(spark, docs):
     import math as m
     from collections import Counter
 
-    from pyspark.sql import Window
-
     texts = [" ".join(ws) for ws in docs]
     # python reference
     toks = {i: t.split() for i, t in enumerate(texts)}
@@ -356,53 +354,15 @@ def test_bigram_ppl_matches_python(spark, docs):
         ]
         if ps:
             expected[i] = -sum(m.log(p) for p in ps) / len(ps)
-    # spark side: same plan as q_bigram_ppl, over an in-memory frame
+    # spark side: the SHARED operator body q_bigram_ppl also uses
+    from customer_segmentation_pyspark_spark.operators import textops
+
     d = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
-    t = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
-            "pos", "term"
-        ),
-    ).filter(F.col("term") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        t.withColumn("nxt", F.lead("term").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", "term", "nxt")
-    )
-    bf = bg.groupBy("doc_id", "term", "nxt").agg(
-        F.count(F.lit(1)).alias("bf")
-    )
-    blm = bf.groupBy("term", "nxt").agg(F.sum("bf").alias("bcnt"))
-    cx = blm.groupBy("term").agg(F.sum("bcnt").alias("ccnt"))
-    un = (
-        t.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("ucnt"))
-        .withColumnRenamed("term", "nxt")
-    )
-    tot = un.agg(F.sum("ucnt").alias("total"))
     got = {
         r["doc_id"]: r["ce"]
-        for r in (
-            bf.join(blm, ["term", "nxt"])
-            .join(cx, "term")
-            .join(un, "nxt")
-            .crossJoin(F.broadcast(tot))
-            .withColumn(
-                "p",
-                0.7 * F.col("bcnt") / F.col("ccnt")
-                + 0.3 * F.col("ucnt") / F.col("total"),
-            )
-            .groupBy("doc_id")
-            .agg(
-                (-F.sum(F.col("bf") * F.log("p")) / F.sum("bf")).alias(
-                    "ce"
-                )
-            )
-            .collect()
-        )
+        for r in textops.bigram_interpolated_ce(d).collect()
     }
     assert set(got) == set(expected)
     for i in expected:

@@ -40,8 +40,9 @@ NAMES = [
     "substring_dedup", "rrf_fusion", "hard_negatives", "dq_checks",
     "pq_topk", "training_mix_pipeline", "entity_resolution",
     "audio_frames", "mann_whitney", "ks_test", "moment_stats",
-    # r02 session-4: bigram perplexity, BPE pair stage (the learn
-    # loop's per-round plan), frontier BFS edge graph
+    # r02 session-4: bigram LM perplexity (bpe_learn / bfs_hops are
+    # driver-loop queries — their per-round plans don't snapshot as one
+    # explain; plan properties live in tests + SCALE.md instead)
     "bigram_ppl",
 ]
 
