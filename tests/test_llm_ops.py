@@ -1176,3 +1176,28 @@ def test_arrow_udf_matches_expression(spark, emb):
     assert rows
     for r in rows:
         assert abs(r["expr_d"] - r["arrow_d"]) < 1e-9
+
+
+def test_bpe_learn_early_stop_matches_oracle(spark):
+    """A corpus that runs dry before n_merges (only one pair reaches
+    count >= 2) must yield identical merge tables from the Spark loop
+    (break on cnt < 2) and the unrolled DuckDB oracle (cnt >= 2 filter
+    + LEFT-JOIN no-op rounds) — the early-stop-parity contract of
+    _sql_bpe_learn."""
+    import duckdb
+
+    from customer_segmentation_pyspark_spark.operators import textops
+    from customer_segmentation_pyspark_spark.queries import _sql_bpe_learn
+
+    texts = [(0, "ab ab"), (1, "cd")]
+    d = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = [tuple(r) for r in textops.bpe_learn(d, n_merges=8).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in texts)
+        + ") t(doc_id, text)"
+    )
+    want = [tuple(r) for r in con.sql(_sql_bpe_learn(8)).fetchall()]
+    assert got == want == [(1, "a", "b", "ab", 2)]
