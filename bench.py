@@ -114,6 +114,7 @@ HEADLINE = [
     "bpe_learn",
     "bfs_hops",
     "tokenizer_pipeline",
+    "communities_lp",
 ]
 
 

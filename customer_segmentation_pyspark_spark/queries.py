@@ -2232,6 +2232,45 @@ SELECT CAST(step AS BIGINT) AS step, l AS "left", r AS "right",
 FROM ({tops}) ORDER BY step"""
 
 
+def _sql_communities_lp(n_rounds: int = 4) -> str:
+    """q_communities_lp's fixed sync rounds UNROLLED (deterministic
+    LPA: most-frequent in-neighbor label, ties to the smallest; the
+    row_number tie-break here mirrors Spark's max(struct(c, -lbl))
+    aggregate exactly)."""
+    parts = [
+        """lines AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+sup AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb FROM lines a JOIN lines b
+  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM sup
+  UNION ALL SELECT pb, pa FROM sup),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        j = i - 1
+        parts.append(
+            f"""cnt{i} AS MATERIALIZED (
+  SELECT e.dst AS node, l.lbl, count(*) AS c
+  FROM edges e JOIN l{j} l ON e.src = l.node GROUP BY 1, 2),
+pick{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl)
+             AS rn
+    FROM cnt{i}) WHERE rn = 1),
+l{i} AS MATERIALIZED (
+  SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+  FROM l{j} l LEFT JOIN pick{i} p ON l.node = p.node)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+FROM l{n_rounds}"""
+
+
 def _sql_tokenizer_pipeline(n_merges: int = 8) -> str:
     """q_tokenizer_pipeline's train-and-apply tokenization, fully
     unrolled: the shared BPE-training chain (_sql_bpe_train_ctes)
@@ -5349,6 +5388,41 @@ def q_bfs_hops(spark, sf_dir):
     if source is None:  # no edit-1 pairs at all: empty graph
         return spark.createDataFrame([], "node bigint, hops bigint")
     return bfs_hops(edges, int(source), max_hops=6)
+
+
+def q_communities_lp(spark, sf_dir):
+    """Deterministic label-propagation communities over the support-2
+    co-purchase graph ('product families'): 4 sync rounds, most-
+    frequent in-neighbor label with smallest-label tie-break. The
+    fifth iterative-graph shape, and — unlike `dedup_clusters` /
+    `entity_resolution` components — a BRIDGE between two dense
+    groups does not merge them. Oracled by unrolling the 4 rounds
+    (_sql_communities_lp); tie semantics mirrored exactly (SQL
+    row_number (c DESC, lbl) == Spark max(struct(c, -lbl)))."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_pair_weights,
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        copurchase_pair_weights(li)
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+    edges = sup.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("src"), F.col("pb").alias("dst")
+                ),
+                F.struct(
+                    F.col("pb").alias("src"), F.col("pa").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return label_propagation(edges, n_rounds=4)
 
 
 def q_entity_resolution(spark, sf_dir):
@@ -10112,6 +10186,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_skipgram_pairs, ORACLES["skipgram_pairs"]
     ),
     "k_core": QuerySpec(q_k_core, _sql_k_core()),
+    "communities_lp": QuerySpec(q_communities_lp, _sql_communities_lp()),
     "audio_frames": QuerySpec(q_audio_frames, ORACLES["audio_frames"]),
     "mann_whitney": QuerySpec(q_mann_whitney, ORACLES["mann_whitney"]),
     "ks_test": QuerySpec(q_ks_test, ORACLES["ks_test"]),

@@ -171,3 +171,28 @@ def test_bfs_hops_cycle_terminates_with_min_distance(spark):
         for r in bfs_hops(e, 1, max_hops=10).collect()
     )
     assert out == {1: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_label_propagation_bridge_keeps_communities_separate(spark):
+    """Two triangles joined by ONE bridge edge: LPA must keep them as
+    two communities (where connected components would merge them), and
+    each triangle must be internally uniform."""
+    import itertools
+
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        label_propagation,
+    )
+
+    tri1 = list(itertools.permutations([1, 2, 3], 2))
+    tri2 = list(itertools.permutations([10, 11, 12], 2))
+    bridge = [(3, 10), (10, 3)]
+    e = spark.createDataFrame(
+        tri1 + tri2 + bridge, "src bigint, dst bigint"
+    )
+    out = dict(
+        (r["node"], r["community"])
+        for r in label_propagation(e, 4).collect()
+    )
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
