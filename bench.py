@@ -115,6 +115,7 @@ HEADLINE = [
     "bfs_hops",
     "tokenizer_pipeline",
     "communities_lp",
+    "sssp_cheapest",
 ]
 
 

@@ -294,6 +294,50 @@ def label_propagation(
     return labels.select("node", F.col("lbl").alias("community"))
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    source: int,
+    n_rounds: int = 6,
+    broadcast_max_nodes: int = 10_000_000,
+) -> DataFrame:
+    """Bounded Bellman-Ford single-source shortest paths over weighted
+    directed ``(src, dst, w)`` edges: after ``n_rounds`` relaxation
+    rounds, returns ``(node, dist)`` = the cheapest path using at most
+    ``n_rounds`` hops (the exact SSSP when n_rounds >= the shortest-
+    path tree depth; Bellman-Ford is the distributed SSSP — Dijkstra's
+    priority queue is inherently sequential). Unreachable nodes are
+    absent. Negative weights are fine (no negative-cycle detection;
+    the hop bound caps any blow-up).
+
+    Per round: one dist⋈edges join (dists broadcast under the node
+    guard, edge list scanned, never re-shuffled) + one union + one
+    min agg — all map-side-combinable. Float determinism: each
+    candidate is ONE add onto a materialized previous-round distance
+    and min() is order-free, so the unrolled SQL oracle hash-matches
+    without rounding slack. Sixth iterative-graph shape."""
+    edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    bcast = (
+        edges.select("dst").distinct().count() <= broadcast_max_nodes
+    )
+    spark = edges.sparkSession
+    dists = spark.createDataFrame(
+        [(int(source), 0.0)], "node bigint, d double"
+    ).localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        dd = F.broadcast(dists) if bcast else dists
+        relaxed = edges.join(dd, edges["src"] == dists["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("d") + F.col("w")).alias("d"),
+        )
+        dists = (
+            dists.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dists.select("node", F.col("d").alias("dist"))
+
+
 def copurchase_pair_weights(lineitem: DataFrame) -> DataFrame:
     """Co-purchase pairs ``(pa, pb, w)`` with pa < pb and w = number of
     orders containing both parts.

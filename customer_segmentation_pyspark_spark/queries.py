@@ -2232,6 +2232,43 @@ SELECT CAST(step AS BIGINT) AS step, l AS "left", r AS "right",
 FROM ({tops}) ORDER BY step"""
 
 
+def _sql_sssp(n_rounds: int = 6) -> str:
+    """q_sssp_cheapest's Bellman-Ford rounds UNROLLED. Hash-exact with
+    NO rounding slack on the float distances: every candidate distance
+    is one add onto a materialized previous-round value and min() is
+    order-free, so both engines compute bit-identical doubles."""
+    parts = [
+        """lines AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+sup AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS cnt
+  FROM lines a JOIN lines b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst, CAST(1.0 AS DOUBLE) / cnt AS w FROM sup
+  UNION ALL SELECT pb, pa, CAST(1.0 AS DOUBLE) / cnt FROM sup),
+s AS (SELECT min(pa) AS v FROM sup),
+d0 AS MATERIALIZED (
+  SELECT v AS node, CAST(0.0 AS DOUBLE) AS d FROM s
+  WHERE v IS NOT NULL)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        j = i - 1
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d{j}
+    UNION ALL
+    SELECT e.dst AS node, p.d + e.w AS d
+    FROM edges e JOIN d{j} p ON e.src = p.node)
+  GROUP BY node)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(node AS BIGINT) AS node, round(d, 6) AS dist
+FROM d{n_rounds}"""
+
+
 def _sql_communities_lp(n_rounds: int = 4) -> str:
     """q_communities_lp's fixed sync rounds UNROLLED (deterministic
     LPA: most-frequent in-neighbor label, ties to the smallest; the
@@ -5388,6 +5425,51 @@ def q_bfs_hops(spark, sf_dir):
     if source is None:  # no edit-1 pairs at all: empty graph
         return spark.createDataFrame([], "node bigint, hops bigint")
     return bfs_hops(edges, int(source), max_hops=6)
+
+
+def q_sssp_cheapest(spark, sf_dir):
+    """Cheapest association paths: bounded Bellman-Ford from the
+    smallest linked part over the support-2 co-purchase graph with
+    edge cost 1/co-order-count (strong associations are cheap to
+    traverse) — 6 relaxation rounds. The weighted complement to
+    `bfs_hops`; oracle unrolls the rounds (_sql_sssp) and the float
+    distances hash-match with no tolerance (one add per candidate on
+    materialized values, order-free min)."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_pair_weights,
+        sssp_bounded,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        copurchase_pair_weights(li)
+        .filter(F.col("w") >= 2)
+        .withColumnRenamed("w", "cnt")
+        .localCheckpoint(eager=True)
+    )
+    wexpr = F.lit(1.0) / F.col("cnt")
+    edges = sup.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("src"),
+                    F.col("pb").alias("dst"),
+                    wexpr.alias("w"),
+                ),
+                F.struct(
+                    F.col("pb").alias("src"),
+                    F.col("pa").alias("dst"),
+                    wexpr.alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+    source = sup.agg(F.min("pa")).collect()[0][0]
+    if source is None:
+        return spark.createDataFrame([], "node bigint, dist double")
+    return sssp_bounded(edges, int(source), n_rounds=6).select(
+        "node", F.round("dist", 6).alias("dist")
+    )
 
 
 def q_communities_lp(spark, sf_dir):
@@ -10187,6 +10269,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "k_core": QuerySpec(q_k_core, _sql_k_core()),
     "communities_lp": QuerySpec(q_communities_lp, _sql_communities_lp()),
+    "sssp_cheapest": QuerySpec(q_sssp_cheapest, _sql_sssp()),
     "audio_frames": QuerySpec(q_audio_frames, ORACLES["audio_frames"]),
     "mann_whitney": QuerySpec(q_mann_whitney, ORACLES["mann_whitney"]),
     "ks_test": QuerySpec(q_ks_test, ORACLES["ks_test"]),

@@ -196,3 +196,27 @@ def test_label_propagation_bridge_keeps_communities_separate(spark):
     assert out[1] == out[2] == out[3]
     assert out[10] == out[11] == out[12]
     assert out[1] != out[10]
+
+
+def test_sssp_bounded_two_hop_beats_direct(spark):
+    """Weighted relaxation: the 2-hop path 1->2->3 (0.1+0.1) must beat
+    the direct 1->3 edge (0.9), the hop bound must truncate (n_rounds=1
+    sees only the direct edge), and unreachable nodes stay absent."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 0.1), (2, 3, 0.1), (1, 3, 0.9), (8, 9, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    full = {
+        r["node"]: round(r["dist"], 6)
+        for r in sssp_bounded(e, 1, n_rounds=3).collect()
+    }
+    assert full == {1: 0.0, 2: 0.1, 3: 0.2}
+    one = {
+        r["node"]: round(r["dist"], 6)
+        for r in sssp_bounded(e, 1, n_rounds=1).collect()
+    }
+    assert one == {1: 0.0, 2: 0.1, 3: 0.9}
