@@ -332,6 +332,84 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_jaccard_pairs(
+    df: DataFrame,
+    new_pred: Column,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """Incremental near-dup detection: exact n-gram Jaccard pairs where
+    AT LEAST ONE side satisfies ``new_pred`` (the freshly ingested
+    shard) — the daily-crawl shape where the existing corpus is already
+    deduped and only new-vs-all (plus new-vs-new) pairs matter.
+
+    The incremental win is in the join bound: the probe side of the
+    shingle equi-join is ONLY the delta's shingles, so candidate volume
+    is O(|delta| x bucket), independent of corpus^2 — at 100 TB the
+    corpus-side shingle index is the pre-materialized table a nightly
+    pipeline maintains (write it once via the versioned store), and
+    each shard's dedup cost scales with the shard. Old-old pairs are
+    excluded by construction (probe side is delta-only); new-new pairs
+    appear once via the id ordering. Same stop-shingle df cap and
+    consistent reduced-space Jaccard as ``ngram_jaccard_pairs``.
+    """
+    sh = shingles(df, text_col, n).withColumn(
+        "is_new", new_pred.cast("boolean")
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    probe = sh.filter(F.col("is_new"))
+    a, b = sh.alias("a"), probe.alias("b")
+    # pair each delta doc against everything except itself; (old, new)
+    # pairs appear once (probe side is new-only), (new, new) pairs
+    # appear twice in the raw join and are kept only in id order
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+                (~F.col("a.is_new"))
+                | (F.col("a.doc_id") < F.col("b.doc_id")),
+            ],
+        )
+        .groupBy(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Portable SimHash: per token, md5 hex digits vote +1/-1 on ``bits``
     positions (hex digit >= 8 -> +1); fingerprint bit = sign of the sum.

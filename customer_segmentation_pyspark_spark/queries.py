@@ -1100,6 +1100,19 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, threshold=0.2)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup for the daily-shard shape: treat docs with
+    doc_id % 5 == 0 as the freshly ingested 20% and emit exact 3-gram
+    Jaccard >= 0.2 pairs touching at least one new doc. Old-old pairs
+    never enter the join (the probe side is delta-only), so the cost
+    scales with the shard, not the corpus squared — at 100 TB the
+    corpus shingle index is the pre-materialized nightly table."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_jaccard_pairs(
+        d, F.col("doc_id") % 5 == 0, threshold=0.2
+    )
+
+
 def q_simhash(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash(d, bits=16)
@@ -9371,6 +9384,21 @@ SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2""",
+    "dedup_incremental": f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b, count(*) AS i
+  FROM shd a JOIN shd b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+   AND b.doc_id % 5 = 0
+   AND (a.doc_id % 5 <> 0 OR a.doc_id < b.doc_id)
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2""",
     "simhash": _sql_simhash(16),
     "simhash_pairs": f"""
 WITH sh AS ({_sql_simhash(32)})
@@ -10150,6 +10178,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_pairs": QuerySpec(q_minhash_pairs, ORACLES["minhash_pairs"]),
     "dedup_clusters": QuerySpec(q_dedup_clusters, ORACLES["dedup_clusters"]),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLES["ngram_jaccard"]),
+    "dedup_incremental": QuerySpec(
+        q_dedup_incremental, ORACLES["dedup_incremental"]
+    ),
     "simhash": QuerySpec(q_simhash, ORACLES["simhash"]),
     "simhash_pairs": QuerySpec(q_simhash_pairs, ORACLES["simhash_pairs"]),
     "embedding_neardup": QuerySpec(

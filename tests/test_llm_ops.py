@@ -1201,3 +1201,25 @@ def test_bpe_learn_early_stop_matches_oracle(spark):
     )
     want = [tuple(r) for r in con.sql(_sql_bpe_learn(8)).fetchall()]
     assert got == want == [(1, "a", "b", "ab", 2)]
+
+
+def test_incremental_dedup_equals_filtered_full_dedup(docs):
+    """The incremental (delta-probe) join must produce EXACTLY the full
+    all-pairs result restricted to pairs touching a new doc — the
+    correctness contract that lets a nightly pipeline skip old-old
+    recomputation."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    want = {
+        k: v for k, v in full.items() if k[0] % 5 == 0 or k[1] % 5 == 0
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.incremental_jaccard_pairs(
+            docs, F.col("doc_id") % 5 == 0, threshold=0.2
+        ).collect()
+    }
+    assert want, "fixture should contain delta-touching near-dup pairs"
+    assert got == want
