@@ -260,6 +260,55 @@ def minhash_dedup_pairs(
     )
 
 
+def _drop_hot_shingles(
+    sh: DataFrame, max_doc_freq: int | None
+) -> DataFrame:
+    """Stop-shingle guard shared by the full and incremental Jaccard
+    joins: shingles with document frequency > ``max_doc_freq`` are
+    dropped BEFORE any pair join (one map-side combinable groupBy + a
+    broadcast anti-join against the tiny hot set)."""
+    if max_doc_freq is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _jaccard_from_inter(
+    inter: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared Jaccard tail: per-doc shingle sizes joined onto the
+    (doc_a, doc_b, inter) co-occurrence counts; |union| = |A| + |B| -
+    inter, rounded to 4 and thresholded. One source of truth for the
+    'consistent reduced-space Jaccard' contract both the full and
+    incremental operators (and their equivalence test) rely on."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -288,15 +337,7 @@ def ngram_jaccard_pairs(
     sh = shingles(df, text_col, n)
     if subset is not None:
         sh = sh.filter(subset)
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = _drop_hot_shingles(sh, max_doc_freq)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -311,25 +352,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_from_inter(inter, sh, threshold)
 
 
 def incremental_jaccard_pairs(
@@ -355,18 +378,15 @@ def incremental_jaccard_pairs(
     appear once via the id ordering. Same stop-shingle df cap and
     consistent reduced-space Jaccard as ``ngram_jaccard_pairs``.
     """
+    # NULL predicate values (e.g. legacy docs with a NULL ingest_day)
+    # mean "old" on BOTH join sides: without the coalesce, ~NULL is
+    # NULL and an old/NULL doc with the larger id would silently drop
+    # its pair against a new doc
     sh = shingles(df, text_col, n).withColumn(
-        "is_new", new_pred.cast("boolean")
+        "is_new",
+        F.coalesce(new_pred.cast("boolean"), F.lit(False)),
     )
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = _drop_hot_shingles(sh, max_doc_freq)
     probe = sh.filter(F.col("is_new"))
     a, b = sh.alias("a"), probe.alias("b")
     # pair each delta doc against everything except itself; (old, new)
@@ -388,26 +408,7 @@ def incremental_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_from_inter(inter, sh, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -239,6 +239,33 @@ def bfs_hops(
     )
 
 
+def symmetrize(
+    pairs: DataFrame,
+    a: str = "pa",
+    b: str = "pb",
+    carry: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Both directed edges ``(src, dst[, carry...])`` of an undirected
+    graph given as canonical pairs. ONE evaluation of the (possibly
+    expensive) pair pipeline via a 2-struct explode — a fwd UNION rev
+    plan would execute the pair source once per branch (measured 2x on
+    the sf0.1 co-purchase graph). Shared by every graph consumer
+    (PageRank/BFS/LPA/SSSP edges)."""
+    fwd = F.struct(
+        F.col(a).alias("src"),
+        F.col(b).alias("dst"),
+        *[F.col(c).alias(c) for c in carry],
+    )
+    rev = F.struct(
+        F.col(b).alias("src"),
+        F.col(a).alias("dst"),
+        *[F.col(c).alias(c) for c in carry],
+    )
+    return pairs.select(F.explode(F.array(fwd, rev)).alias("e")).select(
+        "e.src", "e.dst", *[f"e.{c}" for c in carry]
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     n_rounds: int = 4,
@@ -248,7 +275,9 @@ def label_propagation(
     ``(src, dst)`` edges (feed both directions for undirected graphs):
     labels start as node ids; each round every node adopts the most
     frequent label among its in-neighbors, ties broken by the SMALLEST
-    label; isolated receivers keep their label. Fixed ``n_rounds``
+    label; nodes with no in-neighbors keep their label (the node set
+    is src UNION dst, so pure sinks of a directed graph are labeled
+    too). Fixed ``n_rounds``
     (classic LPA's random tie-break and async order are replaced by a
     deterministic rule + sync rounds, so the result is reproducible
     and SQL-replayable). Communities, not components: a bridge edge
@@ -265,6 +294,7 @@ def label_propagation(
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -383,23 +413,9 @@ def copurchase_pairs(lineitem: DataFrame) -> DataFrame:
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
-    """Both directed edges of the co-purchase graph.  The symmetric
-    expansion is an explode over a 2-struct array — ONE evaluation of the
-    underlying self-join, where a fwd UNION rev plan would compute the
-    pairs join once per branch (measured 2x on the sf0.1 graph)."""
-    pairs = copurchase_pairs(lineitem)
-    return pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("pa").alias("src"), F.col("pb").alias("dst")
-                ),
-                F.struct(
-                    F.col("pb").alias("src"), F.col("pa").alias("dst")
-                ),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    """Both directed edges of the co-purchase graph (see
+    ``symmetrize`` for the single-evaluation 2-struct explode)."""
+    return symmetrize(copurchase_pairs(lineitem))
 
 
 def k_core(

@@ -5395,6 +5395,7 @@ def q_bfs_hops(spark, sf_dir):
     bounded by nodes x hops, no path explosion)."""
     from customer_segmentation_pyspark_spark.operators.graph import (
         bfs_hops,
+        symmetrize,
     )
 
     c = load_table(spark, sf_dir, "customer")
@@ -5422,18 +5423,7 @@ def q_bfs_hops(spark, sf_dir):
         # materialize once or the SymSpell candidate join runs twice
         .localCheckpoint(eager=True)
     )
-    edges = keyed.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("ka").alias("src"), F.col("kb").alias("dst")
-                ),
-                F.struct(
-                    F.col("kb").alias("src"), F.col("ka").alias("dst")
-                ),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    edges = symmetrize(keyed, "ka", "kb")
     source = keyed.agg(F.min("ka")).collect()[0][0]
     if source is None:  # no edit-1 pairs at all: empty graph
         return spark.createDataFrame([], "node bigint, hops bigint")
@@ -5451,6 +5441,7 @@ def q_sssp_cheapest(spark, sf_dir):
     from customer_segmentation_pyspark_spark.operators.graph import (
         copurchase_pair_weights,
         sssp_bounded,
+        symmetrize,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5460,23 +5451,10 @@ def q_sssp_cheapest(spark, sf_dir):
         .withColumnRenamed("w", "cnt")
         .localCheckpoint(eager=True)
     )
-    wexpr = F.lit(1.0) / F.col("cnt")
-    edges = sup.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("pa").alias("src"),
-                    F.col("pb").alias("dst"),
-                    wexpr.alias("w"),
-                ),
-                F.struct(
-                    F.col("pb").alias("src"),
-                    F.col("pa").alias("dst"),
-                    wexpr.alias("w"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst", "e.w")
+    edges = symmetrize(
+        sup.withColumn("w", F.lit(1.0) / F.col("cnt")),
+        carry=("w",),
+    )
     source = sup.agg(F.min("pa")).collect()[0][0]
     if source is None:
         return spark.createDataFrame([], "node bigint, dist double")
@@ -5497,6 +5475,7 @@ def q_communities_lp(spark, sf_dir):
     from customer_segmentation_pyspark_spark.operators.graph import (
         copurchase_pair_weights,
         label_propagation,
+        symmetrize,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5505,19 +5484,7 @@ def q_communities_lp(spark, sf_dir):
         .filter(F.col("w") >= 2)
         .select("pa", "pb")
     )
-    edges = sup.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("pa").alias("src"), F.col("pb").alias("dst")
-                ),
-                F.struct(
-                    F.col("pb").alias("src"), F.col("pa").alias("dst")
-                ),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
-    return label_propagation(edges, n_rounds=4)
+    return label_propagation(symmetrize(sup), n_rounds=4)
 
 
 def q_entity_resolution(spark, sf_dir):

@@ -105,3 +105,29 @@ def test_session3_ops_on_empty(spark):
         [empty_e.selectExpr("vec_id as doc_id", "vec_id as rank")], k=5,
         id_col="doc_id",
     ).count() == 0
+
+
+def test_new_graph_and_incremental_ops_on_empty(spark):
+    """bfs_hops / label_propagation / sssp_bounded / incremental dedup
+    degrade to (near-)empty results on an empty graph or corpus."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        bfs_hops,
+        label_propagation,
+        sssp_bounded,
+    )
+
+    e0 = spark.createDataFrame([], "src bigint, dst bigint")
+    # BFS from a source with no edges: just the source itself at hop 0
+    assert [tuple(r) for r in bfs_hops(e0, 7, 3).collect()] == [(7, 0)]
+    assert label_propagation(e0, 2).count() == 0
+    ew0 = spark.createDataFrame([], "src bigint, dst bigint, w double")
+    assert [tuple(r) for r in sssp_bounded(ew0, 7, 3).collect()] == [
+        (7, 0.0)
+    ]
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.lit(False))
+    assert (
+        dedup.incremental_jaccard_pairs(
+            docs, F.col("doc_id") % 5 == 0
+        ).count()
+        == 0
+    )
