@@ -6723,6 +6723,76 @@ def q_winnowing(spark, sf_dir):
     return textops.winnowing_fingerprints(d, k=8, w=6)
 
 
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve for customer 'lifetime' (days from
+    first to last order), right-censored at the dataset horizon:
+    customers whose last order falls within 90 days of the max order
+    date are censored (still active), everyone else churned (event).
+    S(t) = prod over event times <= t of (1 - d_i / n_i), with the
+    standard risk set n_i = #{lifetime >= t_i}.
+
+    Scale shape: one per-customer agg, then ALL window work runs over
+    the distinct-lifetime frame (bounded by the day span, never the
+    customer count); the cumulative product is exp(cumsum(ln)) over
+    that tiny ordered frame, so the float op ORDER is pinned and the
+    oracle hash-matches at round(6). The horizon rides a broadcast
+    1-row join."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"),
+        F.max("o_orderdate").alias("last_o"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("horizon"))
+    life = (
+        per.crossJoin(F.broadcast(anchor))
+        .select(
+            (F.datediff("last_o", "first_o") + 1).alias("t"),
+            F.when(
+                F.datediff("horizon", "last_o") > 90, 1
+            )
+            .otherwise(0)
+            .alias("event"),
+        )
+    )
+    total = life.count()
+    by_t = life.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t")
+    km = (
+        by_t.withColumn(
+            "n_risk",
+            (F.lit(total) - F.coalesce(F.sum("leaving").over(w), F.lit(0)))
+            .cast("long"),
+        )
+        .withColumn(
+            "log_term",
+            F.when(
+                F.col("d") > 0,
+                F.log(
+                    1.0 - F.col("d") / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "survival",
+            F.round(F.exp(F.sum("log_term").over(w_cum)), 6),
+        )
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_risk",
+        F.col("d").cast("long").alias("d_events"),
+        "survival",
+    )
+
+
 def q_welch_ttest(spark, sf_dir):
     """Welch two-sample t-test: order totals of BUILDING vs MACHINERY
     customers — the experiment-analysis primitive. One broadcast dim
@@ -7843,6 +7913,32 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(len(fps) AS BIGINT) AS n_fingerprints,
        md5(array_to_string(fps, ',')) AS fp_md5
 FROM m""",
+    "survival_km": """
+WITH per AS (
+  SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+  FROM orders GROUP BY 1),
+h AS (SELECT max(o_orderdate) AS horizon FROM orders),
+life AS (
+  SELECT date_diff('day', f, l) + 1 AS t,
+         CASE WHEN date_diff('day', l, horizon) > 90 THEN 1 ELSE 0 END
+           AS event
+  FROM per CROSS JOIN h),
+tot AS (SELECT count(*) AS n FROM life),
+by_t AS (
+  SELECT t, sum(event) AS d, count(*) AS leaving FROM life GROUP BY 1),
+km AS (
+  SELECT t, d,
+         tot.n - coalesce(sum(leaving) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS n_risk
+  FROM by_t CROSS JOIN tot)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       round(exp(sum(CASE WHEN d > 0
+                          THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                          ELSE 0.0 END) OVER (ORDER BY t)), 6)
+         AS survival
+FROM km""",
     "welch_ttest": """
 WITH j AS (
   SELECT o.o_totalprice AS x, c.c_mktsegment AS seg
@@ -10229,6 +10325,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_retrieval_index_pipeline, ORACLES["retrieval_index_pipeline"]
     ),
     "welch_ttest": QuerySpec(q_welch_ttest, ORACLES["welch_ttest"]),
+    "survival_km": QuerySpec(q_survival_km, ORACLES["survival_km"]),
     "bpe_pair_counts": QuerySpec(
         q_bpe_pair_counts, ORACLES["bpe_pair_counts"]
     ),

@@ -285,3 +285,47 @@ def test_ks_d_matches_python(spark):
     )
     assert got["n1"] == len(a) and got["n2"] == len(b)
     assert abs(got["ks_d"] - round(d, 6)) < 1e-9
+
+
+def test_survival_km_matches_python_reference(spark):
+    """The KM query's curve on the sf0.001 fixture equals a plain-Python
+    Kaplan-Meier (same censoring rule), and survival is non-increasing
+    with S(first event time) < 1."""
+    from collections import Counter
+
+    from customer_segmentation_pyspark_spark.queries import REGISTRY
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    rows = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+        )
+        .collect()
+    )
+    horizon = max(r["l"] for r in rows)
+    lives = [
+        ((r["l"] - r["f"]).days + 1, 1 if (horizon - r["l"]).days > 90 else 0)
+        for r in rows
+    ]
+    d = Counter(t for t, e in lives if e)
+    leaving = Counter(t for t, _ in lives)
+    total = len(lives)
+    surv, seen, expected = 1.0, 0, {}
+    for t in sorted(leaving):
+        n_risk = total - seen
+        if d[t] > 0:
+            surv *= 1.0 - d[t] / n_risk
+        expected[t] = (n_risk, d[t], round(surv, 6))
+        seen += leaving[t]
+
+    got = {
+        r["t_days"]: (r["n_risk"], r["d_events"], r["survival"])
+        for r in REGISTRY["survival_km"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    curve = [v[2] for _, v in sorted(got.items())]
+    assert curve == sorted(curve, reverse=True)
+    assert curve[-1] < 1.0
