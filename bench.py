@@ -116,6 +116,7 @@ HEADLINE = [
     "tokenizer_pipeline",
     "communities_lp",
     "sssp_cheapest",
+    "survival_km",
 ]
 
 
