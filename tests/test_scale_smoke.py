@@ -302,3 +302,57 @@ def test_bpe_learn_wide_vocab_at_scale(spark):
     assert merges[0]["left"] == "q" and merges[0]["right"] == "x"
     assert merges[0]["pair_count"] == 400_000
     assert elapsed < 90, f"3 BPE rounds took {elapsed:.0f}s"
+
+
+def test_sssp_long_chain_at_scale(spark):
+    """Bounded Bellman-Ford on a 150k-node weighted path, 10 rounds:
+    per-round cost must stay O(edges) with the broadcast dist frame
+    (worst case for round overhead — single-row growth per round), and
+    distances must be the exact prefix sums."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    n = 150_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"),
+        (F.col("id") + 1).alias("dst"),
+        F.lit(0.5).alias("w"),
+    )
+    t0 = time.perf_counter()
+    out = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(edges, 0, n_rounds=10).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert out == {i: i * 0.5 for i in range(11)}
+    assert elapsed < 60, f"10 Bellman-Ford rounds took {elapsed:.0f}s"
+
+
+def test_label_propagation_planted_cliques_at_scale(spark):
+    """LPA over 2,000 planted 50-cliques (100k nodes, ~2.45M directed
+    edges): 4 sync rounds must label every clique uniformly by its own
+    minimum (no cross-clique edges -> 2,000 distinct communities) in
+    bounded time."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        label_propagation,
+    )
+
+    k, n_cliques = 50, 2_000
+    nodes = spark.range(k * n_cliques).select(
+        (F.col("id") / k).cast("long").alias("c"), F.col("id")
+    )
+    edges = (
+        nodes.alias("a")
+        .join(nodes.alias("b"), "c")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    t0 = time.perf_counter()
+    out = label_propagation(edges, n_rounds=4)
+    agg = out.groupBy("community").agg(F.count(F.lit(1)).alias("n"))
+    rows = agg.collect()
+    elapsed = time.perf_counter() - t0
+    assert len(rows) == n_cliques
+    assert all(r["n"] == k for r in rows)
+    assert elapsed < 90, f"4 LPA rounds took {elapsed:.0f}s"

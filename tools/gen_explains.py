@@ -43,7 +43,7 @@ NAMES = [
     # r02 session-4: bigram LM perplexity (bpe_learn / bfs_hops are
     # driver-loop queries — their per-round plans don't snapshot as one
     # explain; plan properties live in tests + SCALE.md instead)
-    "bigram_ppl",
+    "bigram_ppl", "survival_km", "dedup_incremental",
 ]
 
 
