@@ -6723,6 +6723,53 @@ def q_winnowing(spark, sf_dir):
     return textops.winnowing_fingerprints(d, k=8, w=6)
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth: cumulative distinct terms vs
+    cumulative tokens in doc_id ingestion order, plus the fitted
+    log-log slope (V = K * N^beta) — the corpus statistic that sizes a
+    tokenizer vocabulary before training. A term's first occurrence is
+    ONE row_number window keyed by term (shuffle bounded by vocab);
+    the cumulative curve and the regr_slope fit run over the per-doc
+    frame (bounded by doc count — at 100 TB swap the global-order
+    window for range-partitioned prefix sums, the equidepth-histogram
+    trick). beta lands in (0,1) for natural text."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.col("text")), r"\s+")
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    w_first = Window.partitionBy("term").orderBy("doc_id", "pos")
+    per_doc = (
+        toks.withColumn("rn", F.row_number().over(w_first))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(
+                F.when(F.col("rn") == 1, 1).otherwise(0)
+            ).alias("new_terms"),
+        )
+    )
+    w_cum = Window.orderBy("doc_id")
+    curve = per_doc.select(
+        "doc_id",
+        F.sum("n_toks").over(w_cum).cast("bigint").alias("cum_tokens"),
+        F.sum("new_terms")
+        .over(w_cum)
+        .cast("bigint")
+        .alias("cum_vocab"),
+    )
+    fit = curve.agg(
+        F.round(
+            F.expr("regr_slope(ln(cum_vocab), ln(cum_tokens))"), 6
+        ).alias("heaps_beta")
+    )
+    return curve.crossJoin(F.broadcast(fit))
+
+
 def q_survival_km(spark, sf_dir):
     """Kaplan-Meier survival curve for customer 'lifetime' (days from
     first to last order), right-censored at the dataset horizon:
@@ -7913,6 +7960,34 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST(len(fps) AS BIGINT) AS n_fingerprints,
        md5(array_to_string(fps, ',')) AS fp_md5
 FROM m""",
+    "vocab_growth": """
+WITH toks AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a
+          FROM documents)) WHERE term <> ''),
+occ AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id, pos)
+           AS rn
+  FROM toks),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_toks,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS new_terms
+  FROM occ GROUP BY 1),
+curve AS (
+  SELECT doc_id,
+         CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT)
+           AS cum_tokens,
+         CAST(sum(new_terms) OVER (ORDER BY doc_id) AS BIGINT)
+           AS cum_vocab
+  FROM per_doc),
+fit AS (
+  SELECT round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6)
+           AS heaps_beta
+  FROM curve)
+SELECT doc_id, cum_tokens, cum_vocab, heaps_beta
+FROM curve CROSS JOIN fit""",
     "survival_km": """
 WITH per AS (
   SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
@@ -10326,6 +10401,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "welch_ttest": QuerySpec(q_welch_ttest, ORACLES["welch_ttest"]),
     "survival_km": QuerySpec(q_survival_km, ORACLES["survival_km"]),
+    "vocab_growth": QuerySpec(q_vocab_growth, ORACLES["vocab_growth"]),
     "bpe_pair_counts": QuerySpec(
         q_bpe_pair_counts, ORACLES["bpe_pair_counts"]
     ),
