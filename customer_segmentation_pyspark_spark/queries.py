@@ -6732,7 +6732,10 @@ def q_vocab_growth(spark, sf_dir):
     the cumulative curve and the regr_slope fit run over the per-doc
     frame (bounded by doc count — at 100 TB swap the global-order
     window for range-partitioned prefix sums, the equidepth-histogram
-    trick). beta lands in (0,1) for natural text."""
+    trick). beta lands in (0,1) for natural text; the synthetic
+    fixture's 31-word vocabulary saturates after the first docs
+    (beta ~ 0.008) — a fixture artifact the oracle reproduces exactly,
+    not an operator property."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
