@@ -1,0 +1,116 @@
+"""Streaming near-duplicate ingestion gate.
+
+The streaming twin of ``operators/dedup.incremental_jaccard_pairs``:
+documents arrive in micro-batches; each batch is MinHash-signed and
+LSH-probed against a compact SIGNATURE INDEX accumulated from every
+earlier batch, flagged docs are emitted, and the batch's signatures are
+appended to the index. The index holds one 17-int row per doc (doc_id +
+16 minhash values) — a few GB per billion docs — so the state a
+crawl-ingestion pipeline carries is the sketch, never the corpus text.
+
+Scale shape per batch: signature computation is the batch-local
+shingle->minhash pipeline (map-side combinable); the probe is the SAME
+capped band equi-join as the batch operator (`lsh_candidate_pairs`),
+run on index ∪ batch with the pair filter "touches a batch doc" — so
+old-old pairs are never re-examined and per-batch cost is
+O(|batch| x bucket). Exactly-once-ish: the index append is idempotent
+under replay because reads dedup on doc_id (last-writer-wins is
+irrelevant for deterministic signatures).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.operators import dedup
+
+
+def batch_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) MinHash signatures for a (micro-)batch of docs."""
+    sh = dedup.shingles(docs)
+    return dedup.minhash_signatures(sh, num_hashes=16)
+
+
+def probe_and_update_index(
+    batch_docs: DataFrame,
+    index_dir: str,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Flag batch docs with an LSH candidate in (index ∪ batch), then
+    append the batch's signatures to the index. Returns the flagged
+    frame ``(doc_id, match_doc_id)`` (one row per candidate pair
+    touching a batch doc, ids ordered)."""
+    spark = batch_docs.sparkSession
+    new_sigs = batch_signatures(batch_docs).localCheckpoint(eager=True)
+    if os.path.isdir(index_dir):
+        old_sigs = (
+            spark.read.parquet(index_dir).dropDuplicates(["doc_id"])
+        )
+        all_sigs = old_sigs.unionByName(new_sigs).dropDuplicates(
+            ["doc_id"]
+        )
+    else:
+        all_sigs = new_sigs
+    new_ids = new_sigs.select("doc_id").withColumn(
+        "is_new", F.lit(True)
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        all_sigs, bands=bands, rows_per_band=rows_per_band
+    )
+    flagged = (
+        pairs.join(
+            new_ids.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "is_new", "a_new"
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            new_ids.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "is_new", "b_new"
+            ),
+            "doc_b",
+            "left",
+        )
+        .filter(
+            F.coalesce("a_new", F.lit(False))
+            | F.coalesce("b_new", F.lit(False))
+        )
+        .select("doc_a", "doc_b")
+    )
+    out = flagged.localCheckpoint(eager=True)
+    new_sigs.write.mode("append").parquet(index_dir)
+    return out
+
+
+def near_dup_gate_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Structured-Streaming wrapper: read document files as they land,
+    run the probe-and-update gate per micro-batch via foreachBatch,
+    append flagged pairs to ``out_dir``. Returns the streaming query
+    (caller awaits/stops)."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        flagged = probe_and_update_index(batch_df, index_dir)
+        flagged.write.mode("append").parquet(out_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -85,3 +85,53 @@ def test_streaming_corpus_dedup_by_fingerprint(spark, tmp_path):
     fps = [r["fp"] for r in got]
     assert len(fps) == len(set(fps)) == n_groups
     docs.unpersist()
+
+
+def test_streaming_near_dup_gate_matches_batch_lsh(spark, tmp_path):
+    """Near-dup ingestion gate: docs arrive in two micro-batches; the
+    accumulated-signature probe must flag exactly the LSH candidate
+    pairs that TOUCH a batch-2 doc when batch 2 lands — equal to the
+    batch operator run on the full corpus with the same filter — and
+    the signature index must end up holding every doc once."""
+    from customer_segmentation_pyspark_spark.operators import dedup
+    from customer_segmentation_pyspark_spark.streaming.neardup import (
+        near_dup_gate_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "flagged")
+    q = near_dup_gate_stream(
+        spark,
+        src,
+        batch1.schema,
+        index_dir,
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch twin: all LSH pairs, each counted when its LATER side lands
+    all_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(dedup.shingles(docs), 16)
+        ).collect()
+    }
+    assert got == all_pairs  # every pair touches its later-arriving doc
+    n_docs = docs.count()
+    idx = spark.read.parquet(index_dir)
+    assert idx.select("doc_id").distinct().count() == n_docs
