@@ -117,6 +117,7 @@ HEADLINE = [
     "communities_lp",
     "sssp_cheapest",
     "survival_km",
+    "ppr_brand",
 ]
 
 

@@ -82,6 +82,70 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    n_iter: int = 8,
+    broadcast_max_nodes: int = 10_000_000,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to a SEED SET
+    instead of uniformly — ranks become 'relevance to the seeds', the
+    graph-based recommendation / graph-retrieval primitive (seeds = a
+    user's purchases, a query's anchor docs). ``seeds`` is a 1-column
+    ``(node)`` frame; teleport weight is uniform over seeds that exist
+    in the graph; init rank = teleport vector (standard PPR).
+
+    Same physical loop as ``pagerank`` (edge list checkpointed once,
+    rank + teleport frames broadcast under the node guard, lineage
+    truncated every 4 rounds); the teleport term is a left join
+    against the tiny seed frame instead of a constant."""
+    edges = edges.select("src", "dst").repartition("src").localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    seed_nodes = (
+        seeds.select("node").distinct().join(nodes, "node", "semi")
+    ).localCheckpoint(eager=True)
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    tele = nodes.join(
+        seed_nodes.withColumn("tele", F.lit(1.0 / n_seeds)),
+        "node",
+        "left",
+    ).select("node", F.coalesce("tele", F.lit(0.0)).alias("tele"))
+    tele = tele.localCheckpoint(eager=True)
+    bcast = n <= broadcast_max_nodes
+    ranks = tele.select("node", F.col("tele").alias("rank"))
+    for it in range(n_iter):
+        rk = F.broadcast(ranks) if bcast else ranks
+        contribs = ed.join(rk, ed["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        sm = F.broadcast(sums) if bcast else sums
+        ranks = (
+            tele.join(sm, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - alpha) * F.col("tele")
+                    + F.lit(alpha) * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % 4 == 0 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
 def triangle_counts(canon_edges: DataFrame) -> DataFrame:
     """Per-node triangle participation over an undirected graph given as
     CANONICAL edges ``(pa, pb)`` with ``pa < pb``, one row per edge.

@@ -2362,6 +2362,52 @@ FROM wt JOIN tpw ON wt.w = tpw.w
 GROUP BY wt.doc_id"""
 
 
+def _sql_ppr(
+    n_iter: int = 8,
+    alpha: float = 0.85,
+    k: int = 20,
+    brand: str = "Brand#11",
+) -> str:
+    """q_ppr_brand's personalized power iterations UNROLLED. The
+    teleport literal interpolates Python's float repr of (1-alpha) so
+    both engines multiply the identical double (DuckDB would otherwise
+    evaluate 1.0-0.85 in exact DECIMAL)."""
+    one_minus = repr(1.0 - alpha)
+    parts = [
+        f"""lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM lines a JOIN lines b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seedset AS (SELECT DISTINCT p_partkey AS node FROM part
+            WHERE p_brand = '{brand}'),
+seeds AS (SELECT n.node FROM nodes n JOIN seedset s ON n.node = s.node),
+ns AS (SELECT count(*) AS k FROM seeds),
+tele AS (SELECT n.node,
+                CASE WHEN s.node IS NULL THEN 0.0
+                     ELSE CAST(1.0 AS DOUBLE) / ns.k END AS tele
+         FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.node = s.node),
+r0 AS (SELECT node, tele AS rank FROM tele)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS node, sum(r.rank / e.deg) AS s
+      FROM ed e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst),
+r{i} AS (SELECT t.node,
+                {one_minus} * t.tele + {alpha} * coalesce(c.s, 0.0) AS rank
+         FROM tele t LEFT JOIN c{i} c ON t.node = c.node)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT part_key, rank FROM (
+  SELECT node AS part_key, round(rank, 7) AS rank FROM r{n_iter})
+ORDER BY rank DESC, part_key LIMIT {k}"""
+
+
 def _sql_k_core(k: int = 2, unroll: int = 8) -> str:
     """q_k_core's peeling loop UNROLLED to ``unroll`` rounds of chained
     CTEs. k-core is confluent and a peel past the fixpoint is a no-op,
@@ -3900,6 +3946,35 @@ def q_part_pagerank(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     ranks = pagerank(copurchase_edges(li), alpha=0.85, n_iter=8)
+    return (
+        ranks.select(
+            F.col("node").alias("part_key"),
+            F.round("rank", 7).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "part_key")
+        .limit(20)
+    )
+
+
+def q_ppr_brand(spark, sf_dir):
+    """Personalized PageRank: teleport mass anchored to Brand#11's
+    parts over the co-purchase graph — 'what do Brand#11 buyers also
+    reach' recommendation scores, top 20. Same unrolled-oracle
+    certification as part_pagerank (_sql_ppr), with the teleport
+    literal repr-matched across engines."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_edges,
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    seeds = p.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("node")
+    )
+    ranks = personalized_pagerank(
+        copurchase_edges(li), seeds, alpha=0.85, n_iter=8
+    )
     return (
         ranks.select(
             F.col("node").alias("part_key"),
@@ -9772,6 +9847,7 @@ FROM dev d JOIN mad x ON d.l_returnflag = x.l_returnflag
 GROUP BY d.l_returnflag""",
     "ann_lsh_topk": _sql_ann_lsh(),
     "part_pagerank": _sql_part_pagerank(),
+    "ppr_brand": _sql_ppr(),
     "kmeans_custom": _sql_kmeans_unrolled(
         CENTROIDS_4,
         10,
@@ -10221,6 +10297,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_equidepth_histogram, ORACLES["equidepth_histogram"]
     ),
     "part_pagerank": QuerySpec(q_part_pagerank, ORACLES["part_pagerank"]),
+    "ppr_brand": QuerySpec(q_ppr_brand, ORACLES["ppr_brand"]),
     "try_funcs": QuerySpec(q_try_funcs, ORACLES["try_funcs"]),
     "date_arithmetic": QuerySpec(
         q_date_arithmetic, ORACLES["date_arithmetic"]

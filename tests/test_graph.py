@@ -220,3 +220,28 @@ def test_sssp_bounded_two_hop_beats_direct(spark):
         for r in sssp_bounded(e, 1, n_rounds=1).collect()
     }
     assert one == {1: 0.0, 2: 0.1, 3: 0.9}
+
+
+def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
+    """PPR on two 3-cliques joined by one bridge, seeded on clique A:
+    every clique-A node must outrank every clique-B node, and total
+    rank mass stays <= 1 (teleport returns mass only to seeds)."""
+    import itertools
+
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    tri1 = list(itertools.permutations([1, 2, 3], 2))
+    tri2 = list(itertools.permutations([10, 11, 12], 2))
+    bridge = [(3, 10), (10, 3)]
+    e = spark.createDataFrame(
+        tri1 + tri2 + bridge, "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node bigint")
+    out = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, seeds, n_iter=12).collect()
+    }
+    assert min(out[i] for i in (1, 2, 3)) > max(out[i] for i in (10, 11, 12))
+    assert sum(out.values()) <= 1.0 + 1e-9
