@@ -118,6 +118,7 @@ HEADLINE = [
     "sssp_cheapest",
     "survival_km",
     "ppr_brand",
+    "hits_parts",
 ]
 
 

@@ -2408,6 +2408,41 @@ SELECT part_key, rank FROM (
 ORDER BY rank DESC, part_key LIMIT {k}"""
 
 
+def _sql_hits(n_iter: int = 8, k: int = 20) -> str:
+    """q_hits_parts' HITS iterations UNROLLED: per round an authority
+    sum + L1 window normalization, then the hub mirror. round(7)
+    absorbs the engines' summation-order drift, as in pagerank."""
+    parts = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+hn AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+nh AS (SELECT count(*) AS n FROM hn),
+h0 AS MATERIALIZED (
+  SELECT node, CAST(1.0 AS DOUBLE) / nh.n AS score
+  FROM hn CROSS JOIN nh)"""
+    ]
+    for i in range(1, n_iter + 1):
+        j = i - 1
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.score) AS raw
+  FROM edges e JOIN h{j} h ON e.src = h.node GROUP BY 1),
+a{i} AS MATERIALIZED (
+  SELECT node, raw / sum(raw) OVER () AS score FROM ar{i}),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.score) AS raw
+  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY 1),
+h{i} AS MATERIALIZED (
+  SELECT node, raw / sum(raw) OVER () AS score FROM hr{i})"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT part_key, score FROM (
+  SELECT node AS part_key, round(score, 7) AS score FROM a{n_iter})
+ORDER BY score DESC, part_key LIMIT {k}"""
+
+
 def _sql_k_core(k: int = 2, unroll: int = 8) -> str:
     """q_k_core's peeling loop UNROLLED to ``unroll`` rounds of chained
     CTEs. k-core is confluent and a peel past the fixpoint is a no-op,
@@ -3981,6 +4016,37 @@ def q_ppr_brand(spark, sf_dir):
             F.round("rank", 7).alias("rank"),
         )
         .orderBy(F.col("rank").desc(), "part_key")
+        .limit(20)
+    )
+
+
+def q_hits_parts(spark, sf_dir):
+    """HITS authorities over the directed customer→part purchase
+    bipartite graph: parts bought by the broadest buyers, top 20 —
+    the spectral method that scores link SIDES differently (PageRank
+    can't distinguish hub-ness from authority-ness). Oracled by
+    unrolling the 8 double-iterations (_sql_hits)."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        hits,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    _, authorities = hits(edges, n_iter=8)
+    return (
+        authorities.select(
+            F.col("node").alias("part_key"),
+            F.round("score", 7).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "part_key")
         .limit(20)
     )
 
@@ -9848,6 +9914,7 @@ GROUP BY d.l_returnflag""",
     "ann_lsh_topk": _sql_ann_lsh(),
     "part_pagerank": _sql_part_pagerank(),
     "ppr_brand": _sql_ppr(),
+    "hits_parts": _sql_hits(),
     "kmeans_custom": _sql_kmeans_unrolled(
         CENTROIDS_4,
         10,
@@ -10298,6 +10365,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "part_pagerank": QuerySpec(q_part_pagerank, ORACLES["part_pagerank"]),
     "ppr_brand": QuerySpec(q_ppr_brand, ORACLES["ppr_brand"]),
+    "hits_parts": QuerySpec(q_hits_parts, ORACLES["hits_parts"]),
     "try_funcs": QuerySpec(q_try_funcs, ORACLES["try_funcs"]),
     "date_arithmetic": QuerySpec(
         q_date_arithmetic, ORACLES["date_arithmetic"]

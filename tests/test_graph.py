@@ -245,3 +245,26 @@ def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
     }
     assert min(out[i] for i in (1, 2, 3)) > max(out[i] for i in (10, 11, 12))
     assert sum(out.values()) <= 1.0 + 1e-9
+
+
+def test_hits_separates_hub_and_authority_roles(spark):
+    """Directed star graphs: one hub pointing at many authorities and
+    one authority pointed at by many hubs. HITS must give the broad
+    hub the top hub score and the popular sink the top authority score
+    — the role separation PageRank cannot express."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        hits,
+    )
+
+    # hub 1 -> {10,11,12}; {20,21,22} -> 30; plus 1 -> 30
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (20, 30), (21, 30), (22, 30), (1, 30)],
+        "src bigint, dst bigint",
+    )
+    hubs, auths = hits(e, n_iter=8)
+    h = {r["node"]: r["score"] for r in hubs.collect()}
+    a = {r["node"]: r["score"] for r in auths.collect()}
+    assert max(h, key=h.get) == 1
+    assert max(a, key=a.get) == 30
+    assert abs(sum(h.values()) - 1.0) < 1e-9
+    assert abs(sum(a.values()) - 1.0) < 1e-9
