@@ -367,3 +367,86 @@ def test_bigram_ppl_matches_python(spark, docs):
     assert set(got) == set(expected)
     for i in expected:
         assert abs(got[i] - expected[i]) < 1e-6, (i, got[i], expected[i])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),
+            st.integers(0, 6),
+            st.floats(0.1, 5.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_sssp_bounded_matches_python_jacobi(spark, raw_edges):
+    """sssp_bounded == a plain-Python SYNCHRONOUS (Jacobi) Bellman-Ford
+    on arbitrary small weighted digraphs: d_{i+1}(v) = min(d_i(v),
+    min over edges u->v of d_i(u)+w) — including self-loops, parallel
+    edges, cycles, and the hop-bound truncation."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        sssp_bounded,
+    )
+
+    edges = [(a, b, round(w, 3)) for a, b, w in raw_edges]
+    n_rounds = 4
+    dist = {0: 0.0}
+    for _ in range(n_rounds):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if a in dist:
+                cand = dist[a] + w
+                if b not in nxt or cand < nxt[b]:
+                    nxt[b] = cand
+        dist = nxt
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, w double")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_bounded(e, 0, n_rounds=n_rounds).collect()
+    }
+    assert set(got) == set(dist)
+    for k in dist:
+        assert abs(got[k] - dist[k]) < 1e-9, (k, got[k], dist[k])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_label_propagation_matches_python_sync(spark, raw_edges):
+    """label_propagation == a plain-Python synchronous LPA with the
+    same deterministic rule (most frequent in-neighbor label, ties to
+    the smallest; keep own label with no in-neighbors) on arbitrary
+    small digraphs."""
+    from collections import Counter
+
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = list(raw_edges)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n_rounds = 3
+    lbl = {v: v for v in nodes}
+    for _ in range(n_rounds):
+        nxt = {}
+        for v in nodes:
+            votes = Counter(lbl[a] for a, b in edges if b == v)
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+            else:
+                nxt[v] = lbl[v]
+        lbl = nxt
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, n_rounds=n_rounds).collect()
+    }
+    assert got == lbl
