@@ -114,6 +114,30 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     )
 
 
+def band_keys(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """``(doc_id, band_id, band_hash)`` LSH band keys from a signature
+    frame — the packing shared by ``lsh_candidate_pairs`` and the
+    streaming near-dup gate's touched-bucket prefilter (one source of
+    truth for the int64 band packing)."""
+    band_rows = []
+    for b in range(bands):
+        lo = b * rows_per_band
+        packed = F.col("sig").getItem(lo)
+        for r in range(1, rows_per_band):
+            packed = packed * MINHASH_P + F.col("sig").getItem(lo + r)
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                packed.cast("long").alias("band_hash"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     bands: int = 8,
@@ -158,23 +182,9 @@ def lsh_candidate_pairs(
     # per branch. One compact row per doc (17 ints), so the checkpoint is
     # a few MB even at corpus scale.
     sig = sig.localCheckpoint(eager=True)
-    band_rows = []
-    for b in range(bands):
-        lo = b * rows_per_band
-        packed = F.col("sig").getItem(lo)
-        for r in range(1, rows_per_band):
-            packed = packed * MINHASH_P + F.col("sig").getItem(lo + r)
-        band_rows.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                packed.cast("long").alias("band_hash"),
-            )
-        )
     from pyspark.sql import Window
 
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = band_keys(sig, bands, rows_per_band)
     # bucket size via a window over the band key: ONE shuffle for sizing +
     # small-bucket grouping (the groupBy below reuses the partitioning),
     # and a hot bucket only ever streams through the spillable window

@@ -99,12 +99,19 @@ def personalized_pagerank(
     Same physical loop as ``pagerank`` (edge list checkpointed once,
     rank + teleport frames broadcast under the node guard, lineage
     truncated every 4 rounds); the teleport term is a left join
-    against the tiny seed frame instead of a constant."""
+    against the tiny seed frame instead of a constant. Unlike
+    ``pagerank`` (which requires every node to appear as a src), the
+    node set here is src UNION dst so seeds that are pure SINKS of a
+    directed graph still anchor teleport mass and receive scores —
+    sink nodes simply leak their mass like any dangling node."""
     edges = edges.select("src", "dst").repartition("src").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = edges.join(deg, "src").localCheckpoint()
     nodes = (
-        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
     )
     n = nodes.count()
     if n == 0:
@@ -162,10 +169,14 @@ def hits(
     Physical shape per iteration: two edge-scans with the small score
     frame broadcast (same guard discipline as pagerank; the edge list
     is checkpointed once, pre-partitioned by src), two map-side-
-    combinable sums, and two global-window L1 normalizations over the
-    tiny score frames (single pass — a scalar-subquery normalization
-    would recompute the join+agg). Lineage truncated every 2
-    iterations."""
+    combinable sums, and two L1 normalizations computed as a 1-row
+    aggregate broadcast-cross-joined onto the PER-ROUND CHECKPOINTED
+    raw frame — the raw scores stay partitioned (an empty-partitionBy
+    window would funnel the whole frame through one task at scale) and
+    the aggregate never re-executes the edge join (the checkpoint is
+    the single evaluation)."""
+    if n_iter < 1:
+        raise ValueError("hits requires n_iter >= 1")
     edges = edges.select("src", "dst").repartition("src").localCheckpoint()
     hubs_nodes = (
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
@@ -180,35 +191,29 @@ def hits(
     bcast = (
         max(n_h, auth_nodes.count()) <= broadcast_max_nodes
     )
-    from pyspark.sql import Window
 
-    w_all = Window.partitionBy()
+    def _l1_normalize(raw: DataFrame) -> DataFrame:
+        raw = raw.localCheckpoint(eager=True)
+        z = raw.agg(F.sum("raw").alias("z"))
+        return raw.crossJoin(F.broadcast(z)).select(
+            "node", (F.col("raw") / F.col("z")).alias("score")
+        )
+
     h = hubs_nodes.withColumn("score", F.lit(1.0 / n_h))
     a = None
-    for it in range(n_iter):
+    for _ in range(n_iter):
         hb = F.broadcast(h) if bcast else h
-        a = (
+        a = _l1_normalize(
             edges.join(hb, edges["src"] == h["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("score").alias("raw"))
-            .select(
-                "node",
-                (F.col("raw") / F.sum("raw").over(w_all)).alias("score"),
-            )
         )
         ab = F.broadcast(a) if bcast else a
-        h = (
+        h = _l1_normalize(
             edges.join(ab, edges["dst"] == a["node"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("score").alias("raw"))
-            .select(
-                "node",
-                (F.col("raw") / F.sum("raw").over(w_all)).alias("score"),
-            )
         )
-        if (it + 1) % 2 == 0 or it == n_iter - 1:
-            h = h.localCheckpoint()
-            a = a.localCheckpoint()
     return h, a
 
 

@@ -6963,13 +6963,21 @@ def q_survival_km(spark, sf_dir):
             .cast("long"),
         )
         .withColumn(
+            # d == n_risk (everyone at risk churns at t) is a legal KM
+            # state with S = 0 from t onward: ln(0) is NULL in Spark
+            # and an error in DuckDB, so emit -inf explicitly — the
+            # cumulative sum then carries -inf and exp gives exact 0.0
+            # in both engines
             "log_term",
             F.when(
-                F.col("d") > 0,
-                F.log(
-                    1.0 - F.col("d") / F.col("n_risk")
-                ),
-            ).otherwise(F.lit(0.0)),
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.log(1.0 - F.col("d") / F.col("n_risk")),
+            )
+            .when(
+                F.col("d") == F.col("n_risk"),
+                F.lit(float("-inf")),
+            )
+            .otherwise(F.lit(0.0)),
         )
         .withColumn(
             "survival",
@@ -8153,8 +8161,10 @@ km AS (
   FROM by_t CROSS JOIN tot)
 SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
        CAST(d AS BIGINT) AS d_events,
-       round(exp(sum(CASE WHEN d > 0
+       round(exp(sum(CASE WHEN d > 0 AND d < n_risk
                           THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                          WHEN d = n_risk
+                          THEN CAST('-infinity' AS DOUBLE)
                           ELSE 0.0 END) OVER (ORDER BY t)), 6)
          AS survival
 FROM km""",

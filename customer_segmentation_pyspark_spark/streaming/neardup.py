@@ -20,8 +20,6 @@ irrelevant for deterministic signatures).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +32,17 @@ def batch_signatures(docs: DataFrame) -> DataFrame:
     return dedup.minhash_signatures(sh, num_hashes=16)
 
 
+def _read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Read the signature index, or None when it doesn't exist yet.
+    Probed via the Spark reader (not a driver-local os.path check) so
+    the index may live on any Hadoop-compatible filesystem
+    (hdfs://, s3a://, ...)."""
+    try:
+        return spark.read.parquet(index_dir).dropDuplicates(["doc_id"])
+    except Exception:  # AnalysisException: PATH_NOT_FOUND / empty
+        return None
+
+
 def probe_and_update_index(
     batch_docs: DataFrame,
     index_dir: str,
@@ -42,16 +51,36 @@ def probe_and_update_index(
 ) -> DataFrame:
     """Flag batch docs with an LSH candidate in (index ∪ batch), then
     append the batch's signatures to the index. Returns the flagged
-    frame ``(doc_id, match_doc_id)`` (one row per candidate pair
-    touching a batch doc, ids ordered)."""
+    frame ``(doc_a, doc_b)`` (one row per candidate pair touching a
+    batch doc, ids ordered).
+
+    Incremental cost contract: before the (bucket-quadratic) pair
+    expansion, the accumulated signatures are PRE-FILTERED to docs
+    sharing at least one band key with the batch — buckets containing
+    only old docs are never window-counted or expanded, so per-batch
+    cost is O(|batch| x bucket) no matter how large the index grows.
+    (Old-old pairs inside a TOUCHED bucket are still generated and
+    dropped by the is_new filter — bounded by the batch's bucket
+    footprint, not the index.)"""
     spark = batch_docs.sparkSession
     new_sigs = batch_signatures(batch_docs).localCheckpoint(eager=True)
-    if os.path.isdir(index_dir):
-        old_sigs = (
-            spark.read.parquet(index_dir).dropDuplicates(["doc_id"])
+    old_sigs = _read_index(spark, index_dir)
+    if old_sigs is not None:
+        new_bands = (
+            dedup.band_keys(new_sigs, bands, rows_per_band)
+            .select("band_id", "band_hash")
+            .distinct()
         )
-        all_sigs = old_sigs.unionByName(new_sigs).dropDuplicates(
-            ["doc_id"]
+        touched_old = (
+            dedup.band_keys(old_sigs, bands, rows_per_band)
+            .join(new_bands, ["band_id", "band_hash"], "semi")
+            .select("doc_id")
+            .distinct()
+        )
+        all_sigs = (
+            old_sigs.join(touched_old, "doc_id", "semi")
+            .unionByName(new_sigs)
+            .dropDuplicates(["doc_id"])
         )
     else:
         all_sigs = new_sigs

@@ -329,3 +329,47 @@ def test_survival_km_matches_python_reference(spark):
     curve = [v[2] for _, v in sorted(got.items())]
     assert curve == sorted(curve, reverse=True)
     assert curve[-1] < 1.0
+
+
+def test_survival_km_all_churned_reaches_exact_zero(spark, tmp_path):
+    """When every at-risk customer at the max lifetime has churned,
+    d == n_risk there and S(t) must be EXACTLY 0.0 in both engines —
+    the ln(0) branch (Spark NULL / DuckDB error) is handled via an
+    explicit -inf term."""
+    import datetime as dt
+
+    import duckdb
+
+    from customer_segmentation_pyspark_spark.queries import REGISTRY
+
+    # two customers, both with lifetimes ending long before the
+    # horizon-setting customer 3 (whose single-day lifetime churns too)
+    rows = [
+        (1, dt.datetime(1995, 1, 1)),
+        (1, dt.datetime(1995, 1, 10)),
+        (2, dt.datetime(1995, 1, 1)),
+        (2, dt.datetime(1995, 1, 10)),
+        (3, dt.datetime(1996, 6, 1)),
+    ]
+    o = spark.createDataFrame(rows, "o_custkey bigint, o_orderdate timestamp")
+    sf_dir = str(tmp_path)
+    o.write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["t_days"]: (r["n_risk"], r["d_events"], r["survival"])
+        for r in REGISTRY["survival_km"].fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"'{sf_dir}/orders.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(REGISTRY["survival_km"].oracle).fetchall()
+    }
+    assert got == want
+    # lifetime 1 (customer 3): censored at horizon? No — horizon IS its
+    # last order, so it is censored; lifetimes 10: both churn -> at
+    # t=10 d == n_risk == 2 -> S(10) = 0 exactly
+    assert got[10][2] == 0.0

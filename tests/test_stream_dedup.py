@@ -118,7 +118,7 @@ def test_streaming_near_dup_gate_matches_batch_lsh(spark, tmp_path):
         out_dir,
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     got = {
         (r["doc_a"], r["doc_b"])
