@@ -5320,6 +5320,73 @@ def q_join_cardinality(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index of order totals, 1995 (reference) vs
+    1996 (current) — THE production drift metric next to the KS test:
+    10 fixed-width bins over the reference [min, max] (fixed-width, not
+    ntile: equal-width boundaries are pure arithmetic on two broadcast
+    scalars, engine-portable and shuffle-free, where equidepth needs a
+    global sort), per-bin shares clipped at 1e-6, PSI = sum (q-p) *
+    ln(q/p). Returns the 10 bin rows plus the total as a broadcast
+    constant column. Two scans + two tiny aggs; at 100 TB the bin
+    assignment rides the same projection as any filter."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_totalprice").alias("v")
+    )
+    stats = ref.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+
+    def shares(df, name):
+        b = F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 10
+                ),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).cast("long")
+        tot = df.count()
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .groupBy(b.alias("bucket"))
+            .agg((F.count(F.lit(1)) / F.lit(tot)).alias(name))
+        )
+
+    p = shares(ref, "p_ref")
+    q = shares(cur, "q_cur")
+    terms = (
+        p.join(q, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("p_ref", F.lit(0.0)).alias("p_ref"),
+            F.coalesce("q_cur", F.lit(0.0)).alias("q_cur"),
+        )
+        .withColumn(
+            "term",
+            (F.col("q_cur") - F.col("p_ref"))
+            * F.log(
+                F.greatest(F.col("q_cur"), F.lit(1e-6))
+                / F.greatest(F.col("p_ref"), F.lit(1e-6))
+            ),
+        )
+    )
+    total = terms.agg(F.round(F.sum("term"), 6).alias("psi"))
+    return terms.select(
+        "bucket",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("q_cur", 6).alias("q_cur"),
+        F.round("term", 6).alias("term"),
+    ).crossJoin(F.broadcast(total))
+
+
 def q_embedding_drift(spark, sf_dir):
     """Embedding-distribution drift monitor: md5-parity reference/current
     split, then cosine between the two MEAN vectors, L2 shift, and
@@ -8140,6 +8207,36 @@ fit AS (
   FROM curve)
 SELECT doc_id, cum_tokens, cum_vocab, heaps_beta
 FROM curve CROSS JOIN fit""",
+    "psi_drift": """
+WITH ref AS (SELECT o_totalprice AS v FROM orders
+             WHERE year(o_orderdate) = 1995),
+cur AS (SELECT o_totalprice AS v FROM orders
+        WHERE year(o_orderdate) = 1996),
+stats AS (SELECT min(v) AS mn, max(v) AS mx FROM ref),
+pt AS (SELECT count(*) AS n FROM ref),
+qt AS (SELECT count(*) AS n FROM cur),
+pb AS (
+  SELECT least(greatest(CAST(floor((v - mn) / (mx - mn) * 10) AS BIGINT),
+               0), 9) AS bucket,
+         count(*) / any_value(pt.n) AS p_ref
+  FROM ref CROSS JOIN stats CROSS JOIN pt GROUP BY 1),
+qb AS (
+  SELECT least(greatest(CAST(floor((v - mn) / (mx - mn) * 10) AS BIGINT),
+               0), 9) AS bucket,
+         count(*) / any_value(qt.n) AS q_cur
+  FROM cur CROSS JOIN stats CROSS JOIN qt GROUP BY 1),
+t2 AS (
+  SELECT coalesce(pb.bucket, qb.bucket) AS bucket,
+         coalesce(p_ref, 0.0) AS p_ref,
+         coalesce(q_cur, 0.0) AS q_cur,
+         (coalesce(q_cur, 0.0) - coalesce(p_ref, 0.0))
+           * ln(greatest(coalesce(q_cur, 0.0), 1e-6)
+                / greatest(coalesce(p_ref, 0.0), 1e-6)) AS term
+  FROM pb FULL JOIN qb ON pb.bucket = qb.bucket),
+tot AS (SELECT round(sum(term), 6) AS psi FROM t2)
+SELECT bucket, round(p_ref, 6) AS p_ref, round(q_cur, 6) AS q_cur,
+       round(term, 6) AS term, psi
+FROM t2 CROSS JOIN tot""",
     "survival_km": """
 WITH per AS (
   SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
@@ -10559,6 +10656,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "welch_ttest": QuerySpec(q_welch_ttest, ORACLES["welch_ttest"]),
     "survival_km": QuerySpec(q_survival_km, ORACLES["survival_km"]),
+    "psi_drift": QuerySpec(q_psi_drift, ORACLES["psi_drift"]),
     "vocab_growth": QuerySpec(q_vocab_growth, ORACLES["vocab_growth"]),
     "bpe_pair_counts": QuerySpec(
         q_bpe_pair_counts, ORACLES["bpe_pair_counts"]
