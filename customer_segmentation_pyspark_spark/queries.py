@@ -5320,6 +5320,54 @@ def q_join_cardinality(spark, sf_dir):
     )
 
 
+def q_gini_revenue(spark, sf_dir):
+    """Gini concentration of supplier revenue (the inequality /
+    concentration audit next to `key_skew_profile`): per-supplier
+    revenue, ranked ascending with (value, key) ties pinned, G =
+    2*sum(i*x_i)/(n*sum(x)) - (n+1)/n, plus the Lorenz deciles
+    (cumulative revenue share at each supplier-count decile). One agg
+    to supplier grain, one window over the (small) supplier frame —
+    at 100 TB the ranked frame is supplier-cardinality, not fact rows;
+    the scalars ride broadcast 1-row joins."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,2)")
+        ).cast("double").alias("x")
+    )
+    w = Window.orderBy("x", "l_suppkey")
+    ranked = rev.withColumn("i", F.row_number().over(w)).withColumn(
+        "cum_x", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = tot.select(
+        (
+            2.0 * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n")
+        ).alias("g"),
+        "n",
+        "sx",
+    )
+    decile = F.ceil(F.col("i") * 10 / F.col("n")).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(gini))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.round(F.max(F.col("cum_x") / F.col("sx")), 6).alias(
+                "lorenz_cum_share"
+            ),
+            F.round(F.any_value("g"), 6).alias("gini"),
+        )
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """Population Stability Index of order totals, 1995 (reference) vs
     1996 (current) — THE production drift metric next to the KS test:
@@ -8207,6 +8255,27 @@ fit AS (
   FROM curve)
 SELECT doc_id, cum_tokens, cum_vocab, heaps_beta
 FROM curve CROSS JOIN fit""",
+    "gini_revenue": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT l_suppkey, x,
+         row_number() OVER (ORDER BY x, l_suppkey) AS i,
+         sum(x) OVER (ORDER BY x, l_suppkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_x
+  FROM rev),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+               sum(i * x) AS six
+        FROM ranked),
+g AS (SELECT 2.0 * six / (n * sx) - (n + 1.0) / n AS g, n, sx FROM tot)
+SELECT CAST(ceil(i * 10 / g.n) AS BIGINT) AS decile,
+       round(max(cum_x / g.sx), 6) AS lorenz_cum_share,
+       round(any_value(g.g), 6) AS gini
+FROM ranked CROSS JOIN g GROUP BY 1""",
     "psi_drift": """
 WITH ref AS (SELECT o_totalprice AS v FROM orders
              WHERE year(o_orderdate) = 1995),
@@ -10657,6 +10726,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "welch_ttest": QuerySpec(q_welch_ttest, ORACLES["welch_ttest"]),
     "survival_km": QuerySpec(q_survival_km, ORACLES["survival_km"]),
     "psi_drift": QuerySpec(q_psi_drift, ORACLES["psi_drift"]),
+    "gini_revenue": QuerySpec(q_gini_revenue, ORACLES["gini_revenue"]),
     "vocab_growth": QuerySpec(q_vocab_growth, ORACLES["vocab_growth"]),
     "bpe_pair_counts": QuerySpec(
         q_bpe_pair_counts, ORACLES["bpe_pair_counts"]
