@@ -5320,6 +5320,40 @@ def q_join_cardinality(spark, sf_dir):
     )
 
 
+def q_order_acf(spark, sf_dir):
+    """Autocorrelation function of the daily order-count series at lags
+    1..7 (the seasonality screen a forecasting pipeline runs before
+    model choice; weekly cycles surface as a lag-7 peak). Series =
+    counts per observed order date; lags are window `lag` over the
+    date ordering (observed-day ACF — the fixture calendar is dense);
+    Pearson corr per lag, all 7 in ONE aggregate over the (tiny) daily
+    frame, unpivoted to (lag, acf) rows. At 100 TB the daily frame is
+    date-cardinality — the only fact-scale work is the first count."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "c",
+        *[
+            F.lag("c", k).over(w).alias(f"l{k}")
+            for k in range(1, 8)
+        ],
+    )
+    acfs = lagged.agg(
+        *[
+            F.round(F.corr("c", f"l{k}"), 6).alias(f"a{k}")
+            for k in range(1, 8)
+        ]
+    )
+    stack = ", ".join(f"{k}L, a{k}" for k in range(1, 8))
+    return acfs.selectExpr(f"stack(7, {stack}) as (lag, acf)")
+
+
 def q_gini_revenue(spark, sf_dir):
     """Gini concentration of supplier revenue (the inequality /
     concentration audit next to `key_skew_profile`): per-supplier
@@ -8255,6 +8289,35 @@ fit AS (
   FROM curve)
 SELECT doc_id, cum_tokens, cum_vocab, heaps_beta
 FROM curve CROSS JOIN fit""",
+    "order_acf": """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT c,
+         lag(c, 1) OVER (ORDER BY d) AS l1,
+         lag(c, 2) OVER (ORDER BY d) AS l2,
+         lag(c, 3) OVER (ORDER BY d) AS l3,
+         lag(c, 4) OVER (ORDER BY d) AS l4,
+         lag(c, 5) OVER (ORDER BY d) AS l5,
+         lag(c, 6) OVER (ORDER BY d) AS l6,
+         lag(c, 7) OVER (ORDER BY d) AS l7
+  FROM daily),
+acfs AS (
+  SELECT round(corr(c, l1), 6) AS a1, round(corr(c, l2), 6) AS a2,
+         round(corr(c, l3), 6) AS a3, round(corr(c, l4), 6) AS a4,
+         round(corr(c, l5), 6) AS a5, round(corr(c, l6), 6) AS a6,
+         round(corr(c, l7), 6) AS a7
+  FROM lagged)
+SELECT CAST(lag AS BIGINT) AS lag, acf FROM (
+  SELECT 1 AS lag, a1 AS acf FROM acfs
+  UNION ALL SELECT 2, a2 FROM acfs
+  UNION ALL SELECT 3, a3 FROM acfs
+  UNION ALL SELECT 4, a4 FROM acfs
+  UNION ALL SELECT 5, a5 FROM acfs
+  UNION ALL SELECT 6, a6 FROM acfs
+  UNION ALL SELECT 7, a7 FROM acfs)""",
     "gini_revenue": """
 WITH rev AS (
   SELECT l_suppkey,
@@ -10727,6 +10790,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "survival_km": QuerySpec(q_survival_km, ORACLES["survival_km"]),
     "psi_drift": QuerySpec(q_psi_drift, ORACLES["psi_drift"]),
     "gini_revenue": QuerySpec(q_gini_revenue, ORACLES["gini_revenue"]),
+    "order_acf": QuerySpec(q_order_acf, ORACLES["order_acf"]),
     "vocab_growth": QuerySpec(q_vocab_growth, ORACLES["vocab_growth"]),
     "bpe_pair_counts": QuerySpec(
         q_bpe_pair_counts, ORACLES["bpe_pair_counts"]
