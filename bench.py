@@ -119,6 +119,9 @@ HEADLINE = [
     "survival_km",
     "ppr_brand",
     "hits_parts",
+    "psi_drift",
+    "gini_revenue",
+    "order_acf",
 ]
 
 
