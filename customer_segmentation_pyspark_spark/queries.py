@@ -2476,6 +2476,41 @@ FROM (SELECT pa AS n FROM e{unroll} UNION ALL SELECT pb FROM e{unroll})
 GROUP BY 1"""
 
 
+def _sql_k_core_fixpoint(k: int = 2, unroll: int = 8) -> str:
+    """Convergence probe for ``_sql_k_core``: the unrolled peel is exact
+    ONLY if the true fixpoint at the oracle SF is reached within
+    ``unroll`` rounds (a peel past the fixpoint is a no-op, so equality
+    of the last two edge frames certifies it). Nothing in the oracle
+    itself asserts this — a fixture/SF change could silently leave the
+    oracle mid-peel while Spark's data-dependent loop runs to
+    convergence — so the parity suite runs this probe and asserts
+    ``n_prev == n_last`` (test_oracle_parity.py::test_k_core_oracle_
+    converged, per ADVICE r02)."""
+    parts = [
+        """lines AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb FROM lines a JOIN lines b
+  ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for i in range(unroll):
+        parts.append(
+            f"""deg_{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT pa AS n FROM e{i} UNION ALL SELECT pb FROM e{i})
+  GROUP BY 1),
+keep_{i} AS MATERIALIZED (SELECT n FROM deg_{i} WHERE d >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.pa, e.pb FROM e{i} e
+  JOIN keep_{i} ka ON e.pa = ka.n
+  JOIN keep_{i} kb ON e.pb = kb.n)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT (SELECT count(*) FROM e{unroll - 1}) AS n_prev,
+       (SELECT count(*) FROM e{unroll}) AS n_last"""
+
+
 # ---------------------------------------------------------------------------
 # Subquery shapes: correlated / EXISTS / scalar subqueries decorrelated into
 # idiomatic Spark plans (window aggs, semi/anti joins, broadcast scalars).

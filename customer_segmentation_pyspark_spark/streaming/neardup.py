@@ -36,11 +36,26 @@ def _read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Read the signature index, or None when it doesn't exist yet.
     Probed via the Spark reader (not a driver-local os.path check) so
     the index may live on any Hadoop-compatible filesystem
-    (hdfs://, s3a://, ...)."""
+    (hdfs://, s3a://, ...).
+
+    Only the two "index does not exist yet" conditions map to None:
+    PATH_NOT_FOUND (no directory) and UNABLE_TO_INFER_SCHEMA (directory
+    exists but holds no parquet footers — a fresh checkpoint dir).
+    Every OTHER failure (corrupt footer, permission denial, transient
+    store error) re-raises: swallowing it would silently probe against
+    an empty index, permanently miss all old-vs-new duplicate pairs,
+    and still append the batch's signatures as if the probe had run.
+    """
+    from pyspark.errors import AnalysisException
+
+    _ABSENT = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
     try:
         return spark.read.parquet(index_dir).dropDuplicates(["doc_id"])
-    except Exception:  # AnalysisException: PATH_NOT_FOUND / empty
-        return None
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond in _ABSENT or any(c in str(e) for c in _ABSENT):
+            return None
+        raise
 
 
 def probe_and_update_index(
@@ -61,7 +76,27 @@ def probe_and_update_index(
     cost is O(|batch| x bucket) no matter how large the index grows.
     (Old-old pairs inside a TOUCHED bucket are still generated and
     dropped by the is_new filter — bounded by the batch's bucket
-    footprint, not the index.)"""
+    footprint, not the index.)
+
+    Why the prefilter cannot perturb the hot-bucket cap (the flagged
+    output equals the batch twin's new-touching pairs at ANY bucket
+    size, including above ``max_bucket_size``):
+
+    * A bucket that contains a batch doc ("touched") keeps its FULL
+      population after prefiltering — every old doc in it shares that
+      very band key with the batch, so the semi-join retains all of
+      them, and ``lsh_candidate_pairs`` sees the same bucket size (old
+      + new) the batch twin sees.  Cap decisions and star anchors
+      therefore coincide exactly on every bucket that can emit a
+      new-touching pair.
+    * A bucket with NO batch doc may shrink below the cap after
+      prefiltering (its surviving members were retained via other
+      bands) and take a different expansion path than the twin — but
+      every pair it emits is old-old and is dropped by the is_new
+      filter, so the flagged output is unaffected.
+
+    Pinned by test_stream_dedup.py::test_gate_hot_bucket_matches_batch
+    (hot bucket spanning index and batch, above the cap)."""
     spark = batch_docs.sparkSession
     new_sigs = batch_signatures(batch_docs).localCheckpoint(eager=True)
     old_sigs = _read_index(spark, index_dir)

@@ -64,6 +64,23 @@ def test_oracle_parity(spark, duck, name):
     )
 
 
+def test_k_core_oracle_converged(duck):
+    """The k_core oracle peels a FIXED 8 rounds (_sql_k_core); it is
+    exact only while the true fixpoint at the oracle SF is reached
+    within 8. Assert convergence (last two edge frames equal) so a
+    fixture/SF change can never silently desynchronize the oracle from
+    Spark's data-dependent loop (ADVICE r02)."""
+    from customer_segmentation_pyspark_spark.queries import (
+        _sql_k_core_fixpoint,
+    )
+
+    n_prev, n_last = duck.sql(_sql_k_core_fixpoint(k=2, unroll=8)).fetchone()
+    assert n_prev == n_last, (
+        f"k-core oracle not converged at unroll=8: |e7|={n_prev} "
+        f"|e8|={n_last}; raise unroll in _sql_k_core"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(spark, name):
     spec = REGISTRY[name]

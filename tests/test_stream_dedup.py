@@ -135,3 +135,82 @@ def test_streaming_near_dup_gate_matches_batch_lsh(spark, tmp_path):
     n_docs = docs.count()
     idx = spark.read.parquet(index_dir)
     assert idx.select("doc_id").distinct().count() == n_docs
+
+
+def test_read_index_corrupt_raises(spark, tmp_path):
+    """_read_index maps exactly two conditions to 'no index yet'
+    (missing path, empty dir) and RE-RAISES everything else — a corrupt
+    footer must never be mistaken for an absent index (which would
+    silently drop all old-vs-new pairs forever). ADVICE r02."""
+    from customer_segmentation_pyspark_spark.streaming.neardup import (
+        _read_index,
+    )
+
+    assert _read_index(spark, str(tmp_path / "missing")) is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _read_index(spark, str(empty)) is None
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.parquet").write_bytes(b"garbage" * 64)
+    outcome = "returned-none"
+    try:
+        if _read_index(spark, str(bad)) is not None:
+            outcome = "returned-frame"
+    except Exception:
+        outcome = "raised"
+    assert outcome == "raised", (
+        f"corrupt index must raise, not be treated as absent ({outcome})"
+    )
+
+
+def test_gate_hot_bucket_matches_batch(spark, tmp_path):
+    """Hot-bucket contract (ADVICE r02): a band bucket ABOVE the LSH cap
+    that spans index and batch docs keeps its full population through
+    the touched-bucket prefilter, so the gate's flagged output equals
+    the batch twin's new-touching pairs even on the oversized-bucket
+    star path."""
+    from customer_segmentation_pyspark_spark.operators import dedup
+    from customer_segmentation_pyspark_spark.streaming.neardup import (
+        probe_and_update_index,
+    )
+
+    boiler = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the miller grinds the grain and the baker bakes the bread"
+    )
+    n_hot = 1100  # > default max_bucket_size=1024
+    rows = [(i, boiler) for i in range(n_hot)]
+    rows += [(10_000 + i, f"unique document number {i} with words {i * 7}")
+             for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter((F.col("doc_id") < 550) | (F.col("doc_id") % 2 == 0))
+    new = docs.join(old, "doc_id", "left_anti")
+
+    # prove the fixture actually exercises the oversized path: every
+    # band bucket of the boilerplate group holds all n_hot docs
+    sigs = dedup.minhash_signatures(dedup.shingles(docs), 16)
+    max_bucket = (
+        dedup.band_keys(sigs)
+        .groupBy("band_id", "band_hash")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket > 1024
+
+    index_dir = str(tmp_path / "idx")
+    probe_and_update_index(old, index_dir)  # seed the index
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in probe_and_update_index(new, index_dir).collect()
+    }
+
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    twin = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert got == twin
