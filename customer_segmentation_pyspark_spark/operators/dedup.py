@@ -946,6 +946,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int = 16384,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication for web-scale pretraining corpora — cluster the
@@ -956,7 +957,10 @@ def semantic_dedup(
     K ∝ N / target_cluster_size the per-cluster pair expansion is
     bounded, and the only shuffle is the cluster-keyed self-join (the
     cross-cluster pairs SemDeDup deliberately ignores are what make it
-    sub-quadratic). Assignment is one codegen'd projection — the
+    sub-quadratic).  Clusters larger than ``max_cluster_size`` (a
+    skewed or stale centroid set) are auto-routed through a block-pair
+    GEMM sub-division — identical dropped set, task memory enforced at
+    2·cap·dim regardless of cluster skew. Assignment is one codegen'd projection — the
     centroids ride the plan as literals, exactly like the K-means
     assign stage (plans/kmeans.py), so at 100 TB you train centroids on
     a sample with the engine's own kmeans and splice them in here.
@@ -1010,10 +1014,17 @@ def semantic_dedup(
     # expression form (64-term dot per pair) measured ~5 s for 1.5M
     # pairs at sf0.1 (~300k pairs/s: element_at extraction dominates);
     # the numpy GEMM does the same cluster in milliseconds. Group task
-    # memory is O(cluster_size * dim) — bounded because SemDeDup picks
-    # K ∝ N / target_cluster_size; for a pathological hot cluster,
-    # switch that cluster to the block-pair index of
-    # embedding_neardup_pairs (same kernel, sub-divided groups).
+    # memory is O(cluster_size * dim) — bounded in the normal case
+    # because SemDeDup picks K ∝ N / target_cluster_size, and ENFORCED
+    # for pathological hot clusters (a skewed/stale centroid set
+    # funneling a giant cluster into one task): any cluster above
+    # ``max_cluster_size`` is automatically routed through the same
+    # block-pair sub-division as embedding_neardup_pairs — rows hashed
+    # into ceil(size/cap) blocks, each block PAIR scored as one bounded
+    # GEMM task — yielding the identical dropped set ("larger id of any
+    # qualifying pair") with task memory capped at 2*cap*dim doubles.
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1033,12 +1044,88 @@ def semantic_dedup(
         dup = np.unique(ids[np.nonzero(mask)[1]])
         return pd.DataFrame({"vec_id": dup})
 
+    # assigned feeds the size count, the pair stage, and the final join;
+    # cache so the codegen'd assign projection runs once. (At cluster
+    # scale, swap the cache for a parquet snapshot of (vec_id, cluster).)
+    assigned = assigned.cache()
+    hot = {
+        int(r["cluster"]): int(r["n"])
+        for r in assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cluster_size)
+        .collect()  # bounded: at most len(centroids) rows
+    }
+    cold = assigned
+    if hot:
+        spark = emb.sparkSession
+        nbs, idx_rows = [], []
+        for cl, sz in sorted(hot.items()):
+            nb = math.ceil(sz / max_cluster_size)
+            nbs.append((cl, nb))
+            pid = 0
+            for i in range(nb):
+                for j in range(i, nb):
+                    if i == j:
+                        idx_rows.append((cl, pid, i, "both"))
+                    else:
+                        idx_rows.append((cl, pid, i, "a"))
+                        idx_rows.append((cl, pid, j, "b"))
+                    pid += 1
+        nb_df = spark.createDataFrame(nbs, "cluster bigint, nb int")
+        idx_df = spark.createDataFrame(
+            idx_rows, "cluster bigint, pid int, blk int, side string"
+        )
+        cold = assigned.join(
+            F.broadcast(nb_df.select("cluster")), "cluster", "left_anti"
+        )
+
+        def dropped_in_block_pair(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+            both = (pdf["side"] == "both").any()
+            if both:
+                a = b = pdf
+            else:
+                a = pdf[pdf["side"] == "a"]
+                b = pdf[pdf["side"] == "b"]
+            if a.empty or b.empty:
+                return pd.DataFrame({"vec_id": []}).astype(
+                    {"vec_id": "int64"}
+                )
+
+            def unit(block: pd.DataFrame) -> np.ndarray:
+                m = np.stack(block["v"].to_numpy()).astype(np.float64)
+                nrm = np.linalg.norm(m, axis=1)
+                nrm[nrm == 0] = 1.0
+                return m / nrm[:, None]
+
+            aid = a["vec_id"].to_numpy()
+            bid = b["vec_id"].to_numpy()
+            sims = np.round(unit(a) @ unit(b).T, 4)
+            ii, jj = np.nonzero(sims >= threshold)
+            lo = np.minimum(aid[ii], bid[jj])
+            hi = np.maximum(aid[ii], bid[jj])
+            dup = np.unique(hi[hi != lo])  # != drops diagonal selfs
+            return pd.DataFrame({"vec_id": dup})
+
+        dropped_hot = (
+            assigned.join(F.broadcast(nb_df), "cluster")
+            .withColumn(
+                "blk",
+                F.pmod(F.xxhash64("vec_id"), F.col("nb")).cast("int"),
+            )
+            .join(F.broadcast(idx_df), ["cluster", "blk"])
+            .select("cluster", "pid", "side", "vec_id", "v")
+            .groupBy("cluster", "pid")
+            .applyInPandas(dropped_in_block_pair, schema=schema)
+            .distinct()  # a dropped id may surface in several block pairs
+        )
     dropped = (
-        assigned.select("cluster", "vec_id", "v")
+        cold.select("cluster", "vec_id", "v")
         .groupBy("cluster")
         .applyInPandas(dropped_in_cluster, schema=schema)
-        .withColumn("is_dup", F.lit(True))
     )
+    if hot:
+        dropped = dropped.unionByName(dropped_hot)
+    dropped = dropped.withColumn("is_dup", F.lit(True))
     return (
         assigned.select("vec_id", "cluster")
         .join(dropped, "vec_id", "left")

@@ -1223,3 +1223,57 @@ def test_incremental_dedup_equals_filtered_full_dedup(docs):
     }
     assert want, "fixture should contain delta-touching near-dup pairs"
     assert got == want
+
+
+def test_semantic_dedup_hot_cluster_routing_equals_cold(emb):
+    """Hot-cluster auto-routing (VERDICT r02 #1): a cluster above
+    ``max_cluster_size`` goes through the block-pair GEMM sub-division;
+    the (vec_id, cluster, keep) result must be IDENTICAL to the
+    single-group path on the same data."""
+    one = emb.limit(1).select("embedding").first()["embedding"]
+    dim = len(one)
+    cents = [[0.0] * dim]  # one centroid -> every vector in one cluster
+
+    base = {
+        tuple(r)
+        for r in dedup.semantic_dedup(
+            emb, cents, threshold=0.8, max_cluster_size=10**9
+        ).collect()
+    }
+    routed = {
+        tuple(r)
+        for r in dedup.semantic_dedup(
+            emb, cents, threshold=0.8, max_cluster_size=64
+        ).collect()
+    }
+    assert routed == base
+    assert len(base) == emb.count()
+
+
+def test_semantic_dedup_hot_cluster_scale_bounded(spark):
+    """100k vectors funneled into ONE cluster (the pathological skew the
+    cap exists for): completes with task memory bounded by the cap
+    (2*4096*16 doubles per GEMM, never 100k^2), and the dropped set is
+    exact — 10 one-hot prototypes, each copied 10k times, keep only the
+    min id per prototype."""
+    import pandas as pd
+
+    n, n_proto, dim = 100_000, 10, 16
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [
+                [1.0 if d == (i % n_proto) else 0.0 for d in range(dim)]
+                for i in range(n)
+            ],
+        }
+    )
+    emb = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<double>"
+    )
+    out = dedup.semantic_dedup(
+        emb, [[0.0] * dim], threshold=0.9, max_cluster_size=4096
+    )
+    kept = {r["vec_id"] for r in out.filter("keep").collect()}
+    assert kept == set(range(n_proto))
+    assert out.count() == n
