@@ -79,6 +79,80 @@ def read_table(
 
 
 # ---------------------------------------------------------------------------
+# Partitioned manifests: the commit unit for partition-pruned snapshots
+# (streaming/merge.py::merge_into_partitioned_snapshot). A manifest maps
+# partition id -> immutable data directory; a merge rewrites ONLY the
+# manifest entries whose partitions contain changed keys, reusing every
+# other entry's directory untouched, then commits the new manifest with
+# the SAME atomic pointer flip as write_version. This is the table-format
+# shape (Delta commit log / Iceberg manifest list) at parquet+JSON level:
+# per-batch write cost is O(touched partitions), not O(snapshot).
+# ---------------------------------------------------------------------------
+
+
+def read_manifest(
+    table_dir: str, version: int | None = None
+) -> dict | None:
+    """The committed manifest at ``version`` (default: latest), or None
+    when the table has no committed version yet. Shape:
+    ``{"num_partitions": P, "parts": {"<part_id>": "<dir name>"}}``."""
+    import json
+
+    v = latest_version(table_dir) if version is None else version
+    if v < 1:
+        return None
+    with open(os.path.join(table_dir, f"manifest-v{v}.json")) as f:
+        return json.load(f)
+
+
+def commit_manifest(table_dir: str, manifest: dict) -> int:
+    """Commit ``manifest`` as the next version. Write the full manifest
+    file first, then atomically flip ``_LATEST`` — a crash at any point
+    leaves either the old pointer (stranded manifest file, overwritten
+    by the next commit) or the new one (fully committed)."""
+    import json
+
+    os.makedirs(table_dir, exist_ok=True)
+    v = latest_version(table_dir) + 1
+    tmp = os.path.join(table_dir, f".manifest.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(table_dir, f"manifest-v{v}.json"))
+    ptmp = os.path.join(table_dir, f"._LATEST.tmp-{uuid.uuid4().hex[:8]}")
+    with open(ptmp, "w") as f:
+        f.write(str(v))
+    os.replace(ptmp, _pointer(table_dir))
+    return v
+
+
+def gc_unreferenced_parts(table_dir: str) -> list[str]:
+    """Drop part directories referenced by NO committed manifest (debris
+    from a crash between the part writes and the pointer flip) plus
+    stranded staging dirs. Single-writer maintenance — never touches a
+    directory any committed version can reach, so time travel across
+    all committed manifests survives. Returns the removed names."""
+    n = latest_version(table_dir)
+    if n < 1:
+        return []
+    referenced: set[str] = set()
+    for v in range(1, n + 1):
+        m = read_manifest(table_dir, v)
+        if m:
+            referenced.update(m["parts"].values())
+    removed = []
+    for entry in os.listdir(table_dir):
+        full = os.path.join(table_dir, entry)
+        if not os.path.isdir(full):
+            continue
+        if entry.startswith(".staging-") or (
+            entry.startswith("p-") and entry not in referenced
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(entry)
+    return removed
+
+
+# ---------------------------------------------------------------------------
 # Merge-on-read deletes: tombstone overlay on an immutable base table.
 # The COW path (streaming/merge.py) rewrites the snapshot per batch; this
 # is the read-optimized-write twin: deletes append a tiny key file, readers

@@ -64,22 +64,24 @@ def merge_into_snapshot(
     recover_swap(snapshot_dir)
     delta = latest_per_key(changes, key, seq)
     if os.path.exists(snapshot_dir):
-        base = spark.read.parquet(snapshot_dir)
-        cols = [c for c in base.columns if c != key]
-        d = delta.select(
-            F.col(key).alias("__k"), *[F.col(c).alias(f"__u_{c}") for c in cols]
-        )
-        merged = base.join(
-            d, F.col(key) == F.col("__k"), "full_outer"
-        ).select(
-            F.coalesce(key, "__k").alias(key),
-            *[F.coalesce(f"__u_{c}", c).alias(c) for c in cols],
-        )
+        merged = _merge_frames(spark.read.parquet(snapshot_dir), delta, key)
     else:
         merged = delta
     tmp = f"{snapshot_dir}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     crash_safe_swap(snapshot_dir, tmp)
+
+
+def _merge_frames(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:
+    """The MERGE join: full-outer on the key, update columns win."""
+    cols = [c for c in base.columns if c != key]
+    d = delta.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"__u_{c}") for c in cols]
+    )
+    return base.join(d, F.col(key) == F.col("__k"), "full_outer").select(
+        F.coalesce(key, "__k").alias(key),
+        *[F.coalesce(f"__u_{c}", c).alias(c) for c in cols],
+    )
 
 
 def streaming_upsert(
@@ -103,6 +105,143 @@ def streaming_upsert(
         if batch_df.isEmpty():
             return
         merge_into_snapshot(spark, snapshot_dir, batch_df, key, seq)
+
+    return (
+        updates.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned MERGE (VERDICT r02 #2): the copy-on-write path above
+# rewrites the WHOLE snapshot every micro-batch — O(|snapshot|) per batch,
+# which at lakehouse scale makes a small CDC stream rewrite terabytes.
+# This variant hash-partitions the snapshot by the merge key and rewrites
+# ONLY the partitions containing changed keys; every other partition's
+# files are reused byte-identical through the manifest (one immutable
+# directory per partition, committed via sources/versioned.py's atomic
+# pointer flip). Per-batch cost: O(touched partitions), i.e.
+# O(min(|delta| , P) / P x |snapshot|) instead of O(|snapshot|).
+# ---------------------------------------------------------------------------
+
+
+def _part_expr(key: str, num_partitions: int):
+    """Partition id of a key — recomputed on read and write, so the data
+    files never need to store it (xxhash64 is deterministic per type)."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)).cast("int")
+
+
+def merge_into_partitioned_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key: str,
+    seq: str,
+    num_partitions: int = 32,
+) -> None:
+    """One partition-pruned MERGE step. Same semantics as
+    ``merge_into_snapshot`` (update columns win per key, unmatched keys
+    insert, untouched keys kept), different write cost: only the hash
+    partitions of ``key`` present in the delta are read, merged, and
+    rewritten as fresh immutable ``p-*`` directories; the new manifest
+    reuses every untouched partition's directory as-is and commits with
+    the atomic pointer flip — a crash at any point leaves the previous
+    manifest fully readable (stranded part dirs are GC'd on the next
+    merge) and the replayed batch re-merges idempotently.
+
+    ``num_partitions`` is fixed at table creation (stored in the
+    manifest; the argument is ignored afterwards). Size it so one
+    partition ~ a few GB at the target scale — the per-batch rewrite
+    unit. One Spark job per merge: touched base partitions are unioned,
+    merged against the delta, and written with partitionBy in a single
+    pass.
+    """
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    man = versioned.read_manifest(table_dir)
+    if man is not None:
+        num_partitions = int(man["num_partitions"])
+        parts = dict(man["parts"])
+        versioned.gc_unreferenced_parts(table_dir)
+    else:
+        parts = {}
+
+    delta = latest_per_key(changes, key, seq).withColumn(
+        "__part", _part_expr(key, num_partitions)
+    )
+    touched = sorted(
+        r["__part"] for r in delta.select("__part").distinct().collect()
+    )  # bounded by num_partitions
+    if not touched:
+        return
+    delta = delta.drop("__part")
+
+    base_frames = [
+        spark.read.parquet(os.path.join(table_dir, parts[str(p)]))
+        for p in touched
+        if str(p) in parts
+    ]
+    if base_frames:
+        base = base_frames[0]
+        for f in base_frames[1:]:
+            base = base.unionByName(f)
+        merged = _merge_frames(base, delta, key)
+    else:
+        merged = delta
+    merged = merged.withColumn("__part", _part_expr(key, num_partitions))
+
+    os.makedirs(table_dir, exist_ok=True)
+    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").partitionBy("__part").parquet(staging)
+    for p in touched:
+        src = os.path.join(staging, f"__part={p}")
+        if os.path.isdir(src):
+            dest = f"p-{uuid.uuid4().hex[:12]}"
+            os.rename(src, os.path.join(table_dir, dest))
+            parts[str(p)] = dest
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    versioned.commit_manifest(
+        table_dir, {"num_partitions": num_partitions, "parts": parts}
+    )
+
+
+def read_partitioned_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest (default) or any historical committed snapshot:
+    the union scan over the manifest's immutable part directories."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    man = versioned.read_manifest(table_dir, version)
+    if man is None or not man["parts"]:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    paths = [os.path.join(table_dir, d) for d in man["parts"].values()]
+    return spark.read.parquet(*paths)
+
+
+def streaming_partitioned_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    seq: str,
+    num_partitions: int = 32,
+):
+    """``streaming_upsert`` with the partition-pruned merge: a change
+    stream maintained into a manifest-committed snapshot, rewriting only
+    the partitions each micro-batch touches."""
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_into_partitioned_snapshot(
+            spark, table_dir, batch_df, key, seq, num_partitions
+        )
 
     return (
         updates.writeStream.foreachBatch(_merge)

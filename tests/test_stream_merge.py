@@ -149,3 +149,201 @@ def test_compact_table_recovers_from_crash(spark, tmp_path):
     assert n_files == 2
     assert spark.read.parquet(path).count() == 100
     assert not os.path.exists(path + ".old-cafe0000")
+
+
+def _file_stats(table_dir):
+    """(relpath -> (size, mtime_ns)) for every data file under committed
+    p-* part dirs — byte-identity evidence for untouched partitions."""
+    import os
+
+    stats = {}
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table_dir)
+            if rel.startswith("p-"):
+                st = os.stat(full)
+                stats[rel] = (st.st_size, st.st_mtime_ns)
+    return stats
+
+
+def _psnap_dict(spark, table_dir):
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    return {
+        r["k"]: r["val"]
+        for r in read_partitioned_snapshot(spark, table_dir).collect()
+    }
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """VERDICT r02 #2 'done' bar: after a 1-key batch, untouched
+    partitions' files are byte-identical (same immutable dirs, same
+    size+mtime — never rewritten), and the merge result matches the
+    full-rewrite twin."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "ptable")
+    wave1 = [(k, float(k * 10), k) for k in range(1, 201)]
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(wave1, SCHEMA),
+        key="k",
+        seq="seq",
+        num_partitions=8,
+    )
+    man1 = versioned.read_manifest(table)
+    assert man1["num_partitions"] == 8
+    stats1 = _file_stats(table)
+
+    # 1-key update
+    wave2 = [(7, 777.0, 1000)]
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(wave2, SCHEMA),
+        key="k",
+        seq="seq",
+    )
+    man2 = versioned.read_manifest(table)
+
+    changed = [
+        p for p in man1["parts"] if man1["parts"][p] != man2["parts"][p]
+    ]
+    assert len(changed) == 1, f"exactly one partition rewritten: {changed}"
+    untouched_dirs = {
+        man1["parts"][p] for p in man1["parts"] if p not in changed
+    }
+    assert untouched_dirs == {
+        man2["parts"][p] for p in man2["parts"] if p not in changed
+    }
+    stats2 = _file_stats(table)
+    for rel, st in stats1.items():
+        if rel.split("/")[0] in untouched_dirs:
+            assert stats2[rel] == st, f"untouched file rewritten: {rel}"
+
+    got = _psnap_dict(spark, table)
+    assert got == _expected(spark, wave1 + wave2)
+
+
+def test_partitioned_merge_matches_cow_twin_and_time_travel(
+    spark, tmp_path
+):
+    """Three batches through the partitioned merge equal the full-rewrite
+    merge over the same change log; every committed version remains
+    readable (time travel) and replaying the last batch is idempotent."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "ptable")
+    waves = [
+        [(1, 10.0, 1), (2, 20.0, 2), (1, 11.0, 3)],
+        [(2, 21.0, 4), (3, 30.0, 5)],
+        [(1, 12.0, 6), (4, 40.0, 7), (2, 22.0, 8)],
+    ]
+    seen = []
+    per_version = []
+    for w in waves:
+        seen.extend(w)
+        merge_into_partitioned_snapshot(
+            spark,
+            table,
+            spark.createDataFrame(w, SCHEMA),
+            key="k",
+            seq="seq",
+            num_partitions=4,
+        )
+        per_version.append(_expected(spark, list(seen)))
+
+    assert _psnap_dict(spark, table) == per_version[-1]
+    for v, expected in enumerate(per_version, start=1):
+        got_v = {
+            r["k"]: r["val"]
+            for r in read_partitioned_snapshot(spark, table, v).collect()
+        }
+        assert got_v == expected, f"version {v} drifted"
+
+    # idempotent replay of the final batch
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(waves[-1], SCHEMA),
+        key="k",
+        seq="seq",
+    )
+    assert _psnap_dict(spark, table) == per_version[-1]
+
+
+def test_streaming_partitioned_upsert_equals_batch(spark, tmp_path):
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        streaming_partitioned_upsert,
+    )
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "ptable")
+    wave1 = [(1, 10.0, 1), (2, 20.0, 2), (1, 11.0, 3)]
+    wave2 = [(2, 21.0, 4), (3, 30.0, 5)]
+    _write_wave(spark, src, wave1)
+    _write_wave(spark, src, wave2)
+    stream = spark.readStream.schema(SCHEMA).format("parquet").load(src)
+    q = streaming_partitioned_upsert(
+        spark,
+        stream,
+        table,
+        str(tmp_path / "ckpt"),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+    )
+    assert q.awaitTermination(120)
+    assert _psnap_dict(spark, table) == _expected(spark, wave1 + wave2)
+
+
+def test_partitioned_merge_gc_cleans_stranded_parts(spark, tmp_path):
+    """A crash between part writes and the pointer flip leaves stranded
+    p-* dirs; the next merge GCs them without touching any dir a
+    committed manifest references."""
+    import os
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "ptable")
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame([(1, 1.0, 1), (2, 2.0, 2)], SCHEMA),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+    )
+    # simulate the crash debris
+    stranded = os.path.join(table, "p-deadbeefcafe")
+    os.makedirs(stranded)
+    with open(os.path.join(stranded, "junk.parquet"), "w") as f:
+        f.write("x")
+    before = set(versioned.read_manifest(table)["parts"].values())
+
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame([(3, 3.0, 3)], SCHEMA),
+        key="k",
+        seq="seq",
+    )
+    assert not os.path.exists(stranded)
+    for d in before:  # referenced by v1 -> still present (time travel)
+        assert os.path.isdir(os.path.join(table, d))
+    assert _psnap_dict(spark, table) == {1: 1.0, 2: 2.0, 3: 3.0}
