@@ -42,43 +42,72 @@ def pagerank(
     ``(node, rank)`` with ranks summing to 1 over nodes-with-out-edges.
 
     The rank frame is 16 bytes/node; while the node count stays under
-    ``broadcast_max_nodes`` the contribution join broadcasts it, so the
-    checkpointed edge list is never re-sorted per iteration (25% faster
-    locally), and the teleport left join broadcasts the (equally small)
-    per-node sums. Beyond that (billion-node graphs) both joins fall
-    back to the scale-safe shuffle on the pre-partitioned edge list.
-    Lineage is truncated every 4 iterations instead of every one — the
-    plan depth stays bounded while saving 3 of every 4 materialization
-    jobs (the dominant per-iteration overhead once the joins broadcast).
+    ``broadcast_max_nodes`` the single per-iteration contribution join
+    broadcasts it, so the checkpointed edge list is never re-sorted per
+    iteration (25% faster locally). Beyond that (billion-node graphs)
+    the join falls back to the scale-safe shuffle on the pre-partitioned
+    edge list. The former second join (teleport left join) is gone: the
+    static no-in-edge node set is unioned back as a checkpointed
+    constant frame (r03, ~1 broadcast exchange saved per iteration —
+    float-exact, see inline note). Lineage is truncated every 4
+    iterations instead of every one — the plan depth stays bounded while
+    saving 3 of every 4 materialization jobs (the dominant per-iteration
+    overhead once the joins broadcast).
     """
     edges = edges.select("src", "dst").repartition("src").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
     n = nodes.count()
     if n == 0:  # empty graph: empty result, stable schema
         return nodes.withColumn("rank", F.lit(0.0))
+    # ONE join per iteration (r02 was two), and ZERO exchanges: the
+    # weighted edge list is (a) semi-joined on dst up front so
+    # contributions landing outside the node set (pure-sink dsts) never
+    # enter the agg, (b) hash-partitioned by dst and CACHED — cache
+    # (unlike localCheckpoint, which erases outputPartitioning) lets
+    # Catalyst see hashpartitioning(dst) and plan each iteration's
+    # groupBy(dst) WITHOUT a shuffle: scan + broadcast join + partial
+    # + final agg in one stage. Nodes with NO in-edges — whose rank is
+    # the teleport constant from iteration 1 on — are split into a
+    # static checkpointed frame unioned back each round. Float-exact vs
+    # the two-join form: in-nodes evaluate the identical
+    # (1-a)/n + a*s expression over the identical contribution sums;
+    # no-in nodes had s = coalesce(NULL, 0) and adding a*0.0 is exact.
     bcast = n <= broadcast_max_nodes
+    nodes_dst = nodes.withColumnRenamed("node", "dst")
+    ed = (
+        edges.join(deg, "src")
+        .join(
+            F.broadcast(nodes_dst) if bcast else nodes_dst, "dst", "semi"
+        )
+        .repartition("dst")
+        .cache()
+    )
+    in_nodes = ed.select(F.col("dst").alias("node")).distinct()
+    no_in = (
+        nodes.join(in_nodes, "node", "anti")
+        .select("node", F.lit((1.0 - alpha) / n).alias("rank"))
+        .localCheckpoint()
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(n_iter):
         rk = F.broadcast(ranks) if bcast else ranks
-        contribs = ed.join(rk, ed["src"] == ranks["node"]).select(
+        sums = (
+            ed.join(rk, ed["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+        )
+        ranks = sums.select(
             F.col("dst").alias("node"),
-            (F.col("rank") / F.col("deg")).alias("c"),
-        )
-        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
-        sm = F.broadcast(sums) if bcast else sums
-        ranks = nodes.join(sm, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - alpha) / n)
-                + F.lit(alpha) * F.coalesce("s", F.lit(0.0))
-            ).alias("rank"),
-        )
+            (F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.col("s")).alias(
+                "rank"
+            ),
+        ).unionByName(no_in)
         if (it + 1) % 4 == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
+    ed.unpersist()  # final ranks are checkpointed; drop the cached edges
     return ranks
 
 
@@ -106,7 +135,6 @@ def personalized_pagerank(
     sink nodes simply leak their mass like any dangling node."""
     edges = edges.select("src", "dst").repartition("src").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -128,28 +156,55 @@ def personalized_pagerank(
         "left",
     ).select("node", F.coalesce("tele", F.lit(0.0)).alias("tele"))
     tele = tele.localCheckpoint(eager=True)
+    # Same one-join zero-exchange iteration shape as pagerank (r03): the
+    # per-dst teleport weight rides the cached dst-partitioned edge list
+    # (one extra double per edge) and is recovered in the agg via
+    # first() — constant per group, so deterministic — eliminating the
+    # former per-iteration tele left join; no-in-edge nodes (every dst
+    # is in `nodes` here, so no semi-join needed) are the static
+    # (1-a)*tele frame unioned back each round. Float-exact: in-nodes
+    # evaluate the identical (1-a)*tele + a*s expression; no-in nodes
+    # had s = coalesce(NULL, 0) and adding a*0.0 is exact.
+    tele_dst = tele.select(
+        F.col("node").alias("dst"), F.col("tele").alias("tele_dst")
+    )
     bcast = n <= broadcast_max_nodes
+    ed = (
+        edges.join(deg, "src")
+        .join(F.broadcast(tele_dst) if bcast else tele_dst, "dst")
+        .repartition("dst")
+        .cache()
+    )
+    in_nodes = ed.select(F.col("dst").alias("node")).distinct()
+    no_in = (
+        nodes.join(in_nodes, "node", "anti")
+        .join(tele, "node")
+        .select(
+            "node", (F.lit(1.0 - alpha) * F.col("tele")).alias("rank")
+        )
+        .localCheckpoint()
+    )
     ranks = tele.select("node", F.col("tele").alias("rank"))
     for it in range(n_iter):
         rk = F.broadcast(ranks) if bcast else ranks
-        contribs = ed.join(rk, ed["src"] == ranks["node"]).select(
-            F.col("dst").alias("node"),
-            (F.col("rank") / F.col("deg")).alias("c"),
-        )
-        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
-        sm = F.broadcast(sums) if bcast else sums
-        ranks = (
-            tele.join(sm, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - alpha) * F.col("tele")
-                    + F.lit(alpha) * F.coalesce("s", F.lit(0.0))
-                ).alias("rank"),
+        sums = (
+            ed.join(rk, ed["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("rank") / F.col("deg")).alias("s"),
+                F.first("tele_dst").alias("tele"),
             )
         )
+        ranks = sums.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(1.0 - alpha) * F.col("tele")
+                + F.lit(alpha) * F.col("s")
+            ).alias("rank"),
+        ).unionByName(no_in)
         if (it + 1) % 4 == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
+    ed.unpersist()
     return ranks
 
 
@@ -166,15 +221,16 @@ def hits(
     'broad influential buyers' and 'products bought by such buyers'.
     Returns ``(hubs, authorities)`` frames ``(node, score)``.
 
-    Physical shape per iteration: two edge-scans with the small score
-    frame broadcast (same guard discipline as pagerank; the edge list
-    is checkpointed once, pre-partitioned by src), two map-side-
-    combinable sums, and two L1 normalizations computed as a 1-row
-    aggregate broadcast-cross-joined onto the PER-ROUND CHECKPOINTED
-    raw frame — the raw scores stay partitioned (an empty-partitionBy
-    window would funnel the whole frame through one task at scale) and
-    the aggregate never re-executes the edge join (the checkpoint is
-    the single evaluation)."""
+    Physical shape per iteration: two exchange-free edge-scans (dst- and
+    src-partitioned cached copies) with the small score frame broadcast
+    (same guard discipline as pagerank), two map-side-combinable sums.
+    L1 normalization — a 1-row aggregate broadcast-cross-joined onto the
+    eagerly-checkpointed raw frame, so the raw scores stay partitioned
+    (an empty-partitionBy window would funnel the whole frame through
+    one task at scale) and the aggregate never re-executes the edge
+    join — runs only at lineage-truncation boundaries and at the end;
+    scale-invariance of the linear updates makes that exact (see inline
+    note)."""
     if n_iter < 1:
         raise ValueError("hits requires n_iter >= 1")
     edges = edges.select("src", "dst").repartition("src").localCheckpoint()
@@ -191,6 +247,22 @@ def hits(
     bcast = (
         max(n_h, auth_nodes.count()) <= broadcast_max_nodes
     )
+    # r03 trims, same outputs (pinned by the unrolled oracle + NumPy
+    # twin): (a) L1 normalization is DEFERRED — both half-round updates
+    # are linear with positive entries, so N(A·N(x)) = N(A·x) exactly in
+    # real arithmetic, and normalizing only at lineage-truncation
+    # boundaries (every 4 rounds, where the eager checkpoint already
+    # pays the materialization) and at the end yields the same scores;
+    # intermediate magnitudes grow ≤ (max_degree)^8 between
+    # normalizations, far inside double range. Float drift vs per-round
+    # normalization is ~1e-13 relative — absorbed by the query-level
+    # round(7), same tolerance class as engine summation-order drift.
+    # (b) TWO cached copies of the edge list, partitioned by dst and by
+    # src, make both half-round groupBys exchange-free (cache preserves
+    # outputPartitioning; localCheckpoint would erase it) — each
+    # half-round is scan + broadcast join + agg in one stage.
+    e_dst = edges.repartition("dst").cache()
+    e_src = edges.repartition("src").cache()
 
     def _l1_normalize(raw: DataFrame) -> DataFrame:
         raw = raw.localCheckpoint(eager=True)
@@ -201,19 +273,35 @@ def hits(
 
     h = hubs_nodes.withColumn("score", F.lit(1.0 / n_h))
     a = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        last = it == n_iter - 1
+        norm_round = last or (it + 1) % 4 == 0
         hb = F.broadcast(h) if bcast else h
-        a = _l1_normalize(
-            edges.join(hb, edges["src"] == h["node"])
-            .groupBy(F.col("dst").alias("node"))
+        a_raw = (
+            e_dst.join(hb, e_dst["src"] == h["node"])
+            .groupBy("dst")
             .agg(F.sum("score").alias("raw"))
+            .withColumnRenamed("dst", "node")
+        )
+        a = (
+            _l1_normalize(a_raw)
+            if norm_round
+            else a_raw.withColumnRenamed("raw", "score")
         )
         ab = F.broadcast(a) if bcast else a
-        h = _l1_normalize(
-            edges.join(ab, edges["dst"] == a["node"])
-            .groupBy(F.col("src").alias("node"))
+        h_raw = (
+            e_src.join(ab, e_src["dst"] == a["node"])
+            .groupBy("src")
             .agg(F.sum("score").alias("raw"))
+            .withColumnRenamed("src", "node")
         )
+        h = (
+            _l1_normalize(h_raw)
+            if norm_round
+            else h_raw.withColumnRenamed("raw", "score")
+        )
+    e_dst.unpersist()
+    e_src.unpersist()
     return h, a
 
 
