@@ -63,6 +63,7 @@ def probe_and_update_index(
     index_dir: str,
     bands: int = 8,
     rows_per_band: int = 2,
+    probe_observation=None,
 ) -> DataFrame:
     """Flag batch docs with an LSH candidate in (index ∪ batch), then
     append the batch's signatures to the index. Returns the flagged
@@ -119,6 +120,15 @@ def probe_and_update_index(
         )
     else:
         all_sigs = new_sigs
+    if probe_observation is not None:
+        # free metric on the probe POPULATION (touched index docs +
+        # batch): the incremental-cost contract says this stays
+        # O(|batch| x bucket) however large the index grows — the scale
+        # smoke (test_scale_smoke.py) pins it against a 100k-doc index
+        all_sigs = all_sigs.observe(
+            probe_observation,
+            F.count(F.lit(1)).alias("probe_docs"),
+        )
     new_ids = new_sigs.select("doc_id").withColumn(
         "is_new", F.lit(True)
     )
