@@ -426,7 +426,11 @@ def bfs_hops(
     flag; round count = min(graph eccentricity, max_hops).
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # r03: dst-partitioned CACHE instead of localCheckpoint — the
+    # per-round distinct over new frontier nodes inherits hash(dst)
+    # from the cache (the broadcast joins preserve it) and plans with
+    # no exchange at all
+    edges = edges.select("src", "dst").repartition("dst").cache()
     # guard on the NODE count (what frontier/visited are bounded by),
     # not the edge count — a sparse 9M-edge graph can have 18M nodes
     bcast = (
@@ -438,15 +442,18 @@ def bfs_hops(
     frontier = visited
     for h in range(1, max_hops + 1):
         fr = frontier.select(F.col("node").alias("src"))
-        vis = F.broadcast(visited) if bcast else visited
+        vis = visited.select(F.col("node").alias("dst"))
+        vis = F.broadcast(vis) if bcast else vis
         # anti-join BEFORE distinct: with visited broadcast the anti is
-        # a map-side filter, so the distinct's shuffle carries only
-        # never-seen nodes instead of every candidate neighbor
+        # a map-side filter, so the distinct carries only never-seen
+        # nodes — and distinct runs on the still-dst-named column so
+        # the cache partitioning satisfies it shuffle-free
         nxt = (
             edges.join(F.broadcast(fr) if bcast else fr, "src")
-            .select(F.col("dst").alias("node"))
-            .join(vis, "node", "anti")
+            .select("dst")
+            .join(vis, "dst", "anti")
             .distinct()
+            .select(F.col("dst").alias("node"))
             .withColumn("d", F.lit(h))
             .localCheckpoint(eager=True)
         )
@@ -457,6 +464,7 @@ def bfs_hops(
         # — re-materializing it would double the per-round job count
         visited = visited.unionByName(nxt)
         frontier = nxt
+    edges.unpersist()  # every frontier frame is already checkpointed
     return visited.select(
         "node", F.col("d").cast("long").alias("hops")
     )
@@ -514,7 +522,6 @@ def label_propagation(
     iterative-graph shape next to components / PageRank / k-core /
     BFS; lineage truncates every round (the label frame is the only
     state, 16 bytes/node)."""
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -522,28 +529,41 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     bcast = nodes.count() <= broadcast_max_nodes
+    # r03 exchange-free iteration (same trick as pagerank): the edge
+    # list is dst-partitioned and CACHED, so both vote aggs — (dst, lbl)
+    # counts and the per-dst argmax — satisfy their distributions from
+    # the cache partitioning (hash(dst) clusters every (dst, lbl) too)
+    # and plan without shuffles; nodes with no in-neighbors keep their
+    # initial label forever, so they are a STATIC frame unioned back
+    # each round instead of a per-round left join. pick covers exactly
+    # the in-nodes every round (every in-node receives votes), so the
+    # old coalesce(new_lbl, lbl) was new_lbl for them — exact.
+    edges = edges.select("src", "dst").repartition("dst").cache()
+    in_nodes = edges.select(F.col("dst").alias("node")).distinct()
+    no_in = (
+        nodes.join(in_nodes, "node", "anti")
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
     labels = nodes.withColumn("lbl", F.col("node"))
     for _ in range(n_rounds):
         lb = F.broadcast(labels) if bcast else labels
         votes = (
             edges.join(lb, edges["src"] == labels["node"])
-            .groupBy(F.col("dst").alias("node"), "lbl")
+            .groupBy("dst", "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        pick = votes.groupBy("node").agg(
+        pick = votes.groupBy("dst").agg(
             (-F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl")))[
                 "nl"
-            ]).alias("new_lbl")
+            ]).alias("lbl")
         )
-        pk = F.broadcast(pick) if bcast else pick
         labels = (
-            labels.join(pk, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_lbl", "lbl").alias("lbl"),
-            )
+            pick.select(F.col("dst").alias("node"), "lbl")
+            .unionByName(no_in)
             .localCheckpoint(eager=True)
         )
+    edges.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))
 
 
@@ -568,7 +588,14 @@ def sssp_bounded(
     candidate is ONE add onto a materialized previous-round distance
     and min() is order-free, so the unrolled SQL oracle hash-matches
     without rounding slack. Sixth iterative-graph shape."""
-    edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    # r03: relaxations are pre-aggregated per dst on the dst-partitioned
+    # CACHED edge list — the edge-scale groupBy plans with no exchange
+    # (cache preserves outputPartitioning) — and only the node-scale
+    # (dst, min_d) frame enters the merge agg with the previous dists.
+    # Exact: min is associative and each candidate d + w is the same
+    # single add as before, so min(dists, min(relaxed_per_dst)) ==
+    # min over the old unioned multiset, bit for bit.
+    edges = edges.select("src", "dst", "w").repartition("dst").cache()
     bcast = (
         edges.select("dst").distinct().count() <= broadcast_max_nodes
     )
@@ -578,9 +605,11 @@ def sssp_bounded(
     ).localCheckpoint(eager=True)
     for _ in range(n_rounds):
         dd = F.broadcast(dists) if bcast else dists
-        relaxed = edges.join(dd, edges["src"] == dists["node"]).select(
-            F.col("dst").alias("node"),
-            (F.col("d") + F.col("w")).alias("d"),
+        relaxed = (
+            edges.join(dd, edges["src"] == dists["node"])
+            .groupBy("dst")
+            .agg(F.min(F.col("d") + F.col("w")).alias("d"))
+            .select(F.col("dst").alias("node"), "d")
         )
         dists = (
             dists.unionByName(relaxed)
@@ -588,6 +617,7 @@ def sssp_bounded(
             .agg(F.min("d").alias("d"))
             .localCheckpoint(eager=True)
         )
+    edges.unpersist()
     return dists.select("node", F.col("d").alias("dist"))
 
 

@@ -1256,21 +1256,13 @@ def test_semantic_dedup_hot_cluster_scale_bounded(spark):
     (2*4096*16 doubles per GEMM, never 100k^2), and the dropped set is
     exact — 10 one-hot prototypes, each copied 10k times, keep only the
     min id per prototype."""
-    import pandas as pd
-
     n, n_proto, dim = 100_000, 10, 16
-    pdf = pd.DataFrame(
-        {
-            "vec_id": range(n),
-            "embedding": [
-                [1.0 if d == (i % n_proto) else 0.0 for d in range(dim)]
-                for i in range(n)
-            ],
-        }
-    )
-    emb = spark.createDataFrame(
-        pdf, "vec_id long, embedding array<double>"
-    )
+    emb = spark.range(n).selectExpr(
+        "id as vec_id",
+        f"transform(sequence(0, {dim - 1}), "
+        f"d -> cast(if(d = id % {n_proto}, 1.0, 0.0) as double)) "
+        "as embedding",
+    ).localCheckpoint(eager=True)  # derived col: materialize per caller note
     out = dedup.semantic_dedup(
         emb, [[0.0] * dim], threshold=0.9, max_cluster_size=4096
     )
