@@ -69,12 +69,16 @@ def pagerank(
     # (unlike localCheckpoint, which erases outputPartitioning) lets
     # Catalyst see hashpartitioning(dst) and plan each iteration's
     # groupBy(dst) WITHOUT a shuffle: scan + broadcast join + partial
-    # + final agg in one stage. Nodes with NO in-edges — whose rank is
-    # the teleport constant from iteration 1 on — are split into a
-    # static checkpointed frame unioned back each round. Float-exact vs
-    # the two-join form: in-nodes evaluate the identical
-    # (1-a)/n + a*s expression over the identical contribution sums;
-    # no-in nodes had s = coalesce(NULL, 0) and adding a*0.0 is exact.
+    # + final agg in one stage. Baking deg into the cached copy (rather
+    # than probing a broadcast deg per iteration) keeps the big-graph
+    # fallback sane: past broadcast_max_nodes a per-iteration deg probe
+    # would be a per-iteration shuffle join — here it is a one-time
+    # build join. Nodes with NO in-edges — whose rank is the teleport
+    # constant from iteration 1 on — are split into a static
+    # checkpointed frame unioned back each round. Float-exact vs the
+    # two-join form: in-nodes evaluate the identical (1-a)/n + a*s
+    # expression over the identical contribution sums; no-in nodes had
+    # s = coalesce(NULL, 0) and adding a*0.0 is exact.
     bcast = n <= broadcast_max_nodes
     nodes_dst = nodes.withColumnRenamed("node", "dst")
     ed = (
@@ -107,7 +111,7 @@ def pagerank(
         ).unionByName(no_in)
         if (it + 1) % 4 == 0 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
-    ed.unpersist()  # final ranks are checkpointed; drop the cached edges
+    ed.unpersist()  # final ranks are checkpointed; drop the cache
     return ranks
 
 
