@@ -171,9 +171,22 @@ def merge_into_partitioned_snapshot(
     delta = latest_per_key(changes, key, seq).withColumn(
         "__part", _part_expr(key, num_partitions)
     )
-    touched = sorted(
-        r["__part"] for r in delta.select("__part").distinct().collect()
+    part_rows = (
+        delta.groupBy("__part")
+        .agg(F.max(F.col(key).isNull()).alias("has_null"))
+        .collect()
     )  # bounded by num_partitions
+    if any(r["has_null"] for r in part_rows):
+        # NULL merge keys are undefined for an upsert: they never match
+        # in the full-outer join (NULL == NULL is false), silently
+        # accumulating one phantom row per batch. xxhash64(NULL) is the
+        # seed hash — NOT null — so the partition id can't reveal them;
+        # refuse loudly on the key itself.
+        raise ValueError(
+            f"merge key '{key}' contains NULLs; filter them before the "
+            "merge or use a non-nullable key"
+        )
+    touched = sorted(r["__part"] for r in part_rows)
     if not touched:
         return
     delta = delta.drop("__part")

@@ -347,3 +347,25 @@ def test_partitioned_merge_gc_cleans_stranded_parts(spark, tmp_path):
     for d in before:  # referenced by v1 -> still present (time travel)
         assert os.path.isdir(os.path.join(table, d))
     assert _psnap_dict(spark, table) == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_partitioned_merge_rejects_null_keys(spark, tmp_path):
+    """NULL merge keys never match in the full-outer join (silent row
+    accumulation) and would write a hive default partition — refuse
+    loudly instead."""
+    import pytest
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    bad = spark.createDataFrame([(None, 1.0, 1), (2, 2.0, 2)], SCHEMA)
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into_partitioned_snapshot(
+            spark,
+            str(tmp_path / "t"),
+            bad,
+            key="k",
+            seq="seq",
+            num_partitions=4,
+        )
