@@ -417,3 +417,40 @@ def test_cbo_uses_analyzed_stats_for_broadcast(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan(j)
     spark.sql("DROP TABLE IF EXISTS cbo_dim")
+
+
+def test_iterative_graph_loop_is_exchange_free(spark):
+    """r03 regression pin: the per-iteration pagerank plan — cached
+    dst-partitioned edge list, broadcast rank frame, groupBy(dst) —
+    must contain ZERO non-broadcast exchanges (cache preserves
+    outputPartitioning; swapping it back to localCheckpoint would
+    silently reintroduce a per-iteration shuffle)."""
+    import re
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(1000)], "src long, dst long"
+    )
+    ed = (
+        edges.repartition("dst").cache()
+    )
+    ed.count()
+    try:
+        ranks = ed.select(F.col("src").alias("node")).distinct().withColumn(
+            "rank", F.lit(0.01)
+        )
+        sums = (
+            ed.join(F.broadcast(ranks), ed["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum("rank").alias("s"))
+        )
+        p = plan(sums)
+        # partial and final HashAggregate ADJACENT = no exchange between
+        # them (the one-time exchanges inside the InMemoryRelation build
+        # and the broadcast subtree are expected and excluded)
+        assert re.search(
+            r"HashAggregate \(\d+\)\n\s*\+- HashAggregate \(\d+\)", p
+        ), f"iteration agg re-shuffles (no adjacent partial/final):\n{p}"
+        assert "BroadcastHashJoin" in p
+        assert "InMemoryTableScan" in p  # cache, not checkpoint
+    finally:
+        ed.unpersist()
