@@ -1,7 +1,12 @@
-.PHONY: test bench verify scale explains queries-doc
+.PHONY: test quick bench verify scale explains queries-doc
 
 test:
 	python -m pytest tests/ -q
+
+# pre-commit tier (<4 min): every fast invariant test + one parity
+# representative per operator family (tests/conftest.py)
+quick:
+	python -m pytest tests/ -m quick -q
 
 bench:
 	python bench.py
