@@ -136,7 +136,13 @@ def gc_unreferenced_parts(table_dir: str) -> list[str]:
         return []
     referenced: set[str] = set()
     for v in range(1, n + 1):
-        m = read_manifest(table_dir, v)
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            # a manually-deleted historical manifest must not brick the
+            # table's maintenance; its versions are unreadable either
+            # way, and the dirs it alone referenced become collectable
+            continue
         if m:
             referenced.update(m["parts"].values())
     removed = []

@@ -65,6 +65,9 @@ def probe_and_update_index(
     rows_per_band: int = 2,
     probe_observation=None,
 ) -> DataFrame:
+    # probe_observation: a FRESH pyspark Observation per call (Spark
+    # allows one observe() per instance); exposes `probe_docs` = the
+    # probe population (touched index docs + batch) as a free metric.
     """Flag batch docs with an LSH candidate in (index ∪ batch), then
     append the batch's signatures to the index. Returns the flagged
     frame ``(doc_a, doc_b)`` (one row per candidate pair touching a

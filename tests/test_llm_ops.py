@@ -1339,3 +1339,23 @@ def test_multimodal_real_decode_distributed(spark):
         for r in multimodal.decode_image(df).collect()
     }
     assert got == expected
+
+
+def test_multimodal_decode_rejects_malformed_payloads():
+    """Malformed media must raise a clear error, never return garbage
+    metadata: truncated rasters, bad magic, unsupported depth/maxval."""
+    px = np.zeros((4, 5, 3), dtype=np.uint8)
+    good_ppm = multimodal.encode_ppm(px)
+    good_bmp = multimodal.encode_bmp(px)
+
+    for bad in [
+        good_ppm[:-7],                      # truncated PPM raster
+        b"P6\n5 4\n65535\n" + b"\x00" * 120,  # 16-bit maxval unsupported
+        good_bmp[:-5],                      # truncated BMP raster
+        good_bmp[:40],                      # truncated BMP header
+        b"BM" + b"\x00" * 20,               # too short for a DIB header
+    ]:
+        with pytest.raises(ValueError):
+            multimodal.decode_image_real(bad)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\xff\xd8\xff\xe0JFIF")  # JPEG
