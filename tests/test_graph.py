@@ -268,3 +268,77 @@ def test_hits_separates_hub_and_authority_roles(spark):
     assert max(a, key=a.get) == 30
     assert abs(sum(h.values()) - 1.0) < 1e-9
     assert abs(sum(a.values()) - 1.0) < 1e-9
+
+
+def test_big_graph_fallback_paths_match_broadcast(spark):
+    """The 100 TB story depends on the non-broadcast fallbacks
+    (broadcast_max_nodes exceeded -> shuffle joins on the partitioned
+    edge list) producing the same answers as the broadcast path. Force
+    the fallback with broadcast_max_nodes=1 on a small graph and compare
+    — exact for integer/min-based algorithms (BFS, LPA, SSSP), round(7)
+    for the spectral ones (summation order may differ across join
+    strategies)."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        bfs_hops,
+        hits,
+        label_propagation,
+        pagerank,
+        personalized_pagerank,
+        sssp_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(200)]
+        + [(i, (i * 11 + 1) % 40) for i in range(100)],
+        "src long, dst long",
+    )
+    from pyspark.sql import functions as F
+
+    wedges = edges.withColumn(
+        "w", (F.col("src") % 5 + 1).cast("double")
+    )
+    seeds = spark.createDataFrame([(3,), (7,)], "node long")
+
+    def r7(df, col):
+        return {
+            r["node"]: round(r[col], 7) for r in df.collect()
+        }
+
+    for kw_fast, kw_slow in [
+        (dict(broadcast_max_nodes=10**7), dict(broadcast_max_nodes=1))
+    ]:
+        assert r7(pagerank(edges, n_iter=4, **kw_fast), "rank") == r7(
+            pagerank(edges, n_iter=4, **kw_slow), "rank"
+        )
+        assert r7(
+            personalized_pagerank(edges, seeds, n_iter=4, **kw_fast),
+            "rank",
+        ) == r7(
+            personalized_pagerank(edges, seeds, n_iter=4, **kw_slow),
+            "rank",
+        )
+        hf, af = hits(edges, n_iter=3, **kw_fast)
+        hs, as_ = hits(edges, n_iter=3, **kw_slow)
+        assert r7(hf, "score") == r7(hs, "score")
+        assert r7(af, "score") == r7(as_, "score")
+        assert {
+            (r["node"], r["hops"])
+            for r in bfs_hops(edges, 0, max_hops=5, **kw_fast).collect()
+        } == {
+            (r["node"], r["hops"])
+            for r in bfs_hops(edges, 0, max_hops=5, **kw_slow).collect()
+        }
+        assert {
+            (r["node"], r["community"])
+            for r in label_propagation(edges, n_rounds=3, **kw_fast).collect()
+        } == {
+            (r["node"], r["community"])
+            for r in label_propagation(edges, n_rounds=3, **kw_slow).collect()
+        }
+        assert {
+            (r["node"], r["dist"])
+            for r in sssp_bounded(wedges, 0, n_rounds=4, **kw_fast).collect()
+        } == {
+            (r["node"], r["dist"])
+            for r in sssp_bounded(wedges, 0, n_rounds=4, **kw_slow).collect()
+        }
