@@ -28,3 +28,27 @@ def test_queries_and_oracles_consistent():
     assert set(oracles) <= set(qs)
     # every oracle is non-empty SQL
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+
+
+def test_bench_headline_names_resolve():
+    """bench.py is the driver's per-round metric — a renamed or removed
+    registry query must fail CI here, not at BENCH_r{N}.json time."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from customer_segmentation_pyspark_spark.queries import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench names not in REGISTRY: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicates"
+    assert bench.R01_SUBSET <= set(bench.HEADLINE)
+    assert len(bench.R01_SUBSET) == 37  # the r01 cross-round yardstick
+    # the calibration spin must be deterministic work (no I/O, no Spark)
+    t = bench._calibrate(iters=10_000)
+    assert t > 0
