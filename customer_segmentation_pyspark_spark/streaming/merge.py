@@ -60,6 +60,11 @@ def merge_into_snapshot(
     crash point.  (A reader inside the rename gap can still see the
     directory briefly missing; the table-format commit log is the
     lakehouse-scale fix.)
+
+    Cost is O(|snapshot|) per batch — fine for compacted snapshots; for
+    large snapshots under small change streams use
+    ``merge_into_partitioned_snapshot`` below (same semantics, rewrites
+    only partitions containing changed keys, atomic manifest commit).
     """
     recover_swap(snapshot_dir)
     delta = latest_per_key(changes, key, seq)
