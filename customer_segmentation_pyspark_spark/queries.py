@@ -4086,6 +4086,44 @@ def q_hits_parts(spark, sf_dir):
     )
 
 
+def q_graph_insights_pipeline(spark, sf_dir):
+    """Capstone #6 — graph analytics over ONE shared graph build: the
+    co-purchase pair pipeline (the expensive part: lineitem groupBy +
+    basket explode) is materialized ONCE and feeds BOTH PageRank
+    (influence) and degree-oriented triangle counting (cohesion); the
+    result joins the top-20 influential parts with their triangle
+    participation. This is the build-once-analyze-many pattern a 100 TB
+    graph workload runs (per-algorithm rebuilds of a trillion-edge list
+    are the dominant cost, not the analytics). Oracle composes the two
+    certified unrolled oracles (_sql_part_pagerank + the naive
+    three-way triangle join) as subqueries over the same pair CTE
+    definition."""
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_pairs,
+        pagerank,
+        symmetrize,
+        triangle_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = copurchase_pairs(li).localCheckpoint(eager=True)  # ONE build
+    ranks = pagerank(symmetrize(pairs), alpha=0.85, n_iter=8)
+    tri = triangle_counts(pairs).withColumnRenamed("node", "part_key")
+    top = (
+        ranks.select(
+            F.col("node").alias("part_key"),
+            F.round("rank", 7).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "part_key")
+        .limit(20)
+    )
+    return top.join(tri, "part_key", "left").select(
+        "part_key",
+        "rank",
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+    )
+
+
 def q_try_funcs(spark, sf_dir):
     """ANSI-safe try_* functions: try_divide yields NULL on zero divisors
     and try_cast NULL on malformed input instead of failing the job — the
@@ -10640,6 +10678,28 @@ REGISTRY: dict[str, QuerySpec] = {
     "part_pagerank": QuerySpec(q_part_pagerank, ORACLES["part_pagerank"]),
     "ppr_brand": QuerySpec(q_ppr_brand, ORACLES["ppr_brand"]),
     "hits_parts": QuerySpec(q_hits_parts, ORACLES["hits_parts"]),
+    "graph_insights_pipeline": QuerySpec(
+        q_graph_insights_pipeline,
+        (
+            "SELECT t.part_key, t.rank, "
+            "CAST(coalesce(tr.n_tri, 0) AS BIGINT) AS n_tri "
+            "FROM (" + _sql_part_pagerank() + ") t "
+            "LEFT JOIN ("
+            "WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pairs AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb "
+            "  FROM lines a JOIN lines b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "tri AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c "
+            "  FROM pairs e1 "
+            "  JOIN pairs e2 ON e2.pa = e1.pb "
+            "  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb), "
+            "corners AS (SELECT a AS node FROM tri "
+            "  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+            "SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_tri "
+            "FROM corners GROUP BY node"
+            ") tr ON tr.part_key = t.part_key"
+        ),
+    ),
     "try_funcs": QuerySpec(q_try_funcs, ORACLES["try_funcs"]),
     "date_arithmetic": QuerySpec(
         q_date_arithmetic, ORACLES["date_arithmetic"]
