@@ -122,6 +122,10 @@ HEADLINE = [
     "psi_drift",
     "gini_revenue",
     "order_acf",
+    # r03: capstone #6 — pagerank x triangles over ONE shared graph
+    # build (the per-query graph rebuild is the dominant cost of the
+    # individual graph queries; this measures the amortized pattern)
+    "graph_insights_pipeline",
 ]
 
 
