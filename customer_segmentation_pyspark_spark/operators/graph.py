@@ -625,7 +625,11 @@ def sssp_bounded(
     return dists.select("node", F.col("d").alias("dist"))
 
 
-def copurchase_pair_weights(lineitem: DataFrame) -> DataFrame:
+def copurchase_pair_weights(
+    lineitem: DataFrame,
+    max_basket_size: int = 2048,
+    observation=None,
+) -> DataFrame:
     """Co-purchase pairs ``(pa, pb, w)`` with pa < pb and w = number of
     orders containing both parts.
 
@@ -634,13 +638,40 @@ def copurchase_pair_weights(lineitem: DataFrame) -> DataFrame:
     cross-order count. This replaces the earlier equi-self-join (which
     shuffled BOTH join sides and sort-merged them before the same
     agg — measured 1.8x slower at sf0.1). Per-order pair fan-out is
-    k(k-1)/2 on basket size k; baskets are small and bounded (TPC-H
-    <= 7; retail baskets tens), so the explode never skews a task — a
-    pathological million-line order would need a basket-size cap, the
-    same guard as LSH buckets. Every graph consumer should derive
-    from this ONCE."""
+    k(k-1)/2 on basket size k; baskets are small in practice (TPC-H
+    <= 7 lines; retail baskets tens), and since r03 the cap is
+    ENFORCED, not assumed — the same discipline as the LSH bucket cap:
+    basket LINE COUNT is computed first as a window count over the
+    order key (one shuffle, shared with the grouping below — a
+    pathological million-line order streams through the window's
+    spillable buffer, its part array never materializing in an agg
+    buffer), and orders above ``max_basket_size`` lines are dropped
+    BEFORE collect_set/explode, bounding agg-buffer memory and pair
+    fan-out at ~cap^2/2 per basket. Dropped baskets surface through
+    the free ``observation`` metrics (``oversized_baskets``,
+    ``max_basket_lines_seen``) — observable, never silent. Every graph
+    consumer should derive from this ONCE."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    lines = lineitem.select("l_orderkey", "l_partkey").withColumn(
+        "bsz", F.count(F.lit(1)).over(w)
+    )
+    if observation is not None:
+        lines = lines.observe(
+            observation,
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("bsz") > max_basket_size, 1.0 / F.col("bsz")
+                    ).otherwise(0.0)
+                )
+            ).cast("long").alias("oversized_baskets"),
+            F.max("bsz").cast("long").alias("max_basket_lines_seen"),
+        )
     sets = (
-        lineitem.groupBy("l_orderkey")
+        lines.filter(F.col("bsz") <= max_basket_size)
+        .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") >= 2)
     )

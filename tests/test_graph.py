@@ -342,3 +342,37 @@ def test_big_graph_fallback_paths_match_broadcast(spark):
             (r["node"], r["dist"])
             for r in sssp_bounded(wedges, 0, n_rounds=4, **kw_slow).collect()
         }
+
+
+def test_copurchase_basket_cap_bounds_hot_basket(spark):
+    """r03: the basket cap is enforced, not assumed — a pathological
+    50k-line order is dropped BEFORE collect_set/pair explosion (window
+    count shares the one shuffle), surfaced via free Observation
+    metrics, and normal baskets are unaffected."""
+    from pyspark.sql import Observation
+
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_pair_weights,
+    )
+
+    rows = [(999_999, i) for i in range(50_000)]  # one hot basket
+    for o in range(20):
+        for p in (o, o + 1, o + 2):  # 20 normal 3-part baskets
+            rows.append((o, p))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    obs = Observation("basket_cap")
+    pairs = {
+        (r["pa"], r["pb"], r["w"])
+        for r in copurchase_pair_weights(li, observation=obs).collect()
+    }
+    m = obs.get
+    assert m["oversized_baskets"] == 1
+    assert m["max_basket_lines_seen"] == 50_000
+    # only normal-basket pairs survive; every part id < 22
+    assert pairs and all(pb < 25 for _, pb, _ in pairs)
+    expected = set()
+    for o in range(20):
+        for a, b in [(o, o + 1), (o, o + 2), (o + 1, o + 2)]:
+            expected.add((a, b))
+    assert {(a, b) for a, b, _ in pairs} == expected
