@@ -980,6 +980,8 @@ def semantic_dedup(
     (measured 40x wall on a 500-doc corpus with computed embeddings;
     see q_retrieval_index_pipeline).
     """
+    if max_cluster_size < 1:
+        raise ValueError("max_cluster_size must be >= 1")
     n_dim = len(centroids[0])
 
     def elem(vec: str, i: int) -> str:
@@ -1058,6 +1060,29 @@ def semantic_dedup(
     cold = assigned
     if hot:
         spark = emb.sparkSession
+        # The block-pair index has nb(nb+1)/2 rows per hot cluster
+        # (nb = ceil(size/cap)) — QUADRATIC in the skew factor. That is
+        # fine for the skew this cap exists for (a 100x-cap cluster is
+        # ~5k index rows), but the underlying all-pairs GEMM is O(n^2)
+        # COMPUTE no matter how it is sub-divided: a billion-row cluster
+        # is 5e17 similarity pairs, which no indexing scheme makes
+        # tractable. Refuse past ~1000x-cap skew with guidance instead
+        # of building a multi-million-row driver-side index for a job
+        # that cannot finish — re-cluster the hot cluster (recursive
+        # SemDeDup with fresh centroids) or route it through an
+        # LSH/IVF prefilter + embedding_neardup_pairs on candidates.
+        total_idx = sum(
+            (math.ceil(sz / max_cluster_size) ** 2) for sz in hot.values()
+        )
+        if total_idx > 2_000_000:
+            worst = max(hot.items(), key=lambda kv: kv[1])
+            raise ValueError(
+                f"semantic_dedup: cluster {worst[0]} has {worst[1]} rows "
+                f"(> ~1000x max_cluster_size={max_cluster_size}); the "
+                "exact within-cluster GEMM is O(n^2) and infeasible at "
+                "this skew — re-cluster with more/fresher centroids or "
+                "pre-filter with LSH/IVF before exact verification"
+            )
         nbs, idx_rows = [], []
         for cl, sz in sorted(hot.items()):
             nb = math.ceil(sz / max_cluster_size)

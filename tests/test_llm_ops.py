@@ -1359,3 +1359,18 @@ def test_multimodal_decode_rejects_malformed_payloads():
             multimodal.decode_image_real(bad)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\xff\xd8\xff\xe0JFIF")  # JPEG
+
+
+def test_semantic_dedup_refuses_infeasible_skew(spark):
+    """Past ~1000x-cap skew the exact within-cluster GEMM is O(n^2)
+    infeasible — the operator must refuse with guidance, not build a
+    multi-million-row block-pair index for a job that cannot finish."""
+    emb = spark.range(5000).selectExpr(
+        "id as vec_id",
+        "transform(sequence(0, 3), d -> cast(d as double)) as embedding",
+    )
+    # 5000 rows in one cluster with cap 3 -> nb ~ 1667, nb^2 ~ 2.8M
+    with pytest.raises(ValueError, match="re-cluster"):
+        dedup.semantic_dedup(emb, [[0.0] * 4], max_cluster_size=3)
+    with pytest.raises(ValueError, match=">= 1"):
+        dedup.semantic_dedup(emb, [[0.0] * 4], max_cluster_size=0)
