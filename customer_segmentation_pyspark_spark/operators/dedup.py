@@ -579,6 +579,18 @@ def embedding_neardup_pairs(
     num_blocks = max(
         1, min(n, max(math.ceil(n / rows_per_block), par_blocks))
     )
+    if num_blocks * (num_blocks + 1) // 2 > 2_000_000:
+        # the block-pair index grows quadratically in n/rows_per_block;
+        # past ~2M pairs (n ~ 200M rows at the default block size) the
+        # exact all-pairs GEMM is infeasible COMPUTE anyway — this
+        # operator is the exact verifier for candidate subsets, not a
+        # corpus-scale scan (see docstring / SCALE.md)
+        raise ValueError(
+            f"embedding_neardup_pairs: {n} rows -> {num_blocks} blocks; "
+            "exact all-pairs is infeasible at this scale — prefilter "
+            "with minhash/hyperplane LSH or IVF and run this on the "
+            "candidate subset (subset=...), or raise rows_per_block"
+        )
     index_rows = []
     pid = 0
     for i in range(num_blocks):

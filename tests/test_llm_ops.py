@@ -1374,3 +1374,15 @@ def test_semantic_dedup_refuses_infeasible_skew(spark):
         dedup.semantic_dedup(emb, [[0.0] * 4], max_cluster_size=3)
     with pytest.raises(ValueError, match=">= 1"):
         dedup.semantic_dedup(emb, [[0.0] * 4], max_cluster_size=0)
+
+
+def test_embedding_neardup_refuses_corpus_scale_exact(spark):
+    """The exact block-pair GEMM is the verifier for candidate subsets;
+    at corpus scale (block-pair index > 2M pairs) it must refuse with
+    prefilter guidance instead of attempting an infeasible all-pairs."""
+    emb = spark.range(10_000).selectExpr(
+        "id as vec_id",
+        "transform(sequence(0, 3), d -> cast(d as double)) as embedding",
+    )
+    with pytest.raises(ValueError, match="prefilter"):
+        dedup.embedding_neardup_pairs(emb, rows_per_block=2)
