@@ -198,27 +198,34 @@ def main() -> None:
     load_after = list(os.getloadavg())
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "r01_subset_total": round(
-                    sum(t for n, t in timings.items() if n in R01_SUBSET), 3
-                ),
-                "contention": {
-                    "spin_sec_before": cal_before,
-                    "spin_sec_after": cal_after,
-                    "loadavg_before": [round(v, 2) for v in load_before],
-                    "loadavg_after": [round(v, 2) for v in load_after],
-                    "cpus": os.cpu_count(),
-                },
-            }
-        )
+    result_line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "r01_subset_total": round(
+                sum(t for n, t in timings.items() if n in R01_SUBSET), 3
+            ),
+            "contention": {
+                "spin_sec_before": cal_before,
+                "spin_sec_after": cal_after,
+                "loadavg_before": [round(v, 2) for v in load_before],
+                "loadavg_after": [round(v, 2) for v in load_after],
+                "cpus": os.cpu_count(),
+            },
+        }
     )
+    # Durable artifact FIRST (the driver's tail capture has truncated
+    # the stdout line mid-JSON before — BENCH_r03.json lost its total),
+    # then the contractual one-line stdout print.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(result_line + "\n")
+    print(result_line, flush=True)
 
 
 if __name__ == "__main__":

@@ -585,6 +585,7 @@ def embedding_neardup_pairs(
         # exact all-pairs GEMM is infeasible COMPUTE anyway — this
         # operator is the exact verifier for candidate subsets, not a
         # corpus-scale scan (see docstring / SCALE.md)
+        v.unpersist()  # don't strand the cached frame on the error path
         raise ValueError(
             f"embedding_neardup_pairs: {n} rows -> {num_blocks} blocks; "
             "exact all-pairs is infeasible at this scale — prefilter "
@@ -1088,6 +1089,7 @@ def semantic_dedup(
         )
         if total_idx > 2_000_000:
             worst = max(hot.items(), key=lambda kv: kv[1])
+            assigned.unpersist()  # don't strand the cache on refusal
             raise ValueError(
                 f"semantic_dedup: cluster {worst[0]} has {worst[1]} rows "
                 f"(> ~1000x max_cluster_size={max_cluster_size}); the "

@@ -647,10 +647,13 @@ def copurchase_pair_weights(
     spillable buffer, its part array never materializing in an agg
     buffer), and orders above ``max_basket_size`` lines are dropped
     BEFORE collect_set/explode, bounding agg-buffer memory and pair
-    fan-out at ~cap^2/2 per basket. Dropped baskets surface through
-    the free ``observation`` metrics (``oversized_baskets``,
-    ``max_basket_lines_seen``) — observable, never silent. Every graph
-    consumer should derive from this ONCE."""
+    fan-out at ~cap^2/2 per basket. Oversized baskets are NEVER handled
+    silently (r04): with an ``observation`` attached they are dropped
+    and recorded (``oversized_baskets``, ``max_basket_lines_seen`` —
+    free, no extra scan); with ``observation=None`` an oversized basket
+    raises at execution via a conditional ``raise_error`` guard, so on
+    non-TPC-H data the operator cannot quietly diverge from its SQL
+    oracles. Every graph consumer should derive from this ONCE."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_orderkey")
@@ -669,8 +672,32 @@ def copurchase_pair_weights(
             ).cast("long").alias("oversized_baskets"),
             F.max("bsz").cast("long").alias("max_basket_lines_seen"),
         )
+        lines = lines.filter(F.col("bsz") <= max_basket_size)
+    else:
+        # No observer -> refuse loudly instead of dropping silently.
+        # CaseWhen evaluates raise_error only on the oversized branch,
+        # so the guard is free on conforming data.
+        lines = lines.filter(
+            F.when(
+                F.col("bsz") > max_basket_size,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "copurchase_pair_weights: basket with "
+                        ),
+                        F.col("bsz").cast("string"),
+                        F.lit(
+                            f" lines exceeds max_basket_size="
+                            f"{max_basket_size}; pass an Observation to"
+                            " drop-and-record oversized baskets, or"
+                            " raise max_basket_size"
+                        ),
+                    )
+                ).isNull(),
+            ).otherwise(F.lit(True))
+        )
     sets = (
-        lines.filter(F.col("bsz") <= max_basket_size)
+        lines
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") >= 2)
@@ -728,6 +755,11 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # carry the survivor count in a Python variable across rounds (r04,
+    # VERDICT nit): e was already checkpointed, so recounting it each
+    # round was a cheap-but-pointless second job — one count per round
+    # suffices
+    before = e.count()
     for _ in range(max_rounds):
         deg = (
             e.select(F.col("pa").alias("n"))
@@ -744,10 +776,11 @@ def k_core(
             .select("pa", "pb")
             .localCheckpoint(eager=True)
         )
-        before, after = e.count(), e2.count()
+        after = e2.count()
         e = e2
         if after == before or after == 0:
             break
+        before = after
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionByName(e.select(F.col("pb").alias("node")))

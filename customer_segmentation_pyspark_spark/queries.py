@@ -2409,9 +2409,16 @@ ORDER BY rank DESC, part_key LIMIT {k}"""
 
 
 def _sql_hits(n_iter: int = 8, k: int = 20) -> str:
-    """q_hits_parts' HITS iterations UNROLLED: per round an authority
-    sum + L1 window normalization, then the hub mirror. round(7)
-    absorbs the engines' summation-order drift, as in pagerank."""
+    """q_hits_parts' HITS iterations UNROLLED, replaying the engine's
+    DEFERRED L1 normalization exactly (``hits()`` normalizes only at
+    lineage-truncation boundaries — every 4th round — and on the last
+    round; both half-round updates are linear with positive entries, so
+    the result is identical in real arithmetic). r04 (ADVICE): the
+    oracle previously normalized EVERY round, leaving ~1e-13 relative
+    float drift vs the engine that round(7) usually — but not
+    provably — absorbed; mirroring the deferral reduces the residual to
+    pure summation-order drift, the same class round(7) absorbs in
+    every other float oracle (pagerank, sssp)."""
     parts = [
         """edges AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
@@ -2424,17 +2431,26 @@ h0 AS MATERIALIZED (
     ]
     for i in range(1, n_iter + 1):
         j = i - 1
+        norm = i == n_iter or i % 4 == 0
+        a_def = (
+            f"SELECT node, raw / sum(raw) OVER () AS score FROM ar{i}"
+            if norm
+            else f"SELECT node, raw AS score FROM ar{i}"
+        )
+        h_def = (
+            f"SELECT node, raw / sum(raw) OVER () AS score FROM hr{i}"
+            if norm
+            else f"SELECT node, raw AS score FROM hr{i}"
+        )
         parts.append(
             f"""ar{i} AS MATERIALIZED (
   SELECT e.dst AS node, sum(h.score) AS raw
   FROM edges e JOIN h{j} h ON e.src = h.node GROUP BY 1),
-a{i} AS MATERIALIZED (
-  SELECT node, raw / sum(raw) OVER () AS score FROM ar{i}),
+a{i} AS MATERIALIZED ({a_def}),
 hr{i} AS MATERIALIZED (
   SELECT e.src AS node, sum(a.score) AS raw
   FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY 1),
-h{i} AS MATERIALIZED (
-  SELECT node, raw / sum(raw) OVER () AS score FROM hr{i})"""
+h{i} AS MATERIALIZED ({h_def})"""
         )
     body = ",\n".join(parts)
     return f"""WITH {body}

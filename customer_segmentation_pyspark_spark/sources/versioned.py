@@ -25,6 +25,7 @@ from __future__ import annotations
 import glob as _glob
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,13 +50,32 @@ def versions(table_dir: str) -> list[int]:
     return list(range(1, n + 1))
 
 
+#: A ``.staging-*`` / unreferenced ``p-*`` dir younger than this is
+#: treated as a possibly-IN-FLIGHT write, not crash debris, and is left
+#: alone by cleanup (r04, ADVICE: the single-writer contract was only a
+#: docstring — an age guard makes a concurrent writer survivable
+#: instead of silently corrupted).
+STAGING_GRACE_SEC = 900.0
+
+
+def _is_stale(path: str, grace_sec: float) -> bool:
+    """True when ``path`` is older than the grace window (a vanished dir
+    counts as handled — someone else cleaned it)."""
+    try:
+        return (time.time() - os.path.getmtime(path)) > grace_sec
+    except OSError:
+        return False
+
+
 def write_version(df: DataFrame, table_dir: str) -> int:
     """Commit ``df`` as the next version; returns its version number."""
     os.makedirs(table_dir, exist_ok=True)
     # clean staging stranded by a previous crash — safe: committed
-    # versions are never under a .staging name
+    # versions are never under a .staging name, and the age guard
+    # spares any concurrent writer's in-flight staging dir
     for stale in _glob.glob(os.path.join(table_dir, ".staging-*")):
-        shutil.rmtree(stale, ignore_errors=True)
+        if _is_stale(stale, STAGING_GRACE_SEC):
+            shutil.rmtree(stale, ignore_errors=True)
     v = latest_version(table_dir) + 1
     staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(staging)
@@ -125,12 +145,19 @@ def commit_manifest(table_dir: str, manifest: dict) -> int:
     return v
 
 
-def gc_unreferenced_parts(table_dir: str) -> list[str]:
+def gc_unreferenced_parts(
+    table_dir: str, grace_sec: float = STAGING_GRACE_SEC
+) -> list[str]:
     """Drop part directories referenced by NO committed manifest (debris
     from a crash between the part writes and the pointer flip) plus
-    stranded staging dirs. Single-writer maintenance — never touches a
-    directory any committed version can reach, so time travel across
-    all committed manifests survives. Returns the removed names."""
+    stranded staging dirs. Never touches a directory any committed
+    version can reach, so time travel across all committed manifests
+    survives. Candidates younger than ``grace_sec`` are spared: an
+    unreferenced-but-fresh dir may be a CONCURRENT merge's in-flight
+    write that simply has not flipped its pointer yet, so deleting on
+    sight would corrupt it mid-commit (pass ``grace_sec=0`` to force
+    the old behavior in a provably single-writer context). Returns the
+    removed names."""
     n = latest_version(table_dir)
     if n < 1:
         return []
@@ -153,6 +180,8 @@ def gc_unreferenced_parts(table_dir: str) -> list[str]:
         if entry.startswith(".staging-") or (
             entry.startswith("p-") and entry not in referenced
         ):
+            if not _is_stale(full, grace_sec):
+                continue  # possibly in-flight — spare it this pass
             shutil.rmtree(full, ignore_errors=True)
             removed.append(entry)
     return removed

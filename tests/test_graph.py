@@ -4,6 +4,7 @@ edge list, probability-mass invariant, and a hand-checkable tiny graph."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from customer_segmentation_pyspark_spark.operators.graph import (
     copurchase_edges,
@@ -376,3 +377,28 @@ def test_copurchase_basket_cap_bounds_hot_basket(spark):
         for a, b in [(o, o + 1), (o, o + 2), (o + 1, o + 2)]:
             expected.add((a, b))
     assert {(a, b) for a, b, _ in pairs} == expected
+
+
+def test_copurchase_oversized_basket_without_observer_raises(spark):
+    """r04 (ADVICE): with no Observation attached there is nobody to
+    see a dropped basket, so the operator must refuse loudly instead of
+    silently diverging from its SQL oracles — a conditional raise_error
+    fires at execution; conforming data is unaffected."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from customer_segmentation_pyspark_spark.operators.graph import (
+        copurchase_pair_weights,
+    )
+
+    rows = [(1, p) for p in range(10)] + [(2, 1), (2, 2), (2, 3)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="max_basket_size"
+    ):
+        copurchase_pair_weights(li, max_basket_size=4).collect()
+    # conforming data still works observer-less: C(10,2)=45 distinct
+    # pairs (basket 2's three pairs fold into their weights)
+    ok = {(r["pa"], r["pb"]): r["w"] for r in
+          copurchase_pair_weights(li, max_basket_size=64).collect()}
+    assert len(ok) == 45 and ok[(1, 2)] == 2 and ok[(0, 1)] == 1

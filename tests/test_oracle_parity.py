@@ -23,8 +23,6 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
-    if isinstance(v, int):
-        return float(v) if False else v
     return v
 
 

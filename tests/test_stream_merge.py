@@ -329,11 +329,19 @@ def test_partitioned_merge_gc_cleans_stranded_parts(spark, tmp_path):
         seq="seq",
         num_partitions=4,
     )
-    # simulate the crash debris
+    # simulate the crash debris — backdated past the grace window
+    # (a FRESH unreferenced dir may be a concurrent merge in flight
+    # and must be spared; see fresh_spared below)
+    import time
+
     stranded = os.path.join(table, "p-deadbeefcafe")
     os.makedirs(stranded)
     with open(os.path.join(stranded, "junk.parquet"), "w") as f:
         f.write("x")
+    old = time.time() - versioned.STAGING_GRACE_SEC - 60
+    os.utime(stranded, (old, old))
+    fresh_spared = os.path.join(table, "p-freshfresh01")
+    os.makedirs(fresh_spared)
     before = set(versioned.read_manifest(table)["parts"].values())
 
     merge_into_partitioned_snapshot(
@@ -344,6 +352,7 @@ def test_partitioned_merge_gc_cleans_stranded_parts(spark, tmp_path):
         seq="seq",
     )
     assert not os.path.exists(stranded)
+    assert os.path.isdir(fresh_spared)  # in-flight-looking dir spared
     for d in before:  # referenced by v1 -> still present (time travel)
         assert os.path.isdir(os.path.join(table, d))
     assert _psnap_dict(spark, table) == {1: 1.0, 2: 2.0, 3: 3.0}

@@ -43,7 +43,17 @@ def test_torn_commit_is_invisible_and_cleaned(spark, tmp_path):
     assert latest_version(t) == 1
     assert read_table(spark, t).count() == 5
     assert versions(t) == [1]
-    # next write cleans the stranded staging and becomes v2
+    # a FRESH staging dir could be a concurrent writer's in-flight
+    # commit (ADVICE r03) — the next write must spare it...
+    write_version(d.limit(6), t)
+    assert os.path.isdir(staging)
+    # ...and clean it only once it is older than the grace window
+    import time
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    old = time.time() - versioned.STAGING_GRACE_SEC - 60
+    os.utime(staging, (old, old))
     write_version(d.limit(7), t)
     assert not [p for p in os.listdir(t) if p.startswith(".staging-")]
     assert read_table(spark, t).count() == 7

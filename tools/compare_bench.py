@@ -6,16 +6,80 @@ cross-round subset, and a contention verdict from the spin calibration.
 Usage:
     python tools/compare_bench.py OLD.json NEW.json [--worst N]
 
-Accepts either the raw one-line JSON bench.py prints or a driver
-BENCH_r{N}.json wrapper (the bench line is extracted from its `tail`).
+Accepts, in order of preference per file:
+  1. the raw one-line JSON bench.py prints (also what bench.py now
+     writes to BENCH.json directly),
+  2. a driver BENCH_r{N}.json wrapper whose `tail` contains the full
+     bench line,
+  3. a TRUNCATED driver wrapper where only the per-query dict survived
+     in the tail (BENCH_r03.json) — the `"queries": {...}` object is
+     brace-matched out and the total reconstructed as sum(queries).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import re
 import statistics
 import sys
+
+
+def _extract_object(text: str, start: int) -> str | None:
+    """Return the balanced {...} substring starting at text[start]=='{'.
+
+    Bench values are plain floats/ints (no braces or quotes inside the
+    queries dict), but walk strings correctly anyway for the contention
+    block.
+    """
+    depth = 0
+    in_str = False
+    esc = False
+    for i in range(start, len(text)):
+        ch = text[i]
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return text[start : i + 1]
+    return None
+
+
+def _parse_partial_tail(path: str, tail: str) -> dict:
+    """Recover what we can from a tail that lost the line's prefix."""
+    m = re.search(r'"queries":\s*\{', tail)
+    if not m:
+        sys.exit(f"{path}: no bench JSON found in tail")
+    obj = _extract_object(tail, m.end() - 1)
+    if obj is None:
+        sys.exit(f"{path}: queries dict itself is truncated")
+    queries = json.loads(obj)
+    d: dict = {
+        "queries": queries,
+        "value": round(sum(queries.values()), 3),
+        "_partial": True,
+    }
+    for key in ("sf", "r01_subset_total"):
+        km = re.search(rf'"{key}":\s*([-+0-9.eE]+)', tail[m.end() :])
+        if km:
+            d[key] = float(km.group(1))
+    cm = re.search(r'"contention":\s*\{', tail)
+    if cm:
+        cobj = _extract_object(tail, cm.end() - 1)
+        if cobj is not None:
+            d["contention"] = json.loads(cobj)
+    return d
 
 
 def load_bench(path: str) -> dict:
@@ -23,11 +87,18 @@ def load_bench(path: str) -> dict:
         d = json.load(f)
     if "queries" in d:
         return d
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return d["parsed"]
     # driver wrapper: extract the JSON line from the captured tail
-    m = re.search(r'\{"metric".*', d.get("tail", ""))
-    if not m:
-        sys.exit(f"{path}: no bench JSON found (keys: {sorted(d)})")
-    return json.loads(m.group(0).split("\r")[0].split("\n")[0])
+    tail = d.get("tail", "")
+    m = re.search(r'\{"metric".*', tail)
+    if m:
+        line = m.group(0).split("\r")[0].split("\n")[0]
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            pass  # line itself truncated mid-JSON — fall through
+    return _parse_partial_tail(path, tail)
 
 
 def contention_note(d: dict) -> str:
@@ -43,16 +114,21 @@ def contention_note(d: dict) -> str:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    worst_n = 10
-    for a in sys.argv[1:]:
-        if a.startswith("--worst"):
-            worst_n = int(a.split("=", 1)[1]) if "=" in a else worst_n
-    if len(args) != 2:
-        sys.exit(__doc__)
-    old, new = load_bench(args[0]), load_bench(args[1])
-    print(f"old: total {old['value']} s  ({contention_note(old)})")
-    print(f"new: total {new['value']} s  ({contention_note(new)})")
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--worst", type=int, default=10, metavar="N")
+    ns = ap.parse_args()
+    worst_n = ns.worst
+    old, new = load_bench(ns.old), load_bench(ns.new)
+    for label, d in (("old", old), ("new", new)):
+        partial = " [reconstructed from partial tail]" if d.get("_partial") else ""
+        print(
+            f"{label}: total {d['value']} s  ({contention_note(d)}){partial}"
+        )
     for k in ("r01_subset_total",):
         if k in old or k in new:
             print(f"{k}: {old.get(k, '—')} -> {new.get(k, '—')}")
