@@ -112,21 +112,19 @@ def streaming_sessionize(
     )
 
 
-def streaming_user_stats_tws(events, ttl_idle_ms: int = 0):
-    """Per-user running statistics via ``transformWithStateInPandas``
-    (the Spark 4 arbitrary-state API that supersedes
-    applyInPandasWithState: typed state handles, per-state TTL, timers).
-    Keeps ONE ValueState row per user — (count, total, max) — and emits
-    the updated stats each micro-batch; at any point the latest emitted
-    row per user equals the batch aggregate over everything ingested
-    (the twin asserted in tests).
-
-    State is O(1) per user and columnar in the state store; TTL (when
-    ``ttl_idle_ms`` > 0) expires idle users without a manual timer —
-    the knob that bounds state for drive-by keys at corpus scale.
-    """
+def user_stats_tws_parts(ttl_idle_ms: int = 0):
+    """(processor instance, output schema) for the TWS user-stats
+    processor — factored out of :func:`streaming_user_stats_tws` (r04,
+    VERDICT item 4) so the processor's SEMANTICS are executable without
+    the protobuf state-server transport: tests drive ``init`` /
+    ``handleInputRows`` directly against a fake ValueState handle and
+    compare with the batch aggregate, leaving only Spark's own wire
+    protocol to the environment-gated streaming twin."""
     import pandas as pd
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -176,10 +174,27 @@ def streaming_user_stats_tws(events, ttl_idle_ms: int = 0):
         def close(self):
             pass
 
+    return UserStats(), out_schema
+
+
+def streaming_user_stats_tws(events, ttl_idle_ms: int = 0):
+    """Per-user running statistics via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API that supersedes
+    applyInPandasWithState: typed state handles, per-state TTL, timers).
+    Keeps ONE ValueState row per user — (count, total, max) — and emits
+    the updated stats each micro-batch; at any point the latest emitted
+    row per user equals the batch aggregate over everything ingested
+    (the twin asserted in tests).
+
+    State is O(1) per user and columnar in the state store; TTL (when
+    ``ttl_idle_ms`` > 0) expires idle users without a manual timer —
+    the knob that bounds state for drive-by keys at corpus scale.
+    """
+    processor, out_schema = user_stats_tws_parts(ttl_idle_ms)
     return (
         events.groupBy("user_id")
         .transformWithStateInPandas(
-            UserStats(),
+            processor,
             outputStructType=out_schema,
             outputMode="append",
             timeMode="none",

@@ -127,3 +127,81 @@ def test_transform_with_state_running_stats_equals_batch(spark, tmp_path):
         assert abs(last[u][1] - expect[u][1]) < 1e-6, f"user {u} total"
         assert last[u][2] == expect[u][2], f"user {u} max"
     ev.unpersist()
+
+
+class _FakeValueState:
+    """In-memory stand-in for the TWS ValueState handle — same surface
+    (exists/get/update) the processor uses, no state-server wire."""
+
+    def __init__(self):
+        self._v = None
+        self.ttl_requested = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttl=None):
+        st = self.states.setdefault(name, _FakeValueState())
+        st.ttl_requested = ttl
+        return st
+
+
+def test_tws_processor_semantics_without_protobuf(spark):
+    """r04 (VERDICT item 4): the container has no google.protobuf, so
+    the streaming TWS twin above auto-skips and the processor class
+    never executed in CI. This drives the ACTUAL UserStats processor
+    (init + handleInputRows across three micro-batches and two keys)
+    against a fake ValueState handle — everything we own runs; only
+    Spark's protobuf state-server transport stays environment-gated."""
+    import pandas as pd
+
+    from customer_segmentation_pyspark_spark.streaming.stateful import (
+        user_stats_tws_parts,
+    )
+
+    proc, out_schema = user_stats_tws_parts(ttl_idle_ms=0)
+    assert [f.name for f in out_schema.fields] == [
+        "user_id", "n_events", "total_value", "max_value",
+    ]
+    batches = {
+        1: [pd.DataFrame({"value": [1.0, 2.0]}),
+            pd.DataFrame({"value": [7.0]}),
+            pd.DataFrame({"value": [0.5, -3.0]})],
+        2: [pd.DataFrame({"value": [10.0]}),
+            pd.DataFrame({"value": [4.0, 4.0]})],
+    }
+    # the runtime scopes state per grouping key implicitly; mimic that
+    # with one handle per key, re-bound before each chunk
+    handles = {uid: _FakeHandle() for uid in batches}
+    last = {}
+    for uid, pdfs in batches.items():
+        for pdf in pdfs:
+            proc.init(handles[uid])
+            (out,) = list(proc.handleInputRows((uid,), iter([pdf]), None))
+            last[uid] = out.iloc[0]
+    proc.close()
+    assert handles[1].states["stats"].ttl_requested is None
+
+    for uid, pdfs in batches.items():
+        allv = pd.concat(pdfs)["value"]
+        assert last[uid]["user_id"] == uid
+        assert last[uid]["n_events"] == len(allv)
+        assert abs(last[uid]["total_value"] - float(allv.sum())) < 1e-12
+        assert last[uid]["max_value"] == float(allv.max())
+
+    # TTL plumb-through: a positive ttl_idle_ms reaches getValueState
+    proc2, _ = user_stats_tws_parts(ttl_idle_ms=60_000)
+    h2 = _FakeHandle()
+    proc2.init(h2)
+    assert h2.states["stats"].ttl_requested == 60_000
