@@ -72,7 +72,7 @@ def test_coverage_md_query_names_resolve():
         "l_partkey", "pandas_udf", "q_json_roundtrip", "q_orc_roundtrip",
         "q_text_roundtrip", "select", "shuffled_sample",
         "test_gate_hot_bucket_matches_batch",
-        "test_read_index_corrupt_raises",
+        "test_read_index_corrupt_raises", "_sql_kmeans_array_unrolled",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []
@@ -92,3 +92,7 @@ def test_coverage_md_query_names_resolve():
         if tok in REGISTRY
     }
     assert len(referenced) >= 200
+    # and the other direction: the coverage map must mention EVERY
+    # registry query (new queries ship with a coverage row)
+    unmapped = sorted(set(REGISTRY) - referenced)
+    assert not unmapped, f"registry queries missing from COVERAGE.md: {unmapped}"
