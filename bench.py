@@ -126,6 +126,10 @@ HEADLINE = [
     # build (the per-query graph rebuild is the dominant cost of the
     # individual graph queries; this measures the amortized pattern)
     "graph_insights_pipeline",
+    # r04: capstone #7 — incremental corpus refresh (3 partition-pruned
+    # MERGE waves + final-snapshot report); benches the lakehouse write
+    # path, not just reads
+    "corpus_refresh_pipeline",
 ]
 
 

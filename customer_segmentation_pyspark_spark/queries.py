@@ -4276,6 +4276,71 @@ def q_hits_parts(spark, sf_dir):
     )
 
 
+def q_corpus_refresh_pipeline(spark, sf_dir):
+    """Capstone #7 (r04) — the incremental corpus-refresh loop as ONE
+    oracled query: base corpus snapshot -> two partition-pruned MERGE
+    batches (a 'refreshed' update wave, then an insert wave plus a
+    higher-seq hotfix wave) -> per-source quality report over the final
+    snapshot. Puts the lakehouse path (hash-partitioned snapshot,
+    manifest + atomic pointer commit, untouched partitions reused
+    byte-identical, stranded-part GC) under the DuckDB hash gate rather
+    than only its own tests: the oracle replays latest-wins upsert
+    semantics in SQL, so a lost update, resurrected row, or dropped
+    insert in the MERGE fails the hash. Deterministic AND idempotent —
+    re-running re-applies the same upserts onto the same per-session
+    scratch table, converging to the same snapshot."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base = d.withColumn("seq", F.lit(0).cast("long"))
+    table = _scratch_path("corpus_refresh/table")
+    merge_into_partitioned_snapshot(
+        spark, table, base, key="doc_id", seq="seq"
+    )
+    upd1 = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.concat("text", F.lit(" refreshed")))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, upd1, key="doc_id", seq="seq"
+    )
+    ins2 = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new: "), "text").alias("text"),
+        "lang",
+        F.lit("refresh").alias("source"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    upd2 = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("text", F.concat("text", F.lit(" hotfix")))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, ins2.unionByName(upd2), key="doc_id", seq="seq"
+    )
+    snap = read_partitioned_snapshot(spark, table)
+    return snap.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.md5(F.col("text").cast("binary")))
+                ),
+            ).cast("binary")
+        ).alias("content_md5"),
+    )
+
+
 def q_graph_insights_pipeline(spark, sf_dir):
     """Capstone #6 — graph analytics over ONE shared graph build: the
     co-purchase pair pipeline (the expensive part: lineitem groupBy +
@@ -8968,6 +9033,30 @@ SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
        CAST(count(*) AS BIGINT) AS n_vecs,
        round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
 FROM fan GROUP BY 1, 2""",
+    "corpus_refresh_pipeline": """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 0 AS seq FROM documents),
+u1 AS (
+  SELECT doc_id, text || ' refreshed' AS text, lang, source, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0),
+b2 AS (
+  SELECT doc_id + 100000 AS doc_id, 'new: ' || text AS text, lang,
+         'refresh' AS source, 2 AS seq
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, text || ' hotfix' AS text, lang, source, 2 AS seq
+  FROM documents WHERE doc_id % 10 = 0),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM u1
+  UNION ALL SELECT * FROM b2),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
+FROM latest GROUP BY source""",
     "text_roundtrip": """
 WITH lines AS (
   SELECT text AS value FROM documents WHERE NOT contains(text, chr(10)))
@@ -10868,6 +10957,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "part_pagerank": QuerySpec(q_part_pagerank, ORACLES["part_pagerank"]),
     "ppr_brand": QuerySpec(q_ppr_brand, ORACLES["ppr_brand"]),
     "hits_parts": QuerySpec(q_hits_parts, ORACLES["hits_parts"]),
+    "corpus_refresh_pipeline": QuerySpec(
+        q_corpus_refresh_pipeline, ORACLES["corpus_refresh_pipeline"]
+    ),
     "graph_insights_pipeline": QuerySpec(
         q_graph_insights_pipeline,
         (
