@@ -223,12 +223,16 @@ def main() -> None:
     )
     # Durable artifact FIRST (the driver's tail capture has truncated
     # the stdout line mid-JSON before — BENCH_r03.json lost its total),
-    # then the contractual one-line stdout print.
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
-    )
-    with open(out_path, "w") as f:
-        f.write(result_line + "\n")
+    # then the contractual one-line stdout print. A failed file write
+    # (read-only checkout, full disk) must never eat the stdout line.
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+        )
+        with open(out_path, "w") as f:
+            f.write(result_line + "\n")
+    except OSError as e:
+        print(f"warning: could not write BENCH.json: {e}", file=sys.stderr)
     print(result_line, flush=True)
 
 

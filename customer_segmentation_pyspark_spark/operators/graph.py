@@ -674,27 +674,23 @@ def copurchase_pair_weights(
         )
         lines = lines.filter(F.col("bsz") <= max_basket_size)
     else:
-        # No observer -> refuse loudly instead of dropping silently.
-        # CaseWhen evaluates raise_error only on the oversized branch,
-        # so the guard is free on conforming data.
+        # No observer -> refuse loudly instead of dropping silently:
+        # assert_true returns NULL on conforming rows (isNull keeps
+        # them) and raises at execution on the first oversized basket.
         lines = lines.filter(
-            F.when(
-                F.col("bsz") > max_basket_size,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "copurchase_pair_weights: basket with "
-                        ),
-                        F.col("bsz").cast("string"),
-                        F.lit(
-                            f" lines exceeds max_basket_size="
-                            f"{max_basket_size}; pass an Observation to"
-                            " drop-and-record oversized baskets, or"
-                            " raise max_basket_size"
-                        ),
-                    )
-                ).isNull(),
-            ).otherwise(F.lit(True))
+            F.assert_true(
+                F.col("bsz") <= max_basket_size,
+                F.concat(
+                    F.lit("copurchase_pair_weights: basket with "),
+                    F.col("bsz").cast("string"),
+                    F.lit(
+                        f" lines exceeds max_basket_size="
+                        f"{max_basket_size}; pass an Observation to"
+                        " drop-and-record oversized baskets, or"
+                        " raise max_basket_size"
+                    ),
+                ),
+            ).isNull()
         )
     sets = (
         lines

@@ -506,26 +506,36 @@ def pq_topk(
     # expression mass (measured: -2s fixed cost per call — parse +
     # codegen of 256 score exprs). Past the guard (batch kNN with a huge
     # query side) the original distributed projection kicks in.
-    n_q = queries.limit(max_driver_queries + 1).count()
-    if n_q <= max_driver_queries:
-        qrows = queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        ).collect()  # bounded by the guard above
+    # single evaluation of the queries plan: collect guard+1 rows, then
+    # branch on the count; centroid-only terms (cc self-dots, doubled
+    # coordinates) are hoisted out of the per-query loop — both identical
+    # arithmetic to the expression path, just not recomputed per query
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).limit(max_driver_queries + 1).collect()
+    if len(qrows) <= max_driver_queries:
+        flat_cbs = [
+            (m, [float(x) for x in cent])
+            for m, cb in enumerate(codebooks)
+            for cent in cb
+        ]
+        ccs = []
+        twices = []
+        for _m, cent in flat_cbs:
+            cc = 0.0
+            for x in cent:
+                cc += x * x
+            ccs.append(cc)
+            twices.append([2.0 * x for x in cent])
         tab_rows = []
         for r in qrows:
             qv = r["qv"]
             dtab = []
-            for m, cb in enumerate(codebooks):
-                for cent in cb:
-                    cc = 0.0
-                    for x in cent:
-                        cc += float(x) * float(x)
-                    dot2 = 0.0
-                    for j, x in enumerate(cent):
-                        dot2 += float(qv[m * sub_dim + j]) * (
-                            2.0 * float(x)
-                        )
-                    dtab.append(cc - dot2)
+            for (m, _cent), cc, tw in zip(flat_cbs, ccs, twices):
+                dot2 = 0.0
+                for j, tx in enumerate(tw):
+                    dot2 += float(qv[m * sub_dim + j]) * tx
+                dtab.append(cc - dot2)
             tab_rows.append((r["query_id"], dtab))
         spark = queries.sparkSession
         qtab = spark.createDataFrame(

@@ -807,20 +807,26 @@ def q_kmeans_custom_k5(spark, sf_dir):
 _DOC_CLUSTER_DIM = 24
 
 
-def _kmeans_array_rows(res, dim: int):
-    """Long-form (cluster, dim, c, n_iter, converged) rows from a
+def _kmeans_array_df(spark, res, dim: int):
+    """Long-form (cluster, dim, c, n_iter, converged) frame from a
     KMeansResult — one row per surviving cluster per dimension, the
-    shape the unrolled-CTE oracle reproduces."""
-    return [
-        (ci, d, round(c[d], 6), res.iterations, res.converged)
+    shape the unrolled-CTE oracle reproduces. The 6-decimal rounding
+    happens in SPARK (F.round: half away from zero, like DuckDB's
+    round) rather than Python's banker's round — a centroid mean
+    landing on an exact decimal tie (e.g. an odd/2^k rational like
+    1/128 = 0.0078125) would otherwise round differently in the two
+    engines and fail the hash (r04 review finding)."""
+    rows = [
+        (ci, d, c[d], res.iterations, res.converged)
         for ci, c in enumerate(res.centroids)
         for d in range(dim)
     ]
-
-
-_KMEANS_ARRAY_SCHEMA = (
-    "cluster long, dim long, c double, n_iter long, converged boolean"
-)
+    return spark.createDataFrame(
+        rows,
+        "cluster long, dim long, c double, n_iter long, converged boolean",
+    ).select(
+        "cluster", "dim", F.round("c", 6).alias("c"), "n_iter", "converged"
+    )
 
 
 def q_doc_clustering(spark, sf_dir):
@@ -830,8 +836,10 @@ def q_doc_clustering(spark, sf_dir):
     init = the 5 smallest doc_ids' vectors). r04: replaced the MLlib
     HashingTF pipeline (murmur3 feature hashing + MLlib-internal RNG
     made it rows-only) with a featurization both engines can compute
-    bit-identically, closing VERDICT r03 item 2 — the MLlib text
-    pipeline surface stays covered by mllib_scaled_pipeline /
+    bit-identically, closing VERDICT r03 item 2 — the MLlib TEXT
+    pipeline (Tokenizer/HashingTF/IDF) stays exercised by
+    tests/test_kmeans.py::test_mllib_text_pipeline_clusters_documents,
+    and MLlib Pipeline mechanics by mllib_scaled_pipeline /
     kmeans_mllib. Driver materialization is bounded: 24 vocab rows +
     5 init rows. Oracled by _sql_kmeans_array_unrolled."""
     d = load_table(spark, sf_dir, "documents")
@@ -847,10 +855,18 @@ def q_doc_clustering(spark, sf_dir):
         .limit(_DOC_CLUSTER_DIM)
         .collect()  # bounded: 24 rows
     ]
+    # pivot on the vocab INDEX, not the raw token: integer column names
+    # ("0".."23") can never collide with doc_id or need escaping the way
+    # arbitrary corpus tokens ('world.', backticks, ...) would (r04
+    # review finding) — and they mirror the oracle's vi indices exactly
+    vi_map = F.create_map(
+        *[x for i, t in enumerate(vocab) for x in (F.lit(t), F.lit(i))]
+    )
     counts = (
         toks.filter(F.col("term").isin(vocab))
+        .withColumn("vi", vi_map[F.col("term")])
         .groupBy("doc_id")
-        .pivot("term", vocab)
+        .pivot("vi", list(range(len(vocab))))
         .count()
     )
     pts = (
@@ -859,9 +875,9 @@ def q_doc_clustering(spark, sf_dir):
         .na.fill(0)
         .select(
             "doc_id",
-            F.array(*[F.col(t).cast("double") for t in vocab]).alias(
-                "point"
-            ),
+            F.array(
+                *[F.col(str(i)).cast("double") for i in range(len(vocab))]
+            ).alias("point"),
         )
     )
     init_rows = pts.orderBy("doc_id").limit(5).collect()  # bounded: 5
@@ -869,9 +885,7 @@ def q_doc_clustering(spark, sf_dir):
     res = km.kmeans_array(
         pts.select("point"), k=5, max_iter=6, initial_centroids=inits
     )
-    return spark.createDataFrame(
-        _kmeans_array_rows(res, _DOC_CLUSTER_DIM), _KMEANS_ARRAY_SCHEMA
-    )
+    return _kmeans_array_df(spark, res, _DOC_CLUSTER_DIM)
 
 
 def q_kmeans_embeddings(spark, sf_dir):
@@ -901,9 +915,7 @@ def q_kmeans_embeddings(spark, sf_dir):
         for r in first8
     ]
     res = km.kmeans_array(pts, k=8, max_iter=5, initial_centroids=inits)
-    return spark.createDataFrame(
-        _kmeans_array_rows(res, 64), _KMEANS_ARRAY_SCHEMA
-    )
+    return _kmeans_array_df(spark, res, 64)
 
 
 def q_mllib_scaled_pipeline(spark, sf_dir):
@@ -4317,10 +4329,14 @@ def q_corpus_refresh_pipeline(spark, sf_dir):
         F.lit("refresh").alias("source"),
         F.lit(2).cast("long").alias("seq"),
     )
+    # hotfixes carry seq=3 (not 2): on a corpus large enough that an
+    # insert key doc_id+100000 collides with a hotfix key, distinct
+    # seqs keep latest_per_key deterministic — same-key-same-seq within
+    # a batch would tie nondeterministically (merge.py contract)
     upd2 = (
         d.filter(F.col("doc_id") % 10 == 0)
         .withColumn("text", F.concat("text", F.lit(" hotfix")))
-        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("seq", F.lit(3).cast("long"))
     )
     merge_into_partitioned_snapshot(
         spark, table, ins2.unionByName(upd2), key="doc_id", seq="seq"
@@ -9044,7 +9060,7 @@ b2 AS (
          'refresh' AS source, 2 AS seq
   FROM documents WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id, text || ' hotfix' AS text, lang, source, 2 AS seq
+  SELECT doc_id, text || ' hotfix' AS text, lang, source, 3 AS seq
   FROM documents WHERE doc_id % 10 = 0),
 allrows AS (
   SELECT * FROM base UNION ALL SELECT * FROM u1

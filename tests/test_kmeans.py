@@ -172,3 +172,43 @@ def test_elbow_runs_and_costs_decrease(feat):
     assert costs == sorted(costs, reverse=True) or all(
         costs[i] >= costs[i + 1] - 1e-6 for i in range(len(costs) - 1)
     )
+
+
+def test_mllib_text_pipeline_clusters_documents(spark):
+    """r04: q_doc_clustering moved off MLlib (portable featurization so
+    the registry row could be SQL-oracled), which removed the
+    Tokenizer -> HashingTF -> IDF coverage from the query surface — this
+    test keeps the MLlib TEXT pipeline exercised: the four-stage
+    pipeline must fit, assign every document to exactly one of k
+    clusters, and be deterministic under seed."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="toks"),
+            HashingTF(inputCol="toks", outputCol="tf", numFeatures=256),
+            IDF(inputCol="tf", outputCol="features"),
+            MLKMeans(k=5, seed=1, maxIter=10),
+        ]
+    )
+    pred = pipe.fit(d).transform(d)
+    n_docs = d.count()
+    per = {
+        r["prediction"]: r["n"]
+        for r in pred.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(per.values()) == n_docs  # a partition of the corpus
+    assert 1 <= len(per) <= 5 and all(0 <= c <= 4 for c in per)
+    # seed determinism: same pipeline, same assignments
+    pred2 = pipe.fit(d).transform(d)
+    assert [r["prediction"] for r in pred.orderBy("doc_id").collect()] == [
+        r["prediction"] for r in pred2.orderBy("doc_id").collect()
+    ]
