@@ -78,7 +78,26 @@ def merge_into_snapshot(
 
 
 def _merge_frames(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:
-    """The MERGE join: full-outer on the key, update columns win."""
+    """The MERGE join: full-outer on the key, update columns win.
+
+    Schema evolution (r04): the merged schema is the UNION of both
+    sides' columns, in base order with delta-only columns appended —
+    a delta-only column reaches every row (its value for upserted keys,
+    typed NULL for untouched keys), and a base-only column persists
+    (base value survives an update that doesn't mention it, NULL for
+    fresh inserts) — the add-column semantics of Delta/Iceberg
+    ``mergeSchema``. Dropping or retyping a column is intentionally NOT
+    expressible here (that's a rewrite, not a merge)."""
+    base_only = [c for c in base.columns if c not in delta.columns]
+    delta_only = [c for c in delta.columns if c not in base.columns]
+    for c in delta_only:
+        base = base.withColumn(
+            c, F.lit(None).cast(delta.schema[c].dataType)
+        )
+    for c in base_only:
+        delta = delta.withColumn(
+            c, F.lit(None).cast(base.schema[c].dataType)
+        )
     cols = [c for c in base.columns if c != key]
     d = delta.select(
         F.col(key).alias("__k"), *[F.col(c).alias(f"__u_{c}") for c in cols]
@@ -196,15 +215,20 @@ def merge_into_partitioned_snapshot(
         return
     delta = delta.drop("__part")
 
+    # allowMissingColumns + mergeSchema read: part dirs written before a
+    # schema-evolving merge lack the newer columns (evolution rewrites
+    # only touched partitions, like Delta/Iceberg metadata evolution)
     base_frames = [
-        spark.read.parquet(os.path.join(table_dir, parts[str(p)]))
+        spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(table_dir, parts[str(p)])
+        )
         for p in touched
         if str(p) in parts
     ]
     if base_frames:
         base = base_frames[0]
         for f in base_frames[1:]:
-            base = base.unionByName(f)
+            base = base.unionByName(f, allowMissingColumns=True)
         merged = _merge_frames(base, delta, key)
     else:
         merged = delta
@@ -238,7 +262,9 @@ def read_partitioned_snapshot(
     if man is None or not man["parts"]:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     paths = [os.path.join(table_dir, d) for d in man["parts"].values()]
-    return spark.read.parquet(*paths)
+    # mergeSchema: after a schema-evolving merge, untouched partitions'
+    # files predate the new columns — they surface as typed NULLs
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def streaming_partitioned_upsert(

@@ -434,3 +434,106 @@ def test_partitioned_merge_random_batches_match_model(spark, tmp_path):
             )
             assert _psnap_dict(spark, table) == model
     check()
+
+
+def test_merge_schema_evolution_cow(spark, tmp_path):
+    """r04: a delta batch carrying a NEW column evolves the snapshot
+    (value on upserted keys, typed NULL elsewhere), and a later batch
+    LACKING a base column leaves that column's values intact on the
+    keys it updates — Delta/Iceberg add-column mergeSchema semantics."""
+    snap = str(tmp_path / "snap")
+    merge_into_snapshot(
+        spark,
+        snap,
+        spark.createDataFrame([(1, 1.0, 1), (2, 2.0, 1)], SCHEMA),
+        key="k",
+        seq="seq",
+    )
+    # batch 2 adds a quality column and inserts a new key
+    evolved = spark.createDataFrame(
+        [(2, 2.5, 2, 0.9), (3, 3.0, 2, 0.4)],
+        "k long, val double, seq long, quality double",
+    )
+    merge_into_snapshot(spark, snap, evolved, key="k", seq="seq")
+    got = {
+        r["k"]: (r["val"], r["quality"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert got == {1: (1.0, None), 2: (2.5, 0.9), 3: (3.0, 0.4)}
+    # batch 3 updates k=2 WITHOUT the quality column -> value kept
+    merge_into_snapshot(
+        spark,
+        snap,
+        spark.createDataFrame([(2, 2.75, 3)], SCHEMA),
+        key="k",
+        seq="seq",
+    )
+    got = {
+        r["k"]: (r["val"], r["quality"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert got == {1: (1.0, None), 2: (2.75, 0.9), 3: (3.0, 0.4)}
+
+
+def test_merge_schema_evolution_partitioned_untouched_parts_intact(
+    spark, tmp_path
+):
+    """r04: schema evolution through the partition-pruned MERGE —
+    untouched partitions are NOT rewritten (their files stay
+    byte-identical, metadata-only evolution) and read back with typed
+    NULLs for the new column via the mergeSchema snapshot read."""
+    import os
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "ptable")
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(k, float(k), 1) for k in range(1, 9)], SCHEMA
+        ),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+    )
+    before_parts = dict(versioned.read_manifest(table)["parts"])
+    stat_before = {
+        p: sorted(os.listdir(os.path.join(table, d)))
+        for p, d in before_parts.items()
+    }
+    # evolve ONE key with a new column
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(3, 3.5, 2, 0.7)],
+            "k long, val double, seq long, quality double",
+        ),
+        key="k",
+        seq="seq",
+    )
+    after_parts = dict(versioned.read_manifest(table)["parts"])
+    changed = [p for p in before_parts if before_parts[p] != after_parts[p]]
+    assert len(changed) == 1  # only key 3's partition rewritten
+    for p, d in before_parts.items():
+        if p not in changed:
+            assert after_parts[p] == d
+            assert sorted(
+                os.listdir(os.path.join(table, d))
+            ) == stat_before[p]
+    got = {
+        r["k"]: (r["val"], r["quality"])
+        for r in read_partitioned_snapshot(spark, table).collect()
+    }
+    expect = {k: (float(k), None) for k in range(1, 9)}
+    expect[3] = (3.5, 0.7)
+    assert got == expect
+    # time travel: v1 still reads with the ORIGINAL schema
+    v1 = read_partitioned_snapshot(spark, table, version=1)
+    assert "quality" not in v1.columns
+    assert v1.count() == 8
