@@ -4311,8 +4311,11 @@ def q_corpus_refresh_pipeline(spark, sf_dir):
     )
     base = d.withColumn("seq", F.lit(0).cast("long"))
     table = _scratch_path("corpus_refresh/table")
+    # 8 partitions (fixed at table creation): the rewrite unit should be
+    # a few GB at scale — at bench SFs fewer partitions means fewer
+    # small files per merge wave without changing any semantics
     merge_into_partitioned_snapshot(
-        spark, table, base, key="doc_id", seq="seq"
+        spark, table, base, key="doc_id", seq="seq", num_partitions=8
     )
     upd1 = (
         d.filter(F.col("doc_id") % 5 == 0)
