@@ -237,3 +237,38 @@ def compact_deletes(
     os.rename(staging, base)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(os.path.join(table_dir, "_deletes"), ignore_errors=True)
+
+
+def expire_versions(
+    table_dir: str, keep_last: int = 1, grace_sec: float = STAGING_GRACE_SEC
+) -> list[int]:
+    """Retention maintenance (r04): expire every committed version older
+    than the newest ``keep_last`` — the Delta VACUUM / Iceberg
+    expire_snapshots counterpart. Works on both table styles: plain
+    ``v{N}`` snapshot dirs (write_version) are deleted outright;
+    manifest tables lose the expired ``manifest-v{N}.json`` files and
+    then :func:`gc_unreferenced_parts` collects any part directory only
+    those manifests referenced (GC already tolerates missing manifests,
+    so a crash mid-expire leaves a GC-able, fully readable table).
+    Expired versions raise on read; the newest ``keep_last`` (and time
+    travel among them) are untouched. Returns the expired version
+    numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    n = latest_version(table_dir)
+    expired = []
+    for v in range(1, max(1, n - keep_last + 1)):
+        hit = False
+        m = os.path.join(table_dir, f"manifest-v{v}.json")
+        if os.path.exists(m):
+            os.remove(m)
+            hit = True
+        d = os.path.join(table_dir, f"v{v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            hit = True
+        if hit:
+            expired.append(v)
+    if expired:
+        gc_unreferenced_parts(table_dir, grace_sec)
+    return expired

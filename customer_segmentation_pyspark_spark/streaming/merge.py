@@ -293,3 +293,50 @@ def streaming_partitioned_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_partitioned_snapshot(
+    spark: SparkSession, table_dir: str, target_files: int = 1
+) -> list[str]:
+    """OPTIMIZE for the manifest table (r04): rewrite every partition
+    whose data-file count exceeds ``target_files`` into a fresh
+    immutable ``p-*`` dir with ``coalesce(target_files)``, then commit
+    ONE new manifest. Content is bit-preserved (a pure rewrite — the
+    mergeSchema read carries evolved columns through); untouched
+    partitions keep their directories byte-identical; historical
+    manifests still reference the pre-compaction dirs, so time travel
+    survives until :func:`~...sources.versioned.expire_versions`
+    retires them. Returns the partition ids rewritten.
+
+    Scale shape: each partition compacts independently (one bounded
+    read+write per oversized partition, no shuffle — coalesce narrows),
+    so the maintenance cost is O(oversized partitions), the same unit
+    as the merge's rewrite."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    man = versioned.read_manifest(table_dir)
+    if man is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    parts = dict(man["parts"])
+    rewritten: list[str] = []
+    for pid, d in sorted(parts.items()):
+        full = os.path.join(table_dir, d)
+        n_files = sum(
+            1 for f in os.listdir(full)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        if n_files <= target_files:
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(full)
+        dest = f"p-{uuid.uuid4().hex[:12]}"
+        df.coalesce(target_files).write.parquet(
+            os.path.join(table_dir, dest)
+        )
+        parts[pid] = dest
+        rewritten.append(pid)
+    if rewritten:
+        versioned.commit_manifest(
+            table_dir,
+            {"num_partitions": man["num_partitions"], "parts": parts},
+        )
+    return rewritten

@@ -537,3 +537,111 @@ def test_merge_schema_evolution_partitioned_untouched_parts_intact(
     v1 = read_partitioned_snapshot(spark, table, version=1)
     assert "quality" not in v1.columns
     assert v1.count() == 8
+
+
+def test_compact_partitioned_snapshot_and_expire_versions(spark, tmp_path):
+    """r04 lakehouse maintenance pair: OPTIMIZE (per-partition file
+    compaction into fresh immutable dirs, one manifest commit,
+    content bit-preserved, untouched partitions byte-identical) and
+    retention (expire_versions keeps the newest N manifests; the
+    now-unreferenced pre-compaction dirs become GC-able; expired
+    versions raise; latest unaffected)."""
+    import os
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        compact_partitioned_snapshot,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "ptable")
+    for seq in (1, 2, 3):
+        merge_into_partitioned_snapshot(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(k, float(k * seq), seq) for k in range(1, 33)], SCHEMA
+            ),
+            key="k",
+            seq="seq",
+            num_partitions=4,
+        )
+    before = _psnap_dict(spark, table)
+
+    def n_files(d):
+        return sum(
+            1 for f in os.listdir(os.path.join(table, d))
+            if f.endswith(".parquet")
+        )
+
+    # stage the small-files condition directly: rewrite one partition's
+    # dir as 3 files (same rows) and commit that manifest — at scale
+    # multi-task partition writes produce this shape organically
+    man0 = versioned.read_manifest(table)
+    pid0 = sorted(man0["parts"])[0]
+    split_dir = "p-splitsplit01"
+    spark.read.parquet(
+        os.path.join(table, man0["parts"][pid0])
+    ).repartition(3).write.parquet(os.path.join(table, split_dir))
+    parts = dict(man0["parts"])
+    parts[pid0] = split_dir
+    versioned.commit_manifest(
+        table,
+        {"num_partitions": man0["num_partitions"], "parts": parts},
+    )
+    man_before = versioned.read_manifest(table)
+    assert n_files(split_dir) == 3
+    assert _psnap_dict(spark, table) == before
+
+    rewritten = compact_partitioned_snapshot(spark, table, target_files=1)
+    assert rewritten  # at least one partition was oversized
+    man_after = versioned.read_manifest(table)
+    for pid in man_after["parts"]:
+        assert n_files(man_after["parts"][pid]) == 1
+        if pid not in rewritten:  # untouched dirs reused as-is
+            assert man_after["parts"][pid] == man_before["parts"][pid]
+    assert _psnap_dict(spark, table) == before  # content bit-preserved
+    # pre-compaction version still time-travels (old dirs referenced)
+    v3 = versioned.latest_version(table) - 1
+    assert {
+        r["k"]: r["val"]
+        for r in read_partitioned_snapshot(spark, table, version=v3).collect()
+    } == before
+
+    # retention: keep only the newest manifest; old part dirs collected
+    n_latest = versioned.latest_version(table)
+    expired = versioned.expire_versions(table, keep_last=1, grace_sec=0)
+    assert expired == list(range(1, n_latest))
+    assert _psnap_dict(spark, table) == before  # latest unaffected
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_partitioned_snapshot(spark, table, version=1)
+    live = set(versioned.read_manifest(table)["parts"].values())
+    on_disk = {e for e in os.listdir(table) if e.startswith("p-")}
+    assert on_disk == live  # every unreferenced pre-compaction dir GC'd
+
+
+def test_expire_versions_plain_snapshot_table(spark, tmp_path):
+    """expire_versions on a write_version-style table: old v{N} dirs are
+    deleted, the survivors still read, keep_last guards the latest."""
+    import pytest as _pytest
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.sources.tables import (
+        load_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    t = str(tmp_path / "tbl")
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    for n in (5, 10, 15):
+        versioned.write_version(d.limit(n), t)
+    assert versioned.expire_versions(t, keep_last=2, grace_sec=0) == [1]
+    assert versioned.read_table(spark, t).count() == 15
+    assert versioned.read_table(spark, t, version=2).count() == 10
+    with _pytest.raises(Exception):
+        versioned.read_table(spark, t, version=1).count()
+    with _pytest.raises(ValueError):
+        versioned.expire_versions(t, keep_last=0)
