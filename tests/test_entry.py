@@ -73,6 +73,9 @@ def test_coverage_md_query_names_resolve():
         "q_text_roundtrip", "select", "shuffled_sample",
         "test_gate_hot_bucket_matches_batch",
         "test_read_index_corrupt_raises", "_sql_kmeans_array_unrolled",
+        "test_merge_schema_evolution_cow",
+        "_partitioned_untouched_parts_intact",
+        "compact_partitioned_snapshot", "expire_versions",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []
