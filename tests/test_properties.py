@@ -450,3 +450,66 @@ def test_label_propagation_matches_python_sync(spark, raw_edges):
         for r in label_propagation(e, n_rounds=n_rounds).collect()
     }
     assert got == lbl
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # a change log: batches of (key, colset-mask, value)
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # key
+                st.integers(min_value=1, max_value=3),   # which cols: a/b/both
+                st.integers(min_value=-99, max_value=99),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_evolving_merge_matches_python_model(spark, tmp_path_factory, log):
+    """r04 schema evolution property: an arbitrary sequence of merge
+    batches — each carrying column 'a', column 'b', or both (so the
+    schema evolves mid-stream and updates omit columns at random) —
+    equals a plain Python dict model with keep-absent-column semantics
+    (a batch that omits a column never clobbers it)."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_snapshot,
+    )
+
+    snap = str(tmp_path_factory.mktemp("evmerge") / "snap")
+    model: dict[int, dict[str, object]] = {}
+    seq = 0
+    for batch in log:
+        rows, seen = [], set()
+        for key, mask, val in batch:
+            if key in seen:
+                continue  # one row per key per batch (seq uniqueness)
+            seen.add(key)
+            seq += 1
+            a = float(val) if mask in (1, 3) else None
+            b = val * 10 if mask in (2, 3) else None
+            rows.append((key, a, b, seq))
+            m = model.setdefault(key, {"a": None, "b": None})
+            if mask in (1, 3):
+                m["a"] = float(val)
+            if mask in (2, 3):
+                m["b"] = val * 10
+        df = spark.createDataFrame(
+            rows, "k long, a double, b long, seq long"
+        )
+        # drop the columns this batch doesn't carry AT ALL, so the
+        # batch's schema genuinely omits them (evolution path)
+        if all(r[1] is None for r in rows):
+            df = df.drop("a")
+        if all(r[2] is None for r in rows):
+            df = df.drop("b")
+        merge_into_snapshot(spark, snap, df, key="k", seq="seq")
+    got = {
+        r["k"]: (r["a"] if "a" in r.__fields__ else None,
+                 r["b"] if "b" in r.__fields__ else None)
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {k: (m["a"], m["b"]) for k, m in model.items()}
+    assert got == want
