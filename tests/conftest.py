@@ -103,6 +103,14 @@ SLOW_TESTS = {
     "test_custom_close_to_mllib",
     "test_fixed_init_deterministic",
     "test_wcss_non_increasing_over_iterations",
+    # r04 additions measured > ~4 s (merge/ML end-to-end shapes)
+    "test_compact_partitioned_snapshot_and_expire_versions",
+    "test_expire_versions_plain_snapshot_table",
+    "test_merge_schema_evolution_cow",
+    "test_merge_schema_evolution_partitioned_untouched_parts_intact",
+    "test_evolving_merge_matches_python_model",
+    "test_mllib_text_pipeline_clusters_documents",
+    "test_copurchase_oversized_basket_without_observer_raises",
 }
 
 

@@ -1430,6 +1430,8 @@ def test_semantic_dedup_refuses_infeasible_skew(spark):
         dedup.semantic_dedup(emb, [[0.0] * 4], max_cluster_size=3)
     with pytest.raises(ValueError, match=">= 1"):
         dedup.semantic_dedup(emb, [[0.0] * 4], max_cluster_size=0)
+    # ADVICE r03: the refusal path must not strand its cached frame
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
 def test_embedding_neardup_refuses_corpus_scale_exact(spark):
@@ -1442,3 +1444,5 @@ def test_embedding_neardup_refuses_corpus_scale_exact(spark):
     )
     with pytest.raises(ValueError, match="prefilter"):
         dedup.embedding_neardup_pairs(emb, rows_per_block=2)
+    # ADVICE r03: the refusal path must not strand its cached frame
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
