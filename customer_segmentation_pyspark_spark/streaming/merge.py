@@ -340,3 +340,50 @@ def compact_partitioned_snapshot(
             {"num_partitions": man["num_partitions"], "parts": parts},
         )
     return rewritten
+
+
+def cluster_partitioned_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    sort_cols: list[str],
+    target_files: int = 1,
+) -> list[str]:
+    """Z-ORDER-lite maintenance for the manifest table (r04): rewrite
+    every partition with its rows SORTED by ``sort_cols`` (pass a
+    single natural column for range clustering, or a precomputed
+    interleaved key — ``functions``' ``zorder_key`` — for multi-column
+    locality), ``target_files`` files per partition, committed as ONE
+    new manifest. Content is preserved row-for-row; the payoff is data
+    skipping — parquet min/max stats on the sort columns become
+    disjoint-ish per file, so selective predicates prune files the way
+    Delta OPTIMIZE ZORDER arranges. Unconditional rewrite (clustering
+    cannot be detected from file counts); run it after compaction-worthy
+    churn, not per batch. Returns the rewritten partition ids.
+
+    Scale shape: per-partition local sort (sortWithinPartitions after a
+    coalesce — no global shuffle), cost O(|partition| log |partition|)
+    per partition, the same rewrite unit as the merge."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    man = versioned.read_manifest(table_dir)
+    if man is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    parts = dict(man["parts"])
+    rewritten: list[str] = []
+    for pid, d in sorted(parts.items()):
+        df = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(table_dir, d)
+        )
+        dest = f"p-{uuid.uuid4().hex[:12]}"
+        (
+            df.coalesce(target_files)
+            .sortWithinPartitions(*sort_cols)
+            .write.parquet(os.path.join(table_dir, dest))
+        )
+        parts[pid] = dest
+        rewritten.append(pid)
+    versioned.commit_manifest(
+        table_dir,
+        {"num_partitions": man["num_partitions"], "parts": parts},
+    )
+    return rewritten

@@ -111,6 +111,7 @@ SLOW_TESTS = {
     "test_evolving_merge_matches_python_model",
     "test_mllib_text_pipeline_clusters_documents",
     "test_copurchase_oversized_basket_without_observer_raises",
+    "test_cluster_partitioned_snapshot_sorts_for_skipping",
 }
 
 

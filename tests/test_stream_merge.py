@@ -645,3 +645,58 @@ def test_expire_versions_plain_snapshot_table(spark, tmp_path):
         versioned.read_table(spark, t, version=1).count()
     with _pytest.raises(ValueError):
         versioned.expire_versions(t, keep_last=0)
+
+
+def test_cluster_partitioned_snapshot_sorts_for_skipping(spark, tmp_path):
+    """r04 Z-ORDER-lite: clustering rewrite preserves content exactly
+    and leaves every data file internally sorted on the cluster column
+    (first-page min == file min, last == max ordering) so min/max
+    stats prune selective predicates; a fresh merge afterwards still
+    works (manifest intact)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        cluster_partitioned_snapshot,
+        merge_into_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "ptable")
+    rows = [(k, float((k * 37) % 100), 1) for k in range(1, 201)]
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(rows, SCHEMA),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+    )
+    before = _psnap_dict(spark, table)
+    rewritten = cluster_partitioned_snapshot(spark, table, ["val"])
+    assert sorted(rewritten) == sorted(
+        versioned.read_manifest(table)["parts"]
+    )
+    assert _psnap_dict(spark, table) == before  # content preserved
+    # every file's val column is internally sorted -> stats useful
+    man = versioned.read_manifest(table)
+    for d in man["parts"].values():
+        full = os.path.join(table, d)
+        for f in os.listdir(full):
+            if not f.endswith(".parquet"):
+                continue
+            vals = pq.read_table(os.path.join(full, f), columns=["val"])[
+                "val"
+            ].to_pylist()
+            assert vals == sorted(vals)
+    # the table still merges after the rewrite
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame([(1, 999.0, 2)], SCHEMA),
+        key="k",
+        seq="seq",
+    )
+    before[1] = 999.0
+    assert _psnap_dict(spark, table) == before
