@@ -130,6 +130,11 @@ HEADLINE = [
     # MERGE waves + final-snapshot report); benches the lakehouse write
     # path, not just reads
     "corpus_refresh_pipeline",
+    # r04: newly oracled array-feature Lloyd loops — 64-dim and
+    # vocab-featurized variants are distinct perf shapes from the 2-dim
+    # kmeans_custom (high-dim distance codegen, pivot featurization)
+    "kmeans_embeddings",
+    "doc_clustering",
 ]
 
 
