@@ -39,6 +39,21 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.DoubleType())
+def weighted_mean_pandas(v: pd.Series, w: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (r04 — the one Arrow-UDF flavor the
+    surface map lacked): a whole group's values arrive as Series, ONE
+    scalar returns. Usable in ``groupBy().agg()`` AND as a window
+    aggregate (``.over(Window.partitionBy(...))``). Spark plans it as
+    partial-less ``AggregateInPandas`` — the group's rows ship to one
+    Python worker, so unlike JVM declarative aggregates there is NO
+    map-side combine; keep it for aggregates expressions can't state
+    (here the twin test pins it against the expressible
+    sum(v*w)/sum(w), which production code should prefer)."""
+    den = float(w.sum())
+    return float((v * w).sum() / den) if den != 0.0 else float("nan")
+
+
 # --- Arrow-native UDF (Spark 4.1 @arrow_udf): the newest escape hatch —
 # the kernel receives pyarrow arrays directly (no pandas conversion on
 # either side), halving the serialization overhead of a pandas_udf for

@@ -76,7 +76,7 @@ def test_coverage_md_query_names_resolve():
         "test_merge_schema_evolution_cow",
         "_partitioned_untouched_parts_intact",
         "compact_partitioned_snapshot", "expire_versions",
-        "cluster_partitioned_snapshot",
+        "cluster_partitioned_snapshot", "weighted_mean_pandas",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []

@@ -454,3 +454,56 @@ def test_iterative_graph_loop_is_exchange_free(spark):
         assert "InMemoryTableScan" in p  # cache, not checkpoint
     finally:
         ed.unpersist()
+
+
+def test_grouped_agg_pandas_udf_matches_expression(spark):
+    """r04: the GROUPED_AGG pandas-UDF flavor — weighted_mean_pandas in
+    groupBy().agg() AND as a window aggregate — equals the declarative
+    sum(v*w)/sum(w) twin, and the plan shows AggregateInPandas (no
+    partial agg: the documented scale tradeoff of this UDF flavor)."""
+    from pyspark.sql import Window
+
+    from customer_segmentation_pyspark_spark.functions import pandas_fns
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    got = {
+        r["l_returnflag"]: round(r["wm"], 9)
+        for r in li.groupBy("l_returnflag")
+        .agg(pandas_fns.weighted_mean_pandas("v", "w").alias("wm"))
+        .collect()
+    }
+    twin = {
+        r["l_returnflag"]: round(r["wm"], 9)
+        for r in li.groupBy("l_returnflag")
+        .agg((F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("wm"))
+        .collect()
+    }
+    assert got.keys() == twin.keys()
+    for k in twin:
+        assert abs(got[k] - twin[k]) < 1e-6, k
+
+    agg_df = li.groupBy("l_returnflag").agg(
+        pandas_fns.weighted_mean_pandas("v", "w").alias("wm")
+    )
+    # Spark 4.1 names the node ArrowAggregatePython (AggregateInPandas
+    # in 3.x) — match either
+    p = plan(agg_df)
+    assert "ArrowAggregatePython" in p or "AggregateInPandas" in p
+
+    # window flavor: per-partition constant equals the group aggregate
+    w = Window.partitionBy("l_returnflag")
+    win_rows = (
+        li.withColumn("wm", pandas_fns.weighted_mean_pandas("v", "w").over(w))
+        .select("l_returnflag", "wm")
+        .distinct()
+        .collect()
+    )
+    assert len(win_rows) == len(twin)
+    for r in win_rows:
+        assert abs(r["wm"] - twin[r["l_returnflag"]]) < 1e-6
