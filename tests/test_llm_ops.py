@@ -1417,6 +1417,11 @@ def test_multimodal_decode_rejects_malformed_payloads():
         multimodal.decode_image_real(b"\xff\xd8\xff\xe0JFIF")
 
 
+def _persistent_rdd_ids(spark):
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
 def test_semantic_dedup_refuses_infeasible_skew(spark):
     """Past ~1000x-cap skew the exact within-cluster GEMM is O(n^2)
     infeasible — the operator must refuse with guidance, not build a
@@ -1425,13 +1430,16 @@ def test_semantic_dedup_refuses_infeasible_skew(spark):
         "id as vec_id",
         "transform(sequence(0, 3), d -> cast(d as double)) as embedding",
     )
+    before = _persistent_rdd_ids(spark)
     # 5000 rows in one cluster with cap 3 -> nb ~ 1667, nb^2 ~ 2.8M
     with pytest.raises(ValueError, match="re-cluster"):
         dedup.semantic_dedup(emb, [[0.0] * 4], max_cluster_size=3)
     with pytest.raises(ValueError, match=">= 1"):
         dedup.semantic_dedup(emb, [[0.0] * 4], max_cluster_size=0)
-    # ADVICE r03: the refusal path must not strand its cached frame
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # ADVICE r03: the refusal path must not strand its cached frame.
+    # Compare against the pre-call snapshot: other tests in the shared
+    # session may legitimately hold caches, so a global ==0 is flaky.
+    assert _persistent_rdd_ids(spark) <= before
 
 
 def test_embedding_neardup_refuses_corpus_scale_exact(spark):
@@ -1442,7 +1450,9 @@ def test_embedding_neardup_refuses_corpus_scale_exact(spark):
         "id as vec_id",
         "transform(sequence(0, 3), d -> cast(d as double)) as embedding",
     )
+    before = _persistent_rdd_ids(spark)
     with pytest.raises(ValueError, match="prefilter"):
         dedup.embedding_neardup_pairs(emb, rows_per_block=2)
     # ADVICE r03: the refusal path must not strand its cached frame
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    # (relative to the pre-call snapshot; see note above).
+    assert _persistent_rdd_ids(spark) <= before
