@@ -49,9 +49,30 @@ def weighted_mean_pandas(v: pd.Series, w: pd.Series) -> float:
     Python worker, so unlike JVM declarative aggregates there is NO
     map-side combine; keep it for aggregates expressions can't state
     (here the twin test pins it against the expressible
-    sum(v*w)/sum(w), which production code should prefer)."""
-    den = float(w.sum())
-    return float((v * w).sum() / den) if den != 0.0 else float("nan")
+    sum(v*w)/sum(w), which production code should prefer).
+
+    NULL semantics replicate the twin — note the two sums skip
+    DIFFERENT row sets: sum(v*w) skips rows where either side is NULL,
+    sum(w) skips only NULL weights; an all-NULL sum is NULL (not 0).
+    ONE pinned difference: on sum(w)==0 the raw twin RAISES
+    DIVIDE_BY_ZERO under Spark 4's ANSI default; this UDF instead
+    matches the try_divide twin — sum(v*w) `try_divide` sum(w) — and
+    returns NULL (a NaN scalar could not cross the Arrow boundary
+    anyway: it arrives as NULL).
+    Arrow also hands NULL inputs to pandas as NaN, so true-NaN data is
+    indistinguishable from NULL here (the documented pandas-UDF
+    caveat)."""
+    vv = v.to_numpy(dtype=np.float64, na_value=np.nan)
+    ww = w.to_numpy(dtype=np.float64, na_value=np.nan)
+    prod = vv * ww
+    prod_mask = ~np.isnan(prod)
+    w_mask = ~np.isnan(ww)
+    if not prod_mask.any() or not w_mask.any():
+        return None  # SQL: sum over zero non-NULL rows is NULL
+    den = ww[w_mask].sum()
+    if den == 0.0:
+        return None  # twin: IEEE NaN — unrepresentable through Arrow
+    return float(prod[prod_mask].sum() / den)
 
 
 # --- Arrow-native UDF (Spark 4.1 @arrow_udf): the newest escape hatch —

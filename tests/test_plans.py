@@ -8,6 +8,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from customer_segmentation_pyspark_spark.queries import REGISTRY
@@ -507,3 +509,48 @@ def test_grouped_agg_pandas_udf_matches_expression(spark):
     assert len(win_rows) == len(twin)
     for r in win_rows:
         assert abs(r["wm"] - twin[r["l_returnflag"]]) < 1e-6
+
+
+def test_grouped_agg_pandas_udf_null_and_zero_weight_edges(spark):
+    """The UDF must not drift from the twin on the edges lineitem never
+    exercises: all-NULL values (twin NULL, not 0.0), and rows where v
+    and w have DIFFERENT null masks (sum(v*w) and sum(w) skip different
+    row sets). Zero total weight is the ONE pinned difference: the raw
+    twin RAISES DIVIDE_BY_ZERO under Spark 4's ANSI default; the UDF
+    matches the try_divide twin and returns NULL (an Arrow grouped-agg
+    scalar cannot carry NaN — it arrives as NULL)."""
+    from customer_segmentation_pyspark_spark.functions import pandas_fns
+
+    rows = [
+        # g=all_null_v: every v NULL, w non-null -> sum(v*w) NULL -> NULL
+        ("all_null_v", None, 1.0), ("all_null_v", None, 2.0),
+        # g=zero_w: sum(v*w)=0.0, sum(w)=0.0
+        ("zero_w", 1.0, 0.0), ("zero_w", 2.0, 0.0),
+        # g=mixed: (v NULL, w=10) contributes to sum(w) only ->
+        # sum(v*w)=3*2=6, sum(w)=12 -> 0.5
+        ("mixed", 3.0, 2.0), ("mixed", None, 10.0),
+        # g=null_w: (v=5, w NULL) drops from BOTH sums -> 7*2/2 = 7
+        ("null_w", 5.0, None), ("null_w", 7.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    for expr in (
+        pandas_fns.weighted_mean_pandas("v", "w"),
+        F.try_divide(F.sum(F.col("v") * F.col("w")), F.sum("w")),
+    ):
+        got = {
+            r["g"]: r["wm"]
+            for r in df.groupBy("g").agg(expr.alias("wm")).collect()
+        }
+        assert got["all_null_v"] is None, expr
+        assert got["null_w"] == 7.0, expr
+        assert abs(got["mixed"] - 0.5) < 1e-12, expr
+        assert got["zero_w"] is None, expr
+
+    # the RAW twin raises on the zero-weight group under ANSI — the
+    # divergence the UDF's try_divide semantics deliberately smooths
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.ArithmeticException):
+        df.groupBy("g").agg(
+            (F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("wm")
+        ).collect()
