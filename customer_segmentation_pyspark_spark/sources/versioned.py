@@ -45,9 +45,20 @@ def latest_version(table_dir: str) -> int:
 
 
 def versions(table_dir: str) -> list[int]:
-    """Committed versions only (staging and stranded dirs excluded)."""
+    """Committed AND still-readable versions (staging and stranded dirs
+    excluded; versions retired by :func:`expire_versions` drop out —
+    enumerating this list for time travel never yields a version whose
+    read would raise). A version is readable while its artifact exists:
+    the ``v{N}`` snapshot dir (write_version tables) or the
+    ``manifest-v{N}.json`` file (manifest tables)."""
     n = latest_version(table_dir)
-    return list(range(1, n + 1))
+    out = []
+    for v in range(1, n + 1):
+        if os.path.isdir(os.path.join(table_dir, f"v{v}")) or os.path.exists(
+            os.path.join(table_dir, f"manifest-v{v}.json")
+        ):
+            out.append(v)
+    return out
 
 
 #: A ``.staging-*`` / unreferenced ``p-*`` dir younger than this is
@@ -250,24 +261,40 @@ def expire_versions(
     then :func:`gc_unreferenced_parts` collects any part directory only
     those manifests referenced (GC already tolerates missing manifests,
     so a crash mid-expire leaves a GC-able, fully readable table).
-    Expired versions raise on read; the newest ``keep_last`` (and time
-    travel among them) are untouched. Returns the expired version
-    numbers."""
+    Expired versions raise on read and drop out of :func:`versions`;
+    the newest ``keep_last`` (and time travel among them) are
+    untouched. Returns the expired version numbers.
+
+    ``grace_sec`` is the retention horizon for the WHOLE operation, not
+    just the part-dir GC: a version whose artifact is younger than the
+    window is spared this pass, so a reader that just resolved it (or a
+    writer that just committed it) cannot have its files deleted
+    mid-scan — the Delta VACUUM retention-age model. Readers of
+    versions older than the horizon are out of retention, as with
+    VACUUM. Pass ``grace_sec=0`` to expire immediately in a provably
+    quiescent context."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     n = latest_version(table_dir)
     expired = []
     for v in range(1, max(1, n - keep_last + 1)):
         hit = False
+        fresh = False
         m = os.path.join(table_dir, f"manifest-v{v}.json")
         if os.path.exists(m):
-            os.remove(m)
-            hit = True
+            if _is_stale(m, grace_sec) or grace_sec <= 0:
+                os.remove(m)
+                hit = True
+            else:
+                fresh = True
         d = os.path.join(table_dir, f"v{v}")
         if os.path.isdir(d):
-            shutil.rmtree(d, ignore_errors=True)
-            hit = True
-        if hit:
+            if _is_stale(d, grace_sec) or grace_sec <= 0:
+                shutil.rmtree(d, ignore_errors=True)
+                hit = True
+            else:
+                fresh = True
+        if hit and not fresh:
             expired.append(v)
     if expired:
         gc_unreferenced_parts(table_dir, grace_sec)

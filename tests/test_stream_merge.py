@@ -621,6 +621,8 @@ def test_compact_partitioned_snapshot_and_expire_versions(spark, tmp_path):
     live = set(versioned.read_manifest(table)["parts"].values())
     on_disk = {e for e in os.listdir(table) if e.startswith("p-")}
     assert on_disk == live  # every unreferenced pre-compaction dir GC'd
+    # versions() only lists still-readable versions after retention
+    assert versioned.versions(table) == [n_latest]
 
 
 def test_expire_versions_plain_snapshot_table(spark, tmp_path):
@@ -645,6 +647,14 @@ def test_expire_versions_plain_snapshot_table(spark, tmp_path):
         versioned.read_table(spark, t, version=1).count()
     with _pytest.raises(ValueError):
         versioned.expire_versions(t, keep_last=0)
+    # contract: versions() lists only still-readable versions
+    assert versioned.versions(t) == [2, 3]
+    # default grace: v2 was written seconds ago, inside the retention
+    # horizon -> spared this pass (an in-flight reader survives)
+    assert versioned.expire_versions(t, keep_last=1) == []
+    assert versioned.read_table(spark, t, version=2).count() == 10
+    assert versioned.expire_versions(t, keep_last=1, grace_sec=0) == [2]
+    assert versioned.versions(t) == [3]
 
 
 def test_cluster_partitioned_snapshot_sorts_for_skipping(spark, tmp_path):
