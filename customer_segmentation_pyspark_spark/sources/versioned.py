@@ -139,20 +139,34 @@ def read_manifest(
 def commit_manifest(table_dir: str, manifest: dict) -> int:
     """Commit ``manifest`` as the next version. Write the full manifest
     file first, then atomically flip ``_LATEST`` — a crash at any point
-    leaves either the old pointer (stranded manifest file, overwritten
-    by the next commit) or the new one (fully committed)."""
+    leaves either the old pointer (stranded manifest file, collected by
+    retention) or the new one (fully committed).
+
+    Version numbers are allocated EXCLUSIVELY: the manifest file is
+    hard-linked into place (``os.link`` fails on an existing name), so
+    two concurrent committers can never both claim version N and
+    silently overwrite each other's manifest — the loser is bumped to
+    N+1. The pointer then only ever advances (a committer that lost the
+    race to a higher version leaves the higher pointer in place)."""
     import json
 
     os.makedirs(table_dir, exist_ok=True)
-    v = latest_version(table_dir) + 1
     tmp = os.path.join(table_dir, f".manifest.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, os.path.join(table_dir, f"manifest-v{v}.json"))
-    ptmp = os.path.join(table_dir, f"._LATEST.tmp-{uuid.uuid4().hex[:8]}")
-    with open(ptmp, "w") as f:
-        f.write(str(v))
-    os.replace(ptmp, _pointer(table_dir))
+    v = latest_version(table_dir) + 1
+    while True:
+        try:
+            os.link(tmp, os.path.join(table_dir, f"manifest-v{v}.json"))
+            break
+        except FileExistsError:
+            v += 1  # another committer took this version number
+    os.remove(tmp)
+    if latest_version(table_dir) < v:
+        ptmp = os.path.join(table_dir, f"._LATEST.tmp-{uuid.uuid4().hex[:8]}")
+        with open(ptmp, "w") as f:
+            f.write(str(v))
+        os.replace(ptmp, _pointer(table_dir))
     return v
 
 

@@ -295,51 +295,115 @@ def streaming_partitioned_upsert(
     )
 
 
-def compact_partitioned_snapshot(
-    spark: SparkSession, table_dir: str, target_files: int = 1
+def _commit_rewrites(
+    table_dir: str, rewrites: dict[str, tuple[str, str]]
 ) -> list[str]:
-    """OPTIMIZE for the manifest table (r04): rewrite every partition
-    whose data-file count exceeds ``target_files`` into a fresh
-    immutable ``p-*`` dir with ``coalesce(target_files)``, then commit
-    ONE new manifest. Content is bit-preserved (a pure rewrite — the
-    mergeSchema read carries evolved columns through); untouched
-    partitions keep their directories byte-identical; historical
-    manifests still reference the pre-compaction dirs, so time travel
-    survives until :func:`~...sources.versioned.expire_versions`
-    retires them. Returns the partition ids rewritten.
+    """Optimistically commit content-preserving partition rewrites: the
+    manifest is RE-READ at commit time and each rewrite only lands if
+    the latest manifest still maps its partition to the directory the
+    rewrite was read from. A partition a concurrent merge rewrote in
+    the meantime is dropped (its dest dir is left stranded for GC) —
+    committing it would silently revert the merge's newer data, the
+    Delta OPTIMIZE conflict rule. Returns the partition ids that
+    landed; commits nothing when none survive."""
+    from customer_segmentation_pyspark_spark.sources import versioned
 
-    Scale shape: each partition compacts independently (one bounded
-    read+write per oversized partition, no shuffle — coalesce narrows),
-    so the maintenance cost is O(oversized partitions), the same unit
-    as the merge's rewrite."""
+    cur = versioned.read_manifest(table_dir)
+    parts = dict(cur["parts"])
+    surviving: list[str] = []
+    for pid, (src, dest) in rewrites.items():
+        if parts.get(pid) == src and os.path.isdir(
+            os.path.join(table_dir, dest)
+        ):
+            parts[pid] = dest
+            surviving.append(pid)
+    if surviving:
+        versioned.commit_manifest(
+            table_dir,
+            {"num_partitions": cur["num_partitions"], "parts": parts},
+        )
+    return sorted(surviving)
+
+
+def _rewrite_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    transform,
+    needs_rewrite=None,
+) -> list[str]:
+    """Shared maintenance skeleton for compact/cluster: read each
+    partition dir (mergeSchema carries evolved columns through), write
+    ``transform(df)`` to a fresh immutable ``p-*`` dir, and commit via
+    :func:`_commit_rewrites` (optimistic, merge-concurrency-safe).
+
+    Long loops flush intermediate commits every STAGING_GRACE_SEC/3:
+    an uncommitted dest dir older than the grace window would become
+    GC-bait for a concurrent merge's gc_unreferenced_parts, so no dest
+    is ever left unreferenced long enough to be collected. Each flush
+    re-validates against the then-latest manifest, so the conflict
+    window per partition is the read-validate-commit gap (ms), not the
+    whole maintenance run."""
+    import time
+
     from customer_segmentation_pyspark_spark.sources import versioned
 
     man = versioned.read_manifest(table_dir)
     if man is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    parts = dict(man["parts"])
-    rewritten: list[str] = []
-    for pid, d in sorted(parts.items()):
+    landed: list[str] = []
+    pending: dict[str, tuple[str, str]] = {}
+    flushed_at = time.monotonic()
+    for pid, d in sorted(man["parts"].items()):
         full = os.path.join(table_dir, d)
+        if needs_rewrite is not None and not needs_rewrite(full):
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(full)
+        dest = f"p-{uuid.uuid4().hex[:12]}"
+        transform(df).write.parquet(os.path.join(table_dir, dest))
+        pending[pid] = (d, dest)
+        if time.monotonic() - flushed_at > versioned.STAGING_GRACE_SEC / 3:
+            landed.extend(_commit_rewrites(table_dir, pending))
+            pending = {}
+            flushed_at = time.monotonic()
+    if pending:
+        landed.extend(_commit_rewrites(table_dir, pending))
+    return sorted(landed)
+
+
+def compact_partitioned_snapshot(
+    spark: SparkSession, table_dir: str, target_files: int = 1
+) -> list[str]:
+    """OPTIMIZE for the manifest table (r04): rewrite every partition
+    whose data-file count exceeds ``target_files`` into a fresh
+    immutable ``p-*`` dir with ``coalesce(target_files)``, committed
+    optimistically (see :func:`_commit_rewrites` — a concurrent merge
+    wins any partition it touched; the stale rewrite is dropped, never
+    committed over newer data). Content is bit-preserved (a pure
+    rewrite — the mergeSchema read carries evolved columns through);
+    untouched partitions keep their directories byte-identical;
+    historical manifests still reference the pre-compaction dirs, so
+    time travel survives until
+    :func:`~...sources.versioned.expire_versions` retires them.
+    Returns the partition ids rewritten AND committed.
+
+    Scale shape: each partition compacts independently (one bounded
+    read+write per oversized partition, no shuffle — coalesce narrows),
+    so the maintenance cost is O(oversized partitions), the same unit
+    as the merge's rewrite."""
+
+    def _oversized(full: str) -> bool:
         n_files = sum(
             1 for f in os.listdir(full)
             if f.endswith(".parquet") and not f.startswith(".")
         )
-        if n_files <= target_files:
-            continue
-        df = spark.read.option("mergeSchema", "true").parquet(full)
-        dest = f"p-{uuid.uuid4().hex[:12]}"
-        df.coalesce(target_files).write.parquet(
-            os.path.join(table_dir, dest)
-        )
-        parts[pid] = dest
-        rewritten.append(pid)
-    if rewritten:
-        versioned.commit_manifest(
-            table_dir,
-            {"num_partitions": man["num_partitions"], "parts": parts},
-        )
-    return rewritten
+        return n_files > target_files
+
+    return _rewrite_partitions(
+        spark,
+        table_dir,
+        lambda df: df.coalesce(target_files),
+        needs_rewrite=_oversized,
+    )
 
 
 def cluster_partitioned_snapshot(
@@ -351,39 +415,23 @@ def cluster_partitioned_snapshot(
     """Z-ORDER-lite maintenance for the manifest table (r04): rewrite
     every partition with its rows SORTED by ``sort_cols`` (pass a
     single natural column for range clustering, or a precomputed
-    interleaved key — ``functions``' ``zorder_key`` — for multi-column
-    locality), ``target_files`` files per partition, committed as ONE
-    new manifest. Content is preserved row-for-row; the payoff is data
+    interleaved key — build one with the Morton-interleave pattern in
+    ``queries.py``'s ``zorder_key`` query family — for multi-column
+    locality), ``target_files`` files per partition, committed
+    optimistically like compaction (a concurrent merge wins conflicted
+    partitions). Content is preserved row-for-row; the payoff is data
     skipping — parquet min/max stats on the sort columns become
     disjoint-ish per file, so selective predicates prune files the way
     Delta OPTIMIZE ZORDER arranges. Unconditional rewrite (clustering
-    cannot be detected from file counts); run it after compaction-worthy
-    churn, not per batch. Returns the rewritten partition ids.
+    cannot be detected from file counts); run it after
+    compaction-worthy churn, not per batch. Returns the partition ids
+    rewritten AND committed.
 
     Scale shape: per-partition local sort (sortWithinPartitions after a
     coalesce — no global shuffle), cost O(|partition| log |partition|)
     per partition, the same rewrite unit as the merge."""
-    from customer_segmentation_pyspark_spark.sources import versioned
-
-    man = versioned.read_manifest(table_dir)
-    if man is None:
-        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    parts = dict(man["parts"])
-    rewritten: list[str] = []
-    for pid, d in sorted(parts.items()):
-        df = spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(table_dir, d)
-        )
-        dest = f"p-{uuid.uuid4().hex[:12]}"
-        (
-            df.coalesce(target_files)
-            .sortWithinPartitions(*sort_cols)
-            .write.parquet(os.path.join(table_dir, dest))
-        )
-        parts[pid] = dest
-        rewritten.append(pid)
-    versioned.commit_manifest(
+    return _rewrite_partitions(
+        spark,
         table_dir,
-        {"num_partitions": man["num_partitions"], "parts": parts},
+        lambda df: df.coalesce(target_files).sortWithinPartitions(*sort_cols),
     )
-    return rewritten

@@ -112,6 +112,7 @@ SLOW_TESTS = {
     "test_mllib_text_pipeline_clusters_documents",
     "test_copurchase_oversized_basket_without_observer_raises",
     "test_cluster_partitioned_snapshot_sorts_for_skipping",
+    "test_maintenance_commit_is_merge_concurrency_safe",
 }
 
 

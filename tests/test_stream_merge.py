@@ -710,3 +710,91 @@ def test_cluster_partitioned_snapshot_sorts_for_skipping(spark, tmp_path):
     )
     before[1] = 999.0
     assert _psnap_dict(spark, table) == before
+
+
+def test_maintenance_commit_is_merge_concurrency_safe(spark, tmp_path):
+    """A merge landing between a maintenance rewrite and its commit must
+    WIN the conflicted partition: _commit_rewrites re-validates against
+    the latest manifest, lands only non-conflicted rewrites, and drops
+    the stale one (dest dir stranded for GC) instead of silently
+    reverting the merged data — the Delta OPTIMIZE conflict rule. Also
+    pins commit_manifest's exclusive version allocation: a version
+    number claimed by a (crashed) concurrent committer is never reused."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _commit_rewrites,
+        merge_into_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "ptable")
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(k, float(k), 1) for k in range(1, 33)], SCHEMA
+        ),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+    )
+    before = _psnap_dict(spark, table)
+    man = versioned.read_manifest(table)
+    # key -> partition id, to aim the concurrent merge at one partition
+    key_pid = {
+        r["k"]: str(r["p"])
+        # k long: xxhash64 is type-sensitive, must match SCHEMA's LongType
+        for r in spark.createDataFrame([(k,) for k in range(1, 33)], "k long")
+        .select("k", F.pmod(F.xxhash64("k"), F.lit(4)).cast("int").alias("p"))
+        .collect()
+    }
+    pids = sorted(man["parts"])
+    conflicted, clean = pids[0], pids[1]
+    hot_key = next(k for k, p in key_pid.items() if p == conflicted)
+
+    # maintenance pass stages rewrites of BOTH partitions but has not
+    # committed yet (the window the OCC validation covers)
+    rewrites = {}
+    for pid in (conflicted, clean):
+        src = man["parts"][pid]
+        df = spark.read.parquet(os.path.join(table, src))
+        dest = f"p-{pid}-staged-occ"
+        df.coalesce(1).write.parquet(os.path.join(table, dest))
+        rewrites[pid] = (src, dest)
+
+    # a merge lands in between, rewriting the conflicted partition
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame([(hot_key, 12345.0, 2)], SCHEMA),
+        key="k",
+        seq="seq",
+    )
+
+    landed = _commit_rewrites(table, rewrites)
+    assert landed == [clean]  # the conflicted rewrite was dropped
+    expected = dict(before)
+    expected[hot_key] = 12345.0
+    assert _psnap_dict(spark, table) == expected  # merge data preserved
+    live = versioned.read_manifest(table)["parts"]
+    assert live[clean] == rewrites[clean][1]
+    assert live[conflicted] != rewrites[conflicted][1]
+    # the stale dest dir is debris -> GC collects it once out of grace
+    stale_dest = rewrites[conflicted][1]
+    assert os.path.isdir(os.path.join(table, stale_dest))
+    assert stale_dest in versioned.gc_unreferenced_parts(table, grace_sec=0)
+
+    # exclusive version allocation: a stranded higher manifest (crashed
+    # committer that never flipped the pointer) is skipped, not reused
+    n = versioned.latest_version(table)
+    stranded = os.path.join(table, f"manifest-v{n + 1}.json")
+    with open(stranded, "w") as f:
+        f.write("{}")
+    got = versioned.commit_manifest(
+        table, versioned.read_manifest(table)
+    )
+    assert got == n + 2
+    assert versioned.latest_version(table) == n + 2
