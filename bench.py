@@ -135,6 +135,11 @@ HEADLINE = [
     # kmeans_custom (high-dim distance codegen, pivot featurization)
     "kmeans_embeddings",
     "doc_clustering",
+    # r04.5: lakehouse read paths — partition-pruned point lookup
+    # (key_in dir pruning) and the change data feed (manifest-diff
+    # pruned version diff); both include their 2-wave table build
+    "snapshot_point_lookup",
+    "corpus_changes_feed",
 ]
 
 

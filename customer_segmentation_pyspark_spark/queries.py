@@ -4360,6 +4360,100 @@ def q_corpus_refresh_pipeline(spark, sf_dir):
     )
 
 
+def _build_feed_table(spark, sf_dir, name):
+    """Shared two-wave snapshot build for the r04.5 lakehouse read
+    queries: base corpus (seq 0) committed as v1, then ONE merge wave
+    (refresh updates, seq 1 + keyed inserts, seq 2) as v2. The table is
+    REBUILT from scratch every run (rmtree first): these queries return
+    version-relative results, so converging onto a previous run's table
+    (the corpus_refresh idempotency trick) would shift the version
+    numbers they compare. Returns (table_dir, v1)."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base = d.withColumn("seq", F.lit(0).cast("long"))
+    table = _scratch_path(f"{name}/table")
+    shutil.rmtree(table, ignore_errors=True)
+    merge_into_partitioned_snapshot(
+        spark, table, base, key="doc_id", seq="seq", num_partitions=8
+    )
+    v1 = versioned.latest_version(table)
+    upd = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.concat("text", F.lit(" refreshed")))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    ins = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new: "), "text").alias("text"),
+        "lang",
+        F.lit("refresh").alias("source"),
+        F.lit(2).cast("long").alias("seq"),
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, upd.unionByName(ins), key="doc_id", seq="seq"
+    )
+    return table, v1
+
+
+def q_snapshot_point_lookup(spark, sf_dir):
+    """r04.5 — the partition-pruned POINT READ over the manifest table:
+    ``read_partitioned_snapshot(key_in=[...])`` recomputes each key's
+    partition id with the merge's own hash expression and scans only
+    those dirs (O(|keys|) of P — at 100 TB the difference between
+    touching 4 object-store prefixes and all of them). The lookup mixes
+    an updated key (10), an untouched key (23), an insert-source key
+    (14) and an inserted key (100014), so the pruned read is checked
+    against full latest-wins merge semantics, not just base rows."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    table, _ = _build_feed_table(spark, sf_dir, "point_lookup")
+    keys = [10, 23, 14, 100014]
+    snap = read_partitioned_snapshot(spark, table, key_in=keys)
+    return snap.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        "lang",
+        "source",
+        "seq",
+    )
+
+
+def q_corpus_changes_feed(spark, sf_dir):
+    """r04.5 — CHANGE DATA FEED between two committed versions of the
+    manifest table (the Delta CDF shape): inserts for new keys and
+    pre/post images for refreshed keys between v1 (base corpus) and v2
+    (refresh wave), untouched keys emit nothing. Partition-pruned by
+    construction — immutable part dirs mean an identical manifest entry
+    cannot hide a change, so only the rewritten partitions are read and
+    diffed. The oracle replays both snapshots in SQL and diffs them
+    row-wise, so a phantom/missing/misclassified change row fails the
+    hash."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_snapshot_changes,
+    )
+
+    table, v1 = _build_feed_table(spark, sf_dir, "changes_feed")
+    feed = read_snapshot_changes(spark, table, from_version=v1)
+    return feed.select(
+        "doc_id",
+        "_change_type",
+        F.length("text").cast("long").alias("text_len"),
+        "lang",
+        "source",
+        "seq",
+    )
+
+
 def q_graph_insights_pipeline(spark, sf_dir):
     """Capstone #6 — graph analytics over ONE shared graph build: the
     co-purchase pair pipeline (the expensive part: lineitem groupBy +
@@ -9076,6 +9170,54 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
 FROM latest GROUP BY source""",
+    "snapshot_point_lookup": """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 0 AS seq FROM documents),
+w2 AS (
+  SELECT doc_id, text || ' refreshed' AS text, lang, source, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'new: ' || text AS text, lang,
+         'refresh' AS source, 2 AS seq
+  FROM documents WHERE doc_id % 7 = 0),
+latest AS (
+  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM w2)
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len, lang, source, seq
+FROM latest WHERE doc_id IN (10, 23, 14, 100014)""",
+    "corpus_changes_feed": """
+WITH v1 AS (
+  SELECT doc_id, text, lang, source, 0 AS seq FROM documents),
+w2 AS (
+  SELECT doc_id, text || ' refreshed' AS text, lang, source, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'new: ' || text AS text, lang,
+         'refresh' AS source, 2 AS seq
+  FROM documents WHERE doc_id % 7 = 0),
+v2 AS (
+  SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM w2)
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+diff AS (
+  SELECT n.doc_id, 'insert' AS _change_type, n.text, n.lang, n.source,
+         n.seq
+  FROM v2 n LEFT JOIN v1 o ON n.doc_id = o.doc_id WHERE o.doc_id IS NULL
+  UNION ALL
+  SELECT o.doc_id, 'delete', o.text, o.lang, o.source, o.seq
+  FROM v1 o LEFT JOIN v2 n ON o.doc_id = n.doc_id WHERE n.doc_id IS NULL
+  UNION ALL
+  SELECT o.doc_id, 'update_preimage', o.text, o.lang, o.source, o.seq
+  FROM v1 o JOIN v2 n ON o.doc_id = n.doc_id
+  WHERE o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang
+     OR o.source IS DISTINCT FROM n.source OR o.seq IS DISTINCT FROM n.seq
+  UNION ALL
+  SELECT n.doc_id, 'update_postimage', n.text, n.lang, n.source, n.seq
+  FROM v1 o JOIN v2 n ON o.doc_id = n.doc_id
+  WHERE o.text IS DISTINCT FROM n.text OR o.lang IS DISTINCT FROM n.lang
+     OR o.source IS DISTINCT FROM n.source OR o.seq IS DISTINCT FROM n.seq)
+SELECT doc_id, _change_type, CAST(length(text) AS BIGINT) AS text_len,
+       lang, source, seq
+FROM diff""",
     "text_roundtrip": """
 WITH lines AS (
   SELECT text AS value FROM documents WHERE NOT contains(text, chr(10)))
@@ -10978,6 +11120,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "hits_parts": QuerySpec(q_hits_parts, ORACLES["hits_parts"]),
     "corpus_refresh_pipeline": QuerySpec(
         q_corpus_refresh_pipeline, ORACLES["corpus_refresh_pipeline"]
+    ),
+    "snapshot_point_lookup": QuerySpec(
+        q_snapshot_point_lookup, ORACLES["snapshot_point_lookup"]
+    ),
+    "corpus_changes_feed": QuerySpec(
+        q_corpus_changes_feed, ORACLES["corpus_changes_feed"]
     ),
     "graph_insights_pipeline": QuerySpec(
         q_graph_insights_pipeline,

@@ -170,6 +170,72 @@ def commit_manifest(table_dir: str, manifest: dict) -> int:
     return v
 
 
+#: String min/max longer than this are dropped from manifest stats: a
+#: truncated upper bound would need Iceberg's increment-last-byte trick
+#: to stay a valid bound, so over-long strings simply opt out of
+#: dir-level pruning (absence disables pruning, never correctness).
+STATS_MAX_STR = 64
+
+
+def collect_dir_stats(dir_path: str) -> dict[str, list]:
+    """Manifest-level data-skipping stats for one immutable part dir:
+    ``{column: [min, max]}`` over every top-level primitive column,
+    aggregated from the parquet FOOTERS (driver-side metadata reads
+    only — no Spark job; the same source Delta/Iceberg manifests are
+    populated from). A column is omitted when ANY row group lacks
+    min/max for it, its bounds are not JSON-safe scalars (nested,
+    timestamp, binary), or a string bound exceeds ``STATS_MAX_STR`` —
+    omission just means that column can't prune this dir.
+
+    Scale shape: O(files in dir) footer reads at write time, amortized
+    into the merge/maintenance job that created the dir; the payoff is
+    O(P) dict lookups at read time instead of listing+scanning every
+    partition dir."""
+    import pyarrow.parquet as pq
+
+    agg: dict[str, list] = {}
+    dropped: set[str] = set()
+    for fname in sorted(os.listdir(dir_path)):
+        if not fname.endswith(".parquet") or fname.startswith("."):
+            continue
+        md = pq.ParquetFile(os.path.join(dir_path, fname)).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in dropped:
+                    continue
+                st = col.statistics
+                mn = mx = None
+                if st is not None and st.has_min_max:
+                    mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        mn = None
+                if isinstance(mn, str) and (
+                    len(mn) > STATS_MAX_STR or len(mx) > STATS_MAX_STR
+                ):
+                    mn = None
+                if (
+                    mn is None
+                    or isinstance(mn, bool)
+                    or not isinstance(mn, (int, float, str))
+                ):
+                    dropped.add(name)
+                    agg.pop(name, None)
+                    continue
+                cur = agg.get(name)
+                if cur is None:
+                    agg[name] = [mn, mx]
+                else:
+                    cur[0] = min(cur[0], mn)
+                    cur[1] = max(cur[1], mx)
+    return agg
+
+
 def gc_unreferenced_parts(
     table_dir: str, grace_sec: float = STAGING_GRACE_SEC
 ) -> list[str]:

@@ -77,6 +77,7 @@ def test_coverage_md_query_names_resolve():
         "_partitioned_untouched_parts_intact",
         "compact_partitioned_snapshot", "expire_versions",
         "cluster_partitioned_snapshot", "weighted_mean_pandas",
+        "commit_manifest",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []

@@ -798,3 +798,212 @@ def test_maintenance_commit_is_merge_concurrency_safe(spark, tmp_path):
     )
     assert got == n + 2
     assert versioned.latest_version(table) == n + 2
+
+
+def test_snapshot_point_lookup_prunes_to_key_partitions(spark, tmp_path):
+    """r04.5 key-based partition pruning: a point lookup recomputes the
+    keys' partition ids with the merge's own hash expression and scans
+    only those dirs — O(|keys|) of P — while returning exactly the rows
+    a full-scan filter would."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _snapshot_read_plan,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "ptable")
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(k, float(k * 3), 1) for k in range(1, 65)], SCHEMA
+        ),
+        key="k",
+        seq="seq",
+        num_partitions=8,
+    )
+    keys = [5, 17]
+    man, kept_pids, kept_dirs = _snapshot_read_plan(
+        spark, table, None, None, keys
+    )
+    assert 1 <= len(kept_pids) <= 2  # the two keys' partitions only
+    got = {
+        r["k"]: r["val"]
+        for r in read_partitioned_snapshot(
+            spark, table, key_in=keys
+        ).collect()
+    }
+    assert got == {5: 15.0, 17: 51.0}
+    # a key in a pruned partition can never leak into the result
+    full = _psnap_dict(spark, table)
+    assert all(full[k] == got[k] for k in keys)
+
+
+def test_snapshot_stats_pruning_skips_disjoint_dirs(spark, tmp_path):
+    """r04.5 manifest stats skipping: dirs whose footer min/max are
+    provably disjoint from the where-range are never read; pruned and
+    unpruned reads return identical rows; unknown ops refuse."""
+    import os
+
+    import pytest as _pytest
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _snapshot_read_plan,
+        read_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "stable")
+    os.makedirs(table)
+    parts, stats = {}, {}
+    # four dirs with disjoint val ranges — the naturally-clustered shape
+    # (batch/tenant/date correlated) where dir-level stats pay off
+    for i in range(4):
+        rows = [(k, float(i * 100 + k), 1) for k in range(10)]
+        d = f"p-range{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(table, d)
+        )
+        parts[str(i)] = d
+        stats[str(i)] = versioned.collect_dir_stats(os.path.join(table, d))
+    assert stats["2"]["val"] == [200.0, 209.0]  # footer stats are real
+    versioned.commit_manifest(
+        table,
+        {"num_partitions": 4, "key": "k", "parts": parts, "stats": stats},
+    )
+
+    _, kept, _ = _snapshot_read_plan(
+        spark, table, None, [("val", ">=", 290.0)], None
+    )
+    assert kept == ["3"]  # three of four dirs proven disjoint
+    pruned = read_partitioned_snapshot(
+        spark, table, where=[("val", ">=", 290.0)]
+    )
+    unpruned = read_partitioned_snapshot(spark, table).filter(
+        F.col("val") >= 290.0
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, unpruned.collect())
+    )
+    # everything pruned: schema intact, zero rows
+    none = read_partitioned_snapshot(spark, table, where=[("val", ">", 1e9)])
+    assert none.columns == ["k", "val", "seq"] and none.count() == 0
+    # equality + string guard: incompatible type never prunes wrongly
+    _, kept_eq, _ = _snapshot_read_plan(
+        spark, table, None, [("val", "=", 105.0)], None
+    )
+    assert kept_eq == ["1"]
+    with _pytest.raises(ValueError, match="unsupported where op"):
+        read_partitioned_snapshot(spark, table, where=[("val", "!=", 1.0)])
+
+
+def test_stats_follow_merge_and_maintenance(spark, tmp_path):
+    """Stats are written by the merge itself (footer-derived, per
+    touched partition) and refreshed when compaction/clustering rewrite
+    a dir, so pruning decisions never consult a stale directory."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        cluster_partitioned_snapshot,
+        merge_into_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "ptable")
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(k, float(k), 1) for k in range(1, 33)], SCHEMA
+        ),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+    )
+    man = versioned.read_manifest(table)
+    assert man["key"] == "k"
+    assert set(man["stats"]) == set(man["parts"])
+    for pid in man["parts"]:
+        mn, mx = man["stats"][pid]["k"]
+        assert 1 <= mn <= mx <= 32
+    # an update wave refreshes only the touched partition's stats entry
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame([(7, 7777.0, 2)], SCHEMA),
+        key="k",
+        seq="seq",
+    )
+    man2 = versioned.read_manifest(table)
+    touched = [p for p in man2["parts"] if man2["parts"][p] != man["parts"][p]]
+    assert len(touched) == 1
+    assert man2["stats"][touched[0]]["val"][1] == 7777.0
+    for p in man2["parts"]:
+        if p != touched[0]:
+            assert man2["stats"][p] == man["stats"][p]
+    # maintenance rewrite recomputes stats for the fresh dirs
+    cluster_partitioned_snapshot(spark, table, ["val"])
+    man3 = versioned.read_manifest(table)
+    assert set(man3["stats"]) == set(man3["parts"])
+    assert man3["stats"][touched[0]]["val"][1] == 7777.0
+
+
+def test_change_feed_matches_python_diff(spark, tmp_path):
+    """read_snapshot_changes emits the Delta-CDF row set: inserts for
+    new keys, pre/post images for changed keys, nothing for untouched
+    keys — equal to a Python diff of the two snapshots; same-version
+    feed is empty; tables without a recorded key refuse."""
+    import pytest as _pytest
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    table = str(tmp_path / "ptable")
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(k, float(k), 1) for k in range(1, 21)], SCHEMA
+        ),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+    )
+    v1 = versioned.latest_version(table)
+    snap1 = _psnap_dict(spark, table)
+    wave = [(k, float(k * 100), 2) for k in (3, 8)] + [
+        (101, 101.0, 2), (102, 102.0, 2)
+    ]
+    merge_into_partitioned_snapshot(
+        spark, table, spark.createDataFrame(wave, SCHEMA), key="k", seq="seq"
+    )
+    snap2 = _psnap_dict(spark, table)
+
+    feed = read_snapshot_changes(spark, table, v1).collect()
+    got = {(r["k"], r["_change_type"]): r["val"] for r in feed}
+    expected = {}
+    for k in set(snap1) | set(snap2):
+        if k not in snap1:
+            expected[(k, "insert")] = snap2[k]
+        elif k not in snap2:
+            expected[(k, "delete")] = snap1[k]
+        elif snap1[k] != snap2[k]:
+            expected[(k, "update_preimage")] = snap1[k]
+            expected[(k, "update_postimage")] = snap2[k]
+    assert got == expected
+    assert {"insert", "update_preimage", "update_postimage"} == {
+        t for _, t in got
+    }
+    # same-version feed: empty but correctly shaped
+    same = read_snapshot_changes(spark, table, v1, v1)
+    assert same.columns == ["k", "val", "seq", "_change_type"]
+    assert same.count() == 0
+    # a pre-key-field manifest refuses with guidance
+    man = versioned.read_manifest(table)
+    legacy = {k: v for k, v in man.items() if k != "key"}
+    versioned.commit_manifest(table, legacy)
+    with _pytest.raises(ValueError, match="re-merge"):
+        read_snapshot_changes(
+            spark, table, versioned.latest_version(table)
+        )
