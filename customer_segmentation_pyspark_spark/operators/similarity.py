@@ -532,6 +532,16 @@ def pq_topk(
             qv = r["qv"]
             dtab = []
             for (m, _cent), cc, tw in zip(flat_cbs, ccs, twices):
+                # NULL propagation mirrors the expression path (r05,
+                # ADVICE): a NULL vector or NULL element makes the
+                # whole sub-distance NULL (SQL arithmetic), never a
+                # driver-side TypeError — behavior must not diverge
+                # across the max_driver_queries threshold on dirty data
+                if qv is None or any(
+                    qv[m * sub_dim + j] is None for j in range(len(tw))
+                ):
+                    dtab.append(None)
+                    continue
                 dot2 = 0.0
                 for j, tx in enumerate(tw):
                     dot2 += float(qv[m * sub_dim + j]) * tx

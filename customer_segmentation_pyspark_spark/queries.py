@@ -4360,6 +4360,152 @@ def q_corpus_refresh_pipeline(spark, sf_dir):
     )
 
 
+def _delete_wave_frames(d):
+    """The shared three-wave change sequence for the delete-capable
+    MERGE capstones (r05): wave 0 = full base (seq 0); wave 1 = keep
+    updates (%5, seq 1), deletes (%3, seq 2 — overlapping %15 keys
+    exercise update-then-delete latest-wins), keyed inserts (+200000
+    for %11, seq 1) half of which die in-batch (+200000 for %22,
+    delete at seq 3); wave 2 = re-inserts of mostly-deleted keys (%9,
+    seq 4) and a final delete sweep (%4, seq 5 — %36 keys see
+    reinsert-then-delete). Sequential application == global
+    latest-wins by seq because seqs increase across waves."""
+    base = d.withColumn("op", F.lit("U")).withColumn(
+        "seq", F.lit(0).cast("long")
+    )
+    w1 = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("text", F.concat("text", F.lit(" kept")))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1).cast("long"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0)
+            .withColumn("op", F.lit("D"))
+            .withColumn("seq", F.lit(2).cast("long"))
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.lit("neo: "), "text").alias("text"),
+                "lang",
+                F.lit("ingest").alias("source"),
+                F.lit("U").alias("op"),
+                F.lit(1).cast("long").alias("seq"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 22 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                "text",
+                "lang",
+                F.lit("ingest").alias("source"),
+                F.lit("D").alias("op"),
+                F.lit(3).cast("long").alias("seq"),
+            )
+        )
+    )
+    w2 = (
+        d.filter(F.col("doc_id") % 9 == 0)
+        .withColumn("text", F.concat(F.lit("back: "), "text"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(4).cast("long"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 4 == 0)
+            .withColumn("op", F.lit("D"))
+            .withColumn("seq", F.lit(5).cast("long"))
+        )
+    )
+    return [base, w1, w2]
+
+
+def _delete_wave_report(snap):
+    return snap.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.md5(F.col("text").cast("binary")))
+                ),
+            ).cast("binary")
+        ).alias("content_md5"),
+    )
+
+
+def q_corpus_delete_wave(spark, sf_dir):
+    """r05 — the MERGE DELETE verb under the DuckDB hash gate: three
+    copy-on-write partition-pruned MERGE batches where rows with
+    op='D' tombstone their key (``WHEN MATCHED AND op='D' THEN
+    DELETE``), including update-then-delete, insert-then-delete and
+    delete-then-reinsert latest-wins collisions inside one batch and a
+    delete sweep that can empty partitions (the manifest drops them).
+    The oracle replays the same change log in SQL — a resurrected
+    deleted row, a lost re-insert, or a marker column leaking into the
+    snapshot all fail the hash. Idempotent across reruns: the base
+    wave re-inserts everything and the deletes re-apply."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    table = _scratch_path("corpus_delete/table")
+    for wave in _delete_wave_frames(d):
+        merge_into_partitioned_snapshot(
+            spark,
+            table,
+            wave,
+            key="doc_id",
+            seq="seq",
+            num_partitions=8,
+            delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+    return _delete_wave_report(read_partitioned_snapshot(spark, table))
+
+
+def q_mor_delete_wave(spark, sf_dir):
+    """r05 — the merge-on-read twin of ``corpus_delete_wave`` under the
+    SAME oracle SQL: the identical change sequence lands as O(|delta|)
+    delta-log appends (base dirs untouched), waves 1-2 are read through
+    the overlay join, then the log is folded back with
+    ``compact_mor_partitions`` and the report runs over the compacted
+    table — so delta write, overlay read, AND fold-back all sit under
+    the DuckDB hash gate. Equality with corpus_delete_wave's hash is
+    the MoR==CoW property at sf scale."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        compact_mor_partitions,
+        merge_mor_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    table = _scratch_path("mor_delete/table")
+    # delta logs grow per rerun; rebuild for a deterministic manifest
+    shutil.rmtree(table, ignore_errors=True)
+    for wave in _delete_wave_frames(d):
+        merge_mor_into_partitioned_snapshot(
+            spark,
+            table,
+            wave,
+            key="doc_id",
+            seq="seq",
+            num_partitions=8,
+            delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+    compact_mor_partitions(spark, table)
+    return _delete_wave_report(read_partitioned_snapshot(spark, table))
+
+
 def _build_feed_table(spark, sf_dir, name):
     """Shared two-wave snapshot build for the r04.5 lakehouse read
     queries: base corpus (seq 0) committed as v1, then ONE merge wave
@@ -9170,6 +9316,42 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
 FROM latest GROUP BY source""",
+    # corpus_delete_wave and mor_delete_wave REPLAY THE SAME change log
+    # (CoW vs MoR is a storage choice, not a semantics choice) — one
+    # oracle, assigned to both registry entries below; 'live' drops the
+    # keys whose latest row is a tombstone
+    "corpus_delete_wave": """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 'U' AS op, 0 AS seq FROM documents),
+w1 AS (
+  SELECT doc_id, text || ' kept' AS text, lang, source, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 2
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, 'neo: ' || text, lang, 'ingest', 'U', 1
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, 'ingest', 'D', 3
+  FROM documents WHERE doc_id % 22 = 0),
+w2 AS (
+  SELECT doc_id, 'back: ' || text AS text, lang, source, 'U' AS op, 4 AS seq
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 5
+  FROM documents WHERE doc_id % 4 = 0),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+live AS (SELECT * FROM latest WHERE op <> 'D')
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
+FROM live GROUP BY source""",
     "snapshot_point_lookup": """
 WITH base AS (
   SELECT doc_id, text, lang, source, 0 AS seq FROM documents),
@@ -11120,6 +11302,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "hits_parts": QuerySpec(q_hits_parts, ORACLES["hits_parts"]),
     "corpus_refresh_pipeline": QuerySpec(
         q_corpus_refresh_pipeline, ORACLES["corpus_refresh_pipeline"]
+    ),
+    "corpus_delete_wave": QuerySpec(
+        q_corpus_delete_wave, ORACLES["corpus_delete_wave"]
+    ),
+    "mor_delete_wave": QuerySpec(
+        q_mor_delete_wave, ORACLES["corpus_delete_wave"]
     ),
     "snapshot_point_lookup": QuerySpec(
         q_snapshot_point_lookup, ORACLES["snapshot_point_lookup"]

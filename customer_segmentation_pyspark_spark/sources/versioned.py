@@ -132,11 +132,38 @@ def read_manifest(
     v = latest_version(table_dir) if version is None else version
     if v < 1:
         return None
-    with open(os.path.join(table_dir, f"manifest-v{v}.json")) as f:
+    path = os.path.join(table_dir, f"manifest-v{v}.json")
+    if version is None and not os.path.exists(path):
+        # the pointer can transiently reference a version withdrawn by
+        # a failed conditional commit (commit_manifest's OCC hook) if a
+        # concurrent pointer-repair flip raced the withdrawal; latest
+        # means "highest committed manifest", so fall back to it — the
+        # next successful commit repairs the pointer upward
+        v = _max_manifest_version(table_dir)
+        if v < 1:
+            return None
+        path = os.path.join(table_dir, f"manifest-v{v}.json")
+    with open(path) as f:
         return json.load(f)
 
 
-def commit_manifest(table_dir: str, manifest: dict) -> int:
+def _max_manifest_version(table_dir: str) -> int:
+    """Highest version with a committed manifest FILE on disk (the
+    authoritative commit record — a manifest is fully written before it
+    is linked into place, so its existence means that version is
+    complete even if the pointer has not caught up yet)."""
+    best = 0
+    for p in _glob.glob(os.path.join(table_dir, "manifest-v*.json")):
+        try:
+            best = max(best, int(os.path.basename(p)[len("manifest-v"):-5]))
+        except ValueError:
+            continue
+    return best
+
+
+def commit_manifest(
+    table_dir: str, manifest: dict, expected_latest: int | None = None
+) -> int:
     """Commit ``manifest`` as the next version. Write the full manifest
     file first, then atomically flip ``_LATEST`` — a crash at any point
     leaves either the old pointer (stranded manifest file, collected by
@@ -146,8 +173,25 @@ def commit_manifest(table_dir: str, manifest: dict) -> int:
     hard-linked into place (``os.link`` fails on an existing name), so
     two concurrent committers can never both claim version N and
     silently overwrite each other's manifest — the loser is bumped to
-    N+1. The pointer then only ever advances (a committer that lost the
-    race to a higher version leaves the higher pointer in place)."""
+    N+1.
+
+    The pointer flip is a verify loop, not check-then-act (r05, ADVICE):
+    after each os.replace the flipper re-reads the pointer AND re-scans
+    the committed manifest files, and repeats while the pointer trails
+    the highest committed version. A racer that momentarily regresses
+    the pointer (read-low, lose-the-race, replace) observes the higher
+    manifest file on the next pass and restores it — the pointer
+    converges to max(committed versions) under any interleaving, so no
+    commit is ever lost. (At object-store scale this whole function is
+    one conditional-put; the scan is the local-FS stand-in.)
+
+    OCC hook: pass ``expected_latest`` (the version the caller's
+    manifest was DERIVED from) to make the commit conditional — if the
+    exclusive allocation lands anywhere other than
+    ``expected_latest + 1``, a foreign commit intervened and this
+    manifest would revert it; the allocated file is unlinked and ``-1``
+    returned so the caller can re-read, re-validate, and retry
+    (Delta/Iceberg optimistic-commit shape)."""
     import json
 
     os.makedirs(table_dir, exist_ok=True)
@@ -162,10 +206,19 @@ def commit_manifest(table_dir: str, manifest: dict) -> int:
         except FileExistsError:
             v += 1  # another committer took this version number
     os.remove(tmp)
-    if latest_version(table_dir) < v:
+    if expected_latest is not None and v != expected_latest + 1:
+        # conditional commit failed: someone committed since the caller
+        # read expected_latest — withdraw (nothing references v yet)
+        os.remove(os.path.join(table_dir, f"manifest-v{v}.json"))
+        return -1
+    while True:
+        cur = latest_version(table_dir)
+        target = max(v, _max_manifest_version(table_dir))
+        if cur >= target:
+            break
         ptmp = os.path.join(table_dir, f"._LATEST.tmp-{uuid.uuid4().hex[:8]}")
         with open(ptmp, "w") as f:
-            f.write(str(v))
+            f.write(str(target))
         os.replace(ptmp, _pointer(table_dir))
     return v
 
@@ -263,13 +316,15 @@ def gc_unreferenced_parts(
             continue
         if m:
             referenced.update(m["parts"].values())
+            for log in m.get("deltas", {}).values():
+                referenced.update(log)
     removed = []
     for entry in os.listdir(table_dir):
         full = os.path.join(table_dir, entry)
         if not os.path.isdir(full):
             continue
         if entry.startswith(".staging-") or (
-            entry.startswith("p-") and entry not in referenced
+            entry.startswith(("p-", "d-")) and entry not in referenced
         ):
             if not _is_stale(full, grace_sec):
                 continue  # possibly in-flight — spare it this pass

@@ -41,25 +41,53 @@ def latest_per_key(batch: DataFrame, key: str, seq: str) -> DataFrame:
     )
 
 
+def _split_deletes(
+    delta: DataFrame, key: str, delete_when: str | None, marker_cols
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split a latest-per-key change set into (upserts, delete keys).
+
+    ``delete_when`` is a SQL boolean expression over the change row —
+    the ``WHEN MATCHED AND <cond> THEN DELETE`` clause. Latest-wins is
+    inherited from :func:`latest_per_key`: only the newest row per key
+    is classified, so delete-then-reinsert within one batch nets to the
+    insert and insert-then-delete nets to the delete. A NULL condition
+    counts as not-a-delete (SQL WHERE semantics). ``marker_cols`` are
+    change-set-only columns (the CDC op/flag fields the condition
+    reads) dropped from the upsert side so they never enter — or
+    schema-evolve — the snapshot."""
+    if delete_when is None:
+        return delta.drop(*marker_cols), None
+    cond = F.coalesce(F.expr(delete_when), F.lit(False))
+    ups = delta.filter(~cond).drop(*marker_cols)
+    dels = delta.filter(cond).select(key)
+    return ups, dels
+
+
 def merge_into_snapshot(
     spark: SparkSession,
     snapshot_dir: str,
     changes: DataFrame,
     key: str,
     seq: str,
+    delete_when: str | None = None,
+    marker_cols: tuple = (),
 ) -> None:
     """One MERGE step: upsert ``changes`` (any schema-compatible change
     set) into the parquet snapshot at ``snapshot_dir``.
 
     Update columns win over snapshot columns per key; unmatched change
-    keys are inserts; untouched snapshot keys are kept.  The write goes to
-    a fresh directory then swaps in via ``sinks.crash_safe_swap``:
-    ``recover_swap`` at open adopts a snapshot stranded by a crash
-    between the swap renames, and the replayed batch re-merges
-    idempotently on top of it — previously-merged keys survive any
-    crash point.  (A reader inside the rename gap can still see the
-    directory briefly missing; the table-format commit log is the
-    lakehouse-scale fix.)
+    keys are inserts; untouched snapshot keys are kept.  With
+    ``delete_when`` (r05), a change row satisfying the condition is a
+    tombstone instead: the key is removed from the snapshot if present
+    and ignored if not (``WHEN MATCHED AND cond THEN DELETE`` — see
+    :func:`_split_deletes` for latest-wins and marker-column rules).
+    The write goes to a fresh directory then swaps in via
+    ``sinks.crash_safe_swap``: ``recover_swap`` at open adopts a
+    snapshot stranded by a crash between the swap renames, and the
+    replayed batch re-merges idempotently on top of it —
+    previously-merged keys survive any crash point.  (A reader inside
+    the rename gap can still see the directory briefly missing; the
+    table-format commit log is the lakehouse-scale fix.)
 
     Cost is O(|snapshot|) per batch — fine for compacted snapshots; for
     large snapshots under small change streams use
@@ -68,10 +96,13 @@ def merge_into_snapshot(
     """
     recover_swap(snapshot_dir)
     delta = latest_per_key(changes, key, seq)
+    ups, dels = _split_deletes(delta, key, delete_when, marker_cols)
     if os.path.exists(snapshot_dir):
-        merged = _merge_frames(spark.read.parquet(snapshot_dir), delta, key)
+        merged = _merge_frames(spark.read.parquet(snapshot_dir), ups, key)
     else:
-        merged = delta
+        merged = ups
+    if dels is not None:
+        merged = merged.join(dels, key, "left_anti")
     tmp = f"{snapshot_dir}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     crash_safe_swap(snapshot_dir, tmp)
@@ -157,6 +188,14 @@ def _part_expr(key: str, num_partitions: int):
     return F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)).cast("int")
 
 
+class ConcurrentMergeError(RuntimeError):
+    """Two merges rewrote the SAME partition concurrently — the loser's
+    base read is stale and its result would clobber the winner's rows.
+    Unlike disjoint-partition interleavings (auto-resolved by the
+    commit retry) this needs the batch re-merged against the new base;
+    re-running the same merge call is safe and idempotent."""
+
+
 def merge_into_partitioned_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -164,16 +203,26 @@ def merge_into_partitioned_snapshot(
     key: str,
     seq: str,
     num_partitions: int = 32,
+    delete_when: str | None = None,
+    marker_cols: tuple = (),
 ) -> None:
     """One partition-pruned MERGE step. Same semantics as
     ``merge_into_snapshot`` (update columns win per key, unmatched keys
-    insert, untouched keys kept), different write cost: only the hash
-    partitions of ``key`` present in the delta are read, merged, and
-    rewritten as fresh immutable ``p-*`` directories; the new manifest
-    reuses every untouched partition's directory as-is and commits with
-    the atomic pointer flip — a crash at any point leaves the previous
-    manifest fully readable (stranded part dirs are GC'd on the next
-    merge) and the replayed batch re-merges idempotently.
+    insert, untouched keys kept; ``delete_when`` rows tombstone their
+    key — r05), different write cost: only the hash partitions of
+    ``key`` present in the delta are read, merged, and rewritten as
+    fresh immutable ``p-*`` directories; the new manifest reuses every
+    untouched partition's directory as-is and commits with the atomic
+    pointer flip — a crash at any point leaves the previous manifest
+    fully readable (stranded part dirs are GC'd on the next merge) and
+    the replayed batch re-merges idempotently. A partition emptied by
+    deletes leaves the manifest entirely (its old dir stays readable
+    for time travel until expired). The commit is CONDITIONAL (r05):
+    if a concurrent merge lands between this merge's manifest read and
+    its pointer flip, the commit retries on top of the intervening
+    manifest when the two merges touched disjoint partitions, and
+    raises :class:`ConcurrentMergeError` when they collided (stale base
+    read — rerun the merge; Delta's WriteSerializable rule).
 
     ``num_partitions`` is fixed at table creation (stored in the
     manifest; the argument is ignored afterwards). Size it so one
@@ -184,11 +233,13 @@ def merge_into_partitioned_snapshot(
     """
     from customer_segmentation_pyspark_spark.sources import versioned
 
-    man = versioned.read_manifest(table_dir)
+    base_version = versioned.latest_version(table_dir)
+    man = versioned.read_manifest(table_dir, base_version or None)
     if man is not None:
         num_partitions = int(man["num_partitions"])
         parts = dict(man["parts"])
         stats = dict(man.get("stats", {}))
+        deltas = {p: list(v) for p, v in man.get("deltas", {}).items()}
         if man.get("key", key) != key:
             raise ValueError(
                 f"table {table_dir} was created with merge key "
@@ -196,8 +247,12 @@ def merge_into_partitioned_snapshot(
             )
         versioned.gc_unreferenced_parts(table_dir)
     else:
+        base_version = 0
         parts = {}
         stats = {}
+        deltas = {}
+    orig_parts = dict(parts)
+    orig_deltas = {p: tuple(v) for p, v in deltas.items()}
 
     delta = latest_per_key(changes, key, seq).withColumn(
         "__part", _part_expr(key, num_partitions)
@@ -221,52 +276,383 @@ def merge_into_partitioned_snapshot(
     if not touched:
         return
     delta = delta.drop("__part")
+    ups, dels = _split_deletes(delta, key, delete_when, marker_cols)
 
-    # allowMissingColumns + mergeSchema read: part dirs written before a
-    # schema-evolving merge lack the newer columns (evolution rewrites
-    # only touched partitions, like Delta/Iceberg metadata evolution)
-    base_frames = [
-        spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(table_dir, parts[str(p)])
+    # current state of the touched partitions: base dirs (mergeSchema —
+    # dirs written before a schema-evolving merge lack newer columns)
+    # overlaid with any MoR delta logs, which this rewrite folds in
+    base = (
+        _partition_state(
+            spark,
+            table_dir,
+            man,
+            [str(p) for p in touched if str(p) in parts or deltas.get(str(p))],
         )
-        for p in touched
-        if str(p) in parts
-    ]
-    if base_frames:
-        base = base_frames[0]
-        for f in base_frames[1:]:
-            base = base.unionByName(f, allowMissingColumns=True)
-        merged = _merge_frames(base, delta, key)
+        if man is not None
+        else None
+    )
+    if base is not None:
+        merged = _merge_frames(base, ups, key)
     else:
-        merged = delta
+        merged = ups
+    if dels is not None:
+        merged = merged.join(dels, key, "left_anti")
+    schema_fields = merged.schema.jsonValue()["fields"]
+    if man is not None:
+        # evolution is add-only and this merge read only the touched
+        # partitions: carry columns that exist elsewhere in the table
+        known = {f["name"] for f in schema_fields}
+        for fld in man.get("schema", {}).get("fields", []):
+            if fld["name"] not in known:
+                schema_fields.append(fld)
     merged = merged.withColumn("__part", _part_expr(key, num_partitions))
 
     os.makedirs(table_dir, exist_ok=True)
     staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
     merged.write.mode("overwrite").partitionBy("__part").parquet(staging)
+    new_entries: dict[str, str | None] = {}
     for p in touched:
         src = os.path.join(staging, f"__part={p}")
         if os.path.isdir(src):
             dest = f"p-{uuid.uuid4().hex[:12]}"
             os.rename(src, os.path.join(table_dir, dest))
-            parts[str(p)] = dest
-            # footer-derived data-skipping stats for the fresh dir;
-            # untouched partitions keep their previous stats entries
-            stats[str(p)] = versioned.collect_dir_stats(
-                os.path.join(table_dir, dest)
-            )
+            new_entries[str(p)] = dest
+        else:
+            # every row of this partition was deleted: partitionBy wrote
+            # no dir, so the partition must LEAVE the manifest — keeping
+            # the old mapping would resurrect the deleted rows
+            new_entries[str(p)] = None
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
-    versioned.commit_manifest(
-        table_dir,
-        {
+
+    while True:
+        for pid, dest in new_entries.items():
+            # this rewrite folded in any MoR delta log the partition had
+            deltas.pop(pid, None)
+            if dest is None:
+                parts.pop(pid, None)
+                stats.pop(pid, None)
+            else:
+                parts[pid] = dest
+                # footer-derived data-skipping stats for the fresh dir;
+                # untouched partitions keep their previous stats entries
+                stats[pid] = versioned.collect_dir_stats(
+                    os.path.join(table_dir, dest)
+                )
+        v = versioned.commit_manifest(
+            table_dir,
+            {
+                "num_partitions": num_partitions,
+                "key": key,
+                "parts": parts,
+                "stats": stats,
+                "deltas": {p: lst for p, lst in deltas.items() if lst},
+                # full-table schema at this version (union-of-columns
+                # after evolution) — lets fully-pruned reads build an
+                # empty result without touching any part dir
+                "schema": {"type": "struct", "fields": schema_fields},
+            },
+            expected_latest=base_version,
+        )
+        if v > 0:
+            return
+        # a foreign commit landed between our manifest read and the
+        # flip; rebase onto it when the partition sets are disjoint
+        fresh_v = versioned.latest_version(table_dir)
+        fresh = versioned.read_manifest(table_dir, fresh_v)
+        conflicted = [
+            p
+            for p in new_entries
+            if fresh["parts"].get(p) != orig_parts.get(p)
+            or tuple(fresh.get("deltas", {}).get(p, ()))
+            != orig_deltas.get(p, ())
+        ]
+        if conflicted:
+            raise ConcurrentMergeError(
+                f"partitions {sorted(conflicted)} of {table_dir} were "
+                "rewritten concurrently; re-run the merge (idempotent)"
+            )
+        parts = dict(fresh["parts"])
+        stats = dict(fresh.get("stats", {}))
+        deltas = {p: list(v) for p, v in fresh.get("deltas", {}).items()}
+        # keep evolved columns a foreign merge may have added
+        known = {f["name"] for f in schema_fields}
+        for fld in fresh.get("schema", {}).get("fields", []):
+            if fld["name"] not in known:
+                schema_fields.append(fld)
+        base_version = fresh_v
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read (r05, VERDICT #2): the copy-on-write merge above rewrites
+# O(touched partitions) of DATA per batch — still heavy when a tiny change
+# stream drips into huge partitions. The MoR twin appends each batch as a
+# small immutable delta dir per touched partition (O(|delta|) write, base
+# untouched) and defers the merge to READ time: base rows are overlaid
+# with the partition's delta log, latest-wins per key with the same
+# per-column coalesce semantics as _merge_frames, tombstones honored.
+# compact_mor_partitions folds a partition's log back into its base dir —
+# the Delta deletion-vector / Iceberg merge-on-read shape at parquet+JSON
+# level. Manifest extension: {"deltas": {pid: [dir, ...]}} oldest-first.
+# ---------------------------------------------------------------------------
+
+
+def _partition_state(
+    spark: SparkSession, table_dir: str, man: dict, pids: list[str]
+) -> DataFrame | None:
+    """Current rows of the given partitions: base dirs overlaid with
+    their delta logs. Returns None when the partitions hold nothing.
+
+    Replay semantics per key, ordered base (ord -1) -> deltas
+    (oldest 0 .. newest n): an upsert row replaces the row per column
+    with NULL-keeps-old (exactly ``_merge_frames``' coalesce); a
+    tombstone kills everything at-or-before it, so a later re-insert
+    starts fresh with no column carry-over — the fold a sequential CoW
+    application would produce, expressed as two windows over one
+    key-shuffle: last-tombstone filter, then first-non-null per column
+    scanning newest-first. Keys never cross hash partitions, so
+    per-partition delta ordinals are globally safe."""
+    key = man["key"]
+    deltas = man.get("deltas", {})
+    base_dirs = [man["parts"][p] for p in pids if p in man["parts"]]
+    delta_dirs = [d for p in pids for d in deltas.get(p, [])]
+    base = (
+        spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, d) for d in base_dirs]
+        )
+        if base_dirs
+        else None
+    )
+    if not delta_dirs:
+        return base
+    frames = []
+    if base is not None:
+        frames.append(
+            base.withColumn("__ord", F.lit(-1)).withColumn(
+                "__tomb", F.lit(False)
+            )
+        )
+    # ordinal = position in the partition's own log; dirs from different
+    # partitions may share an ordinal but never a key
+    for p in pids:
+        for i, d in enumerate(deltas.get(p, [])):
+            frames.append(
+                spark.read.option("mergeSchema", "true")
+                .parquet(os.path.join(table_dir, d))
+                .withColumn("__ord", F.lit(i))
+            )
+    allr = frames[0]
+    for f in frames[1:]:
+        allr = allr.unionByName(f, allowMissingColumns=True)
+    data_cols = [c for c in allr.columns if c not in ("__ord", "__tomb", key)]
+    wk = Window.partitionBy(key)
+    last_tomb = F.max(
+        F.when(F.col("__tomb"), F.col("__ord"))
+    ).over(wk)
+    live = allr.withColumn("__lt", last_tomb).filter(
+        ~F.col("__tomb")
+        & (F.col("__lt").isNull() | (F.col("__ord") > F.col("__lt")))
+    )
+    wd = Window.partitionBy(key).orderBy(F.col("__ord").desc())
+    wfull = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    picked = live.select(
+        F.col(key),
+        F.row_number().over(wd).alias("__rn"),
+        *[
+            F.first(F.col(c), ignorenulls=True).over(wfull).alias(c)
+            for c in data_cols
+        ],
+    )
+    out = picked.filter(F.col("__rn") == 1).drop("__rn")
+    order = [f["name"] for f in man.get("schema", {}).get("fields", [])]
+    if order and set(order) <= set(out.columns):
+        out = out.select(*order)
+    return out
+
+
+def merge_mor_into_partitioned_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key: str,
+    seq: str,
+    num_partitions: int = 32,
+    delete_when: str | None = None,
+    marker_cols: tuple = (),
+) -> None:
+    """Merge-on-read MERGE step: identical semantics to
+    ``merge_into_partitioned_snapshot`` (latest-wins per key by ``seq``,
+    per-column NULL-keeps-old, ``delete_when`` tombstones), but the
+    write is O(|delta|): the reduced batch lands as one small immutable
+    ``d-*`` dir per touched partition, APPENDED to the partition's
+    delta log in the manifest — no base partition is read or rewritten.
+    Readers pay the overlay join instead (``_partition_state``); run
+    :func:`compact_mor_partitions` when a log grows past taste.
+
+    Concurrency: delta appends COMPOSE — a conditional-commit conflict
+    is resolved by rebasing the append onto the intervening manifest
+    (commit order defines the log order, the Delta blind-append rule),
+    so unlike the CoW merge this never raises ConcurrentMergeError.
+    Crash-safe and idempotent like the CoW path: a replayed batch
+    re-appends the same latest-per-key rows, and replaying an upsert
+    over itself is a no-op at read time."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    base_version = versioned.latest_version(table_dir)
+    man = versioned.read_manifest(table_dir, base_version or None)
+    if man is not None:
+        num_partitions = int(man["num_partitions"])
+        parts = dict(man["parts"])
+        stats = dict(man.get("stats", {}))
+        deltas = {p: list(v) for p, v in man.get("deltas", {}).items()}
+        schema_fields = list(man.get("schema", {}).get("fields", []))
+        if man.get("key", key) != key:
+            raise ValueError(
+                f"table {table_dir} was created with merge key "
+                f"'{man['key']}'; cannot merge on '{key}'"
+            )
+        versioned.gc_unreferenced_parts(table_dir)
+    else:
+        base_version = 0
+        parts, stats, deltas = {}, {}, {}
+        schema_fields = []
+
+    delta = latest_per_key(changes, key, seq).withColumn(
+        "__part", _part_expr(key, num_partitions)
+    )
+    part_rows = (
+        delta.groupBy("__part")
+        .agg(F.max(F.col(key).isNull()).alias("has_null"))
+        .collect()
+    )  # bounded by num_partitions
+    if any(r["has_null"] for r in part_rows):
+        raise ValueError(
+            f"merge key '{key}' contains NULLs; filter them before the "
+            "merge or use a non-nullable key"
+        )
+    touched = sorted(r["__part"] for r in part_rows)
+    if not touched:
+        return
+    cond = (
+        F.coalesce(F.expr(delete_when), F.lit(False))
+        if delete_when is not None
+        else F.lit(False)
+    )
+    dd = delta.withColumn("__tomb", cond).drop(*marker_cols)
+
+    # evolved full-table schema: existing fields + new upsert columns
+    known = {f["name"] for f in schema_fields}
+    for f in dd.drop("__part", "__tomb").schema.jsonValue()["fields"]:
+        if f["name"] not in known:
+            schema_fields.append(f)
+
+    os.makedirs(table_dir, exist_ok=True)
+    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    dd.write.mode("overwrite").partitionBy("__part").parquet(staging)
+    new_dirs: dict[str, str] = {}
+    for p in touched:
+        src = os.path.join(staging, f"__part={p}")
+        if os.path.isdir(src):
+            dest = f"d-{uuid.uuid4().hex[:12]}"
+            os.rename(src, os.path.join(table_dir, dest))
+            new_dirs[str(p)] = dest
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    if not new_dirs:
+        return
+
+    while True:
+        for pid, dest in new_dirs.items():
+            deltas.setdefault(pid, []).append(dest)
+        nxt = {
             "num_partitions": num_partitions,
             "key": key,
             "parts": parts,
             "stats": stats,
-        },
-    )
+            "deltas": {p: v for p, v in deltas.items() if v},
+            "schema": {"type": "struct", "fields": schema_fields},
+        }
+        v = versioned.commit_manifest(
+            table_dir, nxt, expected_latest=base_version
+        )
+        if v > 0:
+            return
+        # rebase the append onto the intervening commit (appends compose)
+        fresh_v = versioned.latest_version(table_dir)
+        fresh = versioned.read_manifest(table_dir, fresh_v)
+        parts = dict(fresh["parts"])
+        stats = dict(fresh.get("stats", {}))
+        deltas = {p: list(v) for p, v in fresh.get("deltas", {}).items()}
+        fresh_fields = list(fresh.get("schema", {}).get("fields", []))
+        fknown = {f["name"] for f in fresh_fields}
+        for f in schema_fields:
+            if f["name"] not in fknown:
+                fresh_fields.append(f)
+        schema_fields = fresh_fields
+        base_version = fresh_v
+
+
+def compact_mor_partitions(
+    spark: SparkSession, table_dir: str
+) -> list[str]:
+    """Fold each partition's delta log back into its base dir (the MoR
+    maintenance job): materialize ``_partition_state`` into a fresh
+    immutable ``p-*`` dir, then commit ``parts[pid]=new, deltas[pid]=[]``
+    conditionally — a partition whose (base, log) changed since the
+    read is dropped this pass (the concurrent writer won; its appended
+    delta must not be folded from a stale read). Cost is O(partitions
+    with deltas), read-side plans over folded partitions drop the
+    overlay join entirely. Historical manifests keep referencing the
+    old base+delta dirs, so time travel survives until expiry. Returns
+    the partition ids folded AND committed."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    man = versioned.read_manifest(table_dir)
+    if man is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    folds: dict[str, tuple] = {}
+    for pid, log in sorted(man.get("deltas", {}).items()):
+        if not log:
+            continue
+        state = _partition_state(spark, table_dir, man, [pid])
+        dest = f"p-{uuid.uuid4().hex[:12]}"
+        state.write.parquet(os.path.join(table_dir, dest))
+        folds[pid] = (man["parts"].get(pid), tuple(log), dest)
+    if not folds:
+        return []
+    while True:
+        cur_v = versioned.latest_version(table_dir)
+        try:
+            cur = versioned.read_manifest(table_dir, cur_v)
+        except FileNotFoundError:
+            continue
+        parts = dict(cur["parts"])
+        stats = dict(cur.get("stats", {}))
+        deltas = {p: list(v) for p, v in cur.get("deltas", {}).items()}
+        surviving = []
+        for pid, (src_base, src_log, dest) in folds.items():
+            if (
+                parts.get(pid) == src_base
+                and tuple(deltas.get(pid, ())) == src_log
+                and os.path.isdir(os.path.join(table_dir, dest))
+            ):
+                parts[pid] = dest
+                stats[pid] = versioned.collect_dir_stats(
+                    os.path.join(table_dir, dest)
+                )
+                deltas.pop(pid, None)
+                surviving.append(pid)
+        if not surviving:
+            return []
+        nxt = dict(cur)
+        nxt["parts"] = parts
+        nxt["stats"] = stats
+        nxt["deltas"] = {p: v for p, v in deltas.items() if v}
+        v = versioned.commit_manifest(table_dir, nxt, expected_latest=cur_v)
+        if v > 0:
+            return sorted(surviving)
 
 
 #: where-predicate ops understood by the stats pruner AND the residual
@@ -313,7 +699,7 @@ def _snapshot_read_plan(
     from customer_segmentation_pyspark_spark.sources import versioned
 
     man = versioned.read_manifest(table_dir, version)
-    if man is None or not man["parts"]:
+    if man is None or not (man["parts"] or man.get("deltas")):
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     if where:
         for c, op, v in where:
@@ -322,7 +708,8 @@ def _snapshot_read_plan(
                     f"unsupported where op {op!r}; use one of "
                     f"{sorted(_WHERE_OPS)}"
                 )
-    pids = sorted(man["parts"])
+    # a partition can live in base dirs, in a pure MoR delta log, or both
+    pids = sorted(set(man["parts"]) | set(man.get("deltas", {})))
     if key_in is not None:
         key = man.get("key")
         if key is None:
@@ -334,8 +721,15 @@ def _snapshot_read_plan(
         # function of its value — evaluate the SAME expression the
         # merge writes with, on the table's own key type (xxhash64 is
         # type-sensitive), via one driver-local job over |key_in| rows
-        any_dir = os.path.join(table_dir, man["parts"][pids[0]])
-        ktype = spark.read.parquet(any_dir).schema[key].dataType
+        if man.get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            ktype = StructType.fromJson(man["schema"])[key].dataType
+        else:
+            any_dir = os.path.join(
+                table_dir, man["parts"][sorted(man["parts"])[0]]
+            )
+            ktype = spark.read.parquet(any_dir).schema[key].dataType
         from pyspark.sql import types as _T
 
         lookup = spark.createDataFrame(
@@ -350,15 +744,19 @@ def _snapshot_read_plan(
         pids = [p for p in pids if p in hit]
     if where:
         stats = man.get("stats", {})
+        deltas = man.get("deltas", {})
+        # a partition with a pending MoR delta log can hold rows outside
+        # its BASE dir's footer stats — stats pruning must spare it
         pids = [
             p
             for p in pids
-            if all(
+            if deltas.get(p)
+            or all(
                 _dir_may_match(stats.get(p, {}), c, op, v)
                 for c, op, v in where
             )
         ]
-    return man, pids, [man["parts"][p] for p in pids]
+    return man, pids, [man["parts"][p] for p in pids if p in man["parts"]]
 
 
 def read_partitioned_snapshot(
@@ -389,19 +787,39 @@ def read_partitioned_snapshot(
     BOTH filters are also applied to the returned rows (key_in as an
     IN-filter), so pruned and unpruned reads return identical data —
     pruning is never load-bearing for correctness."""
-    man, _, dirs = _snapshot_read_plan(
+    man, pids, dirs = _snapshot_read_plan(
         spark, table_dir, version, where, key_in
     )
-    if dirs:
-        paths = [os.path.join(table_dir, d) for d in dirs]
+    if any(man.get("deltas", {}).get(p) for p in pids):
+        # MoR overlay: at least one kept partition has a pending delta
+        # log — merge base+log at read (only for the kept partitions;
+        # fully-folded tables never take this branch)
+        df = _partition_state(spark, table_dir, man, pids)
+    elif dirs:
+        # mergeSchema: after a schema-evolving merge, untouched
+        # partitions' files predate the new columns — typed NULLs
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_dir, d) for d in dirs]
+        )
+    elif man.get("schema") is not None:
+        # everything pruned: empty result with the full-table schema
+        # straight from the manifest — zero part dirs touched (r05,
+        # ADVICE: the old path footer-read EVERY dir exactly when
+        # nothing needed reading)
+        from pyspark.sql.types import StructType
+
+        df = spark.createDataFrame([], StructType.fromJson(man["schema"]))
     else:
-        # everything pruned: keep the full-table schema, return no rows
-        paths = [os.path.join(table_dir, d) for d in man["parts"].values()]
-    # mergeSchema: after a schema-evolving merge, untouched partitions'
-    # files predate the new columns — they surface as typed NULLs
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    if not dirs:
-        df = df.filter(F.lit(False))
+        # pre-r05 manifest without a schema record: one dir suffices —
+        # every merge writes union-of-columns to the dirs it touches,
+        # so the newest dir carries the fully-evolved schema
+        newest = max(
+            man["parts"].values(),
+            key=lambda d: os.path.getmtime(os.path.join(table_dir, d)),
+        )
+        df = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(table_dir, newest)
+        ).filter(F.lit(False))
     if key_in is not None:
         df = df.filter(F.col(man["key"]).isin(list(key_in)))
     for c, op, v in where or []:
@@ -448,23 +866,29 @@ def read_snapshot_changes(
             "change feed needs the manifest 'key' field — this table "
             "predates it; re-merge once to record the key"
         )
+    def _pids(man):
+        return set(man["parts"]) | set(man.get("deltas", {}))
+
     changed = [
         pid
-        for pid in set(man_a["parts"]) | set(man_b["parts"])
+        for pid in _pids(man_a) | _pids(man_b)
         if man_a["parts"].get(pid) != man_b["parts"].get(pid)
+        or man_a.get("deltas", {}).get(pid)
+        != man_b.get("deltas", {}).get(pid)
     ]
 
     def _side(man, pids):
-        dirs = [man["parts"][p] for p in pids if p in man["parts"]]
-        if not dirs:
+        # base+delta overlay per version: a MoR append changes a
+        # partition's delta log without touching its base dir, and the
+        # diff must see the merged state on both sides
+        keep = [p for p in pids if p in man["parts"] or man.get("deltas", {}).get(p)]
+        if not keep:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_dir, d) for d in dirs]
-        )
+        return _partition_state(spark, table_dir, man, sorted(keep))
 
     old, new = _side(man_a, changed), _side(man_b, changed)
     if old is None and new is None:  # no structural change at all
-        empty = _side(man_b, sorted(man_b["parts"]))
+        empty = _side(man_b, sorted(_pids(man_b)))
         return empty.filter(F.lit(False)).withColumn(
             "_change_type", F.lit("")
         )
@@ -554,29 +978,47 @@ def _commit_rewrites(
     rewrite was read from. A partition a concurrent merge rewrote in
     the meantime is dropped (its dest dir is left stranded for GC) —
     committing it would silently revert the merge's newer data, the
-    Delta OPTIMIZE conflict rule. Returns the partition ids that
-    landed; commits nothing when none survive."""
+    Delta OPTIMIZE conflict rule.
+
+    The commit itself is CONDITIONAL (r05, ADVICE): the new manifest is
+    built from the manifest read at validation time, so if a foreign
+    commit lands between that read and the pointer flip, committing
+    unconditionally would revert it for EVERY partition, not just the
+    conflicted ones. ``commit_manifest(..., expected_latest=...)``
+    detects the interleaving (the allocated version isn't read+1),
+    withdraws, and this loop re-reads + re-validates against the
+    intervening manifest — so a concurrent merge can cost a rewrite its
+    conflicted partitions but can never be un-committed. Returns the
+    partition ids that landed; commits nothing when none survive."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
-    cur = versioned.read_manifest(table_dir)
-    nxt = dict(cur)  # carry num_partitions/key/any future fields
-    parts = dict(cur["parts"])
-    stats = dict(cur.get("stats", {}))
-    surviving: list[str] = []
-    for pid, (src, dest) in rewrites.items():
-        if parts.get(pid) == src and os.path.isdir(
-            os.path.join(table_dir, dest)
-        ):
-            parts[pid] = dest
-            stats[pid] = versioned.collect_dir_stats(
+    while True:
+        cur_v = versioned.latest_version(table_dir)
+        try:
+            cur = versioned.read_manifest(table_dir, cur_v)
+        except FileNotFoundError:
+            continue  # pointer raced a withdrawn commit; re-resolve
+        nxt = dict(cur)  # carry num_partitions/key/schema/future fields
+        parts = dict(cur["parts"])
+        stats = dict(cur.get("stats", {}))
+        surviving: list[str] = []
+        for pid, (src, dest) in rewrites.items():
+            if parts.get(pid) == src and os.path.isdir(
                 os.path.join(table_dir, dest)
-            )
-            surviving.append(pid)
-    if surviving:
+            ):
+                parts[pid] = dest
+                stats[pid] = versioned.collect_dir_stats(
+                    os.path.join(table_dir, dest)
+                )
+                surviving.append(pid)
+        if not surviving:
+            return []
         nxt["parts"] = parts
         nxt["stats"] = stats
-        versioned.commit_manifest(table_dir, nxt)
-    return sorted(surviving)
+        v = versioned.commit_manifest(table_dir, nxt, expected_latest=cur_v)
+        if v > 0:
+            return sorted(surviving)
+        # foreign commit intervened — loop re-validates against it
 
 
 def _rewrite_partitions(

@@ -1101,6 +1101,40 @@ def test_pq_recall_vs_brute_force(emb):
     assert recall >= 0.8, f"PQ recall too low: {recall}"
 
 
+def test_pq_null_query_element_paths_agree(emb):
+    """A NULL element (or NULL vector) in a query embedding must behave
+    identically on both sides of the max_driver_queries threshold: the
+    driver-side ADC table propagates None exactly like the SQL
+    arithmetic (NULL sub-distance -> NULL adc/exact dist, ranked last
+    by neighbor_id) instead of raising TypeError (r05, ADVICE)."""
+    from customer_segmentation_pyspark_spark.queries import _pq_codebooks
+
+    q = emb.filter(F.col("vec_id") < 3).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 1,
+            F.expr(
+                "transform(embedding, (x, i) -> "
+                "CASE WHEN i = 5 THEN NULL ELSE x END)"
+            ),
+        )
+        .when(F.col("vec_id") == 2, F.lit(None))
+        .otherwise(F.col("embedding")),
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["dist"], r["rank"])
+        for r in df.collect()
+    )
+    driver = similarity.pq_topk(emb, q, _pq_codebooks(), k=3)
+    dist = similarity.pq_topk(
+        emb, q, _pq_codebooks(), k=3, max_driver_queries=0
+    )
+    assert rows(driver) == rows(dist)
+    # the clean query (vec_id 0) still gets real distances
+    clean = [r for r in rows(driver) if r[0] == 0]
+    assert len(clean) == 3 and all(r[2] is not None for r in clean)
+
+
 def test_preference_pairs_order_and_gap(docs):
     from customer_segmentation_pyspark_spark.operators import textops
 

@@ -1,0 +1,499 @@
+"""MERGE DELETE clause (r05) + merge-on-read path: tombstone semantics
+against a Python latest-wins model, partition pruning with deletes, the
+MoR overlay's equivalence to copy-on-write on the same change sequence,
+fold-back compaction, and the conditional (OCC) manifest commit."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from customer_segmentation_pyspark_spark.sources import versioned
+from customer_segmentation_pyspark_spark.streaming.merge import (
+    compact_mor_partitions,
+    merge_into_partitioned_snapshot,
+    merge_into_snapshot,
+    merge_mor_into_partitioned_snapshot,
+    read_partitioned_snapshot,
+    read_snapshot_changes,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("val", DoubleType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _model(waves):
+    """Sequential latest-wins replay with per-column NULL-keeps-old and
+    tombstones — the semantics both merge flavors must produce."""
+    state: dict = {}
+    for wave in waves:
+        latest: dict = {}
+        for k, val, seq, op in wave:
+            if k not in latest or seq > latest[k][1]:
+                latest[k] = (val, seq, op)
+        for k, (val, _seq, op) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            elif val is None and k in state:
+                pass  # NULL update keeps the old column value
+            else:
+                state[k] = val
+    return state
+
+
+def _read_dict(df):
+    return {r["k"]: r["val"] for r in df.collect()}
+
+
+WAVES = [
+    # base inserts
+    [(k, float(k) * 10, 0, "U") for k in range(1, 21)],
+    # updates + deletes + insert-then-delete (k=100) + overlap:
+    # k=6 updated at seq 1 then deleted at seq 2 -> net delete
+    [
+        (5, 55.0, 1, "U"),
+        (6, 66.0, 1, "U"),
+        (6, None, 2, "D"),
+        (7, None, 2, "D"),
+        (100, 1000.0, 1, "U"),
+        (100, None, 3, "D"),
+    ],
+    # delete-then-reinsert in one batch (k=7 came back), NULL update
+    [
+        (7, 77.0, 4, "U"),
+        (8, None, 5, "U"),  # NULL val -> keeps 80.0
+        (9, None, 5, "D"),
+    ],
+]
+
+
+def test_cow_snapshot_delete_semantics(spark, tmp_path):
+    snap = str(tmp_path / "snap")
+    for wave in WAVES:
+        merge_into_snapshot(
+            spark,
+            snap,
+            _df(spark, wave),
+            "k",
+            "seq",
+            delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+    got = {r["k"]: r["val"] for r in spark.read.parquet(snap).collect()}
+    assert got == _model(WAVES)
+    assert "op" not in spark.read.parquet(snap).columns
+
+
+def test_partitioned_delete_semantics_and_idempotent_replay(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for wave in WAVES:
+        merge_into_partitioned_snapshot(
+            spark,
+            table,
+            _df(spark, wave),
+            "k",
+            "seq",
+            num_partitions=4,
+            delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+    assert _read_dict(read_partitioned_snapshot(spark, table)) == _model(WAVES)
+    # replaying the last batch (crash-recovery) converges, not diverges
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        _df(spark, WAVES[-1]),
+        "k",
+        "seq",
+        delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+    assert _read_dict(read_partitioned_snapshot(spark, table)) == _model(WAVES)
+
+
+def _pid_of_keys(spark, keys, num_partitions):
+    from customer_segmentation_pyspark_spark.streaming.merge import _part_expr
+
+    rows = spark.createDataFrame(
+        [(k,) for k in keys], "k long"
+    ).select("k", _part_expr("k", num_partitions).alias("p")).collect()
+    return {r["k"]: r["p"] for r in rows}
+
+
+def test_delete_only_batch_prunes_and_drops_empty_partition(spark, tmp_path):
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 41)]
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    man1 = versioned.read_manifest(table)
+    pid = _pid_of_keys(spark, range(1, 41), 4)
+    victims = [k for k in range(1, 41) if pid[k] == pid[1]]
+    merge_into_partitioned_snapshot(
+        spark, table,
+        _df(spark, [(k, None, 1, "D") for k in victims]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    man2 = versioned.read_manifest(table)
+    # the emptied partition left the manifest; every other partition's
+    # directory is reused byte-identical (same immutable dir name)
+    assert str(pid[1]) not in man2["parts"]
+    for p, d in man1["parts"].items():
+        if p != str(pid[1]):
+            assert man2["parts"][p] == d
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    assert got == {k: float(k) for k in range(1, 41) if k not in victims}
+    # version history intact: v1 still reads the full base
+    old = _read_dict(read_partitioned_snapshot(spark, table, version=1))
+    assert old == {k: float(k) for k in range(1, 41)}
+    # CDF between the versions emits exactly the deletes
+    feed = read_snapshot_changes(spark, table, 1, 2)
+    by_type: dict = {}
+    for r in feed.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by_type == {"delete": set(victims)}
+
+
+def test_mor_equals_cow_on_same_change_sequence(spark, tmp_path):
+    cow = str(tmp_path / "cow")
+    mor = str(tmp_path / "mor")
+    for wave in WAVES:
+        df = _df(spark, wave)
+        merge_into_partitioned_snapshot(
+            spark, cow, df, "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+        merge_mor_into_partitioned_snapshot(
+            spark, mor, df, "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+        a = _read_dict(read_partitioned_snapshot(spark, cow))
+        b = _read_dict(read_partitioned_snapshot(spark, mor))
+        assert a == b == _model(WAVES[: WAVES.index(wave) + 1])
+
+
+def test_mor_append_leaves_base_untouched(spark, tmp_path):
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 21)]
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    compact_mor_partitions(spark, table)  # fold into base dirs
+    man1 = versioned.read_manifest(table)
+    assert man1["parts"] and not man1.get("deltas")
+    wave = [(1, 111.0, 1, "U"), (2, None, 1, "D"), (50, 500.0, 1, "U")]
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, wave), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    man2 = versioned.read_manifest(table)
+    # O(|delta|) write: every base dir reused byte-identical
+    assert man2["parts"] == man1["parts"]
+    touched = set(_pid_of_keys(spark, [1, 2, 50], 4).values())
+    assert set(man2["deltas"]) == {str(p) for p in touched}
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    exp = {k: float(k) for k in range(1, 21)}
+    exp[1] = 111.0
+    del exp[2]
+    exp[50] = 500.0
+    assert got == exp
+
+
+def test_mor_compaction_preserves_content_and_history(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for wave in WAVES:
+        merge_mor_into_partitioned_snapshot(
+            spark, table, _df(spark, wave), "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+    v_before = versioned.latest_version(table)
+    before = _read_dict(read_partitioned_snapshot(spark, table))
+    folded = compact_mor_partitions(spark, table)
+    assert folded  # something had a log
+    man = versioned.read_manifest(table)
+    assert not man.get("deltas")
+    assert _read_dict(read_partitioned_snapshot(spark, table)) == before
+    # time travel to the pre-compaction version still sees the overlay
+    assert (
+        _read_dict(read_partitioned_snapshot(spark, table, version=v_before))
+        == before
+    )
+    # second compaction is a no-op
+    assert compact_mor_partitions(spark, table) == []
+
+
+def test_mor_point_lookup_and_stats_prune_safety(spark, tmp_path):
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 21)]
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    compact_mor_partitions(spark, table)
+    # delta pushes val=999 — far outside every base dir's [min,max]
+    merge_mor_into_partitioned_snapshot(
+        spark, table,
+        _df(spark, [(3, 999.0, 1, "U"), (4, None, 1, "D")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    got = _read_dict(
+        read_partitioned_snapshot(spark, table, key_in=[3, 4, 5, 99])
+    )
+    assert got == {3: 999.0, 5: 5.0}
+    # stats pruning must not skip the delta'd partition
+    hot = _read_dict(
+        read_partitioned_snapshot(spark, table, where=[("val", ">", 900.0)])
+    )
+    assert hot == {3: 999.0}
+
+
+def test_mor_schema_evolution_matches_cow(spark, tmp_path):
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    base = _df(spark, [(k, float(k), 0, "U") for k in range(1, 11)])
+    evo_schema = StructType(
+        SCHEMA.fields + [StructField("extra", StringType())]
+    )
+    evo = spark.createDataFrame(
+        [(2, 22.0, 1, "U", "x"), (30, 300.0, 1, "U", "y"),
+         (3, None, 1, "D", None)],
+        evo_schema,
+    )
+    for t, fn in (
+        (cow, merge_into_partitioned_snapshot),
+        (mor, merge_mor_into_partitioned_snapshot),
+    ):
+        fn(spark, t, base, "k", "seq", num_partitions=4,
+           delete_when="op = 'D'", marker_cols=("op",))
+        fn(spark, t, evo, "k", "seq",
+           delete_when="op = 'D'", marker_cols=("op",))
+    rows = lambda t: {  # noqa: E731
+        tuple(r[c] for c in ("k", "val", "extra"))
+        for r in read_partitioned_snapshot(spark, t).collect()
+    }
+    a, b = rows(cow), rows(mor)
+    assert a == b
+    assert (2, 22.0, "x") in a and (30, 300.0, "y") in a
+    assert not any(r[0] == 3 for r in a)
+    assert (5, 5.0, None) in a  # untouched rows surface typed NULLs
+
+
+def test_mor_cdf_equals_cow_cdf(spark, tmp_path):
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for t, fn in (
+        (cow, merge_into_partitioned_snapshot),
+        (mor, merge_mor_into_partitioned_snapshot),
+    ):
+        for wave in WAVES[:2]:
+            fn(spark, t, _df(spark, wave), "k", "seq", num_partitions=4,
+               delete_when="op = 'D'", marker_cols=("op",))
+    key = lambda df: {  # noqa: E731
+        (r["k"], r["_change_type"], r["val"]) for r in df.collect()
+    }
+    assert key(read_snapshot_changes(spark, cow, 1, 2)) == key(
+        read_snapshot_changes(spark, mor, 1, 2)
+    )
+
+
+def test_commit_manifest_occ_and_pointer_repair(tmp_path):
+    t = str(tmp_path / "t")
+    v1 = versioned.commit_manifest(t, {"parts": {}, "num_partitions": 1})
+    assert v1 == 1
+    v2 = versioned.commit_manifest(t, {"parts": {"0": "a"}, "num_partitions": 1})
+    assert v2 == 2
+    # conditional commit derived from v1 must refuse (v2 intervened)
+    # and leave no manifest artifact behind
+    n_files = len(os.listdir(t))
+    assert (
+        versioned.commit_manifest(
+            t, {"parts": {}, "num_partitions": 1}, expected_latest=1
+        )
+        == -1
+    )
+    assert len(os.listdir(t)) == n_files
+    assert versioned.latest_version(t) == 2
+    # a regressed pointer (the pre-r05 race debris) is repaired by the
+    # next commit's verify loop
+    with open(os.path.join(t, "_LATEST"), "w") as f:
+        f.write("1")
+    v3 = versioned.commit_manifest(t, {"parts": {}, "num_partitions": 1})
+    assert v3 == 3 and versioned.latest_version(t) == 3
+    # a pointer referencing a withdrawn/missing manifest falls back to
+    # the highest committed manifest on read
+    with open(os.path.join(t, "_LATEST"), "w") as f:
+        f.write("9")
+    assert versioned.read_manifest(t) == {"parts": {}, "num_partitions": 1}
+
+
+def test_commit_rewrites_revalidates_against_intervening_commit(
+    spark, tmp_path
+):
+    """A foreign manifest landing between a maintenance read and its
+    commit must not be reverted: the conditional commit retries and the
+    intervening state survives for non-conflicted fields."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _commit_rewrites,
+    )
+
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 9)]
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=2,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    man = versioned.read_manifest(table)
+    pids = sorted(man["parts"])
+    # stage a legitimate rewrite of pid[0]
+    src = man["parts"][pids[0]]
+    dest = "p-rewrite000001"
+    df = spark.read.parquet(os.path.join(table, src))
+    df.coalesce(1).write.parquet(os.path.join(table, dest))
+    # foreign commit intervenes: merge updates pid[1]'s partition
+    pid_by_key = _pid_of_keys(spark, range(1, 9), 2)
+    foreign_key = next(k for k in range(1, 9) if pid_by_key[k] != int(pids[0]))
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, [(foreign_key, 777.0, 1, "U")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    landed = _commit_rewrites(table, {pids[0]: (src, dest)})
+    assert landed == [pids[0]]
+    final = versioned.read_manifest(table)
+    assert final["parts"][pids[0]] == dest
+    # the foreign merge's data survived the maintenance commit
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    assert got[foreign_key] == 777.0
+
+
+def _inject_foreign_commit_once(monkeypatch, table, foreign_fn):
+    """Wrap versioned.commit_manifest so the FIRST conditional commit
+    finds a foreign commit landed in its read->commit window."""
+    real = versioned.commit_manifest
+    state = {"armed": True}
+
+    def wrapped(table_dir, manifest, expected_latest=None):
+        if state["armed"] and expected_latest is not None:
+            state["armed"] = False
+            foreign_fn()  # lands between the caller's read and commit
+        return real(table_dir, manifest, expected_latest)
+
+    monkeypatch.setattr(versioned, "commit_manifest", wrapped)
+
+
+def test_merge_occ_rebases_onto_disjoint_foreign_commit(
+    spark, tmp_path, monkeypatch
+):
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 9)]
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=2,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    pid_by_key = _pid_of_keys(spark, range(1, 9), 2)
+    k_a = next(k for k in range(1, 9) if pid_by_key[k] == 0)
+    k_b = next(k for k in range(1, 9) if pid_by_key[k] == 1)
+
+    def foreign():
+        merge_into_partitioned_snapshot(
+            spark, table, _df(spark, [(k_b, 888.0, 1, "U")]),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+
+    _inject_foreign_commit_once(monkeypatch, table, foreign)
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, [(k_a, 111.0, 1, "U")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    # BOTH merges survive: disjoint partitions rebase, nothing reverted
+    assert got[k_a] == 111.0 and got[k_b] == 888.0
+
+
+def test_merge_occ_raises_on_same_partition_conflict(
+    spark, tmp_path, monkeypatch
+):
+    import pytest
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+    )
+
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 9)]
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=2,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    pid_by_key = _pid_of_keys(spark, range(1, 9), 2)
+    k_a = next(k for k in range(1, 9) if pid_by_key[k] == 0)
+    k_a2 = next(k for k in range(1, 9) if pid_by_key[k] == 0 and k != k_a)
+
+    def foreign():
+        merge_into_partitioned_snapshot(
+            spark, table, _df(spark, [(k_a2, 999.0, 1, "U")]),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+
+    _inject_foreign_commit_once(monkeypatch, table, foreign)
+    with pytest.raises(ConcurrentMergeError):
+        merge_into_partitioned_snapshot(
+            spark, table, _df(spark, [(k_a, 111.0, 1, "U")]),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+    # the foreign merge's commit is intact; re-running the loser works
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    assert got[k_a2] == 999.0
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, [(k_a, 111.0, 1, "U")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    assert got[k_a] == 111.0 and got[k_a2] == 999.0
+
+
+def test_mor_occ_appends_compose_under_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """Two MoR appends racing on the SAME partition both land — commit
+    order defines log order, no exception, no lost update."""
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 9)]
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=2,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    pid_by_key = _pid_of_keys(spark, range(1, 9), 2)
+    k_a = next(k for k in range(1, 9) if pid_by_key[k] == 0)
+    k_a2 = next(k for k in range(1, 9) if pid_by_key[k] == 0 and k != k_a)
+
+    def foreign():
+        merge_mor_into_partitioned_snapshot(
+            spark, table, _df(spark, [(k_a2, 999.0, 1, "U")]),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+
+    _inject_foreign_commit_once(monkeypatch, table, foreign)
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, [(k_a, 111.0, 1, "U")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    assert got[k_a] == 111.0 and got[k_a2] == 999.0
