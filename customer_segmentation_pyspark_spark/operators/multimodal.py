@@ -131,6 +131,181 @@ def _decode_bmp(payload: bytes) -> "tuple":
     return w, h, 3, px
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+class UnsupportedPngError(ValueError):
+    """The payload IS a well-formed PNG but uses a feature outside the
+    native decoder's scope (16-bit, palette, interlace) — falls through
+    to the Pillow seam when one is importable."""
+
+
+def _decode_png(payload: bytes) -> "tuple":
+    """Pure-stdlib PNG decode (r05, VERDICT item 4): zlib inflate +
+    per-scanline un-filtering (None/Sub/Up/Average/Paeth) in NumPy —
+    no codec library. Scope: 8-bit depth, non-interlaced, color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); anything else raises
+    :class:`UnsupportedPngError` for the Pillow fallback. Output is
+    normalized to RGB exactly like the Pillow branch's
+    ``convert("RGB")`` (gray replicated, alpha dropped), so both paths
+    yield identical metrics on the same payload.
+
+    Cost model: Up/None rows un-filter fully vectorized; Sub is a
+    per-channel-lane cumsum; Average/Paeth fall back to a per-byte
+    Python loop (encoder-chosen, typically a minority of rows). For
+    JPEG-heavy corpora at scale the Pillow branch remains the
+    throughput path — this decoder's job is zero-dependency
+    correctness for the most common lossless format."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise UnsupportedPngError(
+            f"PNG feature outside native scope (bit depth {depth}, "
+            f"color type {ctype}, interlace {interlace})"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG raster size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int16)
+        prev = out[y - 1].astype(np.int16) if y else np.zeros(
+            stride, np.int16
+        )
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 1:  # Sub: per-lane prefix sum (mod distributes)
+            rec = np.cumsum(
+                cur.reshape(w, ch), axis=0, dtype=np.int64
+            ).reshape(stride) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: left-dependent, sequential
+            rec = np.empty(stride, np.int16)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b_up = int(prev[x])
+                if f == 3:
+                    pred = (a + b_up) // 2
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b_up - c
+                    pa, pb, pc = abs(p - a), abs(p - b_up), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b_up if pb <= pc else c)
+                    )
+                rec[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ctype == 6:
+        px = px[:, :, :3]
+    return w, h, 3, px
+
+
+def encode_png(px, filters=None) -> bytes:
+    """Fixture generator: encode an (h, w[, ch]) uint8 array (ch 1, 2,
+    3 or 4 -> gray / gray+alpha / RGB / RGBA) as a valid 8-bit
+    non-interlaced PNG. ``filters`` picks the scanline filter per row
+    (cycled; default cycles all five) so tests can exercise every
+    un-filter branch of ``_decode_png``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if filters is None:
+        filters = [0, 1, 2, 3, 4]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        f = int(filters[y % len(filters)])
+        cur = a[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+        up_left = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - (left + prev) // 2) & 0xFF
+        else:
+            p = left + prev - up_left
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, up_left),
+            )
+            enc = (cur - pred) & 0xFF
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _pillow_module():
     """PIL.Image when Pillow is importable, else None — probed once per
     interpreter (worker processes each probe once). Kept as a function
@@ -150,18 +325,41 @@ _UNPROBED = object()
 _PIL_IMAGE = _UNPROBED
 
 
+def _pillow_decode_rgb(b: bytes, why_no_native: str) -> "tuple":
+    """(w, h, 3, px) through the Pillow seam, or NotImplementedError
+    carrying the reason no native path applied."""
+    import io
+
+    import numpy as np
+
+    Image = _pillow_module()
+    if Image is None:
+        raise NotImplementedError(
+            f"{why_no_native}; PPM(P6)/BMP(24-bit)/PNG(8-bit) decode "
+            "natively, use decode_image_stub for other payloads "
+            "(install Pillow to activate the codec branch)"
+        )
+    with Image.open(io.BytesIO(b)) as im:
+        im = im.convert("RGB")
+        px = np.asarray(im)
+    h, w, ch = px.shape
+    return w, h, ch, px
+
+
 def decode_image_real(payload: bytes) -> dict:
-    """Real image decode: binary PPM (P6) and uncompressed 24-bit BMP
-    are parsed in pure NumPy (header + raw raster — no codec library
-    required). For any other payload the seam AUTO-ACTIVATES when
-    Pillow is importable (r04, VERDICT item 3): the bytes go through
-    ``PIL.Image.open`` and the same metrics come back, so on a real
-    cluster image (JPEG/PNG/WebP/...) payloads just work. Only when no
-    codec is importable does the compressed branch raise
-    NotImplementedError.
+    """Real image decode: binary PPM (P6), uncompressed 24-bit BMP and
+    — r05 — 8-bit non-interlaced PNG (gray/gray+alpha/RGB/RGBA) are
+    parsed with pure stdlib+NumPy (``_decode_png``: zlib inflate +
+    scanline un-filtering — no codec library). For any other payload
+    (JPEG/WebP/16-bit or interlaced PNG/...) the seam AUTO-ACTIVATES
+    when Pillow is importable (r04): the bytes go through
+    ``PIL.Image.open`` and the same metrics come back. Only when no
+    path applies does the decode raise NotImplementedError.
 
     Returns {"width", "height", "channels", "mean_intensity"} with
-    mean_intensity = mean over all RGB byte values (exact float64)."""
+    mean_intensity = mean over all RGB byte values (exact float64);
+    the native PNG path normalizes to RGB exactly like the Pillow
+    branch's convert("RGB"), so both paths agree on any payload."""
     import numpy as np
 
     b = bytes(payload)
@@ -169,20 +367,15 @@ def decode_image_real(payload: bytes) -> dict:
         w, h, ch, px = _decode_ppm(b)
     elif b[:2] == b"BM":
         w, h, ch, px = _decode_bmp(b)
+    elif b[:8] == _PNG_MAGIC:
+        try:
+            w, h, ch, px = _decode_png(b)
+        except UnsupportedPngError as e:
+            w, h, ch, px = _pillow_decode_rgb(b, str(e))
     else:
-        Image = _pillow_module()
-        if Image is None:
-            raise NotImplementedError(
-                "compressed-format codecs not installed; PPM(P6)/"
-                "BMP(24-bit) decode natively, use decode_image_stub for "
-                "other payloads (install Pillow to activate this branch)"
-            )
-        import io
-
-        with Image.open(io.BytesIO(b)) as im:
-            im = im.convert("RGB")
-            px = np.asarray(im)
-        h, w, ch = px.shape
+        w, h, ch, px = _pillow_decode_rgb(
+            b, "compressed-format codecs not installed"
+        )
     return {
         "width": w,
         "height": h,

@@ -434,14 +434,19 @@ def _partition_state(
             )
         )
     # ordinal = position in the partition's own log; dirs from different
-    # partitions may share an ordinal but never a key
+    # partitions may share an ordinal but never a key — so all dirs at
+    # the same log position scan as ONE read (plan size O(max log
+    # depth), not O(partitions x depth))
+    by_ord: dict[int, list[str]] = {}
     for p in pids:
         for i, d in enumerate(deltas.get(p, [])):
-            frames.append(
-                spark.read.option("mergeSchema", "true")
-                .parquet(os.path.join(table_dir, d))
-                .withColumn("__ord", F.lit(i))
-            )
+            by_ord.setdefault(i, []).append(os.path.join(table_dir, d))
+    for i in sorted(by_ord):
+        frames.append(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*by_ord[i])
+            .withColumn("__ord", F.lit(i))
+        )
     allr = frames[0]
     for f in frames[1:]:
         allr = allr.unionByName(f, allowMissingColumns=True)
@@ -598,30 +603,52 @@ def compact_mor_partitions(
     spark: SparkSession, table_dir: str
 ) -> list[str]:
     """Fold each partition's delta log back into its base dir (the MoR
-    maintenance job): materialize ``_partition_state`` into a fresh
-    immutable ``p-*`` dir, then commit ``parts[pid]=new, deltas[pid]=[]``
-    conditionally — a partition whose (base, log) changed since the
-    read is dropped this pass (the concurrent writer won; its appended
-    delta must not be folded from a stale read). Cost is O(partitions
-    with deltas), read-side plans over folded partitions drop the
-    overlay join entirely. Historical manifests keep referencing the
-    old base+delta dirs, so time travel survives until expiry. Returns
-    the partition ids folded AND committed."""
+    maintenance job): ONE Spark job materializes ``_partition_state``
+    over every logged partition and partitionBy-splits it into fresh
+    immutable ``p-*`` dirs, then commits ``parts[pid]=new,
+    deltas[pid]=[]`` conditionally — a partition whose (base, log)
+    changed since the read is dropped this pass (the concurrent writer
+    won; its appended delta must not be folded from a stale read), and
+    a partition whose log deleted every row leaves the manifest like
+    the CoW empty-partition rule. Data cost is O(partitions with
+    deltas); read-side plans over folded partitions drop the overlay
+    join entirely. Historical manifests keep referencing the old
+    base+delta dirs, so time travel survives until expiry. Returns the
+    partition ids folded AND committed."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     man = versioned.read_manifest(table_dir)
     if man is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    folds: dict[str, tuple] = {}
-    for pid, log in sorted(man.get("deltas", {}).items()):
-        if not log:
-            continue
-        state = _partition_state(spark, table_dir, man, [pid])
-        dest = f"p-{uuid.uuid4().hex[:12]}"
-        state.write.parquet(os.path.join(table_dir, dest))
-        folds[pid] = (man["parts"].get(pid), tuple(log), dest)
-    if not folds:
+    logged = sorted(p for p, log in man.get("deltas", {}).items() if log)
+    if not logged:
         return []
+    # ONE Spark job folds every logged partition: keys never cross hash
+    # partitions, so the combined overlay is exact, and partitionBy
+    # splits the output back into per-partition immutable dirs
+    state = _partition_state(spark, table_dir, man, logged)
+    key = man["key"]
+    num_partitions = int(man["num_partitions"])
+    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    state.withColumn("__part", _part_expr(key, num_partitions)).write.mode(
+        "overwrite"
+    ).partitionBy("__part").parquet(staging)
+    folds: dict[str, tuple] = {}
+    for pid in logged:
+        src = os.path.join(staging, f"__part={pid}")
+        if os.path.isdir(src):
+            dest = f"p-{uuid.uuid4().hex[:12]}"
+            os.rename(src, os.path.join(table_dir, dest))
+        else:
+            dest = None  # the log deleted every row of this partition
+        folds[pid] = (
+            man["parts"].get(pid),
+            tuple(man["deltas"][pid]),
+            dest,
+        )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
     while True:
         cur_v = versioned.latest_version(table_dir)
         try:
@@ -633,11 +660,18 @@ def compact_mor_partitions(
         deltas = {p: list(v) for p, v in cur.get("deltas", {}).items()}
         surviving = []
         for pid, (src_base, src_log, dest) in folds.items():
-            if (
-                parts.get(pid) == src_base
-                and tuple(deltas.get(pid, ())) == src_log
-                and os.path.isdir(os.path.join(table_dir, dest))
-            ):
+            if parts.get(pid) != src_base or tuple(
+                deltas.get(pid, ())
+            ) != src_log:
+                continue  # a concurrent writer won this partition
+            if dest is None:
+                # the log deleted every row: the partition leaves the
+                # manifest entirely (mirrors the CoW empty-part rule)
+                parts.pop(pid, None)
+                stats.pop(pid, None)
+                deltas.pop(pid, None)
+                surviving.append(pid)
+            elif os.path.isdir(os.path.join(table_dir, dest)):
                 parts[pid] = dest
                 stats[pid] = versioned.collect_dir_stats(
                     os.path.join(table_dir, dest)

@@ -1,0 +1,99 @@
+"""Bench artifact robustness (r05): compare_bench must recover a
+report from every truncation shape the driver has actually produced —
+including a tail that lost the ``"queries": {`` prefix itself — and
+bench.py must not overwrite an idle BENCH.json record with a contended
+run. No Spark needed."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "tools")
+from compare_bench import load_bench  # noqa: E402
+
+FULL = {
+    "metric": "headline_queries_total_wall",
+    "value": 3.0,
+    "unit": "sec",
+    "queries": {"q_alpha": 1.0, "q_beta": 2.0},
+    "sf": 0.1,
+    "r01_subset_total": 1.0,
+    "contention": {"spin_sec_before": 0.33, "spin_sec_after": 0.34},
+}
+
+
+def _write(tmp_path, name, payload):
+    p = tmp_path / name
+    p.write_text(
+        payload if isinstance(payload, str) else json.dumps(payload)
+    )
+    return str(p)
+
+
+def test_load_raw_line_and_wrapper(tmp_path):
+    raw = _write(tmp_path, "raw.json", FULL)
+    assert load_bench(raw)["queries"]["q_beta"] == 2.0
+    wrapped = _write(
+        tmp_path, "wrap.json", {"n": 1, "tail": "noise\n" + json.dumps(FULL)}
+    )
+    assert load_bench(wrapped)["value"] == 3.0
+
+
+def test_load_mid_queries_truncation(tmp_path):
+    # BENCH_r03 shape: prefix survives up to "queries": { ... }
+    line = json.dumps(FULL)
+    cut = line[line.index('"queries"') :]
+    p = _write(tmp_path, "mid.json", {"n": 1, "tail": cut})
+    d = load_bench(p)
+    assert d["_partial"] and d["queries"] == FULL["queries"]
+    assert d["value"] == 3.0 and d["sf"] == 0.1
+
+
+def test_load_headless_truncation(tmp_path):
+    # BENCH_r04 shape: the tail starts MID-queries-dict — even the
+    # "queries": { prefix is gone, first pair's name is mangled
+    line = json.dumps(FULL)
+    cut = line[line.index("alpha") :]  # '"q_' of the first pair lost
+    p = _write(tmp_path, "headless.json", {"n": 1, "tail": cut})
+    d = load_bench(p)
+    assert d["_headless"]
+    # the mangled first name is either dropped or harmless; the intact
+    # pair and the trailing scalars must be recovered
+    assert d["queries"]["q_beta"] == 2.0
+    assert d["r01_subset_total"] == 1.0
+    assert d["contention"]["spin_sec_before"] == 0.33
+
+
+def test_bench_contended_refuses_to_overwrite_idle(tmp_path):
+    """bench._bench_out_path: a contended run routes to
+    BENCH.contended.json iff an idle record exists to protect."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    here = str(tmp_path)
+    bench_json = os.path.join(here, "BENCH.json")
+    # no record yet: even a contended run writes BENCH.json
+    assert mod._bench_out_path(here, 0.95) == bench_json
+    with open(bench_json, "w") as f:
+        json.dump(FULL, f)  # idle record (spin 0.33/0.34)
+    # idle run overwrites freely; contended run is routed aside
+    assert mod._bench_out_path(here, 0.33) == bench_json
+    assert mod._bench_out_path(here, 0.95) == os.path.join(
+        here, "BENCH.contended.json"
+    )
+    # a previously CONTENDED record holds nothing worth protecting
+    busy = dict(FULL)
+    busy["contention"] = {"spin_sec_before": 0.9, "spin_sec_after": 0.8}
+    with open(bench_json, "w") as f:
+        json.dump(busy, f)
+    assert mod._bench_out_path(here, 0.95) == bench_json
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-q"]))

@@ -391,7 +391,16 @@ def test_multimodal_real_decode_is_stubbed():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(b"\x89PNG")
+        multimodal.decode_image_real(b"\xff\xd8\xff\xe0JFIF")  # JPEG
+    # a PNG outside the native 8-bit scope (16-bit depth) also needs a
+    # codec: UnsupportedPngError is rethrown as the seam's miss
+    deep = bytearray(multimodal.encode_png(
+        np.zeros((2, 2, 3), dtype=np.uint8)
+    ))
+    depth_off = deep.index(b"IHDR") + 4 + 8
+    deep[depth_off] = 16
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(bytes(deep))
 
 
 def test_multimodal_pillow_seam_activates(monkeypatch):
@@ -438,6 +447,54 @@ def test_multimodal_pillow_real_roundtrip():
     d = multimodal.decode_image_real(buf.getvalue())
     assert (d["width"], d["height"], d["channels"]) == (4, 2, 3)
     assert d["mean_intensity"] == float(np.mean(px.astype(np.float64)))
+
+
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_native_roundtrip_all_filters(filters):
+    """r05: the stdlib PNG decoder (zlib + NumPy un-filtering) must
+    recover pixels exactly for every scanline filter type — runs in
+    THIS container, no Pillow (VERDICT item 4)."""
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    payload = multimodal.encode_png(px, filters=filters)
+    w, h, ch, out = multimodal._decode_png(payload)
+    assert (w, h, ch) == (5, 7, 3)
+    assert np.array_equal(out, px)
+    d = multimodal.decode_image_real(payload)
+    assert d == {
+        "width": 5, "height": 7, "channels": 3,
+        "mean_intensity": float(np.mean(px.astype(np.float64))),
+    }
+
+
+@pytest.mark.parametrize("ch", [1, 2, 4])
+def test_png_native_color_types_normalize_to_rgb(ch):
+    """Gray / gray+alpha / RGBA payloads decode and normalize exactly
+    like Pillow's convert('RGB'): gray replicated, alpha dropped."""
+    rng = np.random.default_rng(ch)
+    px = rng.integers(0, 256, size=(4, 6, ch), dtype=np.uint8)
+    w, h, out_ch, out = multimodal._decode_png(multimodal.encode_png(px))
+    assert (w, h, out_ch) == (6, 4, 3)
+    if ch in (1, 2):
+        expected = np.repeat(px[:, :, :1], 3, axis=2)
+    else:
+        expected = px[:, :, :3]
+    assert np.array_equal(out, expected)
+
+
+def test_png_native_matches_pillow_if_available():
+    """Cross-decoder check wherever Pillow exists: identical pixels
+    from the native path and PIL on the same payload."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(9, 4, 4), dtype=np.uint8)
+    payload = multimodal.encode_png(px, filters=[4, 3, 2, 1, 0])
+    _, _, _, native = multimodal._decode_png(payload)
+    with PIL_Image.open(io.BytesIO(payload)) as im:
+        ref = np.asarray(im.convert("RGB"))
+    assert np.array_equal(native, ref)
 
 
 def test_frame_sample_fanout(spark):

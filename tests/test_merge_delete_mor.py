@@ -497,3 +497,28 @@ def test_mor_occ_appends_compose_under_conflict(
     )
     got = _read_dict(read_partitioned_snapshot(spark, table))
     assert got[k_a] == 111.0 and got[k_a2] == 999.0
+
+
+def test_mor_fold_drops_partition_emptied_by_log(spark, tmp_path):
+    """A delta log that tombstones every row of a partition folds to
+    'partition leaves the manifest' — not to an empty dir entry, and
+    never resurrects the rows."""
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 41)]
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    compact_mor_partitions(spark, table)
+    pid = _pid_of_keys(spark, range(1, 41), 4)
+    victims = [k for k in range(1, 41) if pid[k] == pid[1]]
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, [(k, None, 1, "D") for k in victims]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    folded = compact_mor_partitions(spark, table)
+    assert folded == [str(pid[1])]
+    man = versioned.read_manifest(table)
+    assert str(pid[1]) not in man["parts"] and not man.get("deltas")
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    assert got == {k: float(k) for k in range(1, 41) if k not in victims}

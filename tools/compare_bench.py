@@ -56,11 +56,46 @@ def _extract_object(text: str, start: int) -> str | None:
     return None
 
 
+def _parse_headless_tail(path: str, tail: str) -> dict:
+    """Last-resort recovery for a tail truncated so early that even the
+    ``"queries": {`` prefix is gone (BENCH_r04.json): the capture
+    starts mid-queries-dict, so every ``"name": float`` pair up to the
+    dict's closing brace is a per-query timing. The first pair is kept
+    only if its opening quote survived (a quoteless or mid-name
+    fragment yields either no match or a nonsense name that simply
+    falls out of the shared-query intersection). The total is the sum
+    of RECOVERED queries — an underestimate, flagged as such."""
+    end = tail.find("}")
+    if end < 0:
+        sys.exit(f"{path}: no bench JSON found in tail")
+    pairs = re.findall(r'"([A-Za-z_]\w*)":\s*([-+0-9.eE]+)', tail[:end])
+    if not pairs:
+        sys.exit(f"{path}: no bench JSON found in tail")
+    queries = {k: float(v) for k, v in pairs}
+    d: dict = {
+        "queries": queries,
+        "value": round(sum(queries.values()), 3),
+        "_partial": True,
+        "_headless": True,
+    }
+    rest = tail[end:]
+    for key in ("sf", "r01_subset_total"):
+        km = re.search(rf'"{key}":\s*([-+0-9.eE]+)', rest)
+        if km:
+            d[key] = float(km.group(1))
+    cm = re.search(r'"contention":\s*\{', rest)
+    if cm:
+        cobj = _extract_object(rest, cm.end() - 1)
+        if cobj is not None:
+            d["contention"] = json.loads(cobj)
+    return d
+
+
 def _parse_partial_tail(path: str, tail: str) -> dict:
     """Recover what we can from a tail that lost the line's prefix."""
     m = re.search(r'"queries":\s*\{', tail)
     if not m:
-        sys.exit(f"{path}: no bench JSON found in tail")
+        return _parse_headless_tail(path, tail)
     obj = _extract_object(tail, m.end() - 1)
     if obj is None:
         sys.exit(f"{path}: queries dict itself is truncated")
@@ -125,7 +160,14 @@ def main() -> None:
     worst_n = ns.worst
     old, new = load_bench(ns.old), load_bench(ns.new)
     for label, d in (("old", old), ("new", new)):
-        partial = " [reconstructed from partial tail]" if d.get("_partial") else ""
+        partial = ""
+        if d.get("_headless"):
+            partial = (
+                " [headless tail: total = sum of the "
+                f"{len(d['queries'])} recovered queries only]"
+            )
+        elif d.get("_partial"):
+            partial = " [reconstructed from partial tail]"
         print(
             f"{label}: total {d['value']} s  ({contention_note(d)}){partial}"
         )
