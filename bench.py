@@ -146,6 +146,8 @@ HEADLINE = [
     # ratio IS the CoW-vs-MoR write/read tradeoff at bench scale
     "corpus_delete_wave",
     "mor_delete_wave",
+    # r05: WHEN NOT MATCHED BY SOURCE sweep (full-mirror sync merge)
+    "sync_snapshot_mirror",
 ]
 
 

@@ -4506,6 +4506,64 @@ def q_mor_delete_wave(spark, sf_dir):
     return _delete_wave_report(read_partitioned_snapshot(spark, table))
 
 
+def q_sync_snapshot_mirror(spark, sf_dir):
+    """r05 — the third MERGE verb (``WHEN NOT MATCHED BY SOURCE AND
+    cond THEN DELETE``) under the hash gate: a mirror snapshot is built
+    from the full corpus, then ONE sync batch carries only the
+    refreshed en/even subset with ``unmatched_source_delete="source <>
+    'src1'"`` — snapshot rows absent from the batch are swept away
+    unless the condition spares them (src1 rows survive as the
+    retention carve-out). The oracle replays matched-wins + scoped
+    sweep in one LEFT JOIN; a row deleted despite the carve-out, or
+    surviving the sweep, flips the hash. Idempotent: the base wave
+    restores the full mirror before each sync."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    snap = _scratch_path("sync_mirror/snap")
+    merge_into_snapshot(
+        spark,
+        snap,
+        d.withColumn("seq", F.lit(0).cast("long")),
+        "doc_id",
+        "seq",
+    )
+    sub = (
+        d.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+        .withColumn("text", F.concat("text", F.lit(" fresh")))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    merge_into_snapshot(
+        spark,
+        snap,
+        sub,
+        "doc_id",
+        "seq",
+        unmatched_source_delete="source <> 'src1'",
+    )
+    return (
+        spark.read.parquet(snap)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(F.md5(F.col("text").cast("binary")))
+                    ),
+                ).cast("binary")
+            ).alias("content_md5"),
+        )
+    )
+
+
 def _build_feed_table(spark, sf_dir, name):
     """Shared two-wave snapshot build for the r04.5 lakehouse read
     queries: base corpus (seq 0) committed as v1, then ONE merge wave
@@ -9352,6 +9410,20 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
 FROM live GROUP BY source""",
+    "sync_snapshot_mirror": """
+WITH sub AS (
+  SELECT doc_id, text || ' fresh' AS text
+  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0),
+final AS (
+  SELECT d.doc_id, coalesce(s.text, d.text) AS text, d.lang, d.source
+  FROM documents d LEFT JOIN sub s ON d.doc_id = s.doc_id
+  WHERE s.doc_id IS NOT NULL
+     OR NOT coalesce(d.source <> 'src1', FALSE))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
+FROM final GROUP BY lang""",
     "snapshot_point_lookup": """
 WITH base AS (
   SELECT doc_id, text, lang, source, 0 AS seq FROM documents),
@@ -11309,6 +11381,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "mor_delete_wave": QuerySpec(
         q_mor_delete_wave, ORACLES["corpus_delete_wave"]
     ),
+    "sync_snapshot_mirror": QuerySpec(
+        q_sync_snapshot_mirror, ORACLES["sync_snapshot_mirror"]
+    ),
     "snapshot_point_lookup": QuerySpec(
         q_snapshot_point_lookup, ORACLES["snapshot_point_lookup"]
     ),
@@ -11629,6 +11704,7 @@ _DRIVER_SPOTLIGHT = [
     # lakehouse capstones (r04/r05)
     "corpus_refresh_pipeline", "corpus_delete_wave", "mor_delete_wave",
     "snapshot_point_lookup", "corpus_changes_feed", "upsert_snapshot",
+    "sync_snapshot_mirror",
     "cdc_apply",
     # dedup / similarity flagships
     "dedup_exact", "minhash_pairs", "dedup_clusters", "ngram_jaccard",

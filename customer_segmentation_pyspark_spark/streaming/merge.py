@@ -71,6 +71,7 @@ def merge_into_snapshot(
     seq: str,
     delete_when: str | None = None,
     marker_cols: tuple = (),
+    unmatched_source_delete: bool | str = False,
 ) -> None:
     """One MERGE step: upsert ``changes`` (any schema-compatible change
     set) into the parquet snapshot at ``snapshot_dir``.
@@ -81,6 +82,15 @@ def merge_into_snapshot(
     tombstone instead: the key is removed from the snapshot if present
     and ignored if not (``WHEN MATCHED AND cond THEN DELETE`` — see
     :func:`_split_deletes` for latest-wins and marker-column rules).
+    ``unmatched_source_delete`` (r05) is the third MERGE verb — ``WHEN
+    NOT MATCHED BY SOURCE [AND cond] THEN DELETE`` — for mirror/sync
+    loads: snapshot keys ABSENT from the batch are dropped (True), or
+    dropped only where the SQL condition over the snapshot row is true
+    (a string; NULL counts as keep). Full-sync inherently examines the
+    whole snapshot, which this CoW variant rewrites anyway; on the
+    partitioned tables it would touch every partition per batch, so it
+    is deliberately NOT offered there — model mirror maintenance as
+    CDC with tombstones instead (``corpus_delete_wave`` shape).
     The write goes to a fresh directory then swaps in via
     ``sinks.crash_safe_swap``: ``recover_swap`` at open adopts a
     snapshot stranded by a crash between the swap renames, and the
@@ -98,7 +108,21 @@ def merge_into_snapshot(
     delta = latest_per_key(changes, key, seq)
     ups, dels = _split_deletes(delta, key, delete_when, marker_cols)
     if os.path.exists(snapshot_dir):
-        merged = _merge_frames(spark.read.parquet(snapshot_dir), ups, key)
+        base = spark.read.parquet(snapshot_dir)
+        merged = _merge_frames(base, ups, key)
+        if unmatched_source_delete is not False:
+            # "not matched by source": snapshot keys with NO row (of
+            # any op) in this batch; among them, the condition (over
+            # the SNAPSHOT row) picks the victims — True-only, so a
+            # NULL condition keeps the row, mirroring delete_when
+            victims = base.join(delta.select(key), key, "left_anti")
+            if isinstance(unmatched_source_delete, str):
+                victims = victims.filter(
+                    F.coalesce(
+                        F.expr(unmatched_source_delete), F.lit(False)
+                    )
+                )
+            merged = merged.join(victims.select(key), key, "left_anti")
     else:
         merged = ups
     if dels is not None:
@@ -993,6 +1017,47 @@ def streaming_partitioned_upsert(
             return
         merge_into_partitioned_snapshot(
             spark, table_dir, batch_df, key, seq, num_partitions
+        )
+
+    return (
+        updates.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_mor_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    seq: str,
+    num_partitions: int = 32,
+    delete_when: str | None = None,
+    marker_cols: tuple = (),
+):
+    """``streaming_partitioned_upsert`` with the merge-on-read write
+    path: each micro-batch appends O(|batch|) delta logs instead of
+    rewriting partitions — the natural sink for a high-frequency CDC
+    stream into a huge snapshot (run :func:`compact_mor_partitions` on
+    a maintenance cadence). Exactly-once like the CoW wrapper: a
+    replayed batch re-appends the same latest-per-key rows, and replay
+    of an upsert/tombstone over itself is a read-time no-op."""
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_mor_into_partitioned_snapshot(
+            spark,
+            table_dir,
+            batch_df,
+            key,
+            seq,
+            num_partitions,
+            delete_when=delete_when,
+            marker_cols=marker_cols,
         )
 
     return (

@@ -77,7 +77,8 @@ def test_coverage_md_query_names_resolve():
         "_partitioned_untouched_parts_intact",
         "compact_partitioned_snapshot", "expire_versions",
         "cluster_partitioned_snapshot", "weighted_mean_pandas",
-        "commit_manifest",
+        "commit_manifest", "delete_when",
+        "merge_mor_into_partitioned_snapshot", "compact_mor_partitions",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []

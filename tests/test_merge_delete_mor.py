@@ -522,3 +522,138 @@ def test_mor_fold_drops_partition_emptied_by_log(spark, tmp_path):
     assert str(pid[1]) not in man["parts"] and not man.get("deltas")
     got = _read_dict(read_partitioned_snapshot(spark, table))
     assert got == {k: float(k) for k in range(1, 41) if k not in victims}
+
+
+def test_streaming_mor_upsert_equals_batch(spark, tmp_path):
+    """A change stream through the MoR foreachBatch sink equals the
+    batch model — including tombstones — and replaying from a fresh
+    checkpoint converges (exactly-once in effect)."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        streaming_mor_upsert,
+    )
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "t")
+    wave1 = [(k, float(k) * 10, 0, "U") for k in range(1, 11)]
+    wave2 = [(3, 33.0, 1, "U"), (4, None, 1, "D"), (20, 200.0, 1, "U")]
+    spark.createDataFrame(wave1, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = spark.readStream.schema(SCHEMA).format("parquet").load(src)
+    streaming_mor_upsert(
+        spark, q, table, str(tmp_path / "ck1"), "k", "seq",
+        num_partitions=4, delete_when="op = 'D'", marker_cols=("op",),
+    ).awaitTermination(120)
+    spark.createDataFrame(wave2, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = spark.readStream.schema(SCHEMA).format("parquet").load(src)
+    streaming_mor_upsert(
+        spark, q2, table, str(tmp_path / "ck1"), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    ).awaitTermination(120)
+    assert _read_dict(read_partitioned_snapshot(spark, table)) == _model(
+        [wave1, wave2]
+    )
+    # replay everything on a FRESH checkpoint: re-appended logs change
+    # nothing at read time
+    q3 = spark.readStream.schema(SCHEMA).format("parquet").load(src)
+    streaming_mor_upsert(
+        spark, q3, table, str(tmp_path / "ck2"), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    ).awaitTermination(120)
+    assert _read_dict(read_partitioned_snapshot(spark, table)) == _model(
+        [wave1, wave2]
+    )
+
+
+def test_expire_versions_collects_mor_delta_dirs(spark, tmp_path):
+    """Retention on a MoR table: expiring pre-fold manifests makes the
+    folded-away d-* log dirs unreferenced and GC collects them; the
+    latest (compacted) version keeps reading."""
+    import os
+
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 21)]
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, [(1, 11.0, 1, "U")]), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    compact_mor_partitions(spark, table)
+    before = _read_dict(read_partitioned_snapshot(spark, table))
+    n_delta_dirs = sum(
+        1 for e in os.listdir(table) if e.startswith("d-")
+    )
+    assert n_delta_dirs > 0
+    expired = versioned.expire_versions(table, keep_last=1, grace_sec=0)
+    assert expired
+    assert not any(e.startswith("d-") for e in os.listdir(table))
+    assert _read_dict(read_partitioned_snapshot(spark, table)) == before
+
+
+def test_sync_merge_unmatched_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE on the CoW
+    snapshot: unmatched keys sweep, the condition (over the SNAPSHOT
+    row, NULL keeps) carves out survivors, matched keys update, and
+    tombstones still apply in the same batch."""
+    snap = str(tmp_path / "snap")
+    schema2 = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("val", DoubleType()),
+            StructField("grp", StringType()),
+            StructField("seq", LongType()),
+            StructField("op", StringType()),
+        ]
+    )
+    base = [(k, float(k), "keep" if k % 4 == 0 else "sweep", 0, "U")
+            for k in range(1, 13)]
+    merge_into_snapshot(
+        spark, snap, spark.createDataFrame(base, schema2), "k", "seq"
+    )
+    # batch: update k=1, tombstone k=2; everything else unmatched
+    batch = [(1, 111.0, "sweep", 1, "U"), (2, None, "sweep", 1, "D")]
+    merge_into_snapshot(
+        spark, snap, spark.createDataFrame(batch, schema2), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+        unmatched_source_delete="grp = 'sweep'",
+    )
+    got = {r["k"]: r["val"] for r in spark.read.parquet(snap).collect()}
+    # survivors: updated k=1, and unmatched keep-group keys (k%4==0)
+    assert got == {1: 111.0, **{k: float(k) for k in (4, 8, 12)}}
+    # unconditional sweep (True): only batch keys survive
+    merge_into_snapshot(
+        spark, snap, spark.createDataFrame(batch, schema2), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+        unmatched_source_delete=True,
+    )
+    got = {r["k"]: r["val"] for r in spark.read.parquet(snap).collect()}
+    assert got == {1: 111.0}
+
+
+def test_mor_overlay_read_is_single_exchange(spark, tmp_path):
+    """The overlay read's scale shape: base+log merge for ALL unfolded
+    partitions plans exactly ONE hash Exchange on the key (two window
+    passes share it) — the per-read cost at 100 TB is one key-shuffle
+    over the unfolded partitions, nothing quadratic, no extra
+    shuffles from stacking deltas."""
+    import re
+
+    table = str(tmp_path / "t")
+    for wave in WAVES:
+        merge_mor_into_partitioned_snapshot(
+            spark, table, _df(spark, wave), "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+    plan = (
+        read_partitioned_snapshot(spark, table)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 1, plan
