@@ -4607,6 +4607,25 @@ def _build_feed_table(spark, sf_dir, name):
     return table, v1
 
 
+def q_snapshot_meta_count(spark, sf_dir):
+    """r05 — stats-based COUNT(*): both versions of the two-wave feed
+    table are counted from the manifest's per-partition footer row
+    counts ALONE (``versioned.snapshot_row_count`` — no data file is
+    opened), and the oracle recomputes the same counts by replaying
+    the change log in SQL. A count drifting from the data (stale rows
+    entry after a rewrite, an emptied partition's entry surviving)
+    fails the gate. This is the Delta metadata-only count path; at
+    100 TB it answers COUNT(*) in O(P) dict lookups."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    table, v1 = _build_feed_table(spark, sf_dir, "meta_count")
+    n1 = versioned.snapshot_row_count(table, v1)
+    n2 = versioned.snapshot_row_count(table)
+    return spark.createDataFrame(
+        [(int(n1), int(n2))], "v1_rows long, v2_rows long"
+    )
+
+
 def q_snapshot_point_lookup(spark, sf_dir):
     """r04.5 — the partition-pruned POINT READ over the manifest table:
     ``read_partitioned_snapshot(key_in=[...])`` recomputes each key's
@@ -9410,6 +9429,11 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
 FROM live GROUP BY source""",
+    "snapshot_meta_count": """
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS v1_rows,
+       CAST((SELECT count(*) FROM documents)
+            + (SELECT count(*) FROM documents WHERE doc_id % 7 = 0)
+            AS BIGINT) AS v2_rows""",
     "sync_snapshot_mirror": """
 WITH sub AS (
   SELECT doc_id, text || ' fresh' AS text
@@ -11384,6 +11408,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sync_snapshot_mirror": QuerySpec(
         q_sync_snapshot_mirror, ORACLES["sync_snapshot_mirror"]
     ),
+    "snapshot_meta_count": QuerySpec(
+        q_snapshot_meta_count, ORACLES["snapshot_meta_count"]
+    ),
     "snapshot_point_lookup": QuerySpec(
         q_snapshot_point_lookup, ORACLES["snapshot_point_lookup"]
     ),
@@ -11704,7 +11731,7 @@ _DRIVER_SPOTLIGHT = [
     # lakehouse capstones (r04/r05)
     "corpus_refresh_pipeline", "corpus_delete_wave", "mor_delete_wave",
     "snapshot_point_lookup", "corpus_changes_feed", "upsert_snapshot",
-    "sync_snapshot_mirror",
+    "sync_snapshot_mirror", "snapshot_meta_count",
     "cdc_apply",
     # dedup / similarity flagships
     "dedup_exact", "minhash_pairs", "dedup_clusters", "ngram_jaccard",

@@ -289,6 +289,84 @@ def collect_dir_stats(dir_path: str) -> dict[str, list]:
     return agg
 
 
+def collect_dir_rowcount(dir_path: str) -> int:
+    """Exact row count of one immutable part dir from parquet FOOTERS
+    (driver-side metadata only, no Spark job) — the per-partition
+    ``rows`` manifest entry that makes COUNT(*) a metadata operation
+    on fully-folded tables (the Delta stats-based count)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for fname in os.listdir(dir_path):
+        if fname.endswith(".parquet") and not fname.startswith("."):
+            n += pq.ParquetFile(os.path.join(dir_path, fname)).metadata.num_rows
+    return n
+
+
+def snapshot_row_count(table_dir: str, version: int | None = None) -> int | None:
+    """COUNT(*) of a committed snapshot WITHOUT touching any data file:
+    the sum of the manifest's per-partition ``rows`` entries. Returns
+    None — caller must fall back to a scan — when the version predates
+    row-count recording, any partition lacks an entry, or any partition
+    has a pending MoR delta log (an overlay changes the count in ways
+    only the read can resolve)."""
+    man = read_manifest(table_dir, version)
+    if man is None:
+        return None
+    if any(log for log in man.get("deltas", {}).values()):
+        return None
+    rows = man.get("rows", {})
+    if set(rows) != set(man["parts"]):
+        return None
+    return sum(int(v) for v in rows.values())
+
+
+def version_as_of(table_dir: str, ts: float) -> int:
+    """Timestamp time travel: the newest committed version whose
+    ``committed_at`` is <= ts (the Delta TIMESTAMP AS OF rule).
+    Versions without a committed_at record (pre-r05) are treated as
+    older than any timestamp. Raises when nothing was committed by
+    ``ts``."""
+    best = 0
+    for v in versions(table_dir):
+        m = read_manifest(table_dir, v)
+        at = (m or {}).get("committed_at", float("-inf"))
+        if at <= ts and v > best:
+            best = v
+    if best < 1:
+        raise FileNotFoundError(
+            f"no version of {table_dir} committed at or before {ts}"
+        )
+    return best
+
+
+def table_history(table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY for the manifest table: one dict per readable
+    version, oldest first — version, operation, committed_at,
+    n_partitions, n_logged_partitions, n_rows (None when not
+    metadata-derivable). Driver-side O(versions) manifest reads; wrap
+    in ``spark.createDataFrame`` for a relational view (bounded by the
+    retention policy, not data size)."""
+    out = []
+    for v in versions(table_dir):
+        m = read_manifest(table_dir, v)
+        if m is None or "parts" not in m:
+            continue
+        out.append(
+            {
+                "version": v,
+                "operation": m.get("operation"),
+                "committed_at": m.get("committed_at"),
+                "n_partitions": len(m["parts"]),
+                "n_logged_partitions": sum(
+                    1 for log in m.get("deltas", {}).values() if log
+                ),
+                "n_rows": snapshot_row_count(table_dir, v),
+            }
+        )
+    return out
+
+
 def gc_unreferenced_parts(
     table_dir: str, grace_sec: float = STAGING_GRACE_SEC
 ) -> list[str]:

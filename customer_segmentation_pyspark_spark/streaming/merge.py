@@ -263,6 +263,7 @@ def merge_into_partitioned_snapshot(
         num_partitions = int(man["num_partitions"])
         parts = dict(man["parts"])
         stats = dict(man.get("stats", {}))
+        rows = dict(man.get("rows", {}))
         deltas = {p: list(v) for p, v in man.get("deltas", {}).items()}
         if man.get("key", key) != key:
             raise ValueError(
@@ -274,6 +275,7 @@ def merge_into_partitioned_snapshot(
         base_version = 0
         parts = {}
         stats = {}
+        rows = {}
         deltas = {}
     orig_parts = dict(parts)
     orig_deltas = {p: tuple(v) for p, v in deltas.items()}
@@ -357,13 +359,20 @@ def merge_into_partitioned_snapshot(
             if dest is None:
                 parts.pop(pid, None)
                 stats.pop(pid, None)
+                rows.pop(pid, None)
             else:
                 parts[pid] = dest
-                # footer-derived data-skipping stats for the fresh dir;
-                # untouched partitions keep their previous stats entries
+                # footer-derived data-skipping stats + row counts for
+                # the fresh dir; untouched partitions keep their
+                # previous entries
                 stats[pid] = versioned.collect_dir_stats(
                     os.path.join(table_dir, dest)
                 )
+                rows[pid] = versioned.collect_dir_rowcount(
+                    os.path.join(table_dir, dest)
+                )
+        import time as _time
+
         v = versioned.commit_manifest(
             table_dir,
             {
@@ -371,11 +380,14 @@ def merge_into_partitioned_snapshot(
                 "key": key,
                 "parts": parts,
                 "stats": stats,
+                "rows": rows,
                 "deltas": {p: lst for p, lst in deltas.items() if lst},
                 # full-table schema at this version (union-of-columns
                 # after evolution) — lets fully-pruned reads build an
                 # empty result without touching any part dir
                 "schema": {"type": "struct", "fields": schema_fields},
+                "operation": "merge",
+                "committed_at": _time.time(),
             },
             expected_latest=base_version,
         )
@@ -399,6 +411,7 @@ def merge_into_partitioned_snapshot(
             )
         parts = dict(fresh["parts"])
         stats = dict(fresh.get("stats", {}))
+        rows = dict(fresh.get("rows", {}))
         deltas = {p: list(v) for p, v in fresh.get("deltas", {}).items()}
         # keep evolved columns a foreign merge may have added
         known = {f["name"] for f in schema_fields}
@@ -534,6 +547,7 @@ def merge_mor_into_partitioned_snapshot(
         num_partitions = int(man["num_partitions"])
         parts = dict(man["parts"])
         stats = dict(man.get("stats", {}))
+        rows = dict(man.get("rows", {}))
         deltas = {p: list(v) for p, v in man.get("deltas", {}).items()}
         schema_fields = list(man.get("schema", {}).get("fields", []))
         if man.get("key", key) != key:
@@ -544,7 +558,7 @@ def merge_mor_into_partitioned_snapshot(
         versioned.gc_unreferenced_parts(table_dir)
     else:
         base_version = 0
-        parts, stats, deltas = {}, {}, {}
+        parts, stats, rows, deltas = {}, {}, {}, {}
         schema_fields = []
 
     delta = latest_per_key(changes, key, seq).withColumn(
@@ -595,13 +609,18 @@ def merge_mor_into_partitioned_snapshot(
     while True:
         for pid, dest in new_dirs.items():
             deltas.setdefault(pid, []).append(dest)
+        import time as _time
+
         nxt = {
             "num_partitions": num_partitions,
             "key": key,
             "parts": parts,
             "stats": stats,
+            "rows": rows,
             "deltas": {p: v for p, v in deltas.items() if v},
             "schema": {"type": "struct", "fields": schema_fields},
+            "operation": "mor-append",
+            "committed_at": _time.time(),
         }
         v = versioned.commit_manifest(
             table_dir, nxt, expected_latest=base_version
@@ -613,6 +632,7 @@ def merge_mor_into_partitioned_snapshot(
         fresh = versioned.read_manifest(table_dir, fresh_v)
         parts = dict(fresh["parts"])
         stats = dict(fresh.get("stats", {}))
+        rows = dict(fresh.get("rows", {}))
         deltas = {p: list(v) for p, v in fresh.get("deltas", {}).items()}
         fresh_fields = list(fresh.get("schema", {}).get("fields", []))
         fknown = {f["name"] for f in fresh_fields}
@@ -681,6 +701,7 @@ def compact_mor_partitions(
             continue
         parts = dict(cur["parts"])
         stats = dict(cur.get("stats", {}))
+        rows = dict(cur.get("rows", {}))
         deltas = {p: list(v) for p, v in cur.get("deltas", {}).items()}
         surviving = []
         for pid, (src_base, src_log, dest) in folds.items():
@@ -693,6 +714,7 @@ def compact_mor_partitions(
                 # manifest entirely (mirrors the CoW empty-part rule)
                 parts.pop(pid, None)
                 stats.pop(pid, None)
+                rows.pop(pid, None)
                 deltas.pop(pid, None)
                 surviving.append(pid)
             elif os.path.isdir(os.path.join(table_dir, dest)):
@@ -700,14 +722,22 @@ def compact_mor_partitions(
                 stats[pid] = versioned.collect_dir_stats(
                     os.path.join(table_dir, dest)
                 )
+                rows[pid] = versioned.collect_dir_rowcount(
+                    os.path.join(table_dir, dest)
+                )
                 deltas.pop(pid, None)
                 surviving.append(pid)
         if not surviving:
             return []
+        import time as _time
+
         nxt = dict(cur)
         nxt["parts"] = parts
         nxt["stats"] = stats
+        nxt["rows"] = rows
         nxt["deltas"] = {p: v for p, v in deltas.items() if v}
+        nxt["operation"] = "mor-fold"
+        nxt["committed_at"] = _time.time()
         v = versioned.commit_manifest(table_dir, nxt, expected_latest=cur_v)
         if v > 0:
             return sorted(surviving)
@@ -1100,6 +1130,7 @@ def _commit_rewrites(
         nxt = dict(cur)  # carry num_partitions/key/schema/future fields
         parts = dict(cur["parts"])
         stats = dict(cur.get("stats", {}))
+        rows = dict(cur.get("rows", {}))
         surviving: list[str] = []
         for pid, (src, dest) in rewrites.items():
             if parts.get(pid) == src and os.path.isdir(
@@ -1109,11 +1140,19 @@ def _commit_rewrites(
                 stats[pid] = versioned.collect_dir_stats(
                     os.path.join(table_dir, dest)
                 )
+                rows[pid] = versioned.collect_dir_rowcount(
+                    os.path.join(table_dir, dest)
+                )
                 surviving.append(pid)
         if not surviving:
             return []
+        import time as _time
+
         nxt["parts"] = parts
         nxt["stats"] = stats
+        nxt["rows"] = rows
+        nxt["operation"] = "rewrite"
+        nxt["committed_at"] = _time.time()
         v = versioned.commit_manifest(table_dir, nxt, expected_latest=cur_v)
         if v > 0:
             return sorted(surviving)

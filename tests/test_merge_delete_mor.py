@@ -657,3 +657,66 @@ def test_mor_overlay_read_is_single_exchange(spark, tmp_path):
     )
     n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchange == 1, plan
+
+
+def test_table_history_and_timestamp_travel(spark, tmp_path):
+    """DESCRIBE HISTORY surface + TIMESTAMP AS OF: operations and row
+    counts line up per version, and version_as_of resolves the commit
+    timeline (monotonic within one table)."""
+    import time
+
+    table = str(tmp_path / "t")
+    merge_into_partitioned_snapshot(
+        spark, table,
+        _df(spark, [(k, float(k), 0, "U") for k in range(1, 11)]),
+        "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    t_after_v1 = time.time()
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, [(1, 11.0, 1, "U"), (2, None, 1, "D")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    compact_mor_partitions(spark, table)
+    hist = versioned.table_history(table)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["operation"] for h in hist] == ["merge", "mor-append", "mor-fold"]
+    # metadata-only counts: v1 exact, v2 None (pending log), v3 exact
+    assert hist[0]["n_rows"] == 10
+    assert hist[1]["n_rows"] is None
+    assert hist[2]["n_rows"] == 9  # one delete (k=2), one update
+    assert versioned.snapshot_row_count(table) == 9
+    assert hist[2]["n_logged_partitions"] == 0 < hist[1]["n_logged_partitions"]
+    # timestamp travel: just after v1's commit resolves to v1
+    assert versioned.version_as_of(table, t_after_v1) == 1
+    assert versioned.version_as_of(table, time.time()) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        versioned.version_as_of(table, t_after_v1 - 3600)
+
+
+def test_row_counts_follow_deletes_and_rewrites(spark, tmp_path):
+    """The rows entries stay exact through deletes, emptied partitions,
+    and maintenance rewrites — the invariants behind metadata COUNT."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        compact_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    merge_into_partitioned_snapshot(
+        spark, table,
+        _df(spark, [(k, float(k), 0, "U") for k in range(1, 41)]),
+        "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    assert versioned.snapshot_row_count(table) == 40
+    pid = _pid_of_keys(spark, range(1, 41), 4)
+    victims = [k for k in range(1, 41) if pid[k] == pid[1]]
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, [(k, None, 1, "D") for k in victims]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    assert versioned.snapshot_row_count(table) == 40 - len(victims)
+    compact_partitioned_snapshot(spark, table, target_files=1)
+    assert versioned.snapshot_row_count(table) == 40 - len(victims)
