@@ -512,3 +512,84 @@ def test_graph_spine_operators_at_10x_with_fallback(spark):
     # interactive on local[32] (generous bound — this is a canary for
     # accidental quadratic regressions, not a benchmark)
     assert t_fast < 180, t_fast
+
+
+def test_mor_append_write_bytes_at_scale(spark, tmp_path):
+    """MoR at size: a 1M-row base snapshot takes a 1k-row change batch
+    as an O(|delta|) append — base dirs byte-identical (same names,
+    same sizes), total new bytes ~ the delta, and the overlay read
+    returns the merged truth. The fold then restores the no-overlay
+    read. This is the write-amplification contract that justifies MoR
+    at 100 TB."""
+    import os as _os
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        compact_mor_partitions,
+        merge_mor_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    n = 1_000_000
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).cast("double").alias("val"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    merge_mor_into_partitioned_snapshot(
+        spark, table, base, "k", "seq", num_partitions=16,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    compact_mor_partitions(spark, table)
+
+    def dir_bytes(d):
+        full = _os.path.join(table, d)
+        return sum(
+            _os.path.getsize(_os.path.join(full, f))
+            for f in _os.listdir(full)
+            if not f.startswith(".")
+        )
+
+    man1 = versioned.read_manifest(table)
+    sizes1 = {d: dir_bytes(d) for d in man1["parts"].values()}
+    total_before = sum(sizes1.values())
+
+    delta = spark.range(1_000).select(
+        (F.col("id") * 977).alias("k"),  # spread over partitions
+        F.lit(-1.0).alias("val"),
+        F.lit(1).cast("long").alias("seq"),
+        F.when(F.col("id") % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    t0 = time.perf_counter()
+    merge_mor_into_partitioned_snapshot(
+        spark, table, delta, "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    append_sec = time.perf_counter() - t0
+    man2 = versioned.read_manifest(table)
+    assert man2["parts"] == man1["parts"]  # base untouched
+    for d, sz in sizes1.items():
+        assert dir_bytes(d) == sz
+    new_bytes = sum(
+        dir_bytes(d) for log in man2["deltas"].values() for d in log
+    )
+    # the append cost is the delta, not the snapshot
+    assert new_bytes < total_before / 50, (new_bytes, total_before)
+
+    # overlay read is correct at size: spot-check survivors + deletes
+    got = {
+        r["k"]: r["val"]
+        for r in read_partitioned_snapshot(
+            spark, table, key_in=[0, 977, 9770, 42]
+        ).collect()
+    }
+    assert got[977] == -1.0 and got[42] == float(42 % 997)
+    assert 0 not in got and 9770 not in got  # id 0 and 10 were deletes
+    assert versioned.snapshot_row_count(table) is None  # log pending
+    folded = compact_mor_partitions(spark, table)
+    assert folded
+    assert versioned.snapshot_row_count(table) == n - 100
+    print(f"\nMoR append over {n} rows: {append_sec:.2f}s, "
+          f"{new_bytes/1e3:.0f} kB vs base {total_before/1e6:.1f} MB")

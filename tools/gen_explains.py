@@ -13,6 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NAMES = [
+    "corpus_delete_wave", "mor_delete_wave", "sync_snapshot_mirror",
     "groupby_agg", "join_dims", "topk_orders", "centroid_assign",
     "kmeans_one_iter", "sessionization", "asof_join", "minhash_pairs",
     "cosine_topk", "shipping_priority", "local_supplier_volume",
