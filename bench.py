@@ -148,6 +148,10 @@ HEADLINE = [
     "mor_delete_wave",
     # r05: WHEN NOT MATCHED BY SOURCE sweep (full-mirror sync merge)
     "sync_snapshot_mirror",
+    # r05 capstone #8: CDF-driven incremental view maintenance (3 merge
+    # waves + seed + 2 delta folds — benches the produce-AND-consume
+    # cost of the change feed)
+    "incremental_agg_view",
 ]
 
 

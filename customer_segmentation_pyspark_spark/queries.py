@@ -4564,6 +4564,66 @@ def q_sync_snapshot_mirror(spark, sf_dir):
     )
 
 
+def q_incremental_agg_view(spark, sf_dir):
+    """r05 capstone #8 — incremental materialized-view maintenance:
+    a per-source (n_rows, total_chars) dashboard is SEEDED from the
+    v1 snapshot, then kept fresh by consuming the change data feed of
+    each delete-wave merge (signed +post/-pre contributions, the
+    self-maintainable COUNT/SUM view shape) — the corpus is never
+    rescanned after the seed. The oracle recomputes the FINAL state's
+    aggregate directly from the replayed change log, so a drifted
+    counter (missed delete, double-applied update, phantom group)
+    fails the hash. Composes the whole r05 lakehouse surface: MERGE
+    DELETE produces the versions, the CDF diffs them, the view folds
+    the diffs."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        seed_count_sum_view,
+        update_count_sum_view,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    table = _scratch_path("agg_view/table")
+    # version-relative: rebuild so the CDF version pairs are stable
+    shutil.rmtree(table, ignore_errors=True)
+    vs = []
+    for wave in _delete_wave_frames(d):
+        merge_into_partitioned_snapshot(
+            spark, table, wave, key="doc_id", seq="seq",
+            num_partitions=8, delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+        vs.append(versioned.latest_version(table))
+    view = _scratch_path("agg_view/view")
+    seed_count_sum_view(
+        spark,
+        view,
+        read_partitioned_snapshot(spark, table, version=vs[0]),
+        "source",
+        F.length("text"),
+    )
+    for a, b in zip(vs, vs[1:]):
+        update_count_sum_view(
+            spark,
+            view,
+            read_snapshot_changes(spark, table, a, b),
+            "source",
+            F.length("text"),
+        )
+    return spark.read.parquet(view).select(
+        "source", "n_rows", F.col("total").alias("total_chars")
+    )
+
+
 def _build_feed_table(spark, sf_dir, name):
     """Shared two-wave snapshot build for the r04.5 lakehouse read
     queries: base corpus (seq 0) committed as v1, then ONE merge wave
@@ -9429,6 +9489,36 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
 FROM live GROUP BY source""",
+    "incremental_agg_view": """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 'U' AS op, 0 AS seq FROM documents),
+w1 AS (
+  SELECT doc_id, text || ' kept' AS text, lang, source, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 2
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, 'neo: ' || text, lang, 'ingest', 'U', 1
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, 'ingest', 'D', 3
+  FROM documents WHERE doc_id % 22 = 0),
+w2 AS (
+  SELECT doc_id, 'back: ' || text AS text, lang, source, 'U' AS op, 4 AS seq
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 5
+  FROM documents WHERE doc_id % 4 = 0),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+live AS (SELECT * FROM latest WHERE op <> 'D')
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM live GROUP BY source""",
     "snapshot_meta_count": """
 SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS v1_rows,
        CAST((SELECT count(*) FROM documents)
@@ -11411,6 +11501,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "snapshot_meta_count": QuerySpec(
         q_snapshot_meta_count, ORACLES["snapshot_meta_count"]
     ),
+    "incremental_agg_view": QuerySpec(
+        q_incremental_agg_view, ORACLES["incremental_agg_view"]
+    ),
     "snapshot_point_lookup": QuerySpec(
         q_snapshot_point_lookup, ORACLES["snapshot_point_lookup"]
     ),
@@ -11731,7 +11824,7 @@ _DRIVER_SPOTLIGHT = [
     # lakehouse capstones (r04/r05)
     "corpus_refresh_pipeline", "corpus_delete_wave", "mor_delete_wave",
     "snapshot_point_lookup", "corpus_changes_feed", "upsert_snapshot",
-    "sync_snapshot_mirror", "snapshot_meta_count",
+    "sync_snapshot_mirror", "snapshot_meta_count", "incremental_agg_view",
     "cdc_apply",
     # dedup / similarity flagships
     "dedup_exact", "minhash_pairs", "dedup_clusters", "ngram_jaccard",

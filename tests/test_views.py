@@ -1,0 +1,132 @@
+"""Incremental COUNT/SUM view maintenance (r05): signed CDF
+contributions must track a full recompute through inserts, updates,
+deletes, NULL values, and groups shrinking to zero."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from customer_segmentation_pyspark_spark.sources import versioned
+from customer_segmentation_pyspark_spark.streaming.merge import (
+    merge_into_partitioned_snapshot,
+    read_partitioned_snapshot,
+    read_snapshot_changes,
+)
+from customer_segmentation_pyspark_spark.streaming.views import (
+    seed_count_sum_view,
+    update_count_sum_view,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("grp", StringType()),
+        StructField("val", DoubleType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+
+WAVES = [
+    # seed state: two groups, one NULL value (counts the row, adds 0)
+    [(1, "a", 10.0, 0, "U"), (2, "a", None, 0, "U"), (3, "b", 5.0, 0, "U"),
+     (4, "b", 7.0, 0, "U"), (5, "c", 1.0, 0, "U")],
+    # update (a:1 value change), no-op update (b:3 same value — pre and
+    # post must cancel), delete the whole c group, move a key across
+    # groups (b:4 -> a)
+    [(1, "a", 20.0, 1, "U"), (3, "b", 5.0, 1, "U"),
+     (5, "c", None, 1, "D"), (4, "a", 7.0, 1, "U")],
+    # NULL update on a:1 — the merge's coalesce KEEPS the old 20.0
+    # (only seq changes, so the CDF emits a canceling pre/post pair or
+    # nothing at all for val) — plus a brand-new group
+    [(1, "a", None, 2, "U"), (6, "d", 3.0, 2, "U")],
+]
+
+
+def _recompute(df):
+    return {
+        r["grp"]: (r["n"], r["t"])
+        for r in df.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("val", F.lit(0))).cast("long").alias("t"),
+        )
+        .collect()
+    }
+
+
+def test_view_tracks_recompute_through_waves(spark, tmp_path):
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    vs = []
+    for wave in WAVES:
+        merge_into_partitioned_snapshot(
+            spark, table, spark.createDataFrame(wave, SCHEMA),
+            "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+        vs.append(versioned.latest_version(table))
+    seed_count_sum_view(
+        spark, view,
+        read_partitioned_snapshot(spark, table, version=vs[0]),
+        "grp", F.col("val"),
+    )
+    for a, b in zip(vs, vs[1:]):
+        update_count_sum_view(
+            spark, view,
+            read_snapshot_changes(spark, table, a, b),
+            "grp", F.col("val"),
+        )
+        got = {
+            r["grp"]: (r["n_rows"], r["total"])
+            for r in spark.read.parquet(view).collect()
+        }
+        exp = _recompute(read_partitioned_snapshot(spark, table, version=b))
+        assert got == exp, (b, got, exp)
+    # the emptied group 'c' left the view entirely
+    assert "c" not in got and got["d"] == (1, 3)
+    # group 'a' absorbed the moved key; the NULL update kept 20.0
+    assert got["a"] == (3, 27)  # rows 1(20.0 kept), 2(NULL->0), 4(7.0)
+
+
+def test_seed_rebuild_equals_incremental(spark, tmp_path):
+    """Rebuilding from the final snapshot equals the incrementally
+    maintained view — the recovery path the module docstring points
+    to when exactly-once application is in doubt."""
+    table = str(tmp_path / "t")
+    v_inc = str(tmp_path / "vi")
+    v_seed = str(tmp_path / "vs")
+    vs = []
+    for wave in WAVES:
+        merge_into_partitioned_snapshot(
+            spark, table, spark.createDataFrame(wave, SCHEMA),
+            "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+        vs.append(versioned.latest_version(table))
+    seed_count_sum_view(
+        spark, v_inc,
+        read_partitioned_snapshot(spark, table, version=vs[0]),
+        "grp", F.col("val"),
+    )
+    for a, b in zip(vs, vs[1:]):
+        update_count_sum_view(
+            spark, v_inc, read_snapshot_changes(spark, table, a, b),
+            "grp", F.col("val"),
+        )
+    seed_count_sum_view(
+        spark, v_seed, read_partitioned_snapshot(spark, table),
+        "grp", F.col("val"),
+    )
+    rows = lambda p: sorted(  # noqa: E731
+        (r["grp"], r["n_rows"], r["total"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert rows(v_inc) == rows(v_seed)
