@@ -31,12 +31,85 @@ from customer_segmentation_pyspark_spark.sources.sinks import (
 )
 
 
+#: marker file inside the view dir recording which source-table version
+#: the view reflects — swapped atomically WITH the data, so the pair is
+#: never torn (files starting with "_" are invisible to parquet reads)
+SRC_VERSION_FILE = "_SRC_VERSION"
+
+
+def _write_marker(dir_path: str, src_version) -> None:
+    if src_version is not None:
+        with open(os.path.join(dir_path, SRC_VERSION_FILE), "w") as f:
+            f.write(str(int(src_version)))
+
+
+def view_src_version(view_dir: str) -> int | None:
+    """The source-table version this view reflects (None for a view
+    maintained without markers)."""
+    try:
+        with open(os.path.join(view_dir, SRC_VERSION_FILE)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def sync_view_to_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    view_dir: str,
+    group_col: str,
+    value_col,
+) -> int:
+    """Exactly-once incremental maintenance: bring the view up to the
+    source table's latest version, folding only the change feed since
+    the version recorded IN the view (seeding on first call). The
+    version marker swaps atomically with the data, so a crash at any
+    point leaves a consistent (data, version) pair and the retry
+    either re-folds the same CDF slice onto the OLD pair or no-ops on
+    the NEW one — the additive apply can never double-count. This is
+    the driver loop the module docstring's exactly-once caveat points
+    to; returns the version the view now reflects."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    recover_swap(view_dir)
+    v0 = view_src_version(view_dir) if os.path.exists(view_dir) else None
+    if v0 is None:
+        seed_count_sum_view(
+            spark,
+            view_dir,
+            read_partitioned_snapshot(spark, table_dir, version=cur),
+            group_col,
+            value_col,
+            src_version=cur,
+        )
+        return cur
+    if v0 >= cur:
+        return v0  # already current — the idempotent no-op
+    update_count_sum_view(
+        spark,
+        view_dir,
+        read_snapshot_changes(spark, table_dir, v0, cur),
+        group_col,
+        value_col,
+        src_version=cur,
+    )
+    return cur
+
+
 def update_count_sum_view(
     spark: SparkSession,
     view_dir: str,
     cdf: DataFrame,
     group_col: str,
     value_col,
+    src_version: int | None = None,
 ) -> None:
     """Apply one CDF slice to a (group, n_rows, total) view.
 
@@ -47,11 +120,11 @@ def update_count_sum_view(
     row count reaches zero LEAVES the view (COUNT/SUM views are
     self-maintainable, no rescan needed — the textbook IVM property).
     Crash-safe like the merge sinks: fresh directory + swap, and
-    re-applying the same CDF slice after adoption of a stranded swap
-    is NOT idempotent (contributions are additive) — drive this from
-    exactly-once machinery (foreachBatch) or rebuild from
-    :func:`seed_count_sum_view` on doubt, exactly the Delta/Flink
-    IVM guidance."""
+    re-applying the same CDF slice is NOT idempotent (contributions
+    are additive) — drive this through
+    :func:`sync_view_to_snapshot`, whose version marker makes the
+    apply exactly-once, or rebuild from :func:`seed_count_sum_view`
+    on doubt."""
     value = F.coalesce(value_col, F.lit(0))
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
@@ -93,6 +166,7 @@ def update_count_sum_view(
         )
     tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
     crash_safe_swap(view_dir, tmp)
 
 
@@ -102,6 +176,7 @@ def seed_count_sum_view(
     snapshot: DataFrame,
     group_col: str,
     value_col,
+    src_version: int | None = None,
 ) -> None:
     """Bootstrap (or rebuild) the view from a full snapshot — the one
     O(snapshot) step; every later wave goes through
@@ -115,4 +190,5 @@ def seed_count_sum_view(
     )
     tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
     agg.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
     crash_safe_swap(view_dir, tmp)

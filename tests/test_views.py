@@ -130,3 +130,52 @@ def test_seed_rebuild_equals_incremental(spark, tmp_path):
         for r in spark.read.parquet(p).collect()
     )
     assert rows(v_inc) == rows(v_seed)
+
+
+def test_sync_view_exactly_once_marker(spark, tmp_path):
+    """sync_view_to_snapshot: seeds on first call, folds only the CDF
+    since the recorded version, no-ops when current (the replayed-call
+    case), and catches up across multiple versions in one fold."""
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_view_to_snapshot,
+        view_src_version,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    merge_into_partitioned_snapshot(
+        spark, table, spark.createDataFrame(WAVES[0], SCHEMA),
+        "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    assert sync_view_to_snapshot(spark, table, view, "grp", F.col("val")) == 1
+    assert view_src_version(view) == 1
+    # replay (crash-retry shape): no-op, nothing double-counted
+    assert sync_view_to_snapshot(spark, table, view, "grp", F.col("val")) == 1
+    v1_rows = sorted(
+        (r["grp"], r["n_rows"], r["total"])
+        for r in spark.read.parquet(view).collect()
+    )
+    assert sorted(
+        (g, n, t) for g, (n, t) in _recompute(
+            read_partitioned_snapshot(spark, table)
+        ).items()
+    ) == v1_rows
+    # two more waves land before the next sync: one fold catches up
+    for wave in WAVES[1:]:
+        merge_into_partitioned_snapshot(
+            spark, table, spark.createDataFrame(wave, SCHEMA),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+    assert sync_view_to_snapshot(spark, table, view, "grp", F.col("val")) == 3
+    got = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in spark.read.parquet(view).collect()
+    }
+    assert got == _recompute(read_partitioned_snapshot(spark, table))
+    # and replaying the final sync is again a no-op
+    assert sync_view_to_snapshot(spark, table, view, "grp", F.col("val")) == 3
+    assert got == {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in spark.read.parquet(view).collect()
+    }
