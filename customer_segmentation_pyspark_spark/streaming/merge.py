@@ -265,6 +265,9 @@ def merge_into_partitioned_snapshot(
         stats = dict(man.get("stats", {}))
         rows = dict(man.get("rows", {}))
         deltas = {p: list(v) for p, v in man.get("deltas", {}).items()}
+        delta_stats = {
+            p: list(v) for p, v in man.get("delta_stats", {}).items()
+        }
         if man.get("key", key) != key:
             raise ValueError(
                 f"table {table_dir} was created with merge key "
@@ -277,6 +280,7 @@ def merge_into_partitioned_snapshot(
         stats = {}
         rows = {}
         deltas = {}
+        delta_stats = {}
     orig_parts = dict(parts)
     orig_deltas = {p: tuple(v) for p, v in deltas.items()}
 
@@ -356,6 +360,7 @@ def merge_into_partitioned_snapshot(
         for pid, dest in new_entries.items():
             # this rewrite folded in any MoR delta log the partition had
             deltas.pop(pid, None)
+            delta_stats.pop(pid, None)
             if dest is None:
                 parts.pop(pid, None)
                 stats.pop(pid, None)
@@ -382,6 +387,11 @@ def merge_into_partitioned_snapshot(
                 "stats": stats,
                 "rows": rows,
                 "deltas": {p: lst for p, lst in deltas.items() if lst},
+                "delta_stats": {
+                    p: lst
+                    for p, lst in delta_stats.items()
+                    if deltas.get(p)
+                },
                 # full-table schema at this version (union-of-columns
                 # after evolution) — lets fully-pruned reads build an
                 # empty result without touching any part dir
@@ -413,6 +423,9 @@ def merge_into_partitioned_snapshot(
         stats = dict(fresh.get("stats", {}))
         rows = dict(fresh.get("rows", {}))
         deltas = {p: list(v) for p, v in fresh.get("deltas", {}).items()}
+        delta_stats = {
+            p: list(v) for p, v in fresh.get("delta_stats", {}).items()
+        }
         # keep evolved columns a foreign merge may have added
         known = {f["name"] for f in schema_fields}
         for fld in fresh.get("schema", {}).get("fields", []):
@@ -549,6 +562,9 @@ def merge_mor_into_partitioned_snapshot(
         stats = dict(man.get("stats", {}))
         rows = dict(man.get("rows", {}))
         deltas = {p: list(v) for p, v in man.get("deltas", {}).items()}
+        delta_stats = {
+            p: list(v) for p, v in man.get("delta_stats", {}).items()
+        }
         schema_fields = list(man.get("schema", {}).get("fields", []))
         if man.get("key", key) != key:
             raise ValueError(
@@ -559,6 +575,7 @@ def merge_mor_into_partitioned_snapshot(
     else:
         base_version = 0
         parts, stats, rows, deltas = {}, {}, {}, {}
+        delta_stats = {}
         schema_fields = []
 
     delta = latest_per_key(changes, key, seq).withColumn(
@@ -606,9 +623,17 @@ def merge_mor_into_partitioned_snapshot(
     if not new_dirs:
         return
 
+    new_dir_stats = {
+        pid: versioned.collect_dir_stats(os.path.join(table_dir, dest))
+        for pid, dest in new_dirs.items()
+    }
     while True:
         for pid, dest in new_dirs.items():
             deltas.setdefault(pid, []).append(dest)
+            # footer stats per DELTA dir: where-pruning stays exact on
+            # logged partitions (a dir-count mismatch disables pruning
+            # for that partition, never correctness)
+            delta_stats.setdefault(pid, []).append(new_dir_stats[pid])
         import time as _time
 
         nxt = {
@@ -618,6 +643,9 @@ def merge_mor_into_partitioned_snapshot(
             "stats": stats,
             "rows": rows,
             "deltas": {p: v for p, v in deltas.items() if v},
+            "delta_stats": {
+                p: v for p, v in delta_stats.items() if deltas.get(p)
+            },
             "schema": {"type": "struct", "fields": schema_fields},
             "operation": "mor-append",
             "committed_at": _time.time(),
@@ -634,6 +662,9 @@ def merge_mor_into_partitioned_snapshot(
         stats = dict(fresh.get("stats", {}))
         rows = dict(fresh.get("rows", {}))
         deltas = {p: list(v) for p, v in fresh.get("deltas", {}).items()}
+        delta_stats = {
+            p: list(v) for p, v in fresh.get("delta_stats", {}).items()
+        }
         fresh_fields = list(fresh.get("schema", {}).get("fields", []))
         fknown = {f["name"] for f in fresh_fields}
         for f in schema_fields:
@@ -703,6 +734,9 @@ def compact_mor_partitions(
         stats = dict(cur.get("stats", {}))
         rows = dict(cur.get("rows", {}))
         deltas = {p: list(v) for p, v in cur.get("deltas", {}).items()}
+        delta_stats = {
+            p: list(v) for p, v in cur.get("delta_stats", {}).items()
+        }
         surviving = []
         for pid, (src_base, src_log, dest) in folds.items():
             if parts.get(pid) != src_base or tuple(
@@ -716,6 +750,7 @@ def compact_mor_partitions(
                 stats.pop(pid, None)
                 rows.pop(pid, None)
                 deltas.pop(pid, None)
+                delta_stats.pop(pid, None)
                 surviving.append(pid)
             elif os.path.isdir(os.path.join(table_dir, dest)):
                 parts[pid] = dest
@@ -726,6 +761,7 @@ def compact_mor_partitions(
                     os.path.join(table_dir, dest)
                 )
                 deltas.pop(pid, None)
+                delta_stats.pop(pid, None)
                 surviving.append(pid)
         if not surviving:
             return []
@@ -736,6 +772,9 @@ def compact_mor_partitions(
         nxt["stats"] = stats
         nxt["rows"] = rows
         nxt["deltas"] = {p: v for p, v in deltas.items() if v}
+        nxt["delta_stats"] = {
+            p: v for p, v in delta_stats.items() if deltas.get(p)
+        }
         nxt["operation"] = "mor-fold"
         nxt["committed_at"] = _time.time()
         v = versioned.commit_manifest(table_dir, nxt, expected_latest=cur_v)
@@ -833,17 +872,32 @@ def _snapshot_read_plan(
     if where:
         stats = man.get("stats", {})
         deltas = man.get("deltas", {})
-        # a partition with a pending MoR delta log can hold rows outside
-        # its BASE dir's footer stats — stats pruning must spare it
-        pids = [
-            p
-            for p in pids
-            if deltas.get(p)
-            or all(
-                _dir_may_match(stats.get(p, {}), c, op, v)
-                for c, op, v in where
+        dstats = man.get("delta_stats", {})
+
+        def _pid_may_match(p: str) -> bool:
+            # a partition survives pruning unless EVERY dir that could
+            # contribute a value — its base dir AND each delta-log dir
+            # — is provably disjoint from the predicate (overlay values
+            # always come from one of the stored dirs, so the union of
+            # their ranges bounds the merged rows); a delta log without
+            # complete per-dir stats disables pruning for the partition
+            checks = []
+            if p in man["parts"]:
+                checks.append(stats.get(p, {}))
+            log = deltas.get(p) or []
+            if log:
+                ds = dstats.get(p) or []
+                if len(ds) != len(log):
+                    return True
+                checks.extend(ds)
+            if not checks:
+                return True
+            return any(
+                all(_dir_may_match(st, c, op, v) for c, op, v in where)
+                for st in checks
             )
-        ]
+
+        pids = [p for p in pids if _pid_may_match(p)]
     return man, pids, [man["parts"][p] for p in pids if p in man["parts"]]
 
 
@@ -1202,6 +1256,76 @@ def _rewrite_partitions(
     if pending:
         landed.extend(_commit_rewrites(table_dir, pending))
     return sorted(landed)
+
+
+def repartition_snapshot(
+    spark: SparkSession, table_dir: str, new_num_partitions: int
+) -> None:
+    """Partition evolution: rewrite the snapshot under a NEW hash
+    partition count — the escape hatch from "num_partitions is fixed
+    at table creation" when a table outgrows (or never needed) its
+    rewrite unit. One Spark job reads the current state (any MoR logs
+    fold in), re-buckets by the same key expression with the new
+    modulus, and commits a full manifest conditionally — concurrent
+    merges conflict by definition (every partition is rewritten), so
+    an intervening commit raises :class:`ConcurrentMergeError`; run it
+    in a maintenance window like Iceberg's rewrite with a changed
+    partition spec. Historical versions keep their old layout and stay
+    readable; point-lookup pruning keeps working on both sides because
+    the partition id is always recomputed from the manifest's OWN
+    num_partitions. Content is preserved row-for-row; cost is
+    O(snapshot) — this is a rewrite, not a merge."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    if new_num_partitions < 1:
+        raise ValueError("new_num_partitions must be >= 1")
+    base_version = versioned.latest_version(table_dir)
+    man = versioned.read_manifest(table_dir, base_version or None)
+    if man is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    key = man["key"]
+    pids = sorted(set(man["parts"]) | set(man.get("deltas", {})))
+    state = _partition_state(spark, table_dir, man, pids)
+    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    state.withColumn(
+        "__part", _part_expr(key, new_num_partitions)
+    ).write.mode("overwrite").partitionBy("__part").parquet(staging)
+    parts: dict[str, str] = {}
+    stats: dict[str, dict] = {}
+    rows: dict[str, int] = {}
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith("__part="):
+            continue
+        pid = entry.split("=", 1)[1]
+        dest = f"p-{uuid.uuid4().hex[:12]}"
+        os.rename(os.path.join(staging, entry), os.path.join(table_dir, dest))
+        parts[pid] = dest
+        stats[pid] = versioned.collect_dir_stats(
+            os.path.join(table_dir, dest)
+        )
+        rows[pid] = versioned.collect_dir_rowcount(
+            os.path.join(table_dir, dest)
+        )
+    import shutil
+    import time as _time
+
+    shutil.rmtree(staging, ignore_errors=True)
+    nxt = {
+        "num_partitions": new_num_partitions,
+        "key": key,
+        "parts": parts,
+        "stats": stats,
+        "rows": rows,
+        "schema": man.get("schema") or state.schema.jsonValue(),
+        "operation": "repartition",
+        "committed_at": _time.time(),
+    }
+    v = versioned.commit_manifest(table_dir, nxt, expected_latest=base_version)
+    if v < 0:
+        raise ConcurrentMergeError(
+            f"a concurrent commit landed on {table_dir} during the "
+            "repartition; re-run it in a quiet window (idempotent)"
+        )
 
 
 def compact_partitioned_snapshot(

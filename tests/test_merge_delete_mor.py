@@ -720,3 +720,93 @@ def test_row_counts_follow_deletes_and_rewrites(spark, tmp_path):
     assert versioned.snapshot_row_count(table) == 40 - len(victims)
     compact_partitioned_snapshot(spark, table, target_files=1)
     assert versioned.snapshot_row_count(table) == 40 - len(victims)
+
+
+def test_repartition_snapshot_evolution(spark, tmp_path):
+    """Partition evolution: 4 -> 8 hash partitions preserves content,
+    point-lookup pruning works on both layouts (partition id always
+    recomputed from the manifest's own modulus), later merges use the
+    new unit, and history keeps the old layout readable."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        repartition_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    for wave in WAVES:
+        merge_mor_into_partitioned_snapshot(
+            spark, table, _df(spark, wave), "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+    before = _read_dict(read_partitioned_snapshot(spark, table))
+    v_old = versioned.latest_version(table)
+    repartition_snapshot(spark, table, 8)
+    man = versioned.read_manifest(table)
+    assert man["num_partitions"] == 8 and not man.get("deltas")
+    assert man["operation"] == "repartition"
+    assert _read_dict(read_partitioned_snapshot(spark, table)) == before
+    assert versioned.snapshot_row_count(table) == len(before)
+    # point lookup prunes with the NEW modulus and still finds keys
+    some = sorted(before)[:3]
+    got = _read_dict(read_partitioned_snapshot(spark, table, key_in=some))
+    assert got == {k: before[k] for k in some}
+    # the old layout is intact behind time travel
+    assert (
+        _read_dict(read_partitioned_snapshot(spark, table, version=v_old))
+        == before
+    )
+    # merges after evolution use the new partition count transparently
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, [(500, 5.0, 9, "U")]), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    after = _read_dict(read_partitioned_snapshot(spark, table))
+    assert after == {**before, 500: 5.0}
+
+
+def test_delta_stats_prune_logged_partitions(spark, tmp_path):
+    """Per-delta-dir footer stats restore where-pruning on logged
+    partitions: a predicate disjoint from base AND every delta dir
+    prunes the partition; one matching delta dir keeps it; the result
+    is identical either way (pruning is never load-bearing)."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _snapshot_read_plan,
+    )
+
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 41)]  # val <= 40
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    compact_mor_partitions(spark, table)
+    # append a small delta (val <= 50) to ONE partition
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, [(3, 50.0, 1, "U")]), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    man = versioned.read_manifest(table)
+    assert man.get("delta_stats")
+    # predicate above every dir's max: all partitions pruned, even the
+    # logged one — the pre-delta-stats code had to keep it
+    _, pids, _ = _snapshot_read_plan(
+        spark, table, None, [("val", ">", 900.0)], None
+    )
+    assert pids == []
+    assert (
+        read_partitioned_snapshot(spark, table, where=[("val", ">", 900.0)])
+        .count()
+        == 0
+    )
+    # a delta actually containing a hot value keeps its partition
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, [(5, 999.0, 2, "U")]), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    _, pids, _ = _snapshot_read_plan(
+        spark, table, None, [("val", ">", 900.0)], None
+    )
+    assert len(pids) == 1
+    got = _read_dict(
+        read_partitioned_snapshot(spark, table, where=[("val", ">", 900.0)])
+    )
+    assert got == {5: 999.0}
