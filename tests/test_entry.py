@@ -80,6 +80,7 @@ def test_coverage_md_query_names_resolve():
         "commit_manifest", "delete_when",
         "merge_mor_into_partitioned_snapshot", "compact_mor_partitions",
         "snapshot_row_count", "table_history", "version_as_of",
+        "repartition_snapshot", "test_merge_delete_mor",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []
