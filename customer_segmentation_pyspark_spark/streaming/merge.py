@@ -63,6 +63,91 @@ def _split_deletes(
     return ups, dels
 
 
+#: safe type-widening chains (Delta typeWidening shape): a column may
+#: evolve ALONG a chain, never across or backwards — old narrow files
+#: stay readable because the parquet reader up-casts under an explicit
+#: wider read schema (verified on Spark 4: int32->long, float->double).
+_WIDEN_CHAINS = (["byte", "short", "integer", "long"], ["float", "double"])
+
+
+def _wider_type_name(a: str, b: str) -> str | None:
+    """The wider of two primitive type NAMES when they sit on the same
+    widening chain (None when equal or not safely widenable)."""
+    if a == b:
+        return None
+    for chain in _WIDEN_CHAINS:
+        if a in chain and b in chain:
+            return chain[max(chain.index(a), chain.index(b))]
+    return None
+
+
+def _widen_shared_columns(
+    base: DataFrame, delta: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Cast both sides of a merge to the wider type wherever a shared
+    column's types differ along a safe widening chain — the type
+    evolution half of schema evolution (r05). Non-widenable retypes
+    are left alone and fail loudly downstream (that's a rewrite, not
+    a merge)."""
+    from pyspark.sql import types as T
+
+    atomic = {
+        "byte": T.ByteType(),
+        "short": T.ShortType(),
+        "integer": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+    }
+    for c in [c for c in base.columns if c in delta.columns]:
+        w = _wider_type_name(
+            base.schema[c].dataType.typeName(),
+            delta.schema[c].dataType.typeName(),
+        )
+        if w is not None:
+            base = base.withColumn(c, F.col(c).cast(atomic[w]))
+            delta = delta.withColumn(c, F.col(c).cast(atomic[w]))
+    return base, delta
+
+
+def _merge_schema_fields(primary: list, secondary: list) -> list:
+    """Union two manifest schema field lists by name — primary order,
+    secondary-only fields appended — widening shared primitive fields
+    along the safe chains (so concurrent or successive widenings
+    converge to the widest, and old narrow files up-cast on read)."""
+    out = [dict(f) for f in primary]
+    idx = {f["name"]: i for i, f in enumerate(out)}
+    for f in secondary:
+        i = idx.get(f["name"])
+        if i is None:
+            idx[f["name"]] = len(out)
+            out.append(dict(f))
+        else:
+            a, b = out[i]["type"], f["type"]
+            if isinstance(a, str) and isinstance(b, str):
+                w = _wider_type_name(a, b)
+                if w is not None:
+                    out[i]["type"] = w
+    return out
+
+
+def _table_read_schema(man: dict | None, with_tomb: bool = False):
+    """Explicit read schema from the manifest (None when the manifest
+    predates schema recording): reading with it instead of mergeSchema
+    makes old narrow files up-cast in place after a widening merge —
+    mergeSchema would refuse to merge INT and BIGINT dirs."""
+    if man is None or man.get("schema") is None:
+        return None
+    from pyspark.sql import types as T
+
+    sch = T.StructType.fromJson(man["schema"])
+    if with_tomb:
+        sch = T.StructType(
+            sch.fields + [T.StructField("__tomb", T.BooleanType())]
+        )
+    return sch
+
+
 def merge_into_snapshot(
     spark: SparkSession,
     snapshot_dir: str,
@@ -143,6 +228,7 @@ def _merge_frames(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:
     fresh inserts) — the add-column semantics of Delta/Iceberg
     ``mergeSchema``. Dropping or retyping a column is intentionally NOT
     expressible here (that's a rewrite, not a merge)."""
+    base, delta = _widen_shared_columns(base, delta)
     base_only = [c for c in base.columns if c not in delta.columns]
     delta_only = [c for c in delta.columns if c not in base.columns]
     for c in delta_only:
@@ -220,6 +306,26 @@ class ConcurrentMergeError(RuntimeError):
     re-running the same merge call is safe and idempotent."""
 
 
+def _check_key_type_stable(man: dict | None, changes: DataFrame, key: str):
+    """Refuse a merge whose batch retypes the MERGE KEY: the partition
+    id is xxhash64(key) and Spark's hash functions are type-sensitive
+    (int 5 and long 5 hash differently), so a widened key would route
+    existing keys to different partitions — a silent mispartition.
+    Non-key columns widen freely; a key type change needs a full
+    rewrite (repartition_snapshot on a re-typed copy)."""
+    sch = _table_read_schema(man)
+    if sch is None or key not in sch.fieldNames():
+        return
+    want = sch[key].dataType.typeName()
+    got = changes.schema[key].dataType.typeName()
+    if want != got:
+        raise ValueError(
+            f"merge key '{key}' arrives as {got} but the table was "
+            f"created with {want}; hash partitioning is type-sensitive "
+            f"— cast the change stream's key to {want} explicitly"
+        )
+
+
 def merge_into_partitioned_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -274,6 +380,7 @@ def merge_into_partitioned_snapshot(
                 f"'{man['key']}'; cannot merge on '{key}'"
             )
         versioned.gc_unreferenced_parts(table_dir)
+        _check_key_type_stable(man, changes, key)
     else:
         base_version = 0
         parts = {}
@@ -329,12 +436,12 @@ def merge_into_partitioned_snapshot(
         merged = merged.join(dels, key, "left_anti")
     schema_fields = merged.schema.jsonValue()["fields"]
     if man is not None:
-        # evolution is add-only and this merge read only the touched
-        # partitions: carry columns that exist elsewhere in the table
-        known = {f["name"] for f in schema_fields}
-        for fld in man.get("schema", {}).get("fields", []):
-            if fld["name"] not in known:
-                schema_fields.append(fld)
+        # carry columns that exist elsewhere in the table (this merge
+        # read only the touched partitions) and keep the WIDEST type
+        # per column across both sources
+        schema_fields = _merge_schema_fields(
+            schema_fields, man.get("schema", {}).get("fields", [])
+        )
     merged = merged.withColumn("__part", _part_expr(key, num_partitions))
 
     os.makedirs(table_dir, exist_ok=True)
@@ -426,11 +533,10 @@ def merge_into_partitioned_snapshot(
         delta_stats = {
             p: list(v) for p, v in fresh.get("delta_stats", {}).items()
         }
-        # keep evolved columns a foreign merge may have added
-        known = {f["name"] for f in schema_fields}
-        for fld in fresh.get("schema", {}).get("fields", []):
-            if fld["name"] not in known:
-                schema_fields.append(fld)
+        # keep evolved columns/types a foreign merge may have added
+        schema_fields = _merge_schema_fields(
+            schema_fields, fresh.get("schema", {}).get("fields", [])
+        )
         base_version = fresh_v
 
 
@@ -467,10 +573,23 @@ def _partition_state(
     deltas = man.get("deltas", {})
     base_dirs = [man["parts"][p] for p in pids if p in man["parts"]]
     delta_dirs = [d for p in pids for d in deltas.get(p, [])]
+    # explicit manifest schema (when recorded): old narrow/short files
+    # up-cast and missing evolved columns surface as typed NULLs —
+    # covers both halves of schema evolution in one read
+    data_schema = _table_read_schema(man)
+    tomb_schema = _table_read_schema(man, with_tomb=True)
+
+    def _read(paths, with_tomb):
+        r = spark.read
+        sch = tomb_schema if with_tomb else data_schema
+        if sch is not None:
+            r = r.schema(sch)
+        else:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*paths)
+
     base = (
-        spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_dir, d) for d in base_dirs]
-        )
+        _read([os.path.join(table_dir, d) for d in base_dirs], False)
         if base_dirs
         else None
     )
@@ -492,11 +611,7 @@ def _partition_state(
         for i, d in enumerate(deltas.get(p, [])):
             by_ord.setdefault(i, []).append(os.path.join(table_dir, d))
     for i in sorted(by_ord):
-        frames.append(
-            spark.read.option("mergeSchema", "true")
-            .parquet(*by_ord[i])
-            .withColumn("__ord", F.lit(i))
-        )
+        frames.append(_read(by_ord[i], True).withColumn("__ord", F.lit(i)))
     allr = frames[0]
     for f in frames[1:]:
         allr = allr.unionByName(f, allowMissingColumns=True)
@@ -572,6 +687,7 @@ def merge_mor_into_partitioned_snapshot(
                 f"'{man['key']}'; cannot merge on '{key}'"
             )
         versioned.gc_unreferenced_parts(table_dir)
+        _check_key_type_stable(man, changes, key)
     else:
         base_version = 0
         parts, stats, rows, deltas = {}, {}, {}, {}
@@ -601,11 +717,12 @@ def merge_mor_into_partitioned_snapshot(
     )
     dd = delta.withColumn("__tomb", cond).drop(*marker_cols)
 
-    # evolved full-table schema: existing fields + new upsert columns
-    known = {f["name"] for f in schema_fields}
-    for f in dd.drop("__part", "__tomb").schema.jsonValue()["fields"]:
-        if f["name"] not in known:
-            schema_fields.append(f)
+    # evolved full-table schema: existing fields + new upsert columns,
+    # shared columns widened along the safe chains
+    schema_fields = _merge_schema_fields(
+        schema_fields,
+        dd.drop("__part", "__tomb").schema.jsonValue()["fields"],
+    )
 
     os.makedirs(table_dir, exist_ok=True)
     staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
@@ -665,12 +782,9 @@ def merge_mor_into_partitioned_snapshot(
         delta_stats = {
             p: list(v) for p, v in fresh.get("delta_stats", {}).items()
         }
-        fresh_fields = list(fresh.get("schema", {}).get("fields", []))
-        fknown = {f["name"] for f in fresh_fields}
-        for f in schema_fields:
-            if f["name"] not in fknown:
-                fresh_fields.append(f)
-        schema_fields = fresh_fields
+        schema_fields = _merge_schema_fields(
+            list(fresh.get("schema", {}).get("fields", [])), schema_fields
+        )
         base_version = fresh_v
 
 
@@ -938,11 +1052,16 @@ def read_partitioned_snapshot(
         # fully-folded tables never take this branch)
         df = _partition_state(spark, table_dir, man, pids)
     elif dirs:
-        # mergeSchema: after a schema-evolving merge, untouched
-        # partitions' files predate the new columns — typed NULLs
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_dir, d) for d in dirs]
+        # explicit manifest schema when recorded (narrow files up-cast,
+        # pre-evolution files surface typed NULLs); mergeSchema is the
+        # pre-r05 fallback
+        sch = _table_read_schema(man)
+        reader = (
+            spark.read.schema(sch)
+            if sch is not None
+            else spark.read.option("mergeSchema", "true")
         )
+        df = reader.parquet(*[os.path.join(table_dir, d) for d in dirs])
     elif man.get("schema") is not None:
         # everything pruned: empty result with the full-table schema
         # straight from the manifest — zero part dirs touched (r05,

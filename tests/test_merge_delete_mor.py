@@ -810,3 +810,89 @@ def test_delta_stats_prune_logged_partitions(spark, tmp_path):
         read_partitioned_snapshot(spark, table, where=[("val", ">", 900.0)])
     )
     assert got == {5: 999.0}
+
+
+INT_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("val", __import__("pyspark.sql.types", fromlist=["IntegerType"]).IntegerType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+LONG_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("val", LongType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+
+
+def test_type_widening_int_to_long(spark, tmp_path):
+    """A batch that widens a non-key column int->long merges cleanly on
+    both flavors: the manifest schema records the wide type, untouched
+    narrow files up-cast at read (explicit-schema read, not
+    mergeSchema), and values past 2^31 round-trip."""
+    big = 2**40
+    for flavor, fn in (
+        ("cow", merge_into_partitioned_snapshot),
+        ("mor", merge_mor_into_partitioned_snapshot),
+    ):
+        table = str(tmp_path / flavor)
+        fn(
+            spark, table,
+            spark.createDataFrame(
+                [(k, k * 10, 0, "U") for k in range(1, 9)], INT_SCHEMA
+            ),
+            "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+        fn(
+            spark, table,
+            spark.createDataFrame([(1, big, 1, "U")], LONG_SCHEMA),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+        df = read_partitioned_snapshot(spark, table)
+        assert df.schema["val"].dataType.typeName() == "long", flavor
+        got = {r["k"]: r["val"] for r in df.collect()}
+        assert got == {**{k: k * 10 for k in range(2, 9)}, 1: big}, flavor
+        # point lookup on an untouched (still-narrow) partition works
+        assert _read_dict is not None
+        one = read_partitioned_snapshot(spark, table, key_in=[5]).collect()
+        assert [(r["k"], r["val"]) for r in one] == [(5, 50)], flavor
+
+
+def test_key_type_change_refused(spark, tmp_path):
+    """Retyping the MERGE KEY must refuse loudly: xxhash64 is
+    type-sensitive, so a widened key would silently re-route existing
+    keys to other partitions."""
+    import pytest
+    from pyspark.sql.types import IntegerType
+
+    int_key = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("val", DoubleType()),
+            StructField("seq", LongType()),
+            StructField("op", StringType()),
+        ]
+    )
+    table = str(tmp_path / "t")
+    merge_into_partitioned_snapshot(
+        spark, table,
+        spark.createDataFrame([(1, 1.0, 0, "U"), (2, 2.0, 0, "U")], int_key),
+        "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    with pytest.raises(ValueError, match="type-sensitive"):
+        merge_into_partitioned_snapshot(
+            spark, table, _df(spark, [(1, 9.0, 1, "U")]),  # k is long here
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+    with pytest.raises(ValueError, match="type-sensitive"):
+        merge_mor_into_partitioned_snapshot(
+            spark, table, _df(spark, [(1, 9.0, 1, "U")]),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
