@@ -55,6 +55,9 @@ QUICK_PARITY = {
 # non-parametrized tests measured > ~4 s in the full-suite durations run
 SLOW_TESTS = {
     "test_no_python_udfs_in_oracle_queries",
+    "test_lakehouse_random_walk_seed1",
+    "test_lakehouse_random_walk_seed2",
+    "test_lakehouse_random_walk_seed3",
     "test_semantic_dedup_hot_cluster_scale_bounded",
     "test_connected_components_matches_union_find",
     "test_star_cc_matches_label_prop_on_random_graph",

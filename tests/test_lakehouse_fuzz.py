@@ -1,0 +1,194 @@
+"""Seeded random-walk fuzz over the whole lakehouse op set: interleave
+CoW merges, MoR appends, delete waves, schema evolution, type
+widening, fold-back compaction, file compaction, clustering, and
+partition evolution in random order, checking the table against a
+plain Python dict model after EVERY step — the cross-feature
+interactions (a delete wave landing on a logged partition, widening
+mid-log, repartition over pending deltas, ...) that no single-purpose
+test walks."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from customer_segmentation_pyspark_spark.sources import versioned
+from customer_segmentation_pyspark_spark.streaming.merge import (
+    cluster_partitioned_snapshot,
+    compact_mor_partitions,
+    compact_partitioned_snapshot,
+    merge_into_partitioned_snapshot,
+    merge_mor_into_partitioned_snapshot,
+    read_partitioned_snapshot,
+    repartition_snapshot,
+)
+
+BASE_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("val", IntegerType()),
+        StructField("tag", StringType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+# the widening / evolving variant: val int->long widened, extra added
+EVO_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("val", LongType()),
+        StructField("tag", StringType()),
+        StructField("extra", DoubleType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+
+KEYS = list(range(1, 61))
+
+
+class Model:
+    """Per-key dict of column dicts with the merge's coalesce rule."""
+
+    def __init__(self):
+        self.rows: dict[int, dict] = {}
+
+    def apply(self, wave):
+        latest: dict[int, tuple] = {}
+        for row in wave:
+            k, seq = row["k"], row["seq"]
+            if k not in latest or seq > latest[k][0]:
+                latest[k] = (seq, row)
+        for k, (_seq, row) in latest.items():
+            if row["op"] == "D":
+                self.rows.pop(k, None)
+                continue
+            cur = self.rows.get(k, {})
+            nxt = dict(cur)
+            for c, v in row.items():
+                if c in ("op", "seq") or c == "k":
+                    continue
+                if v is not None or c not in cur:
+                    nxt[c] = v if v is not None else cur.get(c)
+            nxt.setdefault("extra", None)
+            self.rows[k] = nxt
+
+    def expected(self):
+        return {
+            k: (r.get("val"), r.get("tag"), r.get("extra"))
+            for k, r in self.rows.items()
+        }
+
+
+def _table_state(spark, table):
+    df = read_partitioned_snapshot(spark, table)
+    if "extra" not in df.columns:
+        df = df.withColumn("extra", F.lit(None).cast("double"))
+    return {
+        r["k"]: (r["val"], r["tag"], r["extra"]) for r in df.collect()
+    }
+
+
+def _random_wave(rng, seq, evolved):
+    n = rng.randint(1, 12)
+    wave = []
+    for _ in range(n):
+        k = rng.choice(KEYS)
+        op = "D" if rng.random() < 0.25 else "U"
+        row = {
+            "k": k,
+            "val": rng.randint(-5, 5) * (10**10 if evolved and rng.random() < 0.3 else 1),
+            "tag": rng.choice(["x", "y", None]),
+            "seq": seq,
+            "op": op,
+        }
+        if evolved:
+            row["extra"] = rng.choice([1.5, -2.0, None])
+        wave.append(row)
+    return wave
+
+
+def _wave_df(spark, wave, evolved):
+    sch = EVO_SCHEMA if evolved else BASE_SCHEMA
+    rows = [tuple(w.get(f.name) for f in sch.fields) for w in wave]
+    return spark.createDataFrame(rows, sch)
+
+
+def _run_walk(spark, tmp_path, seed, n_ops):
+    rng = random.Random(seed)
+    table = str(tmp_path / f"t{seed}")
+    model = Model()
+    seq = 0
+    evolved = False
+    # seed the table
+    wave = [
+        {"k": k, "val": k, "tag": "x", "seq": 0, "op": "U"}
+        for k in rng.sample(KEYS, 30)
+    ]
+    merge_into_partitioned_snapshot(
+        spark, table, _wave_df(spark, wave, False), "k", "seq",
+        num_partitions=4, delete_when="op = 'D'", marker_cols=("op",),
+    )
+    model.apply(wave)
+    for step in range(n_ops):
+        seq += 1
+        roll = rng.random()
+        if roll < 0.35:
+            wave = _random_wave(rng, seq, evolved)
+            merge_into_partitioned_snapshot(
+                spark, table, _wave_df(spark, wave, evolved), "k", "seq",
+                delete_when="op = 'D'", marker_cols=("op",),
+            )
+            model.apply(wave)
+        elif roll < 0.70:
+            wave = _random_wave(rng, seq, evolved)
+            merge_mor_into_partitioned_snapshot(
+                spark, table, _wave_df(spark, wave, evolved), "k", "seq",
+                delete_when="op = 'D'", marker_cols=("op",),
+            )
+            model.apply(wave)
+        elif roll < 0.78:
+            compact_mor_partitions(spark, table)
+        elif roll < 0.84:
+            compact_partitioned_snapshot(spark, table, target_files=1)
+        elif roll < 0.88:
+            cluster_partitioned_snapshot(spark, table, ["k"])
+        elif roll < 0.93:
+            repartition_snapshot(
+                spark, table, rng.choice([2, 4, 8])
+            )
+        else:
+            evolved = True  # next waves carry the widened/evolved schema
+        got = _table_state(spark, table)
+        exp = model.expected()
+        assert got == exp, (
+            f"seed {seed} step {step} divergence: "
+            f"only-table={set(got) - set(exp)} only-model={set(exp) - set(got)} "
+            f"diff={[k for k in set(got) & set(exp) if got[k] != exp[k]][:5]}"
+        )
+    # final invariants: metadata count (fold first) and history sanity
+    compact_mor_partitions(spark, table)
+    assert versioned.snapshot_row_count(table) == len(model.rows)
+    hist = versioned.table_history(table)
+    assert hist and hist[-1]["version"] == versioned.latest_version(table)
+
+
+def test_lakehouse_random_walk_seed1(spark, tmp_path):
+    _run_walk(spark, tmp_path, seed=1, n_ops=14)
+
+
+def test_lakehouse_random_walk_seed2(spark, tmp_path):
+    _run_walk(spark, tmp_path, seed=2, n_ops=14)
+
+
+def test_lakehouse_random_walk_seed3(spark, tmp_path):
+    _run_walk(spark, tmp_path, seed=3, n_ops=14)
