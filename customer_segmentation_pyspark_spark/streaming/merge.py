@@ -595,13 +595,6 @@ def _partition_state(
     )
     if not delta_dirs:
         return base
-    frames = []
-    if base is not None:
-        frames.append(
-            base.withColumn("__ord", F.lit(-1)).withColumn(
-                "__tomb", F.lit(False)
-            )
-        )
     # ordinal = position in the partition's own log; dirs from different
     # partitions may share an ordinal but never a key — so all dirs at
     # the same log position scan as ONE read (plan size O(max log
@@ -610,8 +603,32 @@ def _partition_state(
     for p in pids:
         for i, d in enumerate(deltas.get(p, [])):
             by_ord.setdefault(i, []).append(os.path.join(table_dir, d))
-    for i in sorted(by_ord):
-        frames.append(_read(by_ord[i], True).withColumn("__ord", F.lit(i)))
+    frames = [
+        _read(by_ord[i], True).withColumn("__ord", F.lit(i))
+        for i in sorted(by_ord)
+    ]
+    return _overlay_fold(
+        base,
+        frames,
+        key,
+        order=[f["name"] for f in man.get("schema", {}).get("fields", [])],
+    )
+
+
+def _overlay_fold(base, delta_frames, key, order=None):
+    """The MoR replay fold, shared by the partition-state reader and
+    the append-only CDF fast path: base rows (ord -1) overlaid with
+    pre-tagged (__ord, __tomb) delta frames — last-tombstone filter,
+    then first-non-null per column scanning newest-first (the exact
+    sequential-CoW coalesce semantics)."""
+    frames = []
+    if base is not None:
+        frames.append(
+            base.withColumn("__ord", F.lit(-1)).withColumn(
+                "__tomb", F.lit(False)
+            )
+        )
+    frames.extend(delta_frames)
     allr = frames[0]
     for f in frames[1:]:
         allr = allr.unionByName(f, allowMissingColumns=True)
@@ -635,7 +652,6 @@ def _partition_state(
         ],
     )
     out = picked.filter(F.col("__rn") == 1).drop("__rn")
-    order = [f["name"] for f in man.get("schema", {}).get("fields", [])]
     if order and set(order) <= set(out.columns):
         out = out.select(*order)
     return out
@@ -1095,11 +1111,64 @@ def read_partitioned_snapshot(
     return df
 
 
+def _append_only_changes(
+    spark: SparkSession, table_dir: str, man_a: dict, man_b: dict, key: str
+) -> DataFrame | None:
+    """CDF fast path for the MoR append cadence: None unless man_b is
+    man_a plus appended delta-log entries (same base dirs, every old
+    log a prefix of the new one). The appended dirs alone name every
+    key that can have changed, so the pre-state is reduced to those
+    keys with a semi-join before the diff — join work O(|appended|),
+    not O(partition state)."""
+    if man_a["parts"] != man_b["parts"]:
+        return None
+    da = {p: list(v) for p, v in man_a.get("deltas", {}).items()}
+    db = {p: list(v) for p, v in man_b.get("deltas", {}).items()}
+    appended: dict[str, tuple[int, list[str]]] = {}
+    for pid in set(da) | set(db):
+        la, lb = da.get(pid, []), db.get(pid, [])
+        if lb[: len(la)] != la:
+            return None  # a fold or rewrite happened — not append-only
+        if len(lb) > len(la):
+            appended[pid] = (len(la), lb[len(la):])
+    if not appended:
+        return None
+    tomb_schema = _table_read_schema(man_b, with_tomb=True)
+    by_ord: dict[int, list[str]] = {}
+    for pid, (off, dirs) in appended.items():
+        for i, d in enumerate(dirs):
+            by_ord.setdefault(off + i, []).append(
+                os.path.join(table_dir, d)
+            )
+    frames = []
+    for i in sorted(by_ord):
+        r = (
+            spark.read.schema(tomb_schema)
+            if tomb_schema is not None
+            else spark.read.option("mergeSchema", "true")
+        )
+        frames.append(r.parquet(*by_ord[i]).withColumn("__ord", F.lit(i)))
+    allnew = frames[0].select(key)
+    for f in frames[1:]:
+        allnew = allnew.unionByName(f.select(key))
+    keys = allnew.distinct()
+    old_full = _partition_state(spark, table_dir, man_a, sorted(appended))
+    old_small = (
+        old_full.join(keys, key, "left_semi")
+        if old_full is not None
+        else None
+    )
+    order = [f["name"] for f in (man_b.get("schema") or {}).get("fields", [])]
+    new_small = _overlay_fold(old_small, frames, key, order=order)
+    return _cdf_diff(old_small, new_small, key)
+
+
 def read_snapshot_changes(
     spark: SparkSession,
     table_dir: str,
     from_version: int,
     to_version: int | None = None,
+    fast_append: bool = True,
 ) -> DataFrame:
     """Row-level change data feed between two committed manifest
     versions — the Delta CDF shape: table columns plus ``_change_type``
@@ -1111,7 +1180,14 @@ def read_snapshot_changes(
     partition whose manifest entry is IDENTICAL in both versions cannot
     contain a change and is never read — the diff costs
     O(changed partitions), not O(snapshot), the same unit as the merge
-    that produced the changes. Column evolution between the versions is
+    that produced the changes. When the two versions differ ONLY by
+    appended MoR delta logs (the high-frequency CDC cadence), the
+    append-only fast path (r05) skips materializing both full states:
+    the appended rows name their keys, the pre-state is semi-joined
+    down to those keys, and the diff joins O(|delta|) rows instead of
+    full-outer-joining two partition-sized states (``fast_append=False``
+    forces the generic path — the equality of the two is
+    property-tested). Column evolution between the versions is
     handled like the merge itself (missing columns surface as typed
     NULLs on the older side, so an added column reads as NULL->value
     updates only where row content actually changed)."""
@@ -1147,12 +1223,23 @@ def read_snapshot_changes(
             return None
         return _partition_state(spark, table_dir, man, sorted(keep))
 
+    if fast_append:
+        fast = _append_only_changes(spark, table_dir, man_a, man_b, key)
+        if fast is not None:
+            return fast
     old, new = _side(man_a, changed), _side(man_b, changed)
     if old is None and new is None:  # no structural change at all
         empty = _side(man_b, sorted(_pids(man_b)))
         return empty.filter(F.lit(False)).withColumn(
             "_change_type", F.lit("")
         )
+    return _cdf_diff(old, new, key)
+
+
+def _cdf_diff(old, new, key) -> DataFrame:
+    """Row-level diff of two keyed states into the Delta-CDF change
+    rows; either side may be None (treated as empty with the other's
+    schema)."""
     # align columns across evolution: union of both sides' columns,
     # missing ones as typed NULLs (same rule as _merge_frames)
     if old is None:

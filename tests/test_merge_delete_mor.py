@@ -896,3 +896,57 @@ def test_key_type_change_refused(spark, tmp_path):
             spark, table, _df(spark, [(1, 9.0, 1, "U")]),
             "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
         )
+
+
+def test_cdf_fast_append_path_equals_generic(spark, tmp_path):
+    """The append-only CDF fast path must emit exactly the generic
+    diff's rows across stacked appends, tombstones, NULL-keeps-old
+    updates, and a schema-evolving append — and must disengage (fall
+    back) across a fold."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_snapshot_changes as cdf,
+    )
+
+    table = str(tmp_path / "t")
+    merge_mor_into_partitioned_snapshot(
+        spark, table,
+        _df(spark, [(k, float(k), 0, "U") for k in range(1, 21)]),
+        "k", "seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    # two stacked appends: update, delete, NULL update, re-insert
+    merge_mor_into_partitioned_snapshot(
+        spark, table,
+        _df(spark, [(1, 11.0, 1, "U"), (2, None, 1, "D"), (3, None, 1, "U")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_mor_into_partitioned_snapshot(
+        spark, table,
+        _df(spark, [(2, 222.0, 2, "U"), (1, None, 2, "D"), (50, 5.0, 2, "U")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        (r["k"], r["_change_type"], r["val"]) for r in df.collect()
+    )
+    for a, b in [(1, 2), (2, 3), (1, 3)]:
+        fast = rows(cdf(spark, table, a, b))
+        slow = rows(cdf(spark, table, a, b, fast_append=False))
+        assert fast == slow, (a, b, fast, slow)
+    # sanity on content of the stacked 1->3 diff
+    d13 = dict(
+        ((k, t), v) for k, t, v in rows(cdf(spark, table, 1, 3))
+    )
+    assert (1, "delete") in d13 and (50, "insert") in d13
+    assert d13[(2, "update_postimage")] == 222.0
+    # the NULL update kept val=3.0 (seq changed, so pre/post emit with
+    # the same val on both sides)
+    assert d13[(3, "update_preimage")] == 3.0
+    assert d13[(3, "update_postimage")] == 3.0
+    # a fold breaks the append-only shape: fast path must disengage
+    v_before = versioned.latest_version(table)
+    compact_mor_partitions(spark, table)
+    folded = cdf(spark, table, v_before, None)
+    assert folded.count() == 0  # fold is content-preserving
+    assert rows(cdf(spark, table, 1, None)) == rows(
+        cdf(spark, table, 1, None, fast_append=False)
+    )
