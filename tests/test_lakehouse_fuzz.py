@@ -29,6 +29,7 @@ from customer_segmentation_pyspark_spark.streaming.merge import (
     merge_into_partitioned_snapshot,
     merge_mor_into_partitioned_snapshot,
     read_partitioned_snapshot,
+    read_snapshot_changes,
     repartition_snapshot,
 )
 
@@ -139,6 +140,8 @@ def _run_walk(spark, tmp_path, seed, n_ops):
         num_partitions=4, delete_when="op = 'D'", marker_cols=("op",),
     )
     model.apply(wave)
+    prev_version = versioned.latest_version(table)
+    prev_state = _table_state(spark, table)
     for step in range(n_ops):
         seq += 1
         roll = rng.random()
@@ -175,6 +178,28 @@ def _run_walk(spark, tmp_path, seed, n_ops):
             f"only-table={set(got) - set(exp)} only-model={set(exp) - set(got)} "
             f"diff={[k for k in set(got) & set(exp) if got[k] != exp[k]][:5]}"
         )
+        # CDF transition invariant: prev state + change feed == new
+        # state, across EVERY op kind (exercises the append-only fast
+        # path, the generic diff, and fold/rewrite no-change cases)
+        cur_version = versioned.latest_version(table)
+        if cur_version > prev_version:
+            replayed = dict(prev_state)
+            for r in read_snapshot_changes(
+                spark, table, prev_version, cur_version
+            ).collect():
+                d = r.asDict()
+                if d["_change_type"] == "delete":
+                    replayed.pop(d["k"], None)
+                elif d["_change_type"] in ("insert", "update_postimage"):
+                    replayed[d["k"]] = (
+                        d.get("val"), d.get("tag"), d.get("extra")
+                    )
+            assert replayed == got, (
+                f"seed {seed} step {step} CDF transition "
+                f"{prev_version}->{cur_version} diverged: "
+                f"{[k for k in set(replayed) | set(got) if replayed.get(k) != got.get(k)][:5]}"
+            )
+        prev_version, prev_state = cur_version, got
     # final invariants: metadata count (fold first) and history sanity
     compact_mor_partitions(spark, table)
     assert versioned.snapshot_row_count(table) == len(model.rows)
