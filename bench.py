@@ -152,6 +152,7 @@ HEADLINE = [
     # waves + seed + 2 delta folds — benches the produce-AND-consume
     # cost of the change feed)
     "incremental_agg_view",
+    "snapshot_history_audit",
 ]
 
 

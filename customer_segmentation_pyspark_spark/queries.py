@@ -4686,6 +4686,33 @@ def q_snapshot_meta_count(spark, sf_dir):
     )
 
 
+def q_snapshot_history_audit(spark, sf_dir):
+    """r05 — DESCRIBE HISTORY under the hash gate: the deterministic
+    columns of ``versioned.table_history`` over the two-wave feed
+    table (version, operation, partition count, metadata row count).
+    The oracle recomputes each version's row count from the replayed
+    change log and pins operations/partition counts as the protocol
+    dictates — a history row with a drifted count, a lost version, or
+    a misattributed operation fails the gate. (committed_at is wall
+    clock and deliberately excluded.)"""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    table, _ = _build_feed_table(spark, sf_dir, "history_audit")
+    hist = versioned.table_history(table)
+    return spark.createDataFrame(
+        [
+            (
+                h["version"],
+                h["operation"],
+                h["n_partitions"],
+                h["n_rows"],
+            )
+            for h in hist
+        ],
+        "version long, operation string, n_partitions long, n_rows long",
+    )
+
+
 def q_snapshot_point_lookup(spark, sf_dir):
     """r04.5 — the partition-pruned POINT READ over the manifest table:
     ``read_partitioned_snapshot(key_in=[...])`` recomputes each key's
@@ -9519,6 +9546,15 @@ live AS (SELECT * FROM latest WHERE op <> 'D')
 SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM live GROUP BY source""",
+    "snapshot_history_audit": """
+SELECT CAST(1 AS BIGINT) AS version, 'merge' AS operation,
+       CAST(8 AS BIGINT) AS n_partitions,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'merge', CAST(8 AS BIGINT),
+       CAST((SELECT count(*) FROM documents)
+            + (SELECT count(*) FROM documents WHERE doc_id % 7 = 0)
+            AS BIGINT)""",
     "snapshot_meta_count": """
 SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS v1_rows,
        CAST((SELECT count(*) FROM documents)
@@ -11501,6 +11537,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "snapshot_meta_count": QuerySpec(
         q_snapshot_meta_count, ORACLES["snapshot_meta_count"]
     ),
+    "snapshot_history_audit": QuerySpec(
+        q_snapshot_history_audit, ORACLES["snapshot_history_audit"]
+    ),
     "incremental_agg_view": QuerySpec(
         q_incremental_agg_view, ORACLES["incremental_agg_view"]
     ),
@@ -11825,6 +11864,7 @@ _DRIVER_SPOTLIGHT = [
     "corpus_refresh_pipeline", "corpus_delete_wave", "mor_delete_wave",
     "snapshot_point_lookup", "corpus_changes_feed", "upsert_snapshot",
     "sync_snapshot_mirror", "snapshot_meta_count", "incremental_agg_view",
+    "snapshot_history_audit",
     "cdc_apply",
     # dedup / similarity flagships
     "dedup_exact", "minhash_pairs", "dedup_clusters", "ngram_jaccard",
