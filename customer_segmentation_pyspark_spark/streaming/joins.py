@@ -65,3 +65,93 @@ def streaming_funnel_join(
     return left.join(right, _join_cond()).select(
         "l_user", "l_event_id", "r_event_id"
     )
+
+
+def batch_funnel_join_outer(
+    events: DataFrame, left_type: str = "click", right_type: str = "purchase"
+) -> DataFrame:
+    """Batch oracle for the left-outer funnel: every left event appears;
+    unconverted ones carry a NULL r_event_id."""
+    left, right = _sides(events, left_type, right_type)
+    return left.join(right, _join_cond(), "left_outer").select(
+        "l_user", "l_event_id", "r_event_id"
+    )
+
+
+def streaming_funnel_join_outer(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark timeout.
+
+    Matches emit as they happen, exactly like the inner funnel. An
+    unconverted left event is held in the state store until the GLOBAL
+    watermark (the min over both sides' watermarks) clears its join-window
+    upper bound (l_ts + 1 hour); only then can Spark prove no matching
+    right row can still arrive, emit the row null-padded, and evict it.
+    Two consequences callers must design for:
+
+    - null emission is watermark-driven, so it happens in a LATER
+      micro-batch than the data that proves the miss (the watermark used
+      by batch N is computed from batch N-1's max event time). A bounded
+      replay needs >=2 batches plus sentinel events on BOTH sides past
+      max(l_ts) + 1h + watermark delay, or trailing lefts stay buffered
+      forever and the stream under-reports vs the batch twin.
+    - state stays bounded for the same reason the inner join's does: the
+      time-range condition gives each buffered row a watermark eviction
+      bound; no condition-free outer stream-stream join is allowed.
+
+    max_files_per_trigger is a reader option (it bounds each micro-batch);
+    bounded replays set it so the sentinel batch runs after the data batch.
+    """
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_dir)
+    left, right = _sides(stream, left_type, right_type)
+    left = left.withWatermark("l_ts", watermark)
+    right = right.withWatermark("r_ts", watermark)
+    return left.join(right, _join_cond(), "leftOuter").select(
+        "l_user", "l_event_id", "r_event_id"
+    )
+
+
+_FULL_COLS = ["l_user", "l_event_id", "r_user", "r_event_id"]
+
+
+def batch_funnel_join_full(
+    events: DataFrame, left_type: str = "click", right_type: str = "purchase"
+) -> DataFrame:
+    """Batch oracle for the full-outer funnel: unconverted clicks carry a
+    NULL right half, orphan purchases (no click in the preceding hour) a
+    NULL left half."""
+    left, right = _sides(events, left_type, right_type)
+    return left.join(right, _join_cond(), "full_outer").select(*_FULL_COLS)
+
+
+def streaming_funnel_join_full(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream FULL OUTER join: both sides' misses surface
+    null-padded once the global watermark clears their eviction bound
+    (l_ts + 1h for buffered lefts, r_ts for buffered rights). Same
+    watermark-lag caveats as the left-outer variant, on both sides."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_dir)
+    left, right = _sides(stream, left_type, right_type)
+    left = left.withWatermark("l_ts", watermark)
+    right = right.withWatermark("r_ts", watermark)
+    return left.join(right, _join_cond(), "fullOuter").select(*_FULL_COLS)
