@@ -340,6 +340,93 @@ def version_as_of(table_dir: str, ts: float) -> int:
     return best
 
 
+def restore_snapshot(table_dir: str, to_version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the table back by
+    committing the target version's content as a NEW version (the Delta
+    RESTORE shape: history moves forward, never rewrites, so the bad
+    versions stay readable for audit and the restore itself is an
+    auditable commit).
+
+    Metadata-only on manifest tables: part/delta dirs are immutable and
+    shared across manifests, so re-referencing them moves zero bytes of
+    data — a 100 TB rollback is one small JSON commit. Schema rolls back
+    with the manifest (columns added after ``to_version`` disappear until
+    re-evolved). On plain ``v{N}`` tables the new version hard-links the
+    old dir's files (same-filesystem metadata op, no data copy).
+
+    Concurrency: the commit is unconditional last-wins — a restore does
+    not derive from the latest version, so there is nothing to rebase;
+    a concurrent merge that loses the race will fail ITS conditional
+    commit and re-validate against the restored state. Returns the new
+    version number."""
+    try:
+        target = read_manifest(table_dir, to_version)
+    except FileNotFoundError:
+        target = None  # expired manifest — maybe a v{N}-dir table
+    if target is not None and "parts" in target:
+        nxt = dict(target)
+        nxt["operation"] = f"restore(v{to_version})"
+        nxt["committed_at"] = time.time()
+        return commit_manifest(table_dir, nxt)
+    src_dir = os.path.join(table_dir, f"v{to_version}")
+    if not os.path.isdir(src_dir):
+        raise FileNotFoundError(
+            f"version {to_version} of {table_dir} is not readable"
+        )
+    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    shutil.copytree(src_dir, staging, copy_function=os.link)
+    v = latest_version(table_dir) + 1
+    os.rename(staging, os.path.join(table_dir, f"v{v}"))
+    tmp = os.path.join(table_dir, f"._LATEST.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, _pointer(table_dir))
+    return v
+
+
+def clone_snapshot(
+    src_table_dir: str, dst_table_dir: str, version: int | None = None
+) -> int:
+    """Shallow CLONE: create an independent manifest table at
+    ``dst_table_dir`` whose v1 references the SOURCE's immutable part and
+    delta dirs by relative path — zero data copied, O(1) regardless of
+    table size (the Delta SHALLOW CLONE / Iceberg snapshot-ref shape).
+
+    Divergence is copy-on-write at partition granularity: a merge into
+    the clone rewrites only its touched partitions into clone-local
+    ``p-*`` dirs; untouched partitions keep reading the source's files.
+    The source never sees clone commits and vice versa.
+
+    Retention hazard (same as Delta): the source's ``expire_versions`` /
+    ``gc_unreferenced_parts`` only know about the source's own manifests,
+    so vacuuming the source can delete dirs a shallow clone still
+    references. Run retention on the source only after clones are dropped
+    or fully localized (e.g. ``repartition_snapshot`` on the clone
+    rewrites every partition local)."""
+    man = read_manifest(src_table_dir, version)
+    if man is None or "parts" not in man:
+        raise FileNotFoundError(
+            f"no readable manifest version in {src_table_dir}"
+        )
+    os.makedirs(dst_table_dir, exist_ok=True)
+    rel = os.path.relpath(
+        os.path.abspath(src_table_dir), os.path.abspath(dst_table_dir)
+    )
+    nxt = dict(man)
+    nxt["parts"] = {
+        p: d if os.path.isabs(d) else os.path.join(rel, d)
+        for p, d in man["parts"].items()
+    }
+    nxt["deltas"] = {
+        p: [d if os.path.isabs(d) else os.path.join(rel, d) for d in log]
+        for p, log in man.get("deltas", {}).items()
+    }
+    src_v = version if version is not None else latest_version(src_table_dir)
+    nxt["operation"] = f"clone({os.path.basename(src_table_dir)}, v{src_v})"
+    nxt["committed_at"] = time.time()
+    return commit_manifest(dst_table_dir, nxt)
+
+
 def table_history(table_dir: str) -> list[dict]:
     """DESCRIBE HISTORY for the manifest table: one dict per readable
     version, oldest first — version, operation, committed_at,

@@ -1,14 +1,17 @@
 """Seeded random-walk fuzz over the whole lakehouse op set: interleave
 CoW merges, MoR appends, delete waves, schema evolution, type
-widening, fold-back compaction, file compaction, clustering, and
-partition evolution in random order, checking the table against a
-plain Python dict model after EVERY step — the cross-feature
-interactions (a delete wave landing on a logged partition, widening
-mid-log, repartition over pending deltas, ...) that no single-purpose
-test walks."""
+widening, fold-back compaction, file compaction, clustering,
+partition evolution, RESTORE rollbacks, and shallow CLONEs (the walk
+SWITCHES to the clone, so later ops run against foreign part refs) in
+random order, checking the table against a plain Python dict model
+after EVERY step — the cross-feature interactions (a delete wave
+landing on a logged partition, widening mid-log, repartition over
+pending deltas, restore across an evolution, MoR append into a
+clone, ...) that no single-purpose test walks."""
 
 from __future__ import annotations
 
+import copy
 import random
 
 from pyspark.sql import functions as F
@@ -124,7 +127,14 @@ def _wave_df(spark, wave, evolved):
     return spark.createDataFrame(rows, sch)
 
 
-def _run_walk(spark, tmp_path, seed, n_ops):
+#: cumulative roll thresholds: cow, mor, compact_mor, compact, cluster,
+#: repartition, restore, clone (else: evolve schema)
+DEFAULT_WEIGHTS = (0.30, 0.60, 0.68, 0.73, 0.77, 0.82, 0.88, 0.93)
+#: the restore/clone-heavy mix — those two ops fire every few steps
+ROLLBACK_WEIGHTS = (0.20, 0.40, 0.45, 0.50, 0.54, 0.58, 0.82, 0.95)
+
+
+def _run_walk(spark, tmp_path, seed, n_ops, weights=DEFAULT_WEIGHTS):
     rng = random.Random(seed)
     table = str(tmp_path / f"t{seed}")
     model = Model()
@@ -142,33 +152,56 @@ def _run_walk(spark, tmp_path, seed, n_ops):
     model.apply(wave)
     prev_version = versioned.latest_version(table)
     prev_state = _table_state(spark, table)
+    # model.rows as of each committed version, for RESTORE targets
+    snapshots = {prev_version: copy.deepcopy(model.rows)}
+    clones = 0
+    w_cow, w_mor, w_cmor, w_comp, w_clus, w_rep, w_rest, w_clone = weights
+    fired: set[str] = set()
     for step in range(n_ops):
         seq += 1
         roll = rng.random()
-        if roll < 0.35:
+        if roll < w_cow:
             wave = _random_wave(rng, seq, evolved)
             merge_into_partitioned_snapshot(
                 spark, table, _wave_df(spark, wave, evolved), "k", "seq",
                 delete_when="op = 'D'", marker_cols=("op",),
             )
             model.apply(wave)
-        elif roll < 0.70:
+        elif roll < w_mor:
             wave = _random_wave(rng, seq, evolved)
             merge_mor_into_partitioned_snapshot(
                 spark, table, _wave_df(spark, wave, evolved), "k", "seq",
                 delete_when="op = 'D'", marker_cols=("op",),
             )
             model.apply(wave)
-        elif roll < 0.78:
+        elif roll < w_cmor:
             compact_mor_partitions(spark, table)
-        elif roll < 0.84:
+        elif roll < w_comp:
             compact_partitioned_snapshot(spark, table, target_files=1)
-        elif roll < 0.88:
+        elif roll < w_clus:
             cluster_partitioned_snapshot(spark, table, ["k"])
-        elif roll < 0.93:
+        elif roll < w_rep:
             repartition_snapshot(
                 spark, table, rng.choice([2, 4, 8])
             )
+        elif roll < w_rest and len(snapshots) >= 2:
+            # RESTORE to a random earlier version (may cross evolutions,
+            # pending MoR logs, repartitions); the model rolls back too
+            fired.add("restore")
+            target = rng.choice(sorted(snapshots)[:-1])
+            versioned.restore_snapshot(table, target)
+            model.rows = copy.deepcopy(snapshots[target])
+        elif roll < w_clone and clones < 2:
+            # shallow CLONE, then SWITCH the walk to the clone: every
+            # later op runs against a table whose untouched partitions
+            # are foreign relative refs into the old table dir
+            fired.add("clone")
+            clones += 1
+            dst = str(tmp_path / f"t{seed}c{clones}")
+            versioned.clone_snapshot(table, dst)
+            table = dst
+            prev_version = versioned.latest_version(table)
+            snapshots = {prev_version: copy.deepcopy(model.rows)}
         else:
             evolved = True  # next waves carry the widened/evolved schema
         got = _table_state(spark, table)
@@ -200,11 +233,13 @@ def _run_walk(spark, tmp_path, seed, n_ops):
                 f"{[k for k in set(replayed) | set(got) if replayed.get(k) != got.get(k)][:5]}"
             )
         prev_version, prev_state = cur_version, got
+        snapshots[cur_version] = copy.deepcopy(model.rows)
     # final invariants: metadata count (fold first) and history sanity
     compact_mor_partitions(spark, table)
     assert versioned.snapshot_row_count(table) == len(model.rows)
     hist = versioned.table_history(table)
     assert hist and hist[-1]["version"] == versioned.latest_version(table)
+    return fired
 
 
 def test_lakehouse_random_walk_seed1(spark, tmp_path):
@@ -217,3 +252,12 @@ def test_lakehouse_random_walk_seed2(spark, tmp_path):
 
 def test_lakehouse_random_walk_seed3(spark, tmp_path):
     _run_walk(spark, tmp_path, seed=3, n_ops=14)
+
+
+def test_lakehouse_random_walk_rollback_heavy(spark, tmp_path):
+    """The restore/clone-weighted mix, with coverage asserted so the walk
+    can't silently stop exercising the rollback ops."""
+    fired = _run_walk(
+        spark, tmp_path, seed=8, n_ops=14, weights=ROLLBACK_WEIGHTS
+    )
+    assert fired >= {"restore", "clone"}, f"walk only fired {fired}"
