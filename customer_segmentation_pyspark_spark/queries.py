@@ -4764,6 +4764,89 @@ def q_corpus_changes_feed(spark, sf_dir):
     )
 
 
+def q_snapshot_restore_read(spark, sf_dir):
+    """r05 — RESTORE under the hash gate: the two-wave feed table is
+    rolled back to v1 (``versioned.restore_snapshot`` — a metadata-only
+    forward commit re-referencing v1's immutable dirs), which must erase
+    the refresh/insert wave; then a correction wave merges forward on
+    top of the restored state. The oracle is the base corpus with only
+    the corrections applied — a restore that leaked wave-2 rows, lost
+    base rows, or broke post-restore merges fails the hash. Rebuilt per
+    run (version-relative)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    table, v1 = _build_feed_table(spark, sf_dir, "restore_read")
+    versioned.restore_snapshot(table, v1)  # roll back the refresh wave
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corr = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("text", F.concat("text", F.lit(" corrected")))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, corr, key="doc_id", seq="seq"
+    )
+    return _delete_wave_report(read_partitioned_snapshot(spark, table))
+
+
+def q_snapshot_clone_divergence(spark, sf_dir):
+    """r05 — shallow CLONE under the hash gate: the two-wave feed table
+    is cloned (zero data copied — the clone's manifest references the
+    source's immutable dirs by relative path), a third wave merges into
+    the CLONE ONLY, and the report unions both tables' per-table
+    aggregates. The oracle replays waves 1-2 for the source and 1-3 for
+    the clone: a clone write leaking into the source, a source row
+    missing through the foreign refs, or a stale clone read all fail
+    the hash. Rebuilt per run for a deterministic manifest."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    table, _ = _build_feed_table(spark, sf_dir, "clone_div")
+    clone = _scratch_path("clone_div/clone")
+    shutil.rmtree(clone, ignore_errors=True)
+    versioned.clone_snapshot(table, clone)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    w3 = (
+        d.filter(F.col("doc_id") % 6 == 0)
+        .withColumn("text", F.concat(F.lit("cloned: "), "text"))
+        .withColumn("seq", F.lit(3).cast("long"))
+    )
+    merge_into_partitioned_snapshot(
+        spark, clone, w3, key="doc_id", seq="seq"
+    )
+
+    def _report(snap, tag):
+        return snap.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(F.md5(F.col("text").cast("binary")))
+                    ),
+                ).cast("binary")
+            ).alias("content_md5"),
+        ).select(F.lit(tag).alias("tbl"), "*")
+
+    return _report(read_partitioned_snapshot(spark, table), "src").unionByName(
+        _report(read_partitioned_snapshot(spark, clone), "clone")
+    )
+
+
 def q_graph_insights_pipeline(spark, sf_dir):
     """Capstone #6 — graph analytics over ONE shared graph build: the
     co-purchase pair pipeline (the expensive part: lineitem groupBy +
@@ -9589,6 +9672,52 @@ latest AS (
   QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
 SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len, lang, source, seq
 FROM latest WHERE doc_id IN (10, 23, 14, 100014)""",
+    # snapshot_restore_read: restore-to-v1 erases the refresh wave, so
+    # the final state is the base corpus plus ONLY the post-restore
+    # correction wave
+    "snapshot_restore_read": """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' corrected' ELSE text END
+           AS text,
+         lang, source
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
+FROM final GROUP BY source""",
+    # snapshot_clone_divergence: source = waves 1-2 replay; clone =
+    # waves 1-3 (wave 3 merged into the clone only)
+    "snapshot_clone_divergence": """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 0 AS seq FROM documents),
+w2 AS (
+  SELECT doc_id, text || ' refreshed' AS text, lang, source, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'new: ' || text AS text, lang,
+         'refresh' AS source, 2 AS seq
+  FROM documents WHERE doc_id % 7 = 0),
+w3 AS (
+  SELECT doc_id, 'cloned: ' || text AS text, lang, source, 3 AS seq
+  FROM documents WHERE doc_id % 6 = 0),
+src AS (
+  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM w2)
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+clone AS (
+  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM w2
+                 UNION ALL SELECT * FROM w3)
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+SELECT 'src' AS tbl, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
+FROM src
+UNION ALL
+SELECT 'clone', CAST(count(*) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT),
+       md5(string_agg(md5(text), ',' ORDER BY md5(text)))
+FROM clone""",
     "corpus_changes_feed": """
 WITH v1 AS (
   SELECT doc_id, text, lang, source, 0 AS seq FROM documents),
@@ -11548,6 +11677,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "corpus_changes_feed": QuerySpec(
         q_corpus_changes_feed, ORACLES["corpus_changes_feed"]
+    ),
+    "snapshot_restore_read": QuerySpec(
+        q_snapshot_restore_read, ORACLES["snapshot_restore_read"]
+    ),
+    "snapshot_clone_divergence": QuerySpec(
+        q_snapshot_clone_divergence, ORACLES["snapshot_clone_divergence"]
     ),
     "graph_insights_pipeline": QuerySpec(
         q_graph_insights_pipeline,

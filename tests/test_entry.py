@@ -81,7 +81,8 @@ def test_coverage_md_query_names_resolve():
         "merge_mor_into_partitioned_snapshot", "compact_mor_partitions",
         "snapshot_row_count", "table_history", "version_as_of",
         "repartition_snapshot", "test_merge_delete_mor",
-        "test_lakehouse_fuzz",
+        "test_lakehouse_fuzz", "restore_snapshot", "clone_snapshot",
+        "test_restore_clone", "test_stream_join",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []
