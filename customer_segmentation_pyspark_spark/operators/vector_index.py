@@ -1,0 +1,385 @@
+"""Maintained IVF vector index: a cell-partitioned, versioned ANN index
+that updates INCREMENTALLY — the missing piece between the one-shot
+`similarity.ivf_topk_cosine` probe and a production embedding store
+that ingests a change stream.
+
+Layout (the same manifest protocol as the lakehouse tables —
+`sources/versioned.py`):
+
+    index_dir/
+      manifest-vN.json   {"kind": "ivf", "cells": [[...], ...],
+                          "key": ..., "vec": ...,
+                          "parts": {"<cell id>": "c-xxxx"}, "rows": {...}}
+      c-xxxx/            immutable parquet, all vectors of ONE cell
+      _keymap/           partitioned snapshot (key -> cell), hash-keyed
+
+Why this shape at 100 TB:
+  * QUERIES read O(n_probe) cell dirs, not the corpus: the probe set is
+    computed from the manifest's plan-literal centers and only those
+    directories are opened (object-store prefix pruning, the FAISS
+    inverted-list walk as parquet dirs).
+  * UPDATES rewrite O(affected cells), not the index: changed keys'
+    OLD cells come from an O(|changes|) point read of the keymap (its
+    own hash-partitioned snapshot — the FAISS IDMap as a lakehouse
+    table), new cells from a projection against the centers; every
+    other cell dir is untouched bytes.
+  * The coarse quantizer is FIXED at build time (the production IVF
+    shape: train once on a sample, reuse forever) — so cell assignment
+    is deterministic, survivors never move cells, and the whole path is
+    SQL-oracle-able exactly.
+
+Single-writer per index (updates are read-modify-write on the manifest;
+concurrent updaters would need the merge module's OCC loop). Reference
+parity: the reference has no vector index at all (codeText.txt is a
+k-means notebook); this is engine surface for the LLM-pipeline north
+star, sharing its argmin/centroid semantics with `plans/kmeans.py`
+(first-min tie-break, codeText.txt:69).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.functions.arrays import (
+    array_argmin,
+    array_lit,
+    cosine_similarity,
+    sq_dist,
+)
+
+KEYMAP_PARTITIONS = 32
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cell_expr(cells: Sequence[Sequence[float]], vec):
+    """First-min argmin over plan-literal squared distances — identical
+    semantics to `similarity.ivf_topk_cosine` and the kmeans assign."""
+    return array_argmin(
+        F.array(*[sq_dist(vec, array_lit(list(map(float, c)))) for c in cells])
+    )
+
+
+def _keymap_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "_keymap")
+
+
+def _land_cells(
+    index_dir: str, staging: str
+) -> tuple[dict[str, str], dict[str, int]]:
+    """Rename each staging ``__cell=N`` dir to an immutable ``c-*`` dir;
+    returns ({cell: dir}, {cell: rowcount}). Footer-only counts."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    parts: dict[str, str] = {}
+    rows: dict[str, int] = {}
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith("__cell="):
+            continue
+        cell = entry.split("=", 1)[1]
+        dest = f"c-{uuid.uuid4().hex[:12]}"
+        os.rename(os.path.join(staging, entry), os.path.join(index_dir, dest))
+        n = versioned.collect_dir_rowcount(os.path.join(index_dir, dest))
+        if n == 0:
+            shutil.rmtree(os.path.join(index_dir, dest), ignore_errors=True)
+            continue
+        parts[cell] = dest
+        rows[cell] = n
+    shutil.rmtree(staging, ignore_errors=True)
+    return parts, rows
+
+
+def _merge_keymap(
+    spark: SparkSession, index_dir: str, entries: DataFrame, key: str
+) -> None:
+    """Upsert (key, cell) rows — tombstones via op='D' — into the keymap
+    snapshot. O(touched hash partitions) like any lakehouse merge."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    merge_into_partitioned_snapshot(
+        spark,
+        _keymap_dir(index_dir),
+        entries,
+        key=key,
+        seq="seq",
+        num_partitions=KEYMAP_PARTITIONS,
+        delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    cells: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Build version 1: assign every vector to its nearest fixed cell,
+    land one immutable dir per cell (ONE partitionBy job), seed the
+    keymap, commit the manifest. Returns the committed version."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    cells = [list(map(float, c)) for c in cells]
+    os.makedirs(index_dir, exist_ok=True)
+    tagged = corpus.select(
+        F.col(id_col).alias(id_col),
+        _as_double(F.col(vec_col)).alias(vec_col),
+    ).withColumn("__cell", _cell_expr(cells, F.col(vec_col)))
+    staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    tagged.write.mode("overwrite").partitionBy("__cell").parquet(staging)
+    parts, rows = _land_cells(index_dir, staging)
+    v = versioned.commit_manifest(
+        index_dir,
+        {
+            "kind": "ivf",
+            "cells": cells,
+            "key": id_col,
+            "vec": vec_col,
+            "parts": parts,
+            "rows": rows,
+            "operation": "ivf-build",
+            "committed_at": time.time(),
+        },
+    )
+    keymap = (
+        tagged.select(
+            F.col(id_col),
+            F.col("__cell").cast("long").alias("cell"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+    )
+    _merge_keymap(spark, index_dir, keymap, id_col)
+    return v
+
+
+def update_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    changes: DataFrame,
+    seq: str = "seq",
+    op: str = "op",
+) -> int:
+    """Apply a CDC batch (upserts re-embed/move/insert vectors; op='D'
+    rows delete them) by rewriting ONLY the affected cell dirs.
+
+    Affected = the changed keys' OLD cells (keymap point read — an
+    O(|changes|-partitions) pruned scan, bounded collect of |changes|
+    rows) union the upserts' NEW cells. One Spark job reads those dirs,
+    drops changed keys, unions the re-assigned upserts, and lands fresh
+    dirs; every other manifest entry is carried byte-identical.
+    Latest-wins per key inside the batch (same rule as MERGE)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        latest_per_key,
+        read_partitioned_snapshot,
+    )
+
+    man = versioned.read_manifest(index_dir)
+    if man is None or man.get("kind") != "ivf":
+        raise FileNotFoundError(f"no IVF index committed in {index_dir}")
+    cells = man["cells"]
+    key, vec = man["key"], man["vec"]
+
+    ch = latest_per_key(changes, key, seq)
+    ups = (
+        ch.filter(F.col(op) != "D")
+        .select(
+            F.col(key),
+            _as_double(F.col(vec)).alias(vec),
+        )
+        .withColumn("__cell", _cell_expr(cells, F.col(vec)))
+    )
+    # bounded collects: a CDC batch is small by contract (same bound as
+    # the merge module's key routing) — |changes| rows each
+    changed_keys = [r[key] for r in ch.select(key).collect()]
+    if not changed_keys:
+        return versioned.latest_version(index_dir)
+    new_cells = {
+        str(r["__cell"]) for r in ups.select("__cell").distinct().collect()
+    }
+    old_cells: set[str] = set()
+    try:
+        prior = read_partitioned_snapshot(
+            spark, _keymap_dir(index_dir), key_in=changed_keys
+        )
+        old_cells = {
+            str(r["cell"]) for r in prior.select("cell").distinct().collect()
+        }
+    except FileNotFoundError:
+        pass  # no keymap yet (empty index)
+    affected = sorted(
+        c for c in (new_cells | old_cells) if c in man["parts"] or c in new_cells
+    )
+
+    # one job: survivors of the affected dirs (cell recomputed from the
+    # vector — fixed centers mean survivors never move) + new upserts
+    frames = []
+    old_dirs = [man["parts"][c] for c in affected if c in man["parts"]]
+    if old_dirs:
+        frames.append(
+            spark.read.parquet(
+                *[os.path.join(index_dir, d) for d in old_dirs]
+            ).filter(~F.col(key).isin(changed_keys))
+            .withColumn("__cell", _cell_expr(cells, F.col(vec)))
+        )
+    frames.append(ups)
+    allr = frames[0]
+    for f in frames[1:]:
+        allr = allr.unionByName(f)
+    staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    allr.write.mode("overwrite").partitionBy("__cell").parquet(staging)
+    new_parts, new_rows = _land_cells(index_dir, staging)
+
+    parts = dict(man["parts"])
+    rows = dict(man.get("rows", {}))
+    for c in affected:
+        parts.pop(c, None)
+        rows.pop(c, None)
+    parts.update(new_parts)
+    rows.update(new_rows)
+    v = versioned.commit_manifest(
+        index_dir,
+        {
+            **man,
+            "parts": parts,
+            "rows": rows,
+            "operation": "ivf-update",
+            "committed_at": time.time(),
+        },
+    )
+    _merge_keymap(
+        spark,
+        index_dir,
+        ups.select(
+            F.col(key),
+            F.col("__cell").cast("long").alias("cell"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        ).unionByName(
+            ch.filter(F.col(op) == "D").select(
+                F.col(key),
+                F.lit(None).cast("long").alias("cell"),
+                F.lit(0).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        ),
+        key,
+    )
+    return v
+
+
+def read_ivf_index(
+    spark: SparkSession, index_dir: str, version: int | None = None
+) -> DataFrame:
+    """The full indexed corpus (key, vector) at a version — a union scan
+    of every cell dir (time travel works: manifests are immutable)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    man = versioned.read_manifest(index_dir, version)
+    if man is None or man.get("kind") != "ivf":
+        raise FileNotFoundError(f"no IVF index committed in {index_dir}")
+    dirs = [os.path.join(index_dir, d) for d in man["parts"].values()]
+    if not dirs:
+        return spark.createDataFrame(
+            [], f"{man['key']} long, {man['vec']} array<double>"
+        )
+    return spark.read.parquet(*dirs).select(man["key"], man["vec"])
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    n_probe: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Probe the index: rank each query's n_probe nearest cells from the
+    manifest's centers, open ONLY the probed cell dirs, exact-rescore
+    with cosine, window top-k (ties by neighbor id; self-matches
+    excluded) — identical result semantics to
+    `similarity.ivf_topk_cosine` with the same fixed quantizer."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    man = versioned.read_manifest(index_dir, version)
+    if man is None or man.get("kind") != "ivf":
+        raise FileNotFoundError(f"no IVF index committed in {index_dir}")
+    cells = man["cells"]
+    key, vec = man["key"], man["vec"]
+    n_probe = min(n_probe, len(cells))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    dists = F.array(
+        *[sq_dist(F.col("qv"), array_lit(list(map(float, c)))) for c in cells]
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(cells) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    probes = q.withColumn(
+        "cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
+    )
+    # bounded collect: <= n_cells rows — the dir-pruning step (at scale:
+    # open n_probe object-store prefixes per query set, not the corpus)
+    probe_ids = {
+        str(r["cell"]) for r in probes.select("cell").distinct().collect()
+    }
+    dirs = [
+        os.path.join(index_dir, d)
+        for c, d in man["parts"].items()
+        if c in probe_ids
+    ]
+    if not dirs:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+    tagged = (
+        spark.read.parquet(*dirs)
+        .select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv"))
+        .withColumn("cell", _cell_expr(cells, F.col("cv")))
+    )
+    scored = (
+        tagged.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("cv")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -7566,10 +7566,15 @@ def q_ann_ivf_fixed(spark, sf_dir):
     )
 
 
-def _sql_ann_ivf_fixed(n_probe: int = 3, k: int = 5) -> str:
+def _sql_ann_ivf_fixed(
+    n_probe: int = 3, k: int = 5, source_sql: str | None = None
+) -> str:
     """Mirror of q_ann_ivf_fixed: identical center literals, identical
     left-to-right squared-distance folds, first-min cell assignment,
-    (distance, cell)-ordered probe ranking, round(4) cosine rescore."""
+    (distance, cell)-ordered probe ranking, round(4) cosine rescore.
+    ``source_sql`` overrides the corpus CTE body — any SELECT producing
+    (vec_id, v DOUBLE[]) — so the same certified probe replay can run
+    over a replayed change log (ann_index_update)."""
     cells = _ivf_fixed_cells()
     dcols = []
     for j, cent in enumerate(cells):
@@ -7587,8 +7592,11 @@ def _sql_ann_ivf_fixed(n_probe: int = 3, k: int = 5) -> str:
     packs = ", ".join(
         f"struct_pack(cell := {j}, d := d{j})" for j in range(n)
     )
+    src = source_sql or (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS ({src}),
 dd AS (SELECT vec_id, v, {", ".join(dcols)} FROM e),
 a AS (SELECT vec_id, v, {argmin} AS cell FROM dd),
 qu AS (SELECT vec_id AS query_id, v AS qv, unnest([{packs}]) AS u
@@ -7607,6 +7615,88 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored) WHERE rank <= {k}"""
+
+
+def q_ann_index_update(spark, sf_dir):
+    """r05 — the MAINTAINED IVF vector index under the hash gate: build
+    the cell-partitioned index from the embeddings corpus with the
+    fixed quantizer, apply one CDC wave incrementally (re-embeds move
+    vectors between cells, deletes tombstone through the keymap,
+    inserts land in new cells — only affected cell dirs rewrite), then
+    probe the UPDATED index. The oracle replays the change log
+    latest-wins and runs the certified fixed-quantizer probe SQL over
+    the replayed corpus — a vector left in its old cell after a move, a
+    resurrected delete, or a lost insert changes the top-k hash.
+    Rebuilt per run for a deterministic manifest."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+        read_ivf_index,
+        update_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = _scratch_path("ann_index/idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(spark, idx, e, _ivf_fixed_cells())
+    moved = e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") + 0.5).alias(
+            "embedding"
+        ),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = e.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("embedding"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = e.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 0.5).alias(
+            "embedding"
+        ),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    update_ivf_index(spark, idx, moved.unionByName(dels).unionByName(ins))
+    q = read_ivf_index(spark, idx).filter(F.col("vec_id") < 5)
+    out = query_ivf_index(spark, idx, q, n_probe=3, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+#: the replayed change log for ann_index_update's oracle: base corpus
+#: (seq 0) + moves (%10, seq 1) + deletes (%7, seq 2 — delete wins a
+#: %70 collision) + inserts (+100000 from %9, seq 1), latest-wins
+_SQL_ANN_INDEX_SOURCE = """
+SELECT vec_id, v FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, 0 AS seq, 'U' AS op
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.5),
+           1, 'U'
+    FROM embeddings WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT vec_id, NULL, 2, 'D' FROM embeddings WHERE vec_id % 7 = 0
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5),
+           1, 'U'
+    FROM embeddings WHERE vec_id % 9 = 0
+  )
+) WHERE rn = 1 AND op <> 'D'"""
 
 
 QUALITY_W = {
@@ -9044,6 +9134,9 @@ SELECT d.doc_id,
             ELSE 0.0 END AS dup_span_ratio
 FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id""",
     "ann_ivf_fixed": _sql_ann_ivf_fixed(),
+    "ann_index_update": _sql_ann_ivf_fixed(
+        source_sql=_SQL_ANN_INDEX_SOURCE
+    ),
     "hash_embedding": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
@@ -11683,6 +11776,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "snapshot_clone_divergence": QuerySpec(
         q_snapshot_clone_divergence, ORACLES["snapshot_clone_divergence"]
+    ),
+    "ann_index_update": QuerySpec(
+        q_ann_index_update, ORACLES["ann_index_update"]
     ),
     "graph_insights_pipeline": QuerySpec(
         q_graph_insights_pipeline,

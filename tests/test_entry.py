@@ -82,7 +82,7 @@ def test_coverage_md_query_names_resolve():
         "snapshot_row_count", "table_history", "version_as_of",
         "repartition_snapshot", "test_merge_delete_mor",
         "test_lakehouse_fuzz", "restore_snapshot", "clone_snapshot",
-        "test_restore_clone", "test_stream_join",
+        "test_restore_clone", "test_stream_join", "test_vector_index",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []

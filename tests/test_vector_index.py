@@ -1,0 +1,172 @@
+"""Maintained IVF vector index: build/query twin-equality with the
+one-shot IVF probe, incremental update ≡ full rebuild on the final
+corpus, O(affected-cells) rewrites (untouched dirs carried verbatim),
+delete/insert routing through the keymap, and manifest time travel."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from customer_segmentation_pyspark_spark.operators import similarity
+from customer_segmentation_pyspark_spark.operators.vector_index import (
+    build_ivf_index,
+    query_ivf_index,
+    read_ivf_index,
+    update_ivf_index,
+)
+from customer_segmentation_pyspark_spark.sources import load_table, versioned
+from tests.conftest import SF_SMOKE
+
+CELLS = np.random.RandomState(11).normal(size=(8, 64)).tolist()
+
+CH_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+    ]
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def _wave(e):
+    """Moves (re-embed %10), deletes (%7, higher seq so delete wins a
+    %70 collision), inserts (+100000 from %9)."""
+    moved = e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") + 0.5).alias(
+            "embedding"
+        ),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = e.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("embedding"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = e.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 0.5).alias(
+            "embedding"
+        ),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    return moved.unionByName(dels).unionByName(ins)
+
+
+def test_build_query_equals_oneshot_ivf(spark, tmp_path):
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    q = e.filter(F.col("vec_id") < 5)
+    got = query_ivf_index(spark, idx, q, n_probe=3, k=5)
+    want = similarity.ivf_topk_cosine(e, q, n_probe=3, k=5, cells=CELLS)
+    assert _rows(got) == _rows(want)
+
+
+def test_incremental_update_equals_rebuild(spark, tmp_path):
+    e = _emb(spark)
+    inc = str(tmp_path / "inc")
+    build_ivf_index(spark, inc, e, CELLS)
+    update_ivf_index(spark, inc, _wave(e))
+
+    final = read_ivf_index(spark, inc)
+    # the maintained corpus is exactly the replayed change log
+    n_e = e.count()
+    n_moved_dead = e.filter(
+        (F.col("vec_id") % 7 == 0)
+    ).count()
+    n_ins = e.filter(F.col("vec_id") % 9 == 0).count()
+    assert final.count() == n_e - n_moved_dead + n_ins
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(spark, rebuilt, final, CELLS)
+    q = final.filter(F.col("vec_id") < 5)
+    got = query_ivf_index(spark, inc, q, n_probe=3, k=5)
+    want = query_ivf_index(spark, rebuilt, q, n_probe=3, k=5)
+    assert _rows(got) == _rows(want)
+    # and both equal the one-shot probe over the final corpus
+    oneshot = similarity.ivf_topk_cosine(
+        final, q, n_probe=3, k=5, cells=CELLS
+    )
+    assert _rows(got) == _rows(oneshot)
+
+
+def test_update_rewrites_only_affected_cells(spark, tmp_path):
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    man1 = versioned.read_manifest(idx)
+    # a single-key move touches at most 2 cells (old + new)
+    one = spark.createDataFrame(
+        [
+            (
+                int(e.select("vec_id").first()["vec_id"]),
+                [0.1] * 64,
+                1,
+                "U",
+            )
+        ],
+        CH_SCHEMA,
+    )
+    update_ivf_index(spark, idx, one)
+    man2 = versioned.read_manifest(idx)
+    changed = {
+        c
+        for c in set(man1["parts"]) | set(man2["parts"])
+        if man1["parts"].get(c) != man2["parts"].get(c)
+    }
+    assert 1 <= len(changed) <= 2, changed
+    for c in set(man1["parts"]) - changed:
+        assert man1["parts"][c] == man2["parts"][c], "untouched dir replaced"
+
+
+def test_deletes_and_inserts_route(spark, tmp_path):
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    update_ivf_index(spark, idx, _wave(e))
+    ids = {r["vec_id"] for r in read_ivf_index(spark, idx).collect()}
+    dead = {
+        r["vec_id"]
+        for r in e.filter(F.col("vec_id") % 7 == 0).collect()
+    }
+    assert not (ids & dead), "deleted keys must leave the index"
+    assert any(i >= 100000 for i in ids), "inserted keys must arrive"
+    # metadata row count stays exact through incremental rewrites
+    assert versioned.snapshot_row_count(idx) == len(ids)
+
+
+def test_query_time_travel(spark, tmp_path):
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    v1 = build_ivf_index(spark, idx, e, CELLS)
+    q = e.filter(F.col("vec_id") < 5)
+    before = _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5))
+    update_ivf_index(spark, idx, _wave(e))
+    after = _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5))
+    at_v1 = _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5, version=v1))
+    assert at_v1 == before
+    assert after != before
