@@ -182,6 +182,55 @@ def dq_row_checks(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
     )
 
 
+def dq_annotate(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
+    """Row-level expectation ENFORCEMENT, DLT `expect` shape: append a
+    ``_failed_checks`` array<string> column naming every rule the row
+    violates (``rules`` uses the same TRUE-means-VIOLATES contract as
+    :func:`dq_row_checks`). One pure-expression pass — the CASE array +
+    null-filter stays inside whole-stage codegen; no shuffle, no UDF —
+    so annotating 100 TB costs one scan it was already paying."""
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.withColumn("_failed_checks", failed)
+
+
+def dq_split(
+    df: DataFrame, rules: "dict[str, Column]"
+) -> "tuple[DataFrame, DataFrame]":
+    """Quarantine routing (DLT `expect_or_drop` + quarantine table):
+    returns (valid, quarantined). Valid rows keep the original schema;
+    quarantined rows carry ``_failed_checks`` for triage. Both sides
+    derive from ONE annotated plan — cache/persist the annotation when
+    writing both sinks to avoid a double scan."""
+    ann = dq_annotate(df, rules)
+    valid = ann.filter(F.size("_failed_checks") == 0).drop("_failed_checks")
+    quarantined = ann.filter(F.size("_failed_checks") > 0)
+    return valid, quarantined
+
+
+def dq_enforce_or_fail(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
+    """DLT `expect_or_fail`: eagerly evaluate the suite (one aggregate
+    job via :func:`dq_row_checks`) and raise with per-check violation
+    counts if ANY rule fails; otherwise return ``df`` unchanged for the
+    pipeline to continue. The admission gate for batches that must be
+    all-or-nothing (bounded collect: one row per rule)."""
+    bad = {
+        r["check"]: r["n_violations"]
+        for r in dq_row_checks(df, rules).collect()
+        if r["n_violations"] > 0
+    }
+    if bad:
+        raise ValueError(f"data-quality expectations failed: {bad}")
+    return df
+
+
 def dq_unique(df: DataFrame, cols: "list[str]", name: str) -> DataFrame:
     """Uniqueness expectation: n_violations = rows - distinct(cols).
     count + count_distinct in one aggregate (one scan; the distinct

@@ -8468,6 +8468,33 @@ def q_dq_checks(spark, sf_dir):
     return reduce(DataFrame.unionByName, suite).orderBy("check")
 
 
+def q_dq_quarantine(spark, sf_dir):
+    """r05 — expectation ENFORCEMENT with quarantine routing (the DLT
+    expect_or_drop shape, completing the dq_checks suite which only
+    REPORTS): every lineitem row is annotated with the array of checks
+    it violates in one codegen'd pass (no shuffle, no UDF), then the
+    report groups by the failure combination — the empty combination is
+    the valid partition, multi-name rows show overlapping violations.
+    The oracle rebuilds the CASE-array + null-filter in SQL; a row
+    routed to the wrong side or a lost/phantom combination changes the
+    group counts."""
+    from customer_segmentation_pyspark_spark.operators import analytics
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "discount_cap": F.col("l_discount") > 0.05,
+        "qty_cap": F.col("l_quantity") > 45,
+        "returned": F.col("l_returnflag") == "R",
+    }
+    ann = analytics.dq_annotate(li, rules)
+    return ann.groupBy(
+        F.concat_ws(",", "_failed_checks").alias("failed")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 def q_preference_pairs(spark, sf_dir):
     """RLHF/DPO pair construction: per source, best/worst doc by token
     count via ONE aggregation (max(struct(score,-id)) / min(struct) —
@@ -9067,6 +9094,15 @@ SELECT query_id, neighbor_id, neg_label, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored) WHERE rank <= 5""",
+    "dq_quarantine": """
+SELECT coalesce(array_to_string(list_filter([
+         CASE WHEN l_discount > 0.05 THEN 'discount_cap' END,
+         CASE WHEN l_quantity > 45 THEN 'qty_cap' END,
+         CASE WHEN l_returnflag = 'R' THEN 'returned' END
+       ], x -> x IS NOT NULL), ','), '') AS failed,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem GROUP BY 1""",
     "dq_checks": """
 WITH checks AS (
   SELECT 'orders_totalprice_nonneg' AS check,
@@ -12011,6 +12047,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_hard_negatives, ORACLES["hard_negatives"]
     ),
     "dq_checks": QuerySpec(q_dq_checks, ORACLES["dq_checks"]),
+    "dq_quarantine": QuerySpec(q_dq_quarantine, ORACLES["dq_quarantine"]),
     "pq_topk": QuerySpec(q_pq_topk, ORACLES["pq_topk"]),
     "preference_pairs": QuerySpec(
         q_preference_pairs, ORACLES["preference_pairs"]

@@ -373,3 +373,40 @@ def test_survival_km_all_churned_reaches_exact_zero(spark, tmp_path):
     # last order, so it is censored; lifetimes 10: both churn -> at
     # t=10 d == n_risk == 2 -> S(10) = 0 exactly
     assert got[10][2] == 0.0
+
+
+def test_dq_split_routes_and_preserves_rows(spark):
+    """dq_split: valid+quarantined partition the input exactly; the
+    quarantine carries the right failed-check names; enforce_or_fail
+    raises with per-check counts and passes clean frames through."""
+    import pytest
+
+    from customer_segmentation_pyspark_spark.operators.analytics import (
+        dq_enforce_or_fail,
+        dq_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -1.0, "ok"), (3, 5.0, None), (4, -2.0, None)],
+        "id long, amount double, tag string",
+    )
+    rules = {
+        "amount_nonneg": F.col("amount") < 0,
+        "tag_nonnull": F.col("tag").isNull(),
+    }
+    valid, quarantined = dq_split(df, rules)
+    assert {r["id"] for r in valid.collect()} == {1}
+    got = {
+        r["id"]: tuple(r["_failed_checks"]) for r in quarantined.collect()
+    }
+    assert got == {
+        2: ("amount_nonneg",),
+        3: ("tag_nonnull",),
+        4: ("amount_nonneg", "tag_nonnull"),
+    }
+    assert valid.columns == df.columns  # quarantine column stripped
+
+    with pytest.raises(ValueError, match="amount_nonneg"):
+        dq_enforce_or_fail(df, rules)
+    clean = df.filter("id = 1")
+    assert dq_enforce_or_fail(clean, rules) is clean

@@ -83,6 +83,7 @@ def test_coverage_md_query_names_resolve():
         "repartition_snapshot", "test_merge_delete_mor",
         "test_lakehouse_fuzz", "restore_snapshot", "clone_snapshot",
         "test_restore_clone", "test_stream_join", "test_vector_index",
+        "dq_split", "dq_enforce_or_fail", "test_analytics",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []
