@@ -101,8 +101,19 @@ def _land_cells(
 def _merge_keymap(
     spark: SparkSession, index_dir: str, entries: DataFrame, key: str
 ) -> None:
-    """Upsert (key, cell) rows — tombstones via op='D' — into the keymap
-    snapshot. O(touched hash partitions) like any lakehouse merge."""
+    """Upsert (key, cells array) rows into the keymap snapshot.
+    O(touched hash partitions) like any lakehouse merge.
+
+    The keymap is a SUPERSET multimap, not the exact current location:
+    each key maps to every cell it may still occupy. Updates UNION the
+    new cell into the prior set and commit the keymap BEFORE the data
+    rewrite — so under a crash at any point the set can only be a
+    superset of where the key's rows actually live, and the next
+    update's affected-cell computation can never miss a dir (a missed
+    dir would leave a ghost copy of a moved key — the one corruption
+    this ordering makes impossible). Stale extra cells cost one extra
+    dir rewrite on the key's next update, never correctness; a keymap
+    rebuild (scan the index, collect_set cells per key) prunes them."""
     from customer_segmentation_pyspark_spark.streaming.merge import (
         merge_into_partitioned_snapshot,
     )
@@ -114,8 +125,6 @@ def _merge_keymap(
         key=key,
         seq="seq",
         num_partitions=KEYMAP_PARTITIONS,
-        delete_when="op = 'D'",
-        marker_cols=("op",),
     )
 
 
@@ -126,10 +135,13 @@ def build_ivf_index(
     cells: Sequence[Sequence[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    src_version: int | None = None,
 ) -> int:
     """Build version 1: assign every vector to its nearest fixed cell,
     land one immutable dir per cell (ONE partitionBy job), seed the
-    keymap, commit the manifest. Returns the committed version."""
+    keymap, commit the manifest. ``src_version`` records which source-
+    table version this index reflects (the CDF-sync cursor). Returns
+    the committed version."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     cells = [list(map(float, c)) for c in cells]
@@ -138,10 +150,16 @@ def build_ivf_index(
         F.col(id_col).alias(id_col),
         _as_double(F.col(vec_col)).alias(vec_col),
     ).withColumn("__cell", _cell_expr(cells, F.col(vec_col)))
+    keymap = tagged.select(
+        F.col(id_col),
+        F.array(F.col("__cell").cast("long")).alias("cells"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    _merge_keymap(spark, index_dir, keymap, id_col)  # superset-first
     staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
     tagged.write.mode("overwrite").partitionBy("__cell").parquet(staging)
     parts, rows = _land_cells(index_dir, staging)
-    v = versioned.commit_manifest(
+    return versioned.commit_manifest(
         index_dir,
         {
             "kind": "ivf",
@@ -150,20 +168,11 @@ def build_ivf_index(
             "vec": vec_col,
             "parts": parts,
             "rows": rows,
+            "src_version": src_version,
             "operation": "ivf-build",
             "committed_at": time.time(),
         },
     )
-    keymap = (
-        tagged.select(
-            F.col(id_col),
-            F.col("__cell").cast("long").alias("cell"),
-            F.lit(0).cast("long").alias("seq"),
-            F.lit("U").alias("op"),
-        )
-    )
-    _merge_keymap(spark, index_dir, keymap, id_col)
-    return v
 
 
 def update_ivf_index(
@@ -172,16 +181,24 @@ def update_ivf_index(
     changes: DataFrame,
     seq: str = "seq",
     op: str = "op",
+    src_version: int | None = None,
 ) -> int:
     """Apply a CDC batch (upserts re-embed/move/insert vectors; op='D'
     rows delete them) by rewriting ONLY the affected cell dirs.
 
-    Affected = the changed keys' OLD cells (keymap point read — an
+    Affected = the changed keys' keymap cell sets (point read — an
     O(|changes|-partitions) pruned scan, bounded collect of |changes|
     rows) union the upserts' NEW cells. One Spark job reads those dirs,
     drops changed keys, unions the re-assigned upserts, and lands fresh
     dirs; every other manifest entry is carried byte-identical.
-    Latest-wins per key inside the batch (same rule as MERGE)."""
+    Latest-wins per key inside the batch (same rule as MERGE).
+
+    Crash ordering: the keymap (a superset multimap — see
+    :func:`_merge_keymap`) commits FIRST with the new cells unioned in,
+    then the dirs rewrite, then the manifest flips. A crash leaves
+    either (stale data + superset keymap) — retry rewrites a superset
+    of the needed dirs — or the committed pair; no interleaving can
+    leave a moved key's ghost in an unlisted dir."""
     from customer_segmentation_pyspark_spark.sources import versioned
     from customer_segmentation_pyspark_spark.streaming.merge import (
         latest_per_key,
@@ -212,19 +229,43 @@ def update_ivf_index(
         str(r["__cell"]) for r in ups.select("__cell").distinct().collect()
     }
     old_cells: set[str] = set()
+    prior = None
     try:
         prior = read_partitioned_snapshot(
             spark, _keymap_dir(index_dir), key_in=changed_keys
-        )
+        ).select(key, "cells")
         old_cells = {
-            str(r["cell"]) for r in prior.select("cell").distinct().collect()
+            str(r["c"])
+            for r in prior.select(
+                F.explode("cells").alias("c")
+            ).distinct().collect()
         }
     except FileNotFoundError:
         pass  # no keymap yet (empty index)
+
+    # keymap FIRST: each changed key's set becomes prior ∪ new cell
+    new_assign = ups.select(
+        F.col(key), F.array(F.col("__cell").cast("long")).alias("cells")
+    )
+    entries = (
+        new_assign
+        if prior is None
+        else new_assign.unionByName(prior).groupBy(key).agg(
+            F.array_distinct(
+                F.flatten(F.collect_list("cells"))
+            ).alias("cells")
+        )
+    )
+    _merge_keymap(
+        spark,
+        index_dir,
+        entries.withColumn("seq", F.lit(0).cast("long")),
+        key,
+    )
+
     affected = sorted(
         c for c in (new_cells | old_cells) if c in man["parts"] or c in new_cells
     )
-
     # one job: survivors of the affected dirs (cell recomputed from the
     # vector — fixed centers mean survivors never move) + new upserts
     frames = []
@@ -251,35 +292,85 @@ def update_ivf_index(
         rows.pop(c, None)
     parts.update(new_parts)
     rows.update(new_rows)
-    v = versioned.commit_manifest(
+    return versioned.commit_manifest(
         index_dir,
         {
             **man,
             "parts": parts,
             "rows": rows,
+            "src_version": (
+                src_version
+                if src_version is not None
+                else man.get("src_version")
+            ),
             "operation": "ivf-update",
             "committed_at": time.time(),
         },
     )
-    _merge_keymap(
-        spark,
-        index_dir,
-        ups.select(
-            F.col(key),
-            F.col("__cell").cast("long").alias("cell"),
-            F.lit(0).cast("long").alias("seq"),
-            F.lit("U").alias("op"),
-        ).unionByName(
-            ch.filter(F.col(op) == "D").select(
-                F.col(key),
-                F.lit(None).cast("long").alias("cell"),
-                F.lit(0).cast("long").alias("seq"),
-                F.lit("D").alias("op"),
-            )
-        ),
-        key,
+
+
+def sync_ivf_index_to_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    cells: Sequence[Sequence[float]],
+    vec_col: str | None = None,
+) -> int:
+    """Keep the index fresh from a lakehouse table's CHANGE DATA FEED —
+    the corpus→index pipeline: MERGE waves land in the corpus table,
+    this driver folds only `read_snapshot_changes(v0, latest)` into the
+    index, where v0 is the source version recorded in the index's own
+    manifest (committed atomically with the index data, the same
+    exactly-once cursor shape as `streaming.views.sync_view_to_snapshot`).
+
+    Cost per sync is the index-update cost of the NET changes — the
+    corpus is never rescanned after the seed build. A crash mid-update
+    retries the same CDF slice: the keymap-first superset ordering makes
+    the re-apply converge (see :func:`update_ivf_index`). Returns the
+    source version the index now reflects."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+        read_snapshot_changes,
     )
-    return v
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    src_man = versioned.read_manifest(table_dir)
+    key = src_man["key"]
+    vec = vec_col or src_man.get("vec", "embedding")
+    idx_man = versioned.read_manifest(index_dir)
+    if idx_man is None:
+        build_ivf_index(
+            spark,
+            index_dir,
+            read_partitioned_snapshot(spark, table_dir, version=cur),
+            cells,
+            id_col=key,
+            vec_col=vec,
+            src_version=cur,
+        )
+        return cur
+    v0 = idx_man.get("src_version")
+    if v0 is None:
+        raise ValueError(
+            f"index {index_dir} was not built with src_version — "
+            "seed it through this function to enable CDF sync"
+        )
+    if v0 >= cur:
+        return v0  # already current — the idempotent no-op
+    cdf = read_snapshot_changes(spark, table_dir, v0, cur)
+    batch = cdf.filter(F.col("_change_type") != "update_preimage").select(
+        F.col(key),
+        F.col(vec),
+        F.lit(1).cast("long").alias("seq"),
+        F.when(F.col("_change_type") == "delete", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    update_ivf_index(spark, index_dir, batch, src_version=cur)
+    return cur
 
 
 def read_ivf_index(

@@ -7674,6 +7674,86 @@ def q_ann_index_update(spark, sf_dir):
     )
 
 
+def q_corpus_index_sync(spark, sf_dir):
+    """r05 capstone #9 — the corpus→index pipeline under the hash gate:
+    the embeddings corpus lives in a lakehouse MERGE table; the IVF
+    index is SEEDED from it and then kept fresh purely from the
+    table's CHANGE DATA FEED (`sync_ivf_index_to_snapshot` — the
+    src_version cursor commits atomically with the index manifest, so
+    sync is exactly-once and the corpus is never rescanned). The SAME
+    move/delete/insert wave as `ann_index_update` flows through MERGE →
+    CDF → incremental cell rewrites, so the two queries share ONE
+    oracle: the certified fixed-quantizer probe SQL over the replayed
+    change log. Equal hashes = the maintained-index path and the
+    direct-CDC path agree with the relational truth."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        query_ivf_index,
+        read_ivf_index,
+        sync_ivf_index_to_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _scratch_path("index_sync/corpus")
+    idx = _scratch_path("index_sync/idx")
+    shutil.rmtree(corpus, ignore_errors=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    merge_into_partitioned_snapshot(
+        spark,
+        corpus,
+        e.withColumn("seq", F.lit(0).cast("long")),
+        key="vec_id",
+        seq="seq",
+        num_partitions=8,
+    )
+    cells = _ivf_fixed_cells()
+    sync_ivf_index_to_snapshot(spark, corpus, idx, cells)
+    moved = e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") + 0.5).alias(
+            "embedding"
+        ),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = e.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("embedding"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = e.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 0.5).alias(
+            "embedding"
+        ),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    merge_into_partitioned_snapshot(
+        spark,
+        corpus,
+        moved.unionByName(dels).unionByName(ins),
+        key="vec_id",
+        seq="seq",
+        delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+    sync_ivf_index_to_snapshot(spark, corpus, idx, cells)
+    q = read_ivf_index(spark, idx).filter(F.col("vec_id") < 5)
+    out = query_ivf_index(spark, idx, q, n_probe=3, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 #: the replayed change log for ann_index_update's oracle: base corpus
 #: (seq 0) + moves (%10, seq 1) + deletes (%7, seq 2 — delete wins a
 #: %70 collision) + inserts (+100000 from %9, seq 1), latest-wins
@@ -11815,6 +11895,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "ann_index_update": QuerySpec(
         q_ann_index_update, ORACLES["ann_index_update"]
+    ),
+    # corpus_index_sync replays the SAME wave through MERGE -> CDF ->
+    # index sync, so it shares ann_index_update's oracle (the twin
+    # pattern: one relational truth, two maintenance paths)
+    "corpus_index_sync": QuerySpec(
+        q_corpus_index_sync, ORACLES["ann_index_update"]
     ),
     "graph_insights_pipeline": QuerySpec(
         q_graph_insights_pipeline,

@@ -170,3 +170,70 @@ def test_query_time_travel(spark, tmp_path):
     at_v1 = _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5, version=v1))
     assert at_v1 == before
     assert after != before
+
+
+def test_sync_index_follows_corpus_cdf(spark, tmp_path):
+    """Capstone pipeline: corpus MERGE waves -> CDF -> incremental index
+    update with an exactly-once src_version cursor. The synced index
+    must equal a fresh build over the corpus's final state; a re-sync
+    with no new corpus version is a no-op."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        sync_ivf_index_to_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    e = _emb(spark)
+    corpus = str(tmp_path / "corpus")
+    merge_into_partitioned_snapshot(
+        spark,
+        corpus,
+        e.withColumn("seq", F.lit(0).cast("long")),
+        key="vec_id",
+        seq="seq",
+        num_partitions=8,
+    )
+    idx = str(tmp_path / "idx")
+    assert sync_ivf_index_to_snapshot(spark, corpus, idx, CELLS) == 1
+
+    # corpus takes the move/delete/insert wave as a MERGE
+    merge_into_partitioned_snapshot(
+        spark,
+        corpus,
+        _wave(e),
+        key="vec_id",
+        seq="seq",
+        delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+    assert sync_ivf_index_to_snapshot(spark, corpus, idx, CELLS) == 2
+    assert sync_ivf_index_to_snapshot(spark, corpus, idx, CELLS) == 2  # no-op
+
+    final = read_partitioned_snapshot(spark, corpus).select(
+        "vec_id", "embedding"
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(spark, rebuilt, final, CELLS)
+    q = final.filter(F.col("vec_id") < 5)
+    got = query_ivf_index(spark, idx, q, n_probe=3, k=5)
+    want = query_ivf_index(spark, rebuilt, q, n_probe=3, k=5)
+    assert _rows(got) == _rows(want)
+
+
+def test_update_reapply_converges(spark, tmp_path):
+    """Applying the same CDC batch twice (the crash-retry path) must
+    leave the index identical to a single application — the superset
+    keymap makes the second pass a content no-op."""
+    e = _emb(spark)
+    once = str(tmp_path / "once")
+    twice = str(tmp_path / "twice")
+    for d in (once, twice):
+        build_ivf_index(spark, d, e, CELLS)
+    update_ivf_index(spark, once, _wave(e))
+    update_ivf_index(spark, twice, _wave(e))
+    update_ivf_index(spark, twice, _wave(e))  # the retry
+    assert _rows(read_ivf_index(spark, once)) == _rows(
+        read_ivf_index(spark, twice)
+    )
