@@ -153,6 +153,17 @@ HEADLINE = [
     # cost of the change feed)
     "incremental_agg_view",
     "snapshot_history_audit",
+    # r05 session 2: RESTORE + shallow-clone divergence (metadata-only
+    # lakehouse ops — their cost should be the feed-table build, not
+    # the rollback/clone), DQ quarantine routing (one codegen'd pass),
+    # the maintained IVF index (build + CDC update + probe), and
+    # capstone #9 (the same wave through MERGE -> CDF -> index sync:
+    # its delta over ann_index_update is the CDF-consumption cost)
+    "snapshot_restore_read",
+    "snapshot_clone_divergence",
+    "dq_quarantine",
+    "ann_index_update",
+    "corpus_index_sync",
 ]
 
 

@@ -373,6 +373,69 @@ def sync_ivf_index_to_snapshot(
     return cur
 
 
+def rebuild_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
+    """Keymap maintenance: shrink every LIVE key's superset cell set
+    back to its exact singleton by scanning the index once (the cell is
+    the dir it sits in — recomputed from the vector, same fixed
+    centers) and merging the exact entries over the bloated ones.
+    Repeatedly-moved keys stop dragging their historical cells into
+    every update's affected set. Keys deleted from the index keep a
+    stale keymap row (a superset is always safe; rows are 2 columns) —
+    resetting those needs a quiescent rebuild of the keymap table.
+    Crash-safe: this is an ordinary merge commit; a partial run leaves
+    some keys shrunk and the rest superset, both correct."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    man = versioned.read_manifest(index_dir)
+    if man is None or man.get("kind") != "ivf":
+        raise FileNotFoundError(f"no IVF index committed in {index_dir}")
+    if not man["parts"]:
+        return
+    key, vec = man["key"], man["vec"]
+    exact = (
+        spark.read.parquet(
+            *[os.path.join(index_dir, d) for d in man["parts"].values()]
+        )
+        .select(
+            F.col(key),
+            F.array(
+                _cell_expr(man["cells"], F.col(vec)).cast("long")
+            ).alias("cells"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+    )
+    _merge_keymap(spark, index_dir, exact, key)
+
+
+def streaming_ivf_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    seq: str = "seq",
+    op: str = "op",
+):
+    """Maintain the IVF index from a structured stream of CDC rows
+    (key, vector, seq, op) — each micro-batch becomes one
+    :func:`update_ivf_index` call (the foreachBatch sink shape shared
+    with `streaming.merge.streaming_mor_upsert`). Exactly-once by
+    convergence: a replayed batch re-applies the same latest-per-key
+    rows, and the superset keymap makes the re-apply a content no-op
+    (the property `test_update_reapply_converges` pins)."""
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_ivf_index(spark, index_dir, batch_df, seq=seq, op=op)
+
+    return (
+        updates.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_ivf_index(
     spark: SparkSession, index_dir: str, version: int | None = None
 ) -> DataFrame:

@@ -237,3 +237,62 @@ def test_update_reapply_converges(spark, tmp_path):
     assert _rows(read_ivf_index(spark, once)) == _rows(
         read_ivf_index(spark, twice)
     )
+
+
+def test_rebuild_keymap_shrinks_supersets(spark, tmp_path):
+    """After moves bloat a key's cell set, rebuild shrinks live keys to
+    singletons and the next update's affected set follows suit."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        rebuild_ivf_keymap,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    k = int(e.select("vec_id").first()["vec_id"])
+    # bounce the key between two embeddings so its set accumulates
+    for i, emb in enumerate(([0.1] * 64, [-9.0] * 64, [0.1] * 64)):
+        update_ivf_index(
+            spark,
+            idx,
+            spark.createDataFrame([(k, emb, i + 1, "U")], CH_SCHEMA),
+        )
+    km = str(tmp_path / "idx" / "_keymap")
+    bloated = read_partitioned_snapshot(spark, km, key_in=[k]).collect()
+    assert len(bloated[0]["cells"]) >= 2
+    rebuild_ivf_keymap(spark, idx)
+    shrunk = read_partitioned_snapshot(spark, km, key_in=[k]).collect()
+    assert len(shrunk[0]["cells"]) == 1
+    # index content untouched by the rebuild
+    assert versioned.snapshot_row_count(idx) == e.count()
+
+
+def test_streaming_ivf_upsert_equals_batch(spark, tmp_path):
+    """A CDC stream replayed through streaming_ivf_upsert must leave the
+    index identical to the batch update path."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        streaming_ivf_upsert,
+    )
+
+    e = _emb(spark)
+    batch_idx = str(tmp_path / "batch_idx")
+    stream_idx = str(tmp_path / "stream_idx")
+    for d in (batch_idx, stream_idx):
+        build_ivf_index(spark, d, e, CELLS)
+    update_ivf_index(spark, batch_idx, _wave(e))
+
+    src = str(tmp_path / "cdc_src")
+    _wave(e).write.parquet(src)
+    stream = (
+        spark.readStream.schema(CH_SCHEMA).format("parquet").load(src)
+    )
+    q = streaming_ivf_upsert(
+        spark, stream, stream_idx, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    assert _rows(read_ivf_index(spark, stream_idx)) == _rows(
+        read_ivf_index(spark, batch_idx)
+    )
