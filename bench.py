@@ -164,6 +164,8 @@ HEADLINE = [
     "dq_quarantine",
     "ann_index_update",
     "corpus_index_sync",
+    # r05 session 2: zero-shuffle feature-hash embedding + exact top-k
+    "doc_embed_topk",
 ]
 
 

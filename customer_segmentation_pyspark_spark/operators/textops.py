@@ -128,6 +128,60 @@ def tfidf_top_terms(
     )
 
 
+def feature_hash_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick text embeddings (Weinberger et al. feature
+    hashing, the signed HashingTF): each lowercase whitespace token
+    lands in bucket ``md5[0:8] % dim`` with sign ``md5[8] % 2`` and the
+    document's vector is the per-bucket signed count.
+
+    ZERO shuffle: tokenize -> per-token (bucket, sign) structs -> one
+    nested higher-order fold per dimension, all inside whole-stage
+    codegen — embedding a 100 TB corpus is a map-only pass, unlike the
+    explode+groupBy+pivot shape (two shuffles and a wide agg). md5 is
+    computed once per token (the struct array), not once per
+    (token, dim) pair. Deterministic and engine-portable, so the
+    doc->embedding->similarity path is SQL-oracle-able exactly — and a
+    deterministic stand-in where a real encoder model would run as a
+    Pandas UDF at the same spot in the pipeline."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            (
+                F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10)
+                .cast("long")
+                % dim
+            ).alias("b"),
+            F.when(
+                F.conv(F.substring(F.md5(t.cast("binary")), 9, 1), 16, 10)
+                .cast("long")
+                % 2
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("s"),
+        ),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda acc, p: acc
+            + F.when(p["b"] == i.cast("long"), p["s"]).otherwise(F.lit(0.0)),
+        ),
+    )
+    return df.select(F.col(id_col), emb.alias("embedding"))
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -7754,6 +7754,34 @@ def q_corpus_index_sync(spark, sf_dir):
     )
 
 
+def q_doc_embed_topk(spark, sf_dir):
+    """r05 — text -> embedding -> similarity, end to end: documents are
+    embedded with the zero-shuffle feature-hashing featurizer
+    (signed md5 buckets, one codegen'd map pass — the deterministic
+    stand-in at the exact pipeline position a Pandas-UDF encoder model
+    would occupy), then brute-force cosine top-5 neighbors for the
+    doc_id<3 queries. Zero-norm documents are excluded on both sides
+    (cosine is undefined there). The oracle rebuilds the featurizer in
+    SQL — md5 arithmetic is hex-identical across engines — so a bucket
+    off-by-one, a sign flip, or a dropped token changes the hash."""
+    from customer_segmentation_pyspark_spark.functions.arrays import dot
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = textops.feature_hash_embedding(d, dim=64).filter(
+        dot(F.col("embedding"), F.col("embedding")) > 0
+    )
+    q = emb.filter(F.col("doc_id") < 3)
+    out = similarity.brute_force_topk(
+        emb, q, k=5, id_col="doc_id", vec_col="embedding"
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 #: the replayed change log for ann_index_update's oracle: base corpus
 #: (seq 0) + moves (%10, seq 1) + deletes (%7, seq 2 — delete wins a
 #: %70 collision) + inserts (+100000 from %9, seq 1), latest-wins
@@ -9253,6 +9281,42 @@ FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id""",
     "ann_index_update": _sql_ann_ivf_fixed(
         source_sql=_SQL_ANN_INDEX_SOURCE
     ),
+    # doc_embed_topk: the signed-md5 feature-hash featurizer rebuilt in
+    # SQL (bucket = md5[0:8]%64, sign = md5[8]%2), then exact cosine
+    # top-5; zero-norm docs excluded on both sides
+    "doc_embed_topk": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+pairs AS (
+  SELECT doc_id,
+         list_transform(ts, t -> struct_pack(
+           b := CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 64,
+           s := CASE WHEN CAST(('0x' || substring(md5(t), 9, 1)) AS BIGINT)
+                          % 2 = 0
+                THEN 1.0 ELSE -1.0 END)) AS ps
+  FROM tok),
+emb AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i -> CAST(coalesce(
+           list_sum(list_transform(ps,
+             p -> CASE WHEN p.b = i THEN p.s ELSE 0.0 END)), 0.0)
+           AS DOUBLE)) AS v
+  FROM pairs),
+live AS (
+  SELECT * FROM emb
+  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+  FROM (SELECT * FROM live WHERE doc_id < 3) q
+  JOIN live c ON c.doc_id <> q.doc_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= 5""",
     "hash_embedding": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
@@ -11902,6 +11966,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "corpus_index_sync": QuerySpec(
         q_corpus_index_sync, ORACLES["ann_index_update"]
     ),
+    "doc_embed_topk": QuerySpec(q_doc_embed_topk, ORACLES["doc_embed_topk"]),
     "graph_insights_pipeline": QuerySpec(
         q_graph_insights_pipeline,
         (

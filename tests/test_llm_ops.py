@@ -1547,3 +1547,32 @@ def test_embedding_neardup_refuses_corpus_scale_exact(spark):
     # ADVICE r03: the refusal path must not strand its cached frame
     # (relative to the pre-call snapshot; see note above).
     assert _persistent_rdd_ids(spark) <= before
+
+
+def test_feature_hash_embedding_map_only_and_twin(spark):
+    """The featurizer must stay a map-only pass (no Exchange in the
+    executed plan) and agree with a plain-Python md5 replay."""
+    import hashlib
+
+    from customer_segmentation_pyspark_spark.operators.textops import (
+        feature_hash_embedding,
+    )
+    from customer_segmentation_pyspark_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    emb = feature_hash_embedding(d, dim=16)
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "featurizer must not shuffle"
+
+    rows = {r["doc_id"]: r for r in emb.limit(50).collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in d.filter(F.col("doc_id").isin(list(rows))).collect()
+    }
+    for doc_id, r in rows.items():
+        want = [0.0] * 16
+        for t in texts[doc_id].lower().split():
+            h = hashlib.md5(t.encode()).hexdigest()
+            want[int(h[:8], 16) % 16] += 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        assert r["embedding"] == want, doc_id
