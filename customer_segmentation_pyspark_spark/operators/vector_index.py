@@ -224,6 +224,19 @@ def update_ivf_index(
     # the merge module's key routing) — |changes| rows each
     changed_keys = [r[key] for r in ch.select(key).collect()]
     if not changed_keys:
+        # nothing to rewrite — but still advance the CDF cursor, or a
+        # sync whose slice was empty (compaction-only source versions)
+        # would re-diff the same slice on every call
+        if src_version is not None and man.get("src_version") != src_version:
+            return versioned.commit_manifest(
+                index_dir,
+                {
+                    **man,
+                    "src_version": src_version,
+                    "operation": "ivf-cursor",
+                    "committed_at": time.time(),
+                },
+            )
         return versioned.latest_version(index_dir)
     new_cells = {
         str(r["__cell"]) for r in ups.select("__cell").distinct().collect()

@@ -296,3 +296,36 @@ def test_streaming_ivf_upsert_equals_batch(spark, tmp_path):
     assert _rows(read_ivf_index(spark, stream_idx)) == _rows(
         read_ivf_index(spark, batch_idx)
     )
+
+
+def test_sync_advances_cursor_over_no_change_versions(spark, tmp_path):
+    """A source version bump that changes no rows (compaction) must
+    still advance the index's CDF cursor so sync stops re-diffing."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        sync_ivf_index_to_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        compact_partitioned_snapshot,
+        merge_into_partitioned_snapshot,
+    )
+
+    e = _emb(spark)
+    corpus = str(tmp_path / "corpus")
+    merge_into_partitioned_snapshot(
+        spark,
+        corpus,
+        e.withColumn("seq", F.lit(0).cast("long")),
+        key="vec_id",
+        seq="seq",
+        num_partitions=8,
+    )
+    idx = str(tmp_path / "idx")
+    sync_ivf_index_to_snapshot(spark, corpus, idx, CELLS)
+    compact_partitioned_snapshot(spark, corpus, target_files=1)
+    v = versioned.latest_version(corpus)
+    assert sync_ivf_index_to_snapshot(spark, corpus, idx, CELLS) == v
+    assert versioned.read_manifest(idx)["src_version"] == v
+    # and the probe still matches the untouched corpus content
+    q = e.filter(F.col("vec_id") < 3)
+    got = query_ivf_index(spark, idx, q, n_probe=3, k=5)
+    assert got.count() == 15
