@@ -489,7 +489,9 @@ def gc_unreferenced_parts(
         if not os.path.isdir(full):
             continue
         if entry.startswith(".staging-") or (
-            entry.startswith(("p-", "d-")) and entry not in referenced
+            # p-/d- are merge-table partition/delta dirs, c- the IVF
+            # index's cell dirs — all manifest-referenced immutables
+            entry.startswith(("p-", "d-", "c-")) and entry not in referenced
         ):
             if not _is_stale(full, grace_sec):
                 continue  # possibly in-flight — spare it this pass

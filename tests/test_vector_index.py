@@ -329,3 +329,26 @@ def test_sync_advances_cursor_over_no_change_versions(spark, tmp_path):
     q = e.filter(F.col("vec_id") < 3)
     got = query_ivf_index(spark, idx, q, n_probe=3, k=5)
     assert got.count() == 15
+
+
+def test_expire_versions_collects_index_cells(spark, tmp_path):
+    """Retention works on index tables: expiring old index versions
+    collects the cell dirs only they referenced, while the live
+    version's dirs and reads survive."""
+    import os
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    update_ivf_index(spark, idx, _wave(e))
+    before = {
+        d for d in os.listdir(idx) if d.startswith("c-")
+    }
+    live = set(versioned.read_manifest(idx)["parts"].values())
+    assert before - live, "old versions should hold superseded dirs"
+    expired = versioned.expire_versions(idx, keep_last=1, grace_sec=0)
+    assert expired
+    after = {d for d in os.listdir(idx) if d.startswith("c-")}
+    assert after == live, "exactly the live dirs must survive"
+    q = e.filter(F.col("vec_id") < 5)
+    assert query_ivf_index(spark, idx, q, n_probe=3, k=5).count() > 0
