@@ -99,7 +99,11 @@ def _land_cells(
 
 
 def _merge_keymap(
-    spark: SparkSession, index_dir: str, entries: DataFrame, key: str
+    spark: SparkSession,
+    index_dir: str,
+    entries: DataFrame,
+    key: str,
+    num_partitions: int = KEYMAP_PARTITIONS,
 ) -> None:
     """Upsert (key, cells array) rows into the keymap snapshot.
     O(touched hash partitions) like any lakehouse merge.
@@ -124,7 +128,7 @@ def _merge_keymap(
         entries,
         key=key,
         seq="seq",
-        num_partitions=KEYMAP_PARTITIONS,
+        num_partitions=num_partitions,
     )
 
 
@@ -136,12 +140,17 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     src_version: int | None = None,
+    keymap_partitions: int = KEYMAP_PARTITIONS,
 ) -> int:
     """Build version 1: assign every vector to its nearest fixed cell,
     land one immutable dir per cell (ONE partitionBy job), seed the
     keymap, commit the manifest. ``src_version`` records which source-
-    table version this index reflects (the CDF-sync cursor). Returns
-    the committed version."""
+    table version this index reflects (the CDF-sync cursor).
+    ``keymap_partitions`` sizes the keymap table at creation (size it
+    to the corpus: each update's keymap merge rewrites O(touched
+    keymap partitions) dirs, so a small corpus wants few and a 100 TB
+    one wants thousands); later merges read the count from the
+    keymap's own manifest. Returns the committed version."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     cells = [list(map(float, c)) for c in cells]
@@ -155,7 +164,9 @@ def build_ivf_index(
         F.array(F.col("__cell").cast("long")).alias("cells"),
         F.lit(0).cast("long").alias("seq"),
     )
-    _merge_keymap(spark, index_dir, keymap, id_col)  # superset-first
+    _merge_keymap(
+        spark, index_dir, keymap, id_col, num_partitions=keymap_partitions
+    )  # superset-first
     staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
     tagged.write.mode("overwrite").partitionBy("__cell").parquet(staging)
     parts, rows = _land_cells(index_dir, staging)
@@ -328,6 +339,7 @@ def sync_ivf_index_to_snapshot(
     index_dir: str,
     cells: Sequence[Sequence[float]],
     vec_col: str | None = None,
+    keymap_partitions: int = KEYMAP_PARTITIONS,
 ) -> int:
     """Keep the index fresh from a lakehouse table's CHANGE DATA FEED —
     the corpus→index pipeline: MERGE waves land in the corpus table,
@@ -363,6 +375,7 @@ def sync_ivf_index_to_snapshot(
             id_col=key,
             vec_col=vec,
             src_version=cur,
+            keymap_partitions=keymap_partitions,
         )
         return cur
     v0 = idx_man.get("src_version")

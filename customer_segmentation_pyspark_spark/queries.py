@@ -7640,7 +7640,8 @@ def q_ann_index_update(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     idx = _scratch_path("ann_index/idx")
     shutil.rmtree(idx, ignore_errors=True)
-    build_ivf_index(spark, idx, e, _ivf_fixed_cells())
+    # keymap partitions sized to the fixture corpus (see build docstring)
+    build_ivf_index(spark, idx, e, _ivf_fixed_cells(), keymap_partitions=8)
     moved = e.filter(F.col("vec_id") % 10 == 0).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") + 0.5).alias(
@@ -7711,7 +7712,8 @@ def q_corpus_index_sync(spark, sf_dir):
         num_partitions=8,
     )
     cells = _ivf_fixed_cells()
-    sync_ivf_index_to_snapshot(spark, corpus, idx, cells)
+    # keymap partitions sized to the fixture corpus (see build docstring)
+    sync_ivf_index_to_snapshot(spark, corpus, idx, cells, keymap_partitions=8)
     moved = e.filter(F.col("vec_id") % 10 == 0).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") + 0.5).alias(
