@@ -12299,6 +12299,11 @@ _DRIVER_SPOTLIGHT = [
     "corpus_curation_pipeline", "training_mix_pipeline",
     "tokenizer_pipeline", "retrieval_index_pipeline",
     "entity_resolution", "graph_insights_pipeline",
+    # r05 session-2 capstone (#9) takes the 50th sample slot; rotate the
+    # rest of this session's additions (ann_index_update, doc_embed_topk,
+    # dq_quarantine, snapshot_restore_read, snapshot_clone_divergence)
+    # into the r06 spotlight once this set has its first driver pass
+    "corpus_index_sync",
 ]
 
 REGISTRY = {
