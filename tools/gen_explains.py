@@ -45,6 +45,12 @@ NAMES = [
     # driver-loop queries — their per-round plans don't snapshot as one
     # explain; plan properties live in tests + SCALE.md instead)
     "bigram_ppl", "survival_km", "dedup_incremental",
+    # r05 session-2: quarantine routing (one codegen'd pass), the
+    # feature-hash embedding top-k (single-fold featurizer), and the
+    # maintained-index probe (dir-pruned scan + broadcast probe join);
+    # the index build/update/sync are multi-job driver loops — their
+    # plan properties live in tests/test_vector_index.py + SCALE.md
+    "dq_quarantine", "doc_embed_topk", "ann_index_update",
 ]
 
 
