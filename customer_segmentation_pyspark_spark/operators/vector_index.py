@@ -258,14 +258,25 @@ def update_ivf_index(
         prior = read_partitioned_snapshot(
             spark, _keymap_dir(index_dir), key_in=changed_keys
         ).select(key, "cells")
+    except FileNotFoundError:
+        # a populated index with NO keymap (e.g. a shallow-cloned index
+        # dir — clone_snapshot copies the manifest, not the _keymap
+        # subtable): proceeding with empty old_cells would leave ghost
+        # copies of moved keys, so heal by rebuilding the keymap from
+        # the data first (O(index) once). A truly empty index has
+        # nothing to ghost and needs no keymap yet.
+        if man["parts"]:
+            rebuild_ivf_keymap(spark, index_dir)
+            prior = read_partitioned_snapshot(
+                spark, _keymap_dir(index_dir), key_in=changed_keys
+            ).select(key, "cells")
+    if prior is not None:
         old_cells = {
             str(r["c"])
             for r in prior.select(
                 F.explode("cells").alias("c")
             ).distinct().collect()
         }
-    except FileNotFoundError:
-        pass  # no keymap yet (empty index)
 
     # keymap FIRST: each changed key's set becomes prior ∪ new cell
     new_assign = ups.select(

@@ -352,3 +352,96 @@ def test_expire_versions_collects_index_cells(spark, tmp_path):
     assert after == live, "exactly the live dirs must survive"
     q = e.filter(F.col("vec_id") < 5)
     assert query_ivf_index(spark, idx, q, n_probe=3, k=5).count() > 0
+
+
+def test_cloned_index_heals_missing_keymap(spark, tmp_path):
+    """clone_snapshot copies the manifest but not the _keymap subtable;
+    the first update on the clone must rebuild it rather than ghost a
+    moved key."""
+    e = _emb(spark)
+    src = str(tmp_path / "src")
+    build_ivf_index(spark, src, e, CELLS)
+    dst = str(tmp_path / "dst")
+    versioned.clone_snapshot(src, dst)
+    update_ivf_index(spark, dst, _wave(e))
+    got = read_ivf_index(spark, dst)
+    # no duplicated keys (the ghost-copy failure mode)
+    assert got.count() == got.select("vec_id").distinct().count()
+    # and content equals the batch path on the original
+    update_ivf_index(spark, src, _wave(e))
+    assert _rows(got) == _rows(read_ivf_index(spark, src))
+
+
+def test_ivf_random_walk_model(spark, tmp_path):
+    """Seeded random walk of CDC batches: after every update the index
+    content equals a Python dict replay, and the keymap-superset
+    invariant holds (every key's actual cell is in its keymap set)."""
+    import random
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        _cell_expr,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    rng = random.Random(13)
+    dim = 8
+    cells = np.random.RandomState(3).normal(size=(4, dim)).tolist()
+    keys = list(range(40))
+    base = {k: [float(k % 5), *([0.5] * (dim - 1))] for k in keys[:20]}
+    idx = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "vec_id long, embedding array<double>"
+    )
+    build_ivf_index(spark, idx, corpus, cells)
+    model = dict(base)
+    for step in range(8):
+        wave = []
+        for i in range(rng.randint(1, 6)):
+            k = rng.choice(keys)
+            seq = (step + 1) * 100 + i  # unique: latest-wins is exact
+            if rng.random() < 0.3:
+                wave.append((k, None, seq, "D"))
+            else:
+                vec = [rng.uniform(-2, 2) for _ in range(dim)]
+                wave.append((k, vec, seq, "U"))
+        latest = {}
+        for k, v, s, op in wave:
+            if k not in latest or s > latest[k][0]:
+                latest[k] = (s, v, op)
+        update_ivf_index(
+            spark,
+            idx,
+            spark.createDataFrame(
+                [(k, v, s, op) for k, v, s, op in wave],
+                "vec_id long, embedding array<double>, seq long, op string",
+            ),
+        )
+        for k, (_s, v, op) in latest.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        got = {
+            r["vec_id"]: r["embedding"]
+            for r in read_ivf_index(spark, idx).collect()
+        }
+        assert got == model, f"step {step}"
+        # keymap superset invariant
+        km = read_partitioned_snapshot(
+            spark, str(tmp_path / "idx" / "_keymap")
+        )
+        sets = {r["vec_id"]: set(r["cells"]) for r in km.collect()}
+        actual = spark.createDataFrame(
+            [(k, v) for k, v in model.items()],
+            "vec_id long, embedding array<double>",
+        ).select(
+            "vec_id",
+            _cell_expr(cells, F.col("embedding")).cast("long").alias("c"),
+        )
+        for r in actual.collect():
+            assert r["c"] in sets[r["vec_id"]], (
+                f"step {step}: key {r['vec_id']} cell {r['c']} "
+                f"missing from keymap set {sets.get(r['vec_id'])}"
+            )
