@@ -166,6 +166,8 @@ HEADLINE = [
     "corpus_index_sync",
     # r05 session 2: zero-shuffle feature-hash embedding + exact top-k
     "doc_embed_topk",
+    # r05 session 2: filtered vector search (stats-pruned probe dirs)
+    "ann_filtered_search",
 ]
 
 

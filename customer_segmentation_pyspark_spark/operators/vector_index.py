@@ -155,9 +155,14 @@ def build_ivf_index(
 
     cells = [list(map(float, c)) for c in cells]
     os.makedirs(index_dir, exist_ok=True)
+    # PAYLOAD columns (anything beyond key+vector) ride along in the
+    # cell dirs and get per-cell footer stats — filtered vector search
+    # prunes probed dirs on them and post-filters candidates
+    extras = [c for c in corpus.columns if c not in (id_col, vec_col)]
     tagged = corpus.select(
         F.col(id_col).alias(id_col),
         _as_double(F.col(vec_col)).alias(vec_col),
+        *extras,
     ).withColumn("__cell", _cell_expr(cells, F.col(vec_col)))
     keymap = tagged.select(
         F.col(id_col),
@@ -170,6 +175,10 @@ def build_ivf_index(
     staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
     tagged.write.mode("overwrite").partitionBy("__cell").parquet(staging)
     parts, rows = _land_cells(index_dir, staging)
+    stats = {
+        c: versioned.collect_dir_stats(os.path.join(index_dir, d))
+        for c, d in parts.items()
+    }
     return versioned.commit_manifest(
         index_dir,
         {
@@ -179,6 +188,7 @@ def build_ivf_index(
             "vec": vec_col,
             "parts": parts,
             "rows": rows,
+            "stats": stats,
             "src_version": src_version,
             "operation": "ivf-build",
             "committed_at": time.time(),
@@ -223,11 +233,13 @@ def update_ivf_index(
     key, vec = man["key"], man["vec"]
 
     ch = latest_per_key(changes, key, seq)
+    extras = [c for c in changes.columns if c not in (key, vec, seq, op)]
     ups = (
         ch.filter(F.col(op) != "D")
         .select(
             F.col(key),
             _as_double(F.col(vec)).alias(vec),
+            *extras,
         )
         .withColumn("__cell", _cell_expr(cells, F.col(vec)))
     )
@@ -315,24 +327,32 @@ def update_ivf_index(
     frames.append(ups)
     allr = frames[0]
     for f in frames[1:]:
-        allr = allr.unionByName(f)
+        allr = allr.unionByName(f, allowMissingColumns=True)
     staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
     allr.write.mode("overwrite").partitionBy("__cell").parquet(staging)
     new_parts, new_rows = _land_cells(index_dir, staging)
+    new_stats = {
+        c: versioned.collect_dir_stats(os.path.join(index_dir, d))
+        for c, d in new_parts.items()
+    }
 
     parts = dict(man["parts"])
     rows = dict(man.get("rows", {}))
+    stats = dict(man.get("stats", {}))
     for c in affected:
         parts.pop(c, None)
         rows.pop(c, None)
+        stats.pop(c, None)
     parts.update(new_parts)
     rows.update(new_rows)
+    stats.update(new_stats)
     return versioned.commit_manifest(
         index_dir,
         {
             **man,
             "parts": parts,
             "rows": rows,
+            "stats": stats,
             "src_version": (
                 src_version
                 if src_version is not None
@@ -398,9 +418,16 @@ def sync_ivf_index_to_snapshot(
     if v0 >= cur:
         return v0  # already current — the idempotent no-op
     cdf = read_snapshot_changes(spark, table_dir, v0, cur)
+    extras = [
+        c
+        for c in cdf.columns
+        if c not in (key, vec, "_change_type", "seq", "op")
+        and not c.startswith("_")
+    ]
     batch = cdf.filter(F.col("_change_type") != "update_preimage").select(
         F.col(key),
         F.col(vec),
+        *extras,  # payload columns ride into the index for filtered search
         F.lit(1).cast("long").alias("seq"),
         F.when(F.col("_change_type") == "delete", "D")
         .otherwise("U")
@@ -500,12 +527,22 @@ def query_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Probe the index: rank each query's n_probe nearest cells from the
     manifest's centers, open ONLY the probed cell dirs, exact-rescore
     with cosine, window top-k (ties by neighbor id; self-matches
     excluded) — identical result semantics to
-    `similarity.ivf_topk_cosine` with the same fixed quantizer."""
+    `similarity.ivf_topk_cosine` with the same fixed quantizer.
+
+    ``where`` — a list of ``(payload_col, op, value)`` tuples (the same
+    contract as ``read_partitioned_snapshot``) — makes this a FILTERED
+    vector search: candidates inside the probed cells must satisfy
+    every predicate. Pruning is two-level: probed dirs whose manifest
+    footer stats refute a predicate are never opened, and the residual
+    filter runs before scoring (post-filter IVF semantics: a query can
+    return fewer than k when its probed cells hold too few matching
+    vectors — raise n_probe to trade IO for recall)."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     man = versioned.read_manifest(index_dir, version)
@@ -541,6 +578,20 @@ def query_ivf_index(
     probe_ids = {
         str(r["cell"]) for r in probes.select("cell").distinct().collect()
     }
+    stats = man.get("stats", {})
+    if where:
+        from customer_segmentation_pyspark_spark.streaming.merge import (
+            _dir_may_match,
+        )
+
+        probe_ids = {
+            c
+            for c in probe_ids
+            if all(
+                _dir_may_match(stats.get(c, {}), col, op_, val)
+                for col, op_, val in where
+            )
+        }
     dirs = [
         os.path.join(index_dir, d)
         for c, d in man["parts"].items()
@@ -550,8 +601,23 @@ def query_ivf_index(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"
         )
+    cand = spark.read.parquet(*dirs)
+    if where:
+        ops = {
+            "=": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        for col, op_, val in where:
+            if op_ not in ops:
+                raise ValueError(
+                    f"unsupported where op {op_!r}; use one of {sorted(ops)}"
+                )
+            cand = cand.filter(ops[op_](F.col(col), F.lit(val)))
     tagged = (
-        spark.read.parquet(*dirs)
+        cand
         .select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv"))
         .withColumn("cell", _cell_expr(cells, F.col("cv")))
     )

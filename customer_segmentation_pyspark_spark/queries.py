@@ -7567,14 +7567,21 @@ def q_ann_ivf_fixed(spark, sf_dir):
 
 
 def _sql_ann_ivf_fixed(
-    n_probe: int = 3, k: int = 5, source_sql: str | None = None
+    n_probe: int = 3,
+    k: int = 5,
+    source_sql: str | None = None,
+    passthru: str = "",
+    candidate_pred: str | None = None,
 ) -> str:
     """Mirror of q_ann_ivf_fixed: identical center literals, identical
     left-to-right squared-distance folds, first-min cell assignment,
     (distance, cell)-ordered probe ranking, round(4) cosine rescore.
     ``source_sql`` overrides the corpus CTE body — any SELECT producing
     (vec_id, v DOUBLE[]) — so the same certified probe replay can run
-    over a replayed change log (ann_index_update)."""
+    over a replayed change log (ann_index_update). ``passthru`` (e.g.
+    ", label") carries payload columns to the candidate side and
+    ``candidate_pred`` (e.g. "a.label = 2") post-filters candidates —
+    the filtered-vector-search replay (ann_filtered_search)."""
     cells = _ivf_fixed_cells()
     dcols = []
     for j, cent in enumerate(cells):
@@ -7595,10 +7602,11 @@ def _sql_ann_ivf_fixed(
     src = source_sql or (
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
     )
+    pred = f" AND ({candidate_pred})" if candidate_pred else ""
     return f"""
 WITH e AS ({src}),
-dd AS (SELECT vec_id, v, {", ".join(dcols)} FROM e),
-a AS (SELECT vec_id, v, {argmin} AS cell FROM dd),
+dd AS (SELECT vec_id, v{passthru}, {", ".join(dcols)} FROM e),
+a AS (SELECT vec_id, v{passthru}, {argmin} AS cell FROM dd),
 qu AS (SELECT vec_id AS query_id, v AS qv, unnest([{packs}]) AS u
        FROM dd WHERE vec_id < 5),
 qc AS (SELECT query_id, qv, u.cell AS cell, u.d AS d FROM qu),
@@ -7610,7 +7618,7 @@ scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          round(list_cosine_similarity(p.qv, a.v), 4) AS cos_sim
   FROM probes p JOIN a ON a.cell = p.cell
-  WHERE a.vec_id <> p.query_id)
+  WHERE a.vec_id <> p.query_id{pred})
 SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
@@ -7748,6 +7756,41 @@ def q_corpus_index_sync(spark, sf_dir):
     sync_ivf_index_to_snapshot(spark, corpus, idx, cells)
     q = read_ivf_index(spark, idx).filter(F.col("vec_id") < 5)
     out = query_ivf_index(spark, idx, q, n_probe=3, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_filtered_search(spark, sf_dir):
+    """r05 — FILTERED vector search under the hash gate: the index is
+    built with the `label` payload column riding in the cell dirs (and
+    per-cell footer stats in the manifest), then probed with
+    ``where=[("label","=",2)]`` — stats-refuted probed dirs never open,
+    the residual filter runs before scoring, top-5 of what survives
+    (post-filter IVF semantics). With a fixed quantizer, filtering
+    commutes with indexing, so the oracle is the certified probe SQL
+    with the candidate predicate applied — a leaked non-matching
+    neighbor or an over-pruned dir changes the hash."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    idx = _scratch_path("ann_filtered/idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(spark, idx, e, _ivf_fixed_cells(), keymap_partitions=8)
+    q = e.filter(F.col("vec_id") < 5)
+    out = query_ivf_index(
+        spark, idx, q, n_probe=3, k=5, where=[("label", "=", 2)]
+    )
     return out.select(
         "query_id",
         "neighbor_id",
@@ -9282,6 +9325,14 @@ FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id""",
     "ann_ivf_fixed": _sql_ann_ivf_fixed(),
     "ann_index_update": _sql_ann_ivf_fixed(
         source_sql=_SQL_ANN_INDEX_SOURCE
+    ),
+    "ann_filtered_search": _sql_ann_ivf_fixed(
+        source_sql=(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
+            "FROM embeddings"
+        ),
+        passthru=", label",
+        candidate_pred="a.label = 2",
     ),
     # doc_embed_topk: the signed-md5 feature-hash featurizer rebuilt in
     # SQL (bucket = md5[0:8]%64, sign = md5[8]%2), then exact cosine
@@ -11969,6 +12020,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_corpus_index_sync, ORACLES["ann_index_update"]
     ),
     "doc_embed_topk": QuerySpec(q_doc_embed_topk, ORACLES["doc_embed_topk"]),
+    "ann_filtered_search": QuerySpec(
+        q_ann_filtered_search, ORACLES["ann_filtered_search"]
+    ),
     "graph_insights_pipeline": QuerySpec(
         q_graph_insights_pipeline,
         (

@@ -445,3 +445,54 @@ def test_ivf_random_walk_model(spark, tmp_path):
                 f"step {step}: key {r['vec_id']} cell {r['c']} "
                 f"missing from keymap set {sets.get(r['vec_id'])}"
             )
+
+
+def test_filtered_search_equals_prefiltered_ivf(spark, tmp_path):
+    """Post-filter probe over payload columns ≡ one-shot IVF over the
+    pre-filtered corpus (fixed quantizer: cell assignment is
+    per-vector, so filtering commutes with indexing)."""
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    q = e.filter(F.col("vec_id") < 5)
+    got = query_ivf_index(
+        spark, idx, q, n_probe=3, k=5, where=[("label", "=", 2)]
+    )
+    want = similarity.ivf_topk_cosine(
+        e.filter(F.col("label") == 2), q, n_probe=3, k=5, cells=CELLS
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_filtered_search_stats_prune_dirs(spark, tmp_path):
+    """When payload values correlate with cells, the manifest footer
+    stats refute whole probed dirs before any file opens."""
+    import os
+
+    dim = 8
+    centers = [[float(10 * j)] + [0.0] * (dim - 1) for j in range(4)]
+    rows = [
+        (j * 100 + i, [10.0 * j + 0.01 * i] + [0.0] * (dim - 1), j)
+        for j in range(4)
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, corpus, centers)
+    q = corpus.filter(F.col("vec_id") == 0)  # sits in cell 0
+    out = query_ivf_index(
+        spark, idx, q, n_probe=3, k=5, where=[("label", "=", 2)]
+    )
+    man = versioned.read_manifest(idx)
+    touched = {
+        os.path.basename(os.path.dirname(f)) for f in out.inputFiles()
+    }
+    # probes = 3 cells, but stats kill all except label 2's cell
+    assert touched == {man["parts"]["2"]}
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert got and all(200 <= n < 300 for n in got)
