@@ -214,6 +214,11 @@ def update_ivf_index(
     dirs; every other manifest entry is carried byte-identical.
     Latest-wins per key inside the batch (same rule as MERGE).
 
+    Payload semantics are REPLACE, not coalesce: an upsert that omits a
+    payload column the index carries leaves that column NULL for the
+    key (unionByName fills missing columns) — CDC batches should carry
+    the full row, as the CDF sync path does.
+
     Crash ordering: the keymap (a superset multimap — see
     :func:`_merge_keymap`) commits FIRST with the new cells unioned in,
     then the dirs rewrite, then the manifest flips. A crash leaves
@@ -319,7 +324,9 @@ def update_ivf_index(
     old_dirs = [man["parts"][c] for c in affected if c in man["parts"]]
     if old_dirs:
         frames.append(
-            spark.read.parquet(
+            # mergeSchema: dirs written before a payload column evolved
+            # surface it as NULL instead of a schema mismatch
+            spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(index_dir, d) for d in old_dirs]
             ).filter(~F.col(key).isin(changed_keys))
             .withColumn("__cell", _cell_expr(cells, F.col(vec)))
@@ -601,7 +608,7 @@ def query_ivf_index(
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos_sim double, rank int"
         )
-    cand = spark.read.parquet(*dirs)
+    cand = spark.read.option("mergeSchema", "true").parquet(*dirs)
     if where:
         ops = {
             "=": lambda c, v: c == v,

@@ -496,3 +496,24 @@ def test_filtered_search_stats_prune_dirs(spark, tmp_path):
     assert touched == {man["parts"]["2"]}
     got = {r["neighbor_id"] for r in out.collect()}
     assert got and all(200 <= n < 300 for n in got)
+
+
+def test_payload_column_evolution(spark, tmp_path):
+    """A CDC batch may introduce a NEW payload column: rewritten cells
+    gain it, untouched cells surface NULL through mergeSchema, and
+    filtered search over the new column still works."""
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)  # no payload at all
+    first = int(e.select("vec_id").first()["vec_id"])
+    evolved = spark.createDataFrame(
+        [(first, [0.25] * 64, 1, "U", 7)],
+        "vec_id long, embedding array<double>, seq long, op string, "
+        "label int",
+    )
+    update_ivf_index(spark, idx, evolved)
+    got = query_ivf_index(
+        spark, idx, e.filter(F.col("vec_id") < 5), n_probe=8, k=5,
+        where=[("label", "=", 7)],
+    )
+    assert {r["neighbor_id"] for r in got.collect()} <= {first}
