@@ -168,6 +168,8 @@ HEADLINE = [
     "doc_embed_topk",
     # r05 session 2: filtered vector search (stats-pruned probe dirs)
     "ann_filtered_search",
+    # r05 capstone #10: text -> feature-hash embedding -> filtered index
+    "doc_index_pipeline",
 ]
 
 

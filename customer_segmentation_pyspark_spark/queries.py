@@ -7827,6 +7827,82 @@ def q_doc_embed_topk(spark, sf_dir):
     )
 
 
+def q_doc_index_pipeline(spark, sf_dir):
+    """r05 capstone #10 — text -> embedding -> FILTERED INDEX, the whole
+    retrieval build relationally: documents are embedded with the
+    zero-shuffle feature hasher (64-dim, matching the fixed quantizer),
+    zero-norm docs excluded (cosine undefined; both sides), the IVF
+    index is built with `lang` riding as a payload column, and the
+    doc_id<5 queries probe it filtered to lang='en'. One oracle covers
+    the featurizer, the cell routing, the payload filter, and the
+    top-k: the certified probe SQL over the featurizer rebuilt in SQL
+    with the candidate predicate applied."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.functions.arrays import dot
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = (
+        textops.feature_hash_embedding(d, dim=64)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.col("doc_id").alias("vec_id"), "embedding", "lang"
+        )
+        .filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    )
+    # MATERIALIZE the featurization before indexing: downstream cell
+    # assignment references the embedding 8x (one sq_dist per center)
+    # and Catalyst's CollapseProject would inline — and recompute — the
+    # whole md5 fold per reference (no CSE across lambda bodies; see
+    # feature_hash_embedding's docstring). Featurize once, persist,
+    # index the materialized vectors — the shape a 100 TB corpus uses
+    # anyway (the embedding table is an asset, not a view).
+    emb_path = _scratch_path("doc_index/emb")
+    emb.write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+    idx = _scratch_path("doc_index/idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(spark, idx, emb, _ivf_fixed_cells(), keymap_partitions=8)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = query_ivf_index(
+        spark, idx, q, n_probe=3, k=5, where=[("lang", "=", "en")]
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+#: the feature-hash corpus as a single nested SELECT (vec_id, v, lang),
+#: zero-norm docs excluded — the source CTE for doc_index_pipeline's
+#: probe oracle (same bucket/sign arithmetic as doc_embed_topk)
+_SQL_DOC_EMB_SOURCE = """
+SELECT vec_id, v, lang FROM (
+  SELECT doc_id AS vec_id, lang,
+         list_transform(range(0, 64), i -> CAST(coalesce(
+           list_sum(list_transform(ps,
+             p -> CASE WHEN p.b = i THEN p.s ELSE 0.0 END)), 0.0)
+           AS DOUBLE)) AS v
+  FROM (
+    SELECT doc_id, lang,
+           list_transform(
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> ''),
+             t -> struct_pack(
+               b := CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 64,
+               s := CASE WHEN CAST(('0x' || substring(md5(t), 9, 1))
+                              AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)) AS ps
+    FROM documents)
+) WHERE list_sum(list_transform(v, x -> x * x)) > 0"""
+
+
 #: the replayed change log for ann_index_update's oracle: base corpus
 #: (seq 0) + moves (%10, seq 1) + deletes (%7, seq 2 — delete wins a
 #: %70 collision) + inserts (+100000 from %9, seq 1), latest-wins
@@ -9333,6 +9409,11 @@ FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id""",
         ),
         passthru=", label",
         candidate_pred="a.label = 2",
+    ),
+    "doc_index_pipeline": _sql_ann_ivf_fixed(
+        source_sql=_SQL_DOC_EMB_SOURCE,
+        passthru=", lang",
+        candidate_pred="a.lang = 'en'",
     ),
     # doc_embed_topk: the signed-md5 feature-hash featurizer rebuilt in
     # SQL (bucket = md5[0:8]%64, sign = md5[8]%2), then exact cosine
@@ -12022,6 +12103,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_embed_topk": QuerySpec(q_doc_embed_topk, ORACLES["doc_embed_topk"]),
     "ann_filtered_search": QuerySpec(
         q_ann_filtered_search, ORACLES["ann_filtered_search"]
+    ),
+    "doc_index_pipeline": QuerySpec(
+        q_doc_index_pipeline, ORACLES["doc_index_pipeline"]
     ),
     "graph_insights_pipeline": QuerySpec(
         q_graph_insights_pipeline,

@@ -84,7 +84,7 @@ def test_coverage_md_query_names_resolve():
         "test_lakehouse_fuzz", "restore_snapshot", "clone_snapshot",
         "test_restore_clone", "test_stream_join", "test_vector_index",
         "dq_split", "dq_enforce_or_fail", "test_analytics",
-        "streaming_ivf_upsert", "rebuild_ivf_keymap",
+        "streaming_ivf_upsert", "rebuild_ivf_keymap", "lang",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []
