@@ -51,6 +51,7 @@ NAMES = [
     # the index build/update/sync are multi-job driver loops — their
     # plan properties live in tests/test_vector_index.py + SCALE.md
     "dq_quarantine", "doc_embed_topk", "ann_index_update",
+    "ann_filtered_search", "doc_index_pipeline",
 ]
 
 
