@@ -7815,6 +7815,13 @@ def q_doc_embed_topk(spark, sf_dir):
     emb = textops.feature_hash_embedding(d, dim=64).filter(
         dot(F.col("embedding"), F.col("embedding")) > 0
     )
+    # materialize before the self-join: each cosine references the
+    # embedding several times per side and CollapseProject would
+    # recompute the md5 fold per reference (the no-CSE-across-lambdas
+    # trap — see feature_hash_embedding / doc_index_pipeline)
+    emb_path = _scratch_path("doc_embed/emb")
+    emb.write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
     q = emb.filter(F.col("doc_id") < 3)
     out = similarity.brute_force_topk(
         emb, q, k=5, id_col="doc_id", vec_col="embedding"
