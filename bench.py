@@ -199,10 +199,14 @@ def _calibrate(iters: int = 1_500_000) -> float:
 CONTENDED_SPIN_SEC = 0.40
 
 
-def _bench_out_path(here: str, spin_max: float) -> str:
+def _bench_out_path(here: str, spin_max: float, sf: float = 0.1) -> str:
     """Where this run's record belongs: a CONTENDED run must not
     overwrite an existing IDLE BENCH.json (the idle number is the
-    comparable one) — it lands in BENCH.contended.json alongside."""
+    comparable one) — it lands in BENCH.contended.json alongside. A
+    non-default-SF run (profiling at sf0.001, scale checks at sf1)
+    likewise must not clobber the authoritative sf0.1 record (r06)."""
+    if sf != 0.1:
+        return os.path.join(here, f"BENCH.sf{sf}.json")
     out_path = os.path.join(here, "BENCH.json")
     if spin_max >= CONTENDED_SPIN_SEC and os.path.exists(out_path):
         try:
@@ -255,6 +259,21 @@ def main() -> None:
         "k"
     ).applyInPandas(lambda pdf: pdf, "k int, v double").count()
 
+    # Idle-wait (r06, VERDICT #7): both r05 driver runs self-reported
+    # CONTENDED, making the driver-side artifact incomparable. If the
+    # host is busy, wait out short contention bursts (bounded) before
+    # accepting a contended record. Opt out with SPARK_GRAFT_NO_WAIT=1.
+    if not os.environ.get("SPARK_GRAFT_NO_WAIT"):
+        for attempt in range(3):
+            if _calibrate() < CONTENDED_SPIN_SEC:
+                break
+            print(
+                f"host contended (attempt {attempt + 1}/3) — "
+                "sleeping 60s before re-checking",
+                file=sys.stderr,
+            )
+            time.sleep(60)
+
     cal_before = _calibrate()
     load_before = list(os.getloadavg())
 
@@ -270,6 +289,30 @@ def main() -> None:
     load_after = list(os.getloadavg())
 
     total = round(sum(timings.values()), 3)
+    contention = {
+        "spin_sec_before": cal_before,
+        "spin_sec_after": cal_after,
+        "loadavg_before": [round(v, 2) for v in load_before],
+        "loadavg_after": [round(v, 2) for v in load_after],
+        "cpus": os.cpu_count(),
+    }
+    # Compact self-contained record: everything a judge needs WITHOUT
+    # the per-query map. Lives in three places so truncation at either
+    # end can't lose it (r06, VERDICT #6): (1) LAST key of the stdout
+    # line — a tail capture that loses the line's head keeps it, and
+    # compare_bench parses it back without regex recovery; (2) its own
+    # <1 KB BENCH_summary.json; (3) the full BENCH.json.
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "r01_subset_total": round(
+            sum(t for n, t in timings.items() if n in R01_SUBSET), 3
+        ),
+        "contention": contention,
+    }
     result_line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -277,16 +320,9 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
-            "r01_subset_total": round(
-                sum(t for n, t in timings.items() if n in R01_SUBSET), 3
-            ),
-            "contention": {
-                "spin_sec_before": cal_before,
-                "spin_sec_after": cal_after,
-                "loadavg_before": [round(v, 2) for v in load_before],
-                "loadavg_after": [round(v, 2) for v in load_after],
-                "cpus": os.cpu_count(),
-            },
+            "r01_subset_total": summary["r01_subset_total"],
+            "contention": contention,
+            "summary": summary,
         }
     )
     # Durable artifact FIRST (the driver's tail capture has truncated
@@ -298,7 +334,7 @@ def main() -> None:
     # to BENCH.contended.json alongside instead.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        out_path = _bench_out_path(here, max(cal_before, cal_after))
+        out_path = _bench_out_path(here, max(cal_before, cal_after), sf)
         if out_path.endswith("BENCH.contended.json"):
             print(
                 "warning: run is CONTENDED and BENCH.json holds an "
@@ -307,6 +343,14 @@ def main() -> None:
             )
         with open(out_path, "w") as f:
             f.write(result_line + "\n")
+        # the tiny summary twin survives any capture truncation; its
+        # name mirrors the main record (contended / non-default SF)
+        base = os.path.basename(out_path)
+        sum_path = os.path.join(
+            here, base.replace("BENCH", "BENCH_summary", 1)
+        )
+        with open(sum_path, "w") as f:
+            f.write(json.dumps(summary) + "\n")
     except OSError as e:
         print(f"warning: could not write BENCH.json: {e}", file=sys.stderr)
     print(result_line, flush=True)

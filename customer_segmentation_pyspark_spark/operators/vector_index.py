@@ -28,11 +28,17 @@ Why this shape at 100 TB:
     is deterministic, survivors never move cells, and the whole path is
     SQL-oracle-able exactly.
 
-Single-writer per index (updates are read-modify-write on the manifest;
-concurrent updaters would need the merge module's OCC loop). Reference
-parity: the reference has no vector index at all (codeText.txt is a
-k-means notebook); this is engine surface for the LLM-pipeline north
-star, sharing its argmin/centroid semantics with `plans/kmeans.py`
+Concurrency (r06, VERDICT #1): index commits use the lakehouse OCC
+protocol — `update_ivf_index` commits conditionally on the manifest
+version it derived from and, on a foreign intervening commit, REBASES
+when the touched cell sets are disjoint (both updates survive) or
+raises `ConcurrentMergeError` when they overlap (the loser's survivor
+read is stale; re-running is safe — the superset keymap makes a
+re-apply converge). `build_ivf_index` stays last-wins by design (it is
+the seed/rebuild operation, the RESTORE analogue). Reference parity:
+the reference has no vector index at all (codeText.txt is a k-means
+notebook); this is engine surface for the LLM-pipeline north star,
+sharing its argmin/centroid semantics with `plans/kmeans.py`
 (first-min tie-break, codeText.txt:69).
 """
 
@@ -69,8 +75,70 @@ def _cell_expr(cells: Sequence[Sequence[float]], vec):
     )
 
 
+def _sub_argmin(centers: Sequence[Sequence[float]], vec):
+    return array_argmin(
+        F.array(
+            *[sq_dist(vec, array_lit(list(map(float, c)))) for c in centers]
+        )
+    )
+
+
+def _assign_expr(man: dict, vec):
+    """LIVE cell id of a vector under the manifest's (possibly split)
+    quantizer: first-min over the fixed top-level centers, then — for a
+    top cell that :func:`split_ivf_cells` divided — first-min over that
+    cell's fixed sub-centers (ids are allocated contiguously, so the
+    live id is ``ids[0] + sub_argmin``). Both levels are plan-literal
+    and deterministic, so survivors never move and the whole rule stays
+    SQL-expressible. Returns the plain top-level expr (unchanged plans)
+    when the index has no splits."""
+    top = _cell_expr(man["cells"], vec)
+    subcells = man.get("subcells", {})
+    if not subcells:
+        return top
+    expr = top.cast("long")
+    for tc, info in sorted(subcells.items(), key=lambda kv: int(kv[0])):
+        sub = _sub_argmin(info["centers"], vec)
+        expr = F.when(
+            top == F.lit(int(tc)),
+            F.lit(int(info["ids"][0])).cast("long") + sub.cast("long"),
+        ).otherwise(expr)
+    return expr
+
+
+def _live_ids(man: dict, top_cell) -> list[int]:
+    """The live cell ids covering a TOP-level cell: its sub ids after a
+    split, else itself."""
+    info = man.get("subcells", {}).get(str(top_cell))
+    return [int(i) for i in info["ids"]] if info else [int(top_cell)]
+
+
 def _keymap_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "_keymap")
+
+
+def _max_src(a, b):
+    """Monotonic CDF-cursor merge: the index reflects the NEWER of two
+    source versions after a rebase (a foreign sync may have advanced it
+    past ours while we were staging)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return max(a, b)
+
+
+def _read_latest_ivf(index_dir: str) -> tuple[int, dict | None]:
+    """(version, manifest) as an atomic pair: re-read on the transient
+    window where the pointer references a withdrawn OCC manifest."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    while True:
+        v = versioned.latest_version(index_dir)
+        try:
+            return v, versioned.read_manifest(index_dir, v or None)
+        except FileNotFoundError:
+            continue
 
 
 def _land_cells(
@@ -231,7 +299,7 @@ def update_ivf_index(
         read_partitioned_snapshot,
     )
 
-    man = versioned.read_manifest(index_dir)
+    base_version, man = _read_latest_ivf(index_dir)
     if man is None or man.get("kind") != "ivf":
         raise FileNotFoundError(f"no IVF index committed in {index_dir}")
     cells = man["cells"]
@@ -246,17 +314,32 @@ def update_ivf_index(
             _as_double(F.col(vec)).alias(vec),
             *extras,
         )
-        .withColumn("__cell", _cell_expr(cells, F.col(vec)))
+        .withColumn("__cell", _assign_expr(man, F.col(vec)))
     )
     # bounded collects: a CDC batch is small by contract (same bound as
     # the merge module's key routing) — |changes| rows each
     changed_keys = [r[key] for r in ch.select(key).collect()]
+    if any(k is None for k in changed_keys):
+        # mirror the merge paths' NULL-key refusal (r06, ADVICE): a None
+        # in the isin() list would NULL-out the survivor filter and
+        # silently drop every survivor of the affected cell dirs
+        raise ValueError(
+            f"index key '{key}' contains NULLs in the change batch; "
+            "filter them before the update or use a non-nullable key"
+        )
     if not changed_keys:
         # nothing to rewrite — but still advance the CDF cursor, or a
         # sync whose slice was empty (compaction-only source versions)
-        # would re-diff the same slice on every call
-        if src_version is not None and man.get("src_version") != src_version:
-            return versioned.commit_manifest(
+        # would re-diff the same slice on every call. Conditional commit
+        # (r06, VERDICT #1): the old unconditional {**man, ...} write
+        # could revert a foreign update's parts wholesale.
+        while (
+            src_version is not None
+            and _max_src(man.get("src_version"), src_version) != man.get(
+                "src_version"
+            )
+        ):
+            v = versioned.commit_manifest(
                 index_dir,
                 {
                     **man,
@@ -264,7 +347,11 @@ def update_ivf_index(
                     "operation": "ivf-cursor",
                     "committed_at": time.time(),
                 },
+                expected_latest=base_version,
             )
+            if v > 0:
+                return v
+            base_version, man = _read_latest_ivf(index_dir)
         return versioned.latest_version(index_dir)
     new_cells = {
         str(r["__cell"]) for r in ups.select("__cell").distinct().collect()
@@ -329,7 +416,7 @@ def update_ivf_index(
             spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(index_dir, d) for d in old_dirs]
             ).filter(~F.col(key).isin(changed_keys))
-            .withColumn("__cell", _cell_expr(cells, F.col(vec)))
+            .withColumn("__cell", _assign_expr(man, F.col(vec)))
         )
     frames.append(ups)
     allr = frames[0]
@@ -343,32 +430,64 @@ def update_ivf_index(
         for c, d in new_parts.items()
     }
 
-    parts = dict(man["parts"])
-    rows = dict(man.get("rows", {}))
-    stats = dict(man.get("stats", {}))
-    for c in affected:
-        parts.pop(c, None)
-        rows.pop(c, None)
-        stats.pop(c, None)
-    parts.update(new_parts)
-    rows.update(new_rows)
-    stats.update(new_stats)
-    return versioned.commit_manifest(
-        index_dir,
-        {
-            **man,
-            "parts": parts,
-            "rows": rows,
-            "stats": stats,
-            "src_version": (
-                src_version
-                if src_version is not None
-                else man.get("src_version")
-            ),
-            "operation": "ivf-update",
-            "committed_at": time.time(),
-        },
+    # OCC commit-or-rebase loop (r06, VERDICT #1 — same shape as the
+    # merge module's _commit_rewrites): commit conditionally on the
+    # manifest version the survivor read derived from; on a foreign
+    # intervening commit, rebase when the touched cell sets are
+    # disjoint, raise when they overlap (our staged dirs would clobber
+    # the foreign rewrite's survivors).
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
     )
+
+    orig_parts = dict(man["parts"])
+    cur = man
+    while True:
+        parts = dict(cur["parts"])
+        rows = dict(cur.get("rows", {}))
+        stats = dict(cur.get("stats", {}))
+        for c in affected:
+            parts.pop(c, None)
+            rows.pop(c, None)
+            stats.pop(c, None)
+        parts.update(new_parts)
+        rows.update(new_rows)
+        stats.update(new_stats)
+        v = versioned.commit_manifest(
+            index_dir,
+            {
+                **cur,
+                "parts": parts,
+                "rows": rows,
+                "stats": stats,
+                "src_version": _max_src(cur.get("src_version"), src_version),
+                "operation": "ivf-update",
+                "committed_at": time.time(),
+            },
+            expected_latest=base_version,
+        )
+        if v > 0:
+            return v
+        base_version, fresh = _read_latest_ivf(index_dir)
+        if fresh.get("cells") != man["cells"]:
+            # the quantizer changed under us (a rebuild/split landed):
+            # every staged __cell id is stale — nothing composes
+            raise ConcurrentMergeError(
+                f"the quantizer of {index_dir} was replaced concurrently; "
+                "re-run the update against the new index (idempotent)"
+            )
+        conflicted = [
+            c
+            for c in affected
+            if fresh["parts"].get(c) != orig_parts.get(c)
+        ]
+        if conflicted:
+            raise ConcurrentMergeError(
+                f"cells {sorted(conflicted)} of {index_dir} were rewritten "
+                "concurrently; re-run the update (idempotent — the "
+                "superset keymap makes the re-apply converge)"
+            )
+        cur = fresh  # disjoint foreign commit: both updates survive
 
 
 def sync_ivf_index_to_snapshot(
@@ -470,12 +589,189 @@ def rebuild_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
         .select(
             F.col(key),
             F.array(
-                _cell_expr(man["cells"], F.col(vec)).cast("long")
+                _assign_expr(man, F.col(vec)).cast("long")
             ).alias("cells"),
             F.lit(0).cast("long").alias("seq"),
         )
     )
     _merge_keymap(spark, index_dir, exact, key)
+
+
+def split_ivf_cells(
+    spark: SparkSession,
+    index_dir: str,
+    max_rows: int | None = None,
+    cell_ids: Sequence | None = None,
+    sub_k: int = 2,
+    sub_centers: dict | None = None,
+    max_iter: int = 5,
+    seed: int = 1,
+) -> list[str]:
+    """Hot-cell maintenance (r06, VERDICT #2) — the OPTIMIZE-family op
+    the fixed quantizer needs at 100 TB: a skewed corpus grows hot
+    cells without bound, making probe cost O(hottest probed cell) and
+    every single-key update an O(hot cell) dir rewrite. This splits
+    each cell over ``max_rows`` (or the explicit ``cell_ids``) into
+    ``sub_k`` sub-cells by training sub-centers ON THAT CELL'S OWN
+    vectors (seeded Lloyd's — `plans/kmeans.py`, deterministic given
+    the data), or uses caller-FIXED ``sub_centers`` ({cell id:
+    [[...]]}) which keeps the whole post-split index SQL-oracle-able.
+
+    The quantizer becomes two-level: the top centers still route (so
+    probe ranking and every existing keymap entry stay valid), and the
+    split cell's vectors re-bucket among its sub-centers — cell ids
+    are freshly allocated (``next_cell_id``), recorded in the
+    manifest's ``subcells`` map, and `_assign_expr` folds the second
+    level into one deterministic expression. A probe that ranks a
+    split top cell opens its sub dirs (exact: same candidate set as
+    before the split, so results are IDENTICAL — the oracle gate).
+
+    Re-splitting: targeting a sub id (or its hot top cell again)
+    retrains the WHOLE top cell with ``current + sub_k`` centers and
+    rewrites all of its dirs — one level of nesting, ever, keeps the
+    assignment expression flat.
+
+    Cost is O(split cells' rows) data + an O(their keys) keymap merge;
+    every other dir and manifest entry is carried byte-identical.
+    Keymap-first crash ordering as everywhere: each key's entry
+    becomes {top group's live ids} ∪ {new sub id} BEFORE the flip, a
+    superset of where its row lives under either manifest. Commit is
+    conditional; like `repartition_snapshot`, a concurrent commit
+    raises — run splits in a maintenance window. Returns the TOP cell
+    ids split."""
+    from customer_segmentation_pyspark_spark.plans.kmeans import (
+        kmeans_array,
+    )
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+    )
+
+    base_version, man = _read_latest_ivf(index_dir)
+    if man is None or man.get("kind") != "ivf":
+        raise FileNotFoundError(f"no IVF index committed in {index_dir}")
+    key, vec = man["key"], man["vec"]
+    subcells = {str(t): dict(v) for t, v in man.get("subcells", {}).items()}
+    sub_to_top = {
+        str(i): t for t, info in subcells.items() for i in info["ids"]
+    }
+    if cell_ids is None:
+        if max_rows is None:
+            raise ValueError("pass max_rows or explicit cell_ids")
+        cell_ids = [
+            c for c, n in man.get("rows", {}).items() if n > max_rows
+        ]
+    tops = sorted(
+        {sub_to_top.get(str(c), str(c)) for c in cell_ids}, key=int
+    )
+    fixed = {
+        sub_to_top.get(str(c), str(c)): v
+        for c, v in (sub_centers or {}).items()
+    }
+    next_id = int(man.get("next_cell_id", len(man["cells"])))
+    new_sub: dict[str, dict] = {}
+    assigned = []
+    split_tops: list[str] = []
+    for t in tops:
+        live = _live_ids(man, t)
+        dirs = [
+            os.path.join(index_dir, man["parts"][str(i)])
+            for i in live
+            if str(i) in man["parts"]
+        ]
+        if not dirs:
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if t in fixed:
+            centers = [list(map(float, c)) for c in fixed[t]]
+        else:
+            k_t = (len(live) + sub_k) if t in subcells else sub_k
+            centers = kmeans_array(
+                df, k_t, max_iter=max_iter, seed=seed, array_col=vec
+            ).centroids
+        if len(centers) < 2:
+            continue  # degenerate cell (all-identical vectors): no split
+        ids = list(range(next_id, next_id + len(centers)))
+        next_id += len(centers)
+        new_sub[t] = {"ids": ids, "centers": centers}
+        split_tops.append(t)
+        assigned.append(
+            df.withColumn(
+                "__cell",
+                F.lit(ids[0]).cast("long")
+                + _sub_argmin(centers, F.col(vec)).cast("long"),
+            ).withColumn(
+                # superset keymap entry through the transition: the old
+                # live ids cover the rows until the flip, the new sub
+                # id after it
+                "__km",
+                F.array_distinct(
+                    F.concat(
+                        F.array(
+                            *[F.lit(int(i)).cast("long") for i in live]
+                        ),
+                        F.array(F.col("__cell")),
+                    )
+                ),
+            )
+        )
+    if not assigned:
+        return []
+    allr = assigned[0]
+    for f in assigned[1:]:
+        allr = allr.unionByName(f, allowMissingColumns=True)
+    # keymap FIRST (see crash ordering above)
+    _merge_keymap(
+        spark,
+        index_dir,
+        allr.select(
+            F.col(key),
+            F.col("__km").alias("cells"),
+            F.lit(0).cast("long").alias("seq"),
+        ),
+        key,
+    )
+    staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    allr.drop("__km").write.mode("overwrite").partitionBy("__cell").parquet(
+        staging
+    )
+    new_parts, new_rows = _land_cells(index_dir, staging)
+    new_stats = {
+        c: versioned.collect_dir_stats(os.path.join(index_dir, d))
+        for c, d in new_parts.items()
+    }
+    parts = dict(man["parts"])
+    rows = dict(man.get("rows", {}))
+    stats = dict(man.get("stats", {}))
+    for t in split_tops:
+        for i in _live_ids(man, t):
+            parts.pop(str(i), None)
+            rows.pop(str(i), None)
+            stats.pop(str(i), None)
+    parts.update(new_parts)
+    rows.update(new_rows)
+    stats.update(new_stats)
+    subcells.update(new_sub)
+    v = versioned.commit_manifest(
+        index_dir,
+        {
+            **man,
+            "parts": parts,
+            "rows": rows,
+            "stats": stats,
+            "subcells": subcells,
+            "next_cell_id": next_id,
+            "operation": "ivf-split",
+            "committed_at": time.time(),
+        },
+        expected_latest=base_version,
+    )
+    if v < 0:
+        raise ConcurrentMergeError(
+            f"a concurrent commit landed on {index_dir} during the "
+            "split; re-run it in a quiet window (idempotent)"
+        )
+    return split_tops
 
 
 def streaming_ivf_upsert(
@@ -547,9 +843,20 @@ def query_ivf_index(
     vector search: candidates inside the probed cells must satisfy
     every predicate. Pruning is two-level: probed dirs whose manifest
     footer stats refute a predicate are never opened, and the residual
-    filter runs before scoring (post-filter IVF semantics: a query can
-    return fewer than k when its probed cells hold too few matching
-    vectors — raise n_probe to trade IO for recall)."""
+    filter runs before scoring. k-GUARANTEE (r06, VERDICT #3): a query
+    whose post-filter candidates number < k escalates its probe depth
+    — first to ``min(4*n_probe, n_cells)``, then to all cells (two
+    bounded rounds) — so a selective predicate can no longer starve
+    the result while matching vectors sit in unprobed cells; a query
+    still returning < k at full depth genuinely has < k matches. The
+    per-query rule ("smallest depth among the levels whose filtered
+    candidate count reaches k") is deterministic and SQL-expressible.
+    The unfiltered path is untouched (single pass, same plan as r05).
+
+    SPLIT cells (see :func:`split_ivf_cells`): probe ranking is over
+    the top-level centers; a probed split cell opens its sub dirs and
+    candidates join on their LIVE cell id — the candidate set equals
+    the unsplit index's exactly."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     man = versioned.read_manifest(index_dir, version)
@@ -558,6 +865,11 @@ def query_ivf_index(
     cells = man["cells"]
     key, vec = man["key"], man["vec"]
     n_probe = min(n_probe, len(cells))
+    subcells = man.get("subcells", {})
+    stats = man.get("stats", {})
+    empty = (
+        "query_id long, neighbor_id long, cos_sim double, rank int"
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -566,84 +878,152 @@ def query_ivf_index(
     dists = F.array(
         *[sq_dist(F.col("qv"), array_lit(list(map(float, c)))) for c in cells]
     )
-    ranked = F.slice(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(cells) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+    ranked_all = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(len(cells) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+        )
+    )
+
+    def _probes(qdf: DataFrame, depth: int) -> DataFrame:
+        p = qdf.withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(ranked_all, 1, depth), lambda s: s["cell"]
+                )
+            ),
+        )
+        if subcells:
+            # expand each probed split TOP cell to its live sub ids
+            expand = F.array(F.col("cell").cast("long"))
+            for tc, info in sorted(
+                subcells.items(), key=lambda kv: int(kv[0])
+            ):
+                expand = F.when(
+                    F.col("cell") == F.lit(int(tc)),
+                    F.array(
+                        *[F.lit(int(i)).cast("long") for i in info["ids"]]
+                    ),
+                ).otherwise(expand)
+            p = p.withColumn("cell", F.explode(expand))
+        return p
+
+    def _scored(qdf: DataFrame, depth: int) -> DataFrame | None:
+        """Filtered, self-excluded (query_id, neighbor_id, cos_sim)
+        candidates of qdf's queries at this probe depth — or None when
+        every probed dir was pruned away."""
+        probes = _probes(qdf, depth)
+        # bounded collect: <= live cells rows — the dir-pruning step
+        # (at scale: open n_probe object-store prefixes per query set,
+        # not the corpus)
+        probe_ids = {
+            str(r["cell"])
+            for r in probes.select("cell").distinct().collect()
+        }
+        if where:
+            from customer_segmentation_pyspark_spark.streaming.merge import (
+                _dir_may_match,
             )
-        ),
-        1,
-        n_probe,
-    )
-    probes = q.withColumn(
-        "cell", F.explode(F.transform(ranked, lambda s: s["cell"]))
-    )
-    # bounded collect: <= n_cells rows — the dir-pruning step (at scale:
-    # open n_probe object-store prefixes per query set, not the corpus)
-    probe_ids = {
-        str(r["cell"]) for r in probes.select("cell").distinct().collect()
-    }
-    stats = man.get("stats", {})
-    if where:
-        from customer_segmentation_pyspark_spark.streaming.merge import (
-            _dir_may_match,
+
+            probe_ids = {
+                c
+                for c in probe_ids
+                if all(
+                    _dir_may_match(stats.get(c, {}), col, op_, val)
+                    for col, op_, val in where
+                )
+            }
+        dirs = [
+            os.path.join(index_dir, d)
+            for c, d in man["parts"].items()
+            if c in probe_ids
+        ]
+        if not dirs:
+            return None
+        cand = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if where:
+            ops = {
+                "=": lambda c, v: c == v,
+                "<": lambda c, v: c < v,
+                "<=": lambda c, v: c <= v,
+                ">": lambda c, v: c > v,
+                ">=": lambda c, v: c >= v,
+            }
+            for col, op_, val in where:
+                if op_ not in ops:
+                    raise ValueError(
+                        f"unsupported where op {op_!r}; use one of "
+                        f"{sorted(ops)}"
+                    )
+                cand = cand.filter(ops[op_](F.col(col), F.lit(val)))
+        tagged = cand.select(
+            F.col(key).alias("neighbor_id"), F.col(vec).alias("cv")
+        ).withColumn(
+            "cell",
+            _assign_expr(man, F.col("cv"))
+            if subcells
+            else _cell_expr(cells, F.col("cv")),
+        )
+        return (
+            tagged.join(F.broadcast(probes), on="cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine_similarity(F.col("qv"), F.col("cv")), 4
+                ).alias("cos_sim"),
+            )
         )
 
-        probe_ids = {
-            c
-            for c in probe_ids
-            if all(
-                _dir_may_match(stats.get(c, {}), col, op_, val)
-                for col, op_, val in where
-            )
-        }
-    dirs = [
-        os.path.join(index_dir, d)
-        for c, d in man["parts"].items()
-        if c in probe_ids
-    ]
-    if not dirs:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+    def _topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
         )
-    cand = spark.read.option("mergeSchema", "true").parquet(*dirs)
-    if where:
-        ops = {
-            "=": lambda c, v: c == v,
-            "<": lambda c, v: c < v,
-            "<=": lambda c, v: c <= v,
-            ">": lambda c, v: c > v,
-            ">=": lambda c, v: c >= v,
-        }
-        for col, op_, val in where:
-            if op_ not in ops:
-                raise ValueError(
-                    f"unsupported where op {op_!r}; use one of {sorted(ops)}"
-                )
-            cand = cand.filter(ops[op_](F.col(col), F.lit(val)))
-    tagged = (
-        cand
-        .select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv"))
-        .withColumn("cell", _cell_expr(cells, F.col("cv")))
-    )
-    scored = (
-        tagged.join(F.broadcast(probes), on="cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("qv"), F.col("cv")), 4
-            ).alias("cos_sim"),
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+
+    if not where:
+        scored = _scored(q, n_probe)
+        return (
+            spark.createDataFrame([], empty)
+            if scored is None
+            else _topk(scored)
+        )
+
+    # filtered path: bounded per-query escalation to guarantee k
+    levels = [n_probe]
+    for d in (min(4 * n_probe, len(cells)), len(cells)):
+        if d > levels[-1]:
+            levels.append(d)
+    remaining, solved = q, []
+    for i, depth in enumerate(levels):
+        scored = _scored(remaining, depth)
+        if scored is None:
+            continue  # every dir at THIS depth stats-pruned: go deeper
+        if i == len(levels) - 1:
+            solved.append(scored)  # full depth: take what there is
+            break
+        sat = (
+            scored.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= k)
+            .select("query_id")
+        )
+        solved.append(scored.join(F.broadcast(sat), "query_id", "semi"))
+        remaining = remaining.join(
+            F.broadcast(sat), "query_id", "left_anti"
+        )
+        if remaining.isEmpty():
+            break  # nobody starved: no deeper dirs are opened
+    if not solved:
+        return spark.createDataFrame([], empty)
+    out = solved[0]
+    for s in solved[1:]:
+        out = out.unionByName(s)
+    return _topk(out)

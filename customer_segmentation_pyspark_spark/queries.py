@@ -7625,6 +7625,83 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   FROM scored) WHERE rank <= {k}"""
 
 
+def _sql_ann_filtered_escalating(
+    n_probe: int = 3,
+    k: int = 5,
+    passthru: str = "",
+    candidate_pred: str = "TRUE",
+    source_sql: str | None = None,
+) -> str:
+    """Mirror of `query_ivf_index(where=...)`'s k-guarantee (r06,
+    VERDICT #3): per query, the effective probe depth is the SMALLEST
+    of the escalation levels [n_probe, min(4*n_probe, n_cells),
+    n_cells] whose filtered candidate count reaches k (else all
+    cells). Identical center literals / argmin / probe ranking /
+    round(4) rescore as `_sql_ann_ivf_fixed`; the depth rule is a
+    per-query CASE over window counts."""
+    cells = _ivf_fixed_cells()
+    n = len(cells)
+    levels = [min(n_probe, n)]
+    for d in (min(4 * n_probe, n), n):
+        if d > levels[-1]:
+            levels.append(d)
+    dcols = []
+    for j, cent in enumerate(cells):
+        terms = " + ".join(
+            f"(v[{d + 1}] - ({x!r})) * (v[{d + 1}] - ({x!r}))"
+            for d, x in enumerate(cent)
+        )
+        dcols.append(f"({terms}) AS d{j}")
+    whens = []
+    for i in range(n - 1):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, n))
+        whens.append(f"WHEN {conds} THEN {i}")
+    argmin = "CASE " + " ".join(whens) + f" ELSE {n - 1} END"
+    packs = ", ".join(
+        f"struct_pack(cell := {j}, d := d{j})" for j in range(n)
+    )
+    src = source_sql or (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
+        "FROM embeddings"
+    )
+    cnt_cols = ", ".join(
+        f"count(*) FILTER (WHERE pr <= {d}) AS c{i}"
+        for i, d in enumerate(levels[:-1])
+    )
+    depth_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN coalesce(c{i}, 0) >= {k} THEN {d}"
+            for i, d in enumerate(levels[:-1])
+        )
+        + f" ELSE {levels[-1]} END"
+    )
+    return f"""
+WITH e AS ({src}),
+dd AS (SELECT vec_id, v{passthru}, {", ".join(dcols)} FROM e),
+a AS (SELECT vec_id, v{passthru}, {argmin} AS cell FROM dd),
+qu AS (SELECT vec_id AS query_id, v AS qv, unnest([{packs}]) AS u
+       FROM dd WHERE vec_id < 5),
+rp AS (SELECT query_id, qv, u.cell AS cell,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY u.d, u.cell) AS pr
+       FROM (SELECT query_id, qv, u FROM qu) _),
+allc AS (
+  SELECT p.query_id, p.pr, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, a.v), 4) AS cos_sim
+  FROM rp p JOIN a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id AND ({candidate_pred})),
+dep AS (SELECT query_id, {depth_case} AS dep
+        FROM (SELECT query_id, {cnt_cols} FROM allc GROUP BY query_id) _),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, c.cos_sim
+  FROM allc c JOIN dep d ON c.query_id = d.query_id AND c.pr <= d.dep)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
 def q_ann_index_update(spark, sf_dir):
     """r05 — the MAINTAINED IVF vector index under the hash gate: build
     the cell-partitioned index from the embeddings corpus with the
@@ -7790,6 +7867,123 @@ def q_ann_filtered_search(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5)
     out = query_ivf_index(
         spark, idx, q, n_probe=3, k=5, where=[("label", "=", 2)]
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_split_probe(spark, sf_dir):
+    """r06 — HOT-CELL SPLIT maintenance under the hash gate (VERDICT
+    #2): build the index with the fixed quantizer, split the two
+    hottest cells with FIXED plan-literal sub-centers (the quantizer
+    becomes two-level but stays fully deterministic), apply the SAME
+    CDC wave as `ann_index_update` — updates must now route THROUGH
+    the sub-cells — then probe. Probing a split cell opens its sub
+    dirs, so the candidate set (and therefore the top-k) is IDENTICAL
+    to the unsplit index's: the oracle is the same certified
+    fixed-quantizer probe SQL over the replayed change log. A vector
+    mis-bucketed by the second level, a ghost copy left by the split's
+    keymap transition, or an update that missed a sub dir changes the
+    hash."""
+    import shutil
+
+    import numpy as np
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+        read_ivf_index,
+        split_ivf_cells,
+        update_ivf_index,
+    )
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = _scratch_path("ann_split/idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(spark, idx, e, _ivf_fixed_cells(), keymap_partitions=8)
+    man = versioned.read_manifest(idx)
+    hot = sorted(man["rows"], key=lambda c: (-man["rows"][c], int(c)))[:2]
+    split_ivf_cells(
+        spark,
+        idx,
+        cell_ids=hot,
+        sub_centers={
+            c: np.random.RandomState(13 + int(c))
+            .normal(size=(2, 64))
+            .tolist()
+            for c in hot
+        },
+    )
+    moved = e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") + 0.5).alias(
+            "embedding"
+        ),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = e.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("embedding"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = e.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 0.5).alias(
+            "embedding"
+        ),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    update_ivf_index(spark, idx, moved.unionByName(dels).unionByName(ins))
+    q = read_ivf_index(spark, idx).filter(F.col("vec_id") < 5)
+    out = query_ivf_index(spark, idx, q, n_probe=3, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_filtered_search_selective(spark, sf_dir):
+    """r06 — the k-GUARANTEE for filtered search under the hash gate
+    (VERDICT #3): with n_probe=1 the compound predicate (label = 2 AND
+    vec_id < 120) matches only a handful of vectors corpus-wide, so a
+    query's single probed cell holds fewer than k of them (verified:
+    the non-escalating rule returns 21-23 of 25 rows at every SF) —
+    post-filter IVF used to return the starved set. Now the starved
+    queries widen deterministically (first to min(4*n_probe, n_cells),
+    then to all cells), so every query returns min(k, corpus matches).
+    The oracle applies the IDENTICAL per-query depth rule in SQL — an
+    under- or over-widened probe list changes the hash."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    idx = _scratch_path("ann_selective/idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(spark, idx, e, _ivf_fixed_cells(), keymap_partitions=8)
+    q = e.filter(F.col("vec_id") < 5)
+    out = query_ivf_index(
+        spark,
+        idx,
+        q,
+        n_probe=1,
+        k=5,
+        where=[("label", "=", 2), ("vec_id", "<", 120)],
     )
     return out.select(
         "query_id",
@@ -9409,13 +9603,21 @@ FROM docs d LEFT JOIN per ON d.doc_id = per.doc_id""",
     "ann_index_update": _sql_ann_ivf_fixed(
         source_sql=_SQL_ANN_INDEX_SOURCE
     ),
-    "ann_filtered_search": _sql_ann_ivf_fixed(
-        source_sql=(
-            "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label "
-            "FROM embeddings"
-        ),
+    # r06: the filtered path now carries the k-guarantee, so BOTH
+    # filtered oracles encode the per-query depth rule (it reduces to
+    # the plain n_probe probe whenever no query starves)
+    "ann_filtered_search": _sql_ann_filtered_escalating(
         passthru=", label",
         candidate_pred="a.label = 2",
+    ),
+    # r06: split + CDC wave + probe == the unsplit replayed-corpus probe
+    # (the split is exact by construction — same oracle as
+    # ann_index_update)
+    "ann_split_probe": _sql_ann_ivf_fixed(source_sql=_SQL_ANN_INDEX_SOURCE),
+    "ann_filtered_search_selective": _sql_ann_filtered_escalating(
+        n_probe=1,
+        passthru=", label",
+        candidate_pred="a.label = 2 AND a.vec_id < 120",
     ),
     "doc_index_pipeline": _sql_ann_ivf_fixed(
         source_sql=_SQL_DOC_EMB_SOURCE,
@@ -12110,6 +12312,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "doc_embed_topk": QuerySpec(q_doc_embed_topk, ORACLES["doc_embed_topk"]),
     "ann_filtered_search": QuerySpec(
         q_ann_filtered_search, ORACLES["ann_filtered_search"]
+    ),
+    "ann_split_probe": QuerySpec(
+        q_ann_split_probe, ORACLES["ann_split_probe"]
+    ),
+    "ann_filtered_search_selective": QuerySpec(
+        q_ann_filtered_search_selective,
+        ORACLES["ann_filtered_search_selective"],
     ),
     "doc_index_pipeline": QuerySpec(
         q_doc_index_pipeline, ORACLES["doc_index_pipeline"]

@@ -306,6 +306,22 @@ class ConcurrentMergeError(RuntimeError):
     re-running the same merge call is safe and idempotent."""
 
 
+def _check_foreign_full_rewrite(table_dir: str, fresh: dict) -> None:
+    """Refuse to rebase a merge over a foreign FULL-rewrite commit
+    (restore / repartition): the per-partition conflict check compares
+    only the merge's own touched pids, so a merge that merely CREATES a
+    partition absent from both manifests would compose silently over a
+    snapshot whose every other partition was replaced wholesale — the
+    merge's base read is stale by definition (r06, ADVICE). Re-running
+    the merge against the rewritten snapshot is safe and idempotent."""
+    op = str(fresh.get("operation", ""))
+    if op == "repartition" or op.startswith("restore("):
+        raise ConcurrentMergeError(
+            f"a concurrent '{op}' rewrote {table_dir} wholesale; "
+            "re-run the merge against the new snapshot (idempotent)"
+        )
+
+
 def _check_key_type_stable(man: dict | None, changes: DataFrame, key: str):
     """Refuse a merge whose batch retypes the MERGE KEY: the partition
     id is xxhash64(key) and Spark's hash functions are type-sensitive
@@ -513,7 +529,26 @@ def merge_into_partitioned_snapshot(
         # a foreign commit landed between our manifest read and the
         # flip; rebase onto it when the partition sets are disjoint
         fresh_v = versioned.latest_version(table_dir)
-        fresh = versioned.read_manifest(table_dir, fresh_v)
+        try:
+            fresh = versioned.read_manifest(table_dir, fresh_v)
+        except FileNotFoundError:
+            # a concurrent committer's withdrawn OCC manifest can leave
+            # the pointer transiently referencing a deleted file (r06,
+            # ADVICE) — same guard as compact_mor_partitions
+            continue
+        if int(fresh.get("num_partitions", num_partitions)) != num_partitions:
+            # a foreign repartition changed the hash modulus: our
+            # staged dirs were bucketed with the OLD modulus, so
+            # composing them would put keys in wrong-hash partitions
+            # and break point-lookup pruning / overlay folds (r06,
+            # ADVICE). Full rewrites (restore/repartition) likewise
+            # invalidate the state this merge was computed from.
+            raise ConcurrentMergeError(
+                f"{table_dir} was repartitioned concurrently "
+                f"({num_partitions} -> {fresh['num_partitions']} hash "
+                "partitions); re-run the merge (idempotent)"
+            )
+        _check_foreign_full_rewrite(table_dir, fresh)
         conflicted = [
             p
             for p in new_entries
@@ -790,7 +825,20 @@ def merge_mor_into_partitioned_snapshot(
             return
         # rebase the append onto the intervening commit (appends compose)
         fresh_v = versioned.latest_version(table_dir)
-        fresh = versioned.read_manifest(table_dir, fresh_v)
+        try:
+            fresh = versioned.read_manifest(table_dir, fresh_v)
+        except FileNotFoundError:
+            # transiently-withdrawn OCC manifest (r06, ADVICE) — re-read
+            continue
+        if int(fresh.get("num_partitions", num_partitions)) != num_partitions:
+            # appends do NOT compose across a repartition: our delta
+            # dirs are keyed by pids from the OLD modulus (r06, ADVICE)
+            raise ConcurrentMergeError(
+                f"{table_dir} was repartitioned concurrently "
+                f"({num_partitions} -> {fresh['num_partitions']} hash "
+                "partitions); re-run the merge (idempotent)"
+            )
+        _check_foreign_full_rewrite(table_dir, fresh)
         parts = dict(fresh["parts"])
         stats = dict(fresh.get("stats", {}))
         rows = dict(fresh.get("rows", {}))

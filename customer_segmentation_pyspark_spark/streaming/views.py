@@ -142,7 +142,10 @@ def update_count_sum_view(
                 delta.select(
                     F.col(group_col).alias("__g"), "__d_n", "__d_sum"
                 ),
-                F.col(group_col) == F.col("__g"),
+                # eqNullSafe: a NULL group present in both sides must
+                # MATCH (plain equality would leave two NULL-group rows
+                # with split counters — r06, ADVICE)
+                F.col(group_col).eqNullSafe(F.col("__g")),
                 "full_outer",
             )
             .select(

@@ -97,3 +97,48 @@ def test_bench_contended_refuses_to_overwrite_idle(tmp_path):
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+R06_SUMMARY = {
+    "metric": "headline_queries_total_wall",
+    "value": 3.5,
+    "unit": "sec",
+    "sf": 0.1,
+    "n_queries": 2,
+    "r01_subset_total": 1.5,
+    "contention": {"spin_sec_before": 0.31, "spin_sec_after": 0.35},
+}
+R06_FULL = {
+    **FULL,
+    "value": 3.5,
+    "r01_subset_total": 1.5,
+    "contention": R06_SUMMARY["contention"],
+    "summary": R06_SUMMARY,
+}
+
+
+def test_summary_tail_recovers_exact_totals(tmp_path):
+    """r06 format (VERDICT #6): the trailing summary object survives a
+    4 KB tail capture and is parsed back EXACTLY — no regex, no
+    sum-of-recovered underestimate."""
+    line = json.dumps(R06_FULL)
+    tail = line[-4096:] if len(line) > 4096 else line[10:]  # head lost
+    p = _write(tmp_path, "r06tail.json", {"n": 1, "tail": tail})
+    d = load_bench(p)
+    assert d["_summary"] and not d.get("_headless")
+    assert d["value"] == 3.5  # exact, not sum(recovered)
+    assert d["r01_subset_total"] == 1.5
+    assert d["contention"]["spin_sec_after"] == 0.35
+    assert d["sf"] == 0.1
+
+
+def test_summary_tail_without_any_queries(tmp_path):
+    """Even a capture so short only the summary survives reports
+    totals + contention."""
+    line = json.dumps(R06_FULL)
+    cut = line[line.rindex('"summary"') - 2 :]
+    p = _write(tmp_path, "sumonly.json", {"n": 1, "tail": cut})
+    d = load_bench(p)
+    assert d["value"] == 3.5
+    assert d["contention"]["spin_sec_before"] == 0.31
+    assert d["queries"] == {} or "q_beta" in d["queries"]

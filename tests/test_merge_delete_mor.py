@@ -950,3 +950,131 @@ def test_cdf_fast_append_path_equals_generic(spark, tmp_path):
     assert rows(cdf(spark, table, 1, None)) == rows(
         cdf(spark, table, 1, None, fast_append=False)
     )
+
+
+def test_merge_occ_raises_on_concurrent_repartition(
+    spark, tmp_path, monkeypatch
+):
+    """A foreign repartition in the read->commit window must abort the
+    rebase (r06, ADVICE): the loser's staged dirs were bucketed with
+    the OLD modulus, so composing them would mis-route keys."""
+    import pytest
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+        repartition_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 9)]
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=2,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+
+    def foreign():
+        repartition_snapshot(spark, table, 5)
+
+    _inject_foreign_commit_once(monkeypatch, table, foreign)
+    with pytest.raises(ConcurrentMergeError):
+        # key 100 lands in a partition absent from BOTH manifests, so
+        # the per-pid conflict check alone would have let it compose
+        merge_into_partitioned_snapshot(
+            spark, table, _df(spark, [(100, 1.0, 1, "U")]),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+    # re-running against the repartitioned snapshot works and routes
+    # the key with the NEW modulus
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, [(100, 1.0, 1, "U")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    assert got[100] == 1.0 and len(got) == 9
+    lookup = _read_dict(
+        read_partitioned_snapshot(spark, table, key_in=[100])
+    )
+    assert lookup == {100: 1.0}  # pruned point-read sees the new key
+
+
+def test_mor_occ_raises_on_concurrent_repartition(
+    spark, tmp_path, monkeypatch
+):
+    """Same hole on the MoR append path: delta dirs keyed by old-modulus
+    pids must not be committed over a repartitioned manifest."""
+    import pytest
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+        repartition_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    base = [(k, float(k), 0, "U") for k in range(1, 9)]
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, base), "k", "seq", num_partitions=2,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+
+    def foreign():
+        repartition_snapshot(spark, table, 5)
+
+    _inject_foreign_commit_once(monkeypatch, table, foreign)
+    with pytest.raises(ConcurrentMergeError):
+        merge_mor_into_partitioned_snapshot(
+            spark, table, _df(spark, [(100, 1.0, 1, "U")]),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+    merge_mor_into_partitioned_snapshot(
+        spark, table, _df(spark, [(100, 1.0, 1, "U")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    assert got[100] == 1.0 and len(got) == 9
+
+
+def test_merge_occ_raises_on_concurrent_restore(
+    spark, tmp_path, monkeypatch
+):
+    """A foreign RESTORE rewrites the snapshot wholesale with the same
+    modulus; a merge creating a partition absent from both manifests
+    must still abort instead of composing over the restored state."""
+    import pytest
+
+    from customer_segmentation_pyspark_spark.sources.versioned import (
+        restore_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+    )
+
+    table = str(tmp_path / "t")
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, [(1, 1.0, 0, "U")]), "k", "seq",
+        num_partitions=2, delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, [(1, 2.0, 1, "U")]), "k", "seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+
+    def foreign():
+        restore_snapshot(table, 1)
+
+    pid1 = _pid_of_keys(spark, [1], 2)[1]
+    new_key = next(
+        k for k in range(2, 50) if _pid_of_keys(spark, [k], 2)[k] != pid1
+    )
+    _inject_foreign_commit_once(monkeypatch, table, foreign)
+    with pytest.raises(ConcurrentMergeError):
+        merge_into_partitioned_snapshot(
+            spark, table, _df(spark, [(new_key, 9.0, 2, "U")]),
+            "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+        )
+    # restore won; rerun composes cleanly on top of it
+    merge_into_partitioned_snapshot(
+        spark, table, _df(spark, [(new_key, 9.0, 2, "U")]),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    got = _read_dict(read_partitioned_snapshot(spark, table))
+    assert got == {1: 1.0, new_key: 9.0}

@@ -517,3 +517,292 @@ def test_payload_column_evolution(spark, tmp_path):
         where=[("label", "=", 7)],
     )
     assert {r["neighbor_id"] for r in got.collect()} <= {first}
+
+
+def test_update_rejects_null_keys(spark, tmp_path):
+    """A NULL key in the CDC batch must be refused up front (r06,
+    ADVICE: a None in the survivor isin() list silently drops every
+    survivor of the affected cells)."""
+    import pytest
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+        update_ivf_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(1, 21)],
+        "vec_id long, embedding array<double>",
+    )
+    cells = [[0.0, 0.0], [2.0, 4.0]]
+    build_ivf_index(spark, idx, base, cells)
+    bad = spark.createDataFrame(
+        [(None, [1.0, 1.0], 1, "U"), (5, [0.5, 0.5], 1, "U")],
+        "vec_id long, embedding array<double>, seq long, op string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        update_ivf_index(spark, idx, bad)
+    # the index is untouched: the survivor set is intact
+    q = spark.createDataFrame(
+        [(0, [0.4, 0.4])], "vec_id long, embedding array<double>"
+    )
+    got = query_ivf_index(spark, idx, q, k=25, n_probe=2)
+    assert got.count() == 20
+
+
+def _inject_foreign_index_commit_once(monkeypatch, index_dir, foreign_fn):
+    """Fire foreign_fn in the read->commit window of the FIRST
+    conditional commit on the INDEX manifest (keymap-table commits
+    pass through untouched)."""
+    real = versioned.commit_manifest
+    state = {"armed": True}
+
+    def wrapped(table_dir, manifest, expected_latest=None):
+        if (
+            state["armed"]
+            and expected_latest is not None
+            and table_dir == index_dir
+        ):
+            state["armed"] = False
+            foreign_fn()
+        return real(table_dir, manifest, expected_latest)
+
+    monkeypatch.setattr(versioned, "commit_manifest", wrapped)
+
+
+def _one_up(spark, key, vec):
+    return spark.createDataFrame([(key, vec, 1, "U")], CH_SCHEMA)
+
+
+def test_concurrent_disjoint_index_updates_both_survive(
+    spark, tmp_path, monkeypatch
+):
+    """OCC (r06, VERDICT #1): two interleaved CDC waves touching
+    DISJOINT cells must both commit — the loser rebases, nothing is
+    reverted, and no ghost copies remain anywhere."""
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    # vectors AT two distinct centers land in exactly those cells
+    va, vb = list(CELLS[0]), list(CELLS[3])
+
+    def foreign():
+        update_ivf_index(spark, idx, _one_up(spark, 777001, vb))
+
+    _inject_foreign_index_commit_once(monkeypatch, idx, foreign)
+    update_ivf_index(spark, idx, _one_up(spark, 777000, va))
+
+    final = read_ivf_index(spark, idx)
+    ids = {r["vec_id"] for r in final.select("vec_id").collect()}
+    assert 777000 in ids and 777001 in ids  # both updates survive
+    assert final.count() == e.count() + 2
+    # no ghost cells: the maintained index answers queries exactly like
+    # a fresh build over its own content
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(spark, rebuilt, final, CELLS)
+    q = spark.createDataFrame(
+        [(0, va), (1, vb)], "vec_id long, embedding array<double>"
+    )
+    assert _rows(query_ivf_index(spark, idx, q, n_probe=2, k=5)) == _rows(
+        query_ivf_index(spark, rebuilt, q, n_probe=2, k=5)
+    )
+
+
+def test_concurrent_same_cell_index_update_raises(
+    spark, tmp_path, monkeypatch
+):
+    """Overlapping cell sets must NOT silently compose: the loser's
+    survivor read is stale. Re-running the loser converges."""
+    import pytest
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    va = list(CELLS[0])
+
+    def foreign():
+        update_ivf_index(spark, idx, _one_up(spark, 888001, va))
+
+    _inject_foreign_index_commit_once(monkeypatch, idx, foreign)
+    with pytest.raises(ConcurrentMergeError):
+        update_ivf_index(spark, idx, _one_up(spark, 888000, va))
+    # the foreign commit is intact; the re-run lands on top of it
+    update_ivf_index(spark, idx, _one_up(spark, 888000, va))
+    ids = {r["vec_id"] for r in read_ivf_index(spark, idx).collect()}
+    assert 888000 in ids and 888001 in ids
+    assert versioned.snapshot_row_count(idx) == e.count() + 2
+
+
+def test_cursor_advance_does_not_revert_foreign_update(
+    spark, tmp_path, monkeypatch
+):
+    """The empty-batch CDF-cursor commit used to write the WHOLE stale
+    manifest unconditionally — a foreign update in the window was
+    silently reverted. Now it rebases (r06, VERDICT #1)."""
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS, src_version=1)
+    va = list(CELLS[0])
+
+    def foreign():
+        update_ivf_index(spark, idx, _one_up(spark, 999000, va))
+
+    _inject_foreign_index_commit_once(monkeypatch, idx, foreign)
+    empty = spark.createDataFrame([], CH_SCHEMA)
+    update_ivf_index(spark, idx, empty, src_version=2)
+    man = versioned.read_manifest(idx)
+    assert man["src_version"] == 2  # cursor advanced
+    ids = {r["vec_id"] for r in read_ivf_index(spark, idx).collect()}
+    assert 999000 in ids  # ... without reverting the foreign update
+
+
+# ---------------------------------------------------------------- r06: splits
+
+
+def _split_mod(spark, tmp_path):
+    from customer_segmentation_pyspark_spark.operators import vector_index
+
+    return vector_index
+
+
+def test_split_preserves_content_and_queries(spark, tmp_path):
+    """Splitting hot cells must not change a single probe result: the
+    probe opens the sub dirs of a probed split cell, so the candidate
+    set is identical (VERDICT #2's oracle property)."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        split_ivf_cells,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    q = e.filter(F.col("vec_id") < 5)
+    before = _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5))
+    man0 = versioned.read_manifest(idx)
+    hot = sorted(man0["rows"], key=lambda c: -man0["rows"][c])[:2]
+    done = split_ivf_cells(spark, idx, cell_ids=hot, sub_k=2, seed=7)
+    assert sorted(done) == sorted(hot)
+    man1 = versioned.read_manifest(idx)
+    # content preserved exactly
+    assert read_ivf_index(spark, idx).count() == e.count()
+    assert versioned.snapshot_row_count(idx) == e.count()
+    # untouched cells carried byte-identical (same dir names)
+    for c in set(man0["parts"]) - set(hot):
+        assert man1["parts"][c] == man0["parts"][c]
+    for c in hot:
+        assert c not in man1["parts"]
+        assert str(c) in man1["subcells"]
+    # probe results identical pre/post split
+    after = _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5))
+    assert after == before
+
+
+def test_split_bounds_hot_cell_rows(spark, tmp_path):
+    """A genuinely hot cell ends with every resulting dir under the old
+    size (trained sub-centers actually divide the data)."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        split_ivf_cells,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    man0 = versioned.read_manifest(idx)
+    hot = max(man0["rows"], key=lambda c: man0["rows"][c])
+    n_hot = man0["rows"][hot]
+    split_ivf_cells(spark, idx, cell_ids=[hot], sub_k=4, seed=3)
+    man1 = versioned.read_manifest(idx)
+    subs = man1["subcells"][hot]["ids"]
+    sub_rows = [man1["rows"].get(str(i), 0) for i in subs]
+    assert sum(sub_rows) == n_hot  # no rows lost or duplicated
+    assert max(sub_rows) < n_hot  # the hot dir actually shrank
+
+
+def test_update_routes_through_split_cells_no_ghosts(spark, tmp_path):
+    """After a split, CDC updates must route into sub-cells and leave
+    no ghost copies: incremental result equals a fresh rebuild."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        split_ivf_cells,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    man0 = versioned.read_manifest(idx)
+    hot = sorted(man0["rows"], key=lambda c: -man0["rows"][c])[:2]
+    split_ivf_cells(spark, idx, cell_ids=hot, sub_k=2, seed=7)
+    update_ivf_index(spark, idx, _wave(e))
+    final = read_ivf_index(spark, idx)
+    # one copy per key — a missed sub dir would leave a moved key twice
+    assert final.count() == final.select("vec_id").distinct().count()
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(spark, rebuilt, final, CELLS)
+    q = final.filter(F.col("vec_id") < 5)
+    assert _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5)) == _rows(
+        query_ivf_index(spark, rebuilt, q, n_probe=3, k=5)
+    )
+
+
+def test_resplit_widens_and_stays_exact(spark, tmp_path):
+    """Re-splitting a still-hot sub cell retrains the WHOLE top cell
+    with more centers; probe results stay identical."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        split_ivf_cells,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    q = e.filter(F.col("vec_id") < 5)
+    before = _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5))
+    man0 = versioned.read_manifest(idx)
+    hot = max(man0["rows"], key=lambda c: man0["rows"][c])
+    split_ivf_cells(spark, idx, cell_ids=[hot], sub_k=2, seed=7)
+    man1 = versioned.read_manifest(idx)
+    sub0 = man1["subcells"][hot]["ids"][0]
+    split_ivf_cells(spark, idx, cell_ids=[sub0], sub_k=2, seed=7)
+    man2 = versioned.read_manifest(idx)
+    assert len(man2["subcells"][hot]["ids"]) >= 3  # widened
+    for i in man1["subcells"][hot]["ids"]:
+        assert str(i) not in man2["parts"]  # old sub dirs retired
+    assert read_ivf_index(spark, idx).count() == e.count()
+    assert _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5)) == before
+
+
+def test_filtered_search_escalates_to_k(spark, tmp_path):
+    """k-guarantee (VERDICT #3): a selective predicate that starves the
+    initial probe set widens to deeper cells; result equals the
+    same rule applied over a brute-force rerank."""
+    import numpy as np
+
+    # 4 tight clusters; label-9 rows live ONLY near center 3, so a
+    # query near center 0 with n_probe=1 finds none initially
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(4, 8)) * 10
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = (centers[c] + rng.normal(size=8) * 0.01).tolist()
+        label = 9 if c == 3 else c
+        rows.append((i, v, label))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, corpus, centers.tolist())
+    q = corpus.filter(F.col("vec_id") == 0)  # cluster 0
+    got = query_ivf_index(
+        spark, idx, q, n_probe=1, k=5, where=[("label", "=", 9)]
+    )
+    out = got.collect()
+    assert len(out) == 5, "starved result must escalate to k"
+    assert all(r["neighbor_id"] % 4 == 3 for r in out)
+    # unfiltered probe with n_probe=1 is untouched: only cluster-0 rows
+    plain = query_ivf_index(spark, idx, q, n_probe=1, k=5)
+    assert all(r["neighbor_id"] % 4 == 0 for r in plain.collect())

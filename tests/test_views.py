@@ -179,3 +179,27 @@ def test_sync_view_exactly_once_marker(spark, tmp_path):
         r["grp"]: (r["n_rows"], r["total"])
         for r in spark.read.parquet(view).collect()
     }
+
+
+def test_null_group_merges_not_duplicated(spark, tmp_path):
+    """A NULL group present in both the view and the delta must merge
+    into ONE row (r06, ADVICE: plain equality never matches NULL, which
+    left two NULL-group rows with split counters)."""
+    view_dir = str(tmp_path / "v")
+    seed = spark.createDataFrame(
+        [(1, None, 10.0), (2, "a", 5.0)],
+        "k long, grp string, val double",
+    )
+    seed_count_sum_view(spark, view_dir, seed, "grp", F.col("val"))
+    cdf = spark.createDataFrame(
+        [(3, None, 7.0, "insert"), (4, "a", 1.0, "insert")],
+        "k long, grp string, val double, _change_type string",
+    )
+    update_count_sum_view(spark, view_dir, cdf, "grp", F.col("val"))
+    rows = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in spark.read.parquet(view_dir).collect()
+    }
+    assert len(rows) == 2
+    assert rows[None] == (2, 17)  # one merged NULL-group row
+    assert rows["a"] == (2, 6)

@@ -56,7 +56,7 @@ def _extract_object(text: str, start: int) -> str | None:
     return None
 
 
-def _parse_headless_tail(path: str, tail: str) -> dict:
+def _parse_headless_tail(path: str, tail: str, required: bool = True) -> dict:
     """Last-resort recovery for a tail truncated so early that even the
     ``"queries": {`` prefix is gone (BENCH_r04.json): the capture
     starts mid-queries-dict, so every ``"name": float`` pair up to the
@@ -66,11 +66,12 @@ def _parse_headless_tail(path: str, tail: str) -> dict:
     falls out of the shared-query intersection). The total is the sum
     of RECOVERED queries — an underestimate, flagged as such."""
     end = tail.find("}")
-    if end < 0:
-        sys.exit(f"{path}: no bench JSON found in tail")
-    pairs = re.findall(r'"([A-Za-z_]\w*)":\s*([-+0-9.eE]+)', tail[:end])
-    if not pairs:
-        sys.exit(f"{path}: no bench JSON found in tail")
+    if end < 0 or not (
+        pairs := re.findall(r'"([A-Za-z_]\w*)":\s*([-+0-9.eE]+)', tail[:end])
+    ):
+        if required:
+            sys.exit(f"{path}: no bench JSON found in tail")
+        return {"queries": {}, "value": 0.0, "_partial": True}
     queries = {k: float(v) for k, v in pairs}
     d: dict = {
         "queries": queries,
@@ -91,29 +92,59 @@ def _parse_headless_tail(path: str, tail: str) -> dict:
     return d
 
 
+def _parse_summary_tail(tail: str) -> dict | None:
+    """Exact recovery from the r06+ line format: the compact
+    ``"summary": {...}`` object is the LAST key of the bench line, so
+    any tail capture that kept the line's end carries the full totals +
+    contention verbatim — one json.loads of the slice, no regex."""
+    idx = tail.rfind('"summary"')
+    if idx < 0:
+        return None
+    # the slice is the whole line minus its opening brace: summary is
+    # the LAST key, so '{' + slice is the balanced {"summary": {...}}
+    try:
+        return json.loads("{" + tail[idx:].rstrip())["summary"]
+    except (json.JSONDecodeError, KeyError, TypeError):
+        return None
+
+
 def _parse_partial_tail(path: str, tail: str) -> dict:
     """Recover what we can from a tail that lost the line's prefix."""
+    summary = _parse_summary_tail(tail)
+    if summary is not None:
+        # per-query pairs live strictly BEFORE the summary key — don't
+        # let the headless scraper mistake summary scalars for queries
+        tail = tail[: tail.rfind('"summary"')]
     m = re.search(r'"queries":\s*\{', tail)
     if not m:
-        return _parse_headless_tail(path, tail)
-    obj = _extract_object(tail, m.end() - 1)
-    if obj is None:
-        sys.exit(f"{path}: queries dict itself is truncated")
-    queries = json.loads(obj)
-    d: dict = {
-        "queries": queries,
-        "value": round(sum(queries.values()), 3),
-        "_partial": True,
-    }
-    for key in ("sf", "r01_subset_total"):
-        km = re.search(rf'"{key}":\s*([-+0-9.eE]+)', tail[m.end() :])
-        if km:
-            d[key] = float(km.group(1))
-    cm = re.search(r'"contention":\s*\{', tail)
-    if cm:
-        cobj = _extract_object(tail, cm.end() - 1)
-        if cobj is not None:
-            d["contention"] = json.loads(cobj)
+        d = _parse_headless_tail(path, tail, required=summary is None)
+    else:
+        obj = _extract_object(tail, m.end() - 1)
+        if obj is None and summary is None:
+            sys.exit(f"{path}: queries dict itself is truncated")
+        queries = json.loads(obj) if obj is not None else {}
+        d = {
+            "queries": queries,
+            "value": round(sum(queries.values()), 3),
+            "_partial": True,
+        }
+        for key in ("sf", "r01_subset_total"):
+            km = re.search(rf'"{key}":\s*([-+0-9.eE]+)', tail[m.end() :])
+            if km:
+                d[key] = float(km.group(1))
+        cm = re.search(r'"contention":\s*\{', tail)
+        if cm:
+            cobj = _extract_object(tail, cm.end() - 1)
+            if cobj is not None:
+                d["contention"] = json.loads(cobj)
+    if summary is not None:
+        # the summary's totals are EXACT (written by bench.py itself),
+        # so they override any sum-of-recovered reconstruction
+        for key in ("value", "sf", "r01_subset_total", "contention"):
+            if key in summary:
+                d[key] = summary[key]
+        d["_summary"] = True
+        d.pop("_headless", None)
     return d
 
 
