@@ -170,6 +170,14 @@ HEADLINE = [
     "ann_filtered_search",
     # r05 capstone #10: text -> feature-hash embedding -> filtered index
     "doc_index_pipeline",
+    # r06: hot-cell split + CDC + probe (exactness gate for the split),
+    # filtered-search k-guarantee, incremental JOIN view (Δfact+Δdim
+    # wave through UPDATE SET * merges), capstone #11 hybrid retrieval
+    # (BM25 + IVF dense leg + RRF fusion over one materialized corpus)
+    "ann_split_probe",
+    "ann_filtered_search_selective",
+    "incremental_join_view",
+    "hybrid_retrieval",
 ]
 
 

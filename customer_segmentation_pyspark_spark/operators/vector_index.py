@@ -197,6 +197,10 @@ def _merge_keymap(
         key=key,
         seq="seq",
         num_partitions=num_partitions,
+        # keymap reads prune by key hash, never by value stats — skip
+        # the per-dir min/max footer pass (r06, fixed-cost profile:
+        # the stats collection was ~1/3 of every keymap merge)
+        collect_stats=False,
     )
 
 
@@ -232,7 +236,15 @@ def build_ivf_index(
         _as_double(F.col(vec_col)).alias(vec_col),
         *extras,
     ).withColumn("__cell", _cell_expr(cells, F.col(vec_col)))
-    keymap = tagged.select(
+    # ONE corpus pass: stage the assigned vectors first, then derive
+    # the keymap FROM the staged parquet (r06, fixed-cost profile —
+    # the old keymap-from-plan order re-ran the whole md5/assignment
+    # projection a second time). Crash ordering is preserved: staged
+    # dirs are invisible until the manifest commit, and the keymap
+    # still commits BEFORE it.
+    staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    tagged.write.mode("overwrite").partitionBy("__cell").parquet(staging)
+    keymap = spark.read.parquet(staging).select(
         F.col(id_col),
         F.array(F.col("__cell").cast("long")).alias("cells"),
         F.lit(0).cast("long").alias("seq"),
@@ -240,8 +252,6 @@ def build_ivf_index(
     _merge_keymap(
         spark, index_dir, keymap, id_col, num_partitions=keymap_partitions
     )  # superset-first
-    staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    tagged.write.mode("overwrite").partitionBy("__cell").parquet(staging)
     parts, rows = _land_cells(index_dir, staging)
     stats = {
         c: versioned.collect_dir_stats(os.path.join(index_dir, d))
@@ -305,7 +315,12 @@ def update_ivf_index(
     cells = man["cells"]
     key, vec = man["key"], man["vec"]
 
-    ch = latest_per_key(changes, key, seq)
+    # materialize the (small-by-contract) net batch ONCE: downstream
+    # needs it 4x (key list, new-cell list, keymap entries, survivor
+    # union) and each job would otherwise re-execute the whole upstream
+    # plan — for the CDF-sync path that is the manifest diff itself
+    # (r06, fixed-cost profile: ~4x the diff cost per sync)
+    ch = latest_per_key(changes, key, seq).localCheckpoint(eager=True)
     extras = [c for c in changes.columns if c not in (key, vec, seq, op)]
     ups = (
         ch.filter(F.col(op) != "D")
@@ -375,6 +390,9 @@ def update_ivf_index(
                 spark, _keymap_dir(index_dir), key_in=changed_keys
             ).select(key, "cells")
     if prior is not None:
+        # one point-read job, reused by the old-cells collect AND the
+        # keymap-entry union below (r06 — it ran twice before)
+        prior = prior.localCheckpoint(eager=True)
         old_cells = {
             str(r["c"])
             for r in prior.select(

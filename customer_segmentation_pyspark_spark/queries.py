@@ -4624,6 +4624,122 @@ def q_incremental_agg_view(spark, sf_dir):
     )
 
 
+def q_incremental_join_view(spark, sf_dir):
+    """r06 (VERDICT #4) — incremental JOIN-view maintenance: an
+    order-grain enrichment view (orders LEFT JOIN customer attributes)
+    is seeded once, then kept fresh purely from BOTH tables' change
+    feeds: fact post-images re-enrich and upsert (O(|Δfact|)), fact
+    deletes tombstone, and a dim wave invalidates exactly the view rows
+    whose join value appears in the dim CDF (pre- or post-image) —
+    re-enriched with UPDATE SET * semantics so a DELETED customer nulls
+    the attributes it contributed instead of coalescing them back. The
+    oracle replays both change logs latest-wins and left-joins — a
+    stale attribute, resurrected delete, missed re-enrichment, or
+    ghost row changes the hash. All update arithmetic is IEEE-exact
+    (+10.0, *0.5, +100.0) so no cross-engine rounding is involved."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_join_view_to_snapshots,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fact_dir = _scratch_path("join_view/fact")
+    dim_dir = _scratch_path("join_view/dim")
+    view_dir = _scratch_path("join_view/view")
+    for p in (fact_dir, dim_dir, view_dir):
+        shutil.rmtree(p, ignore_errors=True)
+
+    base_f = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    base_d = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.lit(0).cast("long").alias("dseq"),
+        F.lit("U").alias("dop"),
+    )
+    kw_f = dict(
+        key="okey", seq="seq", num_partitions=8,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    kw_d = dict(
+        key="custkey", seq="dseq", num_partitions=8,
+        delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+    merge_into_partitioned_snapshot(spark, fact_dir, base_f, **kw_f)
+    merge_into_partitioned_snapshot(spark, dim_dir, base_d, **kw_d)
+    sync_join_view_to_snapshots(
+        spark, fact_dir, dim_dir, view_dir, "custkey", num_partitions=8
+    )  # seed
+
+    wave_f = (
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("custkey"),
+            (F.col("o_totalprice").cast("double") + 10.0).alias("price"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_custkey").alias("custkey"),
+                F.lit(None).cast("double").alias("price"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 5000000).alias("okey"),
+                F.col("o_custkey").alias("custkey"),
+                (F.col("o_totalprice").cast("double") * 0.5).alias("price"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    wave_d = (
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+            (F.col("c_acctbal").cast("double") + 100.0).alias("acctbal"),
+            F.lit(1).cast("long").alias("dseq"),
+            F.lit("U").alias("dop"),
+        )
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit(None).cast("long").alias("nation"),
+            F.lit(None).cast("double").alias("acctbal"),
+            F.lit(2).cast("long").alias("dseq"),
+            F.lit("D").alias("dop"),
+        )
+    )
+    merge_into_partitioned_snapshot(spark, fact_dir, wave_f, **kw_f)
+    merge_into_partitioned_snapshot(spark, dim_dir, wave_d, **kw_d)
+    sync_join_view_to_snapshots(
+        spark, fact_dir, dim_dir, view_dir, "custkey", num_partitions=8
+    )  # one combined Δfact+Δdim wave
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    return read_partitioned_snapshot(spark, view_dir).select(
+        "okey", "custkey", "price", "nation", "acctbal"
+    )
+
+
 def _build_feed_table(spark, sf_dir, name):
     """Shared two-wave snapshot build for the r04.5 lakehouse read
     queries: base corpus (seq 0) committed as v1, then ONE merge wave
@@ -8673,6 +8789,156 @@ def q_rrf_fusion(spark, sf_dir):
     return similarity.rrf_fuse([lex_r, sem_r], k_const=60, k=10)
 
 
+def _feature_hash_qvec(text: str, dim: int = 64) -> list[float]:
+    """The feature-hash embedding of a LITERAL query string, computed
+    driver-side with the exact arithmetic of
+    `textops.feature_hash_embedding` (md5[0:8] % dim bucket, md5[8] % 2
+    sign) — the encoder-at-query-time position of the RAG stack, as a
+    deterministic plan literal both the Spark plan and the SQL oracle
+    splice in."""
+    import hashlib
+
+    v = [0.0] * dim
+    for t in text.lower().split():
+        if not t:
+            continue
+        h = hashlib.md5(t.encode()).hexdigest()
+        v[int(h[:8], 16) % dim] += (
+            1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        )
+    return v
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """r06 capstone #11 — HYBRID RETRIEVAL end to end, the full RAG
+    retrieval stack in one oracled query: the lexical leg runs BM25
+    top-20 for the fixed 3-term query; the dense leg embeds the SAME
+    query with the feature hasher (driver-side literal — the
+    encoder-at-query-time position), probes the IVF index built over
+    the corpus's feature-hash embeddings (n_probe=3 of the fixed
+    quantizer), and takes cosine top-20; reciprocal-rank fusion
+    (k=60) combines them into the final top-10. The featurization is
+    materialized ONCE and both the index build and the probe read that
+    same parquet (the corpus-as-asset shape — see doc_index_pipeline);
+    the fusion stage touches 40 rows regardless of corpus size. One
+    oracle covers the featurizer, cell routing, probe ranking, BM25
+    arithmetic, and the fused ordering."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.functions.arrays import dot
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = (
+        textops.feature_hash_embedding(d, dim=64)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .filter(dot(F.col("embedding"), F.col("embedding")) > 0)
+    )
+    emb_path = _scratch_path("hybrid/emb")
+    emb.write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+    idx = _scratch_path("hybrid/idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(spark, idx, emb, _ivf_fixed_cells(), keymap_partitions=8)
+
+    qvec = _feature_hash_qvec(" ".join(BM25_QUERY_TERMS))
+    qdf = spark.createDataFrame(
+        [(-1, qvec)], "vec_id long, embedding array<double>"
+    )
+    dense_r = query_ivf_index(spark, idx, qdf, n_probe=3, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+
+    from pyspark.sql import Window
+
+    lex = textops.bm25_topk(d, BM25_QUERY_TERMS, k=20)
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    return similarity.rrf_fuse([lex_r, dense_r], k_const=60, k=10)
+
+
+def _sql_hybrid_retrieval() -> str:
+    """One oracle for capstone #11: the BM25 CTEs of `_sql_rrf_fusion`,
+    the feature-hash corpus + fixed-quantizer cell routing of
+    `doc_index_pipeline`'s oracle, the query vector and its probe cells
+    computed driver-side from the SAME literals, RRF arithmetic in
+    SQL."""
+    cells = _ivf_fixed_cells()
+    qvec = _feature_hash_qvec(" ".join(BM25_QUERY_TERMS))
+    dists = [
+        sum((a - b) * (a - b) for a, b in zip(qvec, c)) for c in cells
+    ]
+    probe = sorted(range(len(cells)), key=lambda j: (dists[j], j))[:3]
+    dcols = []
+    for j, cent in enumerate(cells):
+        terms = " + ".join(
+            f"(v[{dd + 1}] - ({x!r})) * (v[{dd + 1}] - ({x!r}))"
+            for dd, x in enumerate(cent)
+        )
+        dcols.append(f"({terms}) AS d{j}")
+    n = len(cells)
+    whens = []
+    for i in range(n - 1):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, n))
+        whens.append(f"WHEN {conds} THEN {i}")
+    argmin = "CASE " + " ".join(whens) + f" ELSE {n - 1} END"
+    qv = ", ".join(repr(x) for x in qvec)
+    src = _SQL_DOC_EMB_SOURCE
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT * FROM terms WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+part AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+lex AS (
+  SELECT doc_id, round(sum(part), 6) AS bm25
+  FROM part GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 20),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM lex),
+src AS ({src}),
+dd AS (SELECT vec_id, v, {", ".join(dcols)} FROM src),
+a AS (SELECT vec_id, v, {argmin} AS cell FROM dd),
+dense AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(v, [{qv}]), 4) AS cos
+  FROM a WHERE cell IN ({", ".join(map(str, probe))})
+  ORDER BY cos DESC, doc_id LIMIT 20),
+denser AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+  FROM dense),
+u AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM lexr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM denser)
+SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
+
 def _sql_rrf_fusion() -> str:
     qv = ", ".join(repr(x) for x in _rrf_query_vec())
     return f"""
@@ -9015,6 +9281,8 @@ FROM part GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "semantic_dedup": _sql_semantic_dedup(),
     "rrf_fusion": _sql_rrf_fusion(),
+    # r06 capstone #11: BM25 + IVF-probed feature-hash dense leg + RRF
+    "hybrid_retrieval": _sql_hybrid_retrieval(),
     "pq_topk": _sql_pq_topk(),
     "entity_resolution": """
 WITH RECURSIVE names AS (
@@ -10215,6 +10483,49 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_md5
 FROM live GROUP BY source""",
+    # r06 (VERDICT #4): both change logs replayed latest-wins, then the
+    # enrichment LEFT JOIN — the relational truth the incrementally
+    # maintained join view must equal
+    "incremental_join_view": """
+WITH fact AS (
+  SELECT okey, custkey, price FROM (
+    SELECT *, row_number() OVER (PARTITION BY okey ORDER BY seq DESC) AS rn
+    FROM (
+      SELECT o_orderkey AS okey, o_custkey AS custkey,
+             CAST(o_totalprice AS DOUBLE) AS price, 0 AS seq, 'U' AS op
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) + 10.0,
+             1, 'U'
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, NULL, 2, 'D'
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 5000000, o_custkey,
+             CAST(o_totalprice AS DOUBLE) * 0.5, 1, 'U'
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+  ) WHERE rn = 1 AND op <> 'D'),
+dim AS (
+  SELECT custkey, nation, acctbal FROM (
+    SELECT *, row_number() OVER (PARTITION BY custkey ORDER BY dseq DESC)
+           AS rn
+    FROM (
+      SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(c_acctbal AS DOUBLE) AS acctbal, 0 AS dseq, 'U' AS dop
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, CAST(c_nationkey AS BIGINT),
+             CAST(c_acctbal AS DOUBLE) + 100.0, 1, 'U'
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, NULL, 2, 'D'
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+  ) WHERE rn = 1 AND dop <> 'D')
+SELECT f.okey, f.custkey, f.price, d.nation, d.acctbal
+FROM fact f LEFT JOIN dim d ON f.custkey = d.custkey""",
     "incremental_agg_view": """
 WITH base AS (
   SELECT doc_id, text, lang, source, 'U' AS op, 0 AS seq FROM documents),
@@ -12285,6 +12596,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "snapshot_history_audit": QuerySpec(
         q_snapshot_history_audit, ORACLES["snapshot_history_audit"]
     ),
+    "incremental_join_view": QuerySpec(
+        q_incremental_join_view, ORACLES["incremental_join_view"]
+    ),
     "incremental_agg_view": QuerySpec(
         q_incremental_agg_view, ORACLES["incremental_agg_view"]
     ),
@@ -12550,6 +12864,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_substring_dedup, ORACLES["substring_dedup"]
     ),
     "rrf_fusion": QuerySpec(q_rrf_fusion, ORACLES["rrf_fusion"]),
+    "hybrid_retrieval": QuerySpec(
+        q_hybrid_retrieval, ORACLES["hybrid_retrieval"]
+    ),
     "hard_negatives": QuerySpec(
         q_hard_negatives, ORACLES["hard_negatives"]
     ),
@@ -12631,33 +12948,31 @@ REGISTRY: dict[str, QuerySpec] = {
 #: semantics anywhere else, and the local mirror still checks ALL
 #: oracled entries regardless of position.
 _DRIVER_SPOTLIGHT = [
-    # kmeans core (the reference's heart — never driver-sampled)
-    "centroid_assign", "wcss_fixed", "kmeans_one_iter", "kmeans_custom",
-    "kmeans_custom_k5", "elbow_k_exact", "kmeans_embeddings",
-    "doc_clustering", "cluster_shape",
-    # lakehouse capstones (r04/r05)
-    "corpus_refresh_pipeline", "corpus_delete_wave", "mor_delete_wave",
-    "snapshot_point_lookup", "corpus_changes_feed", "upsert_snapshot",
-    "sync_snapshot_mirror", "snapshot_meta_count", "incremental_agg_view",
-    "snapshot_history_audit",
-    "cdc_apply",
-    # dedup / similarity flagships
-    "dedup_exact", "minhash_pairs", "dedup_clusters", "ngram_jaccard",
-    "simhash_pairs", "embedding_neardup", "semantic_dedup", "cosine_topk",
-    "ann_lsh_topk", "pq_topk",
-    # graph spine
-    "part_pagerank", "hits_parts", "triangle_count", "bfs_hops", "k_core",
-    # text / tokenizer / pipelines
-    "bpe_learn", "bm25_topk", "tfidf_top_terms", "lang_id", "text_quality",
-    "token_counts", "sequence_pack", "llm_prep_pipeline",
-    "corpus_curation_pipeline", "training_mix_pipeline",
-    "tokenizer_pipeline", "retrieval_index_pipeline",
-    "entity_resolution", "graph_insights_pipeline",
-    # r05 session-2 capstone (#9) takes the 50th sample slot; rotate the
-    # rest of this session's additions (ann_index_update, doc_embed_topk,
-    # dq_quarantine, snapshot_restore_read, snapshot_clone_divergence)
-    # into the r06 spotlight once this set has its first driver pass
-    "corpus_index_sync",
+    # r06 rotation: 50 oracled entries NEVER driver-checked in r01-r05
+    # (104 distinct are already driver-green; the local parity mirror
+    # covers the rest). Front of the list: this round's new surface.
+    "ann_split_probe", "ann_filtered_search_selective",
+    "incremental_join_view", "hybrid_retrieval",
+    # r05 additions the r05 verdict asked to prioritize
+    "ann_index_update", "ann_filtered_search", "doc_index_pipeline",
+    "doc_embed_topk", "snapshot_restore_read",
+    "snapshot_clone_divergence", "dq_quarantine",
+    # decision-support / relational shapes
+    "large_orders", "supplier_wait", "market_share", "cohort_retention",
+    "pivot_event_dow", "sessionization", "recursive_cte",
+    "catalyst_decorrelation", "null_safe_join", "min_cost_supplier",
+    # windows / statistics
+    "trailing_window_sum", "median_window", "zscore_window",
+    "ewma_value", "regression_stats", "survival_km", "psi_drift",
+    "gini_revenue", "order_acf",
+    # formats / expression surface
+    "json_roundtrip", "orc_roundtrip", "variant_json", "try_funcs",
+    "array_funcs", "hof_funcs", "udtf_bigrams",
+    # dedup / text / LLM-pipeline
+    "dedup_keep_first", "dedup_incremental", "simhash", "line_dedup",
+    "unigram_ppl", "bigram_ppl", "winnowing", "quality_classifier",
+    "inverted_index", "rrf_fusion", "hard_negatives", "dq_checks",
+    "substring_dedup",
 ]
 
 REGISTRY = {

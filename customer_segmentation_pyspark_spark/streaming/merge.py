@@ -217,7 +217,12 @@ def merge_into_snapshot(
     crash_safe_swap(snapshot_dir, tmp)
 
 
-def _merge_frames(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:
+def _merge_frames(
+    base: DataFrame,
+    delta: DataFrame,
+    key: str,
+    update_set_all: bool = False,
+) -> DataFrame:
     """The MERGE join: full-outer on the key, update columns win.
 
     Schema evolution (r04): the merged schema is the UNION of both
@@ -227,8 +232,16 @@ def _merge_frames(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:
     (base value survives an update that doesn't mention it, NULL for
     fresh inserts) — the add-column semantics of Delta/Iceberg
     ``mergeSchema``. Dropping or retyping a column is intentionally NOT
-    expressible here (that's a rewrite, not a merge)."""
+    expressible here (that's a rewrite, not a merge).
+
+    ``update_set_all`` (r06): UPDATE SET * semantics — a key present in
+    the delta takes the delta's value for every column the delta
+    CARRIES, explicit NULLs included (the default per-column coalesce
+    keeps the old value on NULL, which would resurrect attributes an
+    enrichment view has just nulled out). Base-only columns still
+    persist either way — the delta cannot mention them."""
     base, delta = _widen_shared_columns(base, delta)
+    delta_carries = set(delta.columns)
     base_only = [c for c in base.columns if c not in delta.columns]
     delta_only = [c for c in delta.columns if c not in base.columns]
     for c in delta_only:
@@ -240,12 +253,20 @@ def _merge_frames(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:
             c, F.lit(None).cast(base.schema[c].dataType)
         )
     cols = [c for c in base.columns if c != key]
+
+    def _pick(c):
+        if update_set_all and c in delta_carries:
+            return F.when(
+                F.col("__k").isNotNull(), F.col(f"__u_{c}")
+            ).otherwise(F.col(c))
+        return F.coalesce(f"__u_{c}", c)
+
     d = delta.select(
         F.col(key).alias("__k"), *[F.col(c).alias(f"__u_{c}") for c in cols]
     )
     return base.join(d, F.col(key) == F.col("__k"), "full_outer").select(
         F.coalesce(key, "__k").alias(key),
-        *[F.coalesce(f"__u_{c}", c).alias(c) for c in cols],
+        *[_pick(c).alias(c) for c in cols],
     )
 
 
@@ -351,6 +372,8 @@ def merge_into_partitioned_snapshot(
     num_partitions: int = 32,
     delete_when: str | None = None,
     marker_cols: tuple = (),
+    update_set_all: bool = False,
+    collect_stats: bool = True,
 ) -> None:
     """One partition-pruned MERGE step. Same semantics as
     ``merge_into_snapshot`` (update columns win per key, unmatched keys
@@ -445,7 +468,7 @@ def merge_into_partitioned_snapshot(
         else None
     )
     if base is not None:
-        merged = _merge_frames(base, ups, key)
+        merged = _merge_frames(base, ups, key, update_set_all=update_set_all)
     else:
         merged = ups
     if dels is not None:
@@ -492,10 +515,19 @@ def merge_into_partitioned_snapshot(
                 parts[pid] = dest
                 # footer-derived data-skipping stats + row counts for
                 # the fresh dir; untouched partitions keep their
-                # previous entries
-                stats[pid] = versioned.collect_dir_stats(
-                    os.path.join(table_dir, dest)
-                )
+                # previous entries. collect_stats=False skips the
+                # per-column min/max pass (r06) — right for key-only
+                # side tables (the index keymap) whose reads prune by
+                # partition hash, never by value stats; absence only
+                # disables stats pruning, never correctness.
+                if collect_stats:
+                    stats[pid] = versioned.collect_dir_stats(
+                        os.path.join(table_dir, dest)
+                    )
+                else:
+                    # never carry the REPLACED dir's stats — stale
+                    # bounds would over-prune reads
+                    stats.pop(pid, None)
                 rows[pid] = versioned.collect_dir_rowcount(
                     os.path.join(table_dir, dest)
                 )

@@ -195,3 +195,197 @@ def seed_count_sum_view(
     agg.write.mode("overwrite").parquet(tmp)
     _write_marker(tmp, src_version)
     crash_safe_swap(view_dir, tmp)
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (r06, VERDICT #4): the other classic
+# materialized-view shape. The view is a fact-grain LEFT-join enrichment
+# (one row per fact row, dimension attributes denormalized in), stored as
+# a partitioned MERGE table keyed by the FACT key — so the maintenance
+# step is itself an O(touched partitions) merge, not a view rewrite.
+#
+# Delta rule per wave (upsert-key semantics — both feeds are keyed):
+#   * Δfact post-images re-enrich against the CURRENT dim and upsert;
+#     fact deletes tombstone their view row.                O(|Δfact|)
+#   * Δdim waves invalidate every view row whose join value appears in
+#     the dim CDF (pre- OR post-image: a dim-key retarget invalidates
+#     both sides); those rows re-enrich and upsert.  The invalidation
+#     scan is O(view) compute but the WRITE stays O(touched rows'
+#     partitions) — the standard SCD asymmetry: dimension changes are
+#     rare and batchy, fact changes are the high-frequency path.
+# Re-enrichment uses UPDATE SET * merge semantics (update_set_all):
+# a dim row that vanished must NULL the attributes it contributed —
+# per-column coalesce would resurrect them.
+#
+# Exactly-once: per-source version cursors persist in a marker file
+# written AFTER the merge commits; unlike the additive COUNT/SUM view
+# the apply is idempotent (re-enriching the same slice reproduces the
+# same rows; tombstones of absent keys no-op), so a crash between
+# commit and marker converges on retry.
+# ---------------------------------------------------------------------------
+
+JOIN_CURSOR_FILE = "_JOIN_SRC_VERSIONS"
+
+
+def _join_cursors(view_dir: str) -> tuple[int, int] | None:
+    import json
+
+    try:
+        with open(os.path.join(view_dir, JOIN_CURSOR_FILE)) as f:
+            d = json.load(f)
+        return int(d["fact"]), int(d["dim"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return None
+
+
+def _write_join_cursors(view_dir: str, fact_v: int, dim_v: int) -> None:
+    import json
+
+    tmp = os.path.join(view_dir, f".cursor-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump({"fact": int(fact_v), "dim": int(dim_v)}, f)
+    os.replace(tmp, os.path.join(view_dir, JOIN_CURSOR_FILE))
+
+
+def _snapshot_or_empty(spark: SparkSession, table_dir: str, version: int):
+    """A table whose every row was deleted still has a manifest (with
+    schema) but no part dirs — the reader raises there; the view must
+    treat it as an EMPTY state, not a missing table."""
+    from pyspark.sql.types import StructType
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    try:
+        return read_partitioned_snapshot(spark, table_dir, version=version)
+    except FileNotFoundError:
+        man = versioned.read_manifest(table_dir, version)
+        if man is None or "schema" not in man:
+            raise
+        return spark.createDataFrame(
+            [], StructType.fromJson(man["schema"])
+        )
+
+
+def sync_join_view_to_snapshots(
+    spark: SparkSession,
+    fact_dir: str,
+    dim_dir: str,
+    view_dir: str,
+    join_col: str,
+    num_partitions: int = 32,
+) -> tuple[int, int]:
+    """Bring the enrichment view up to both sources' latest versions,
+    folding only their change feeds since the cursored versions
+    (seeding with one full join on first call). The dim table must be
+    keyed BY ``join_col`` (the FK-dim shape); fact and dim payload
+    column names must be disjoint so the view's columns are
+    unambiguous. Returns the (fact, dim) versions the view reflects."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    fa = versioned.latest_version(fact_dir)
+    db = versioned.latest_version(dim_dir)
+    if fa < 1 or db < 1:
+        raise FileNotFoundError("both sources need a committed snapshot")
+    fact_man = versioned.read_manifest(fact_dir)
+    dim_man = versioned.read_manifest(dim_dir)
+    fact_key = fact_man["key"]
+    if dim_man["key"] != join_col:
+        raise ValueError(
+            f"dim table {dim_dir} is keyed by '{dim_man['key']}', not the "
+            f"join column '{join_col}' — the enrichment view needs the "
+            "FK-dim shape"
+        )
+    dim_now = _snapshot_or_empty(spark, dim_dir, db)
+    fact_cols_now = [
+        f.name
+        for f in _snapshot_or_empty(spark, fact_dir, fa).schema.fields
+    ]
+    clash = (set(dim_now.columns) - {join_col}) & set(fact_cols_now)
+    if clash:
+        raise ValueError(
+            f"fact and dim share non-join columns {sorted(clash)}; "
+            "rename one side before building the view"
+        )
+
+    cur = _join_cursors(view_dir) if os.path.isdir(view_dir) else None
+    if cur is None:
+        fact = _snapshot_or_empty(spark, fact_dir, fa)
+        seeded = fact.withColumn("__seq", F.lit(0).cast("long")).join(
+            dim_now, join_col, "left"
+        )
+        merge_into_partitioned_snapshot(
+            spark,
+            view_dir,
+            seeded,
+            key=fact_key,
+            seq="__seq",
+            num_partitions=num_partitions,
+        )
+        _write_join_cursors(view_dir, fa, db)
+        return fa, db
+    va0, vb0 = cur
+    if va0 >= fa and vb0 >= db:
+        return va0, vb0  # already current — the idempotent no-op
+
+    fact_cols = [c for c in fact_cols_now]
+    changed_parts = []
+    if fa > va0:
+        cdf_a = read_snapshot_changes(spark, fact_dir, va0, fa)
+        ups_a = (
+            cdf_a.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            )
+            .select(*fact_cols)
+            .withColumn("__seq", F.lit(2).cast("long"))
+            .withColumn("__op", F.lit("U"))
+        )
+        dels_a = (
+            cdf_a.filter(F.col("_change_type") == "delete")
+            .select(*fact_cols)
+            .withColumn("__seq", F.lit(3).cast("long"))
+            .withColumn("__op", F.lit("D"))
+        )
+        changed_parts += [ups_a, dels_a]
+    if db > vb0:
+        cdf_b = read_snapshot_changes(spark, dim_dir, vb0, db)
+        # join values invalidated by the dim wave — pre AND post images,
+        # so a dim-key retarget re-enriches both old and new dependents
+        jv = cdf_b.select(join_col).distinct()
+        view_now = _snapshot_or_empty(
+            spark, view_dir, versioned.latest_version(view_dir)
+        )
+        re_rows = (
+            view_now.join(jv, join_col, "semi")
+            .select(*fact_cols)
+            .withColumn("__seq", F.lit(1).cast("long"))
+            .withColumn("__op", F.lit("U"))
+        )
+        changed_parts.append(re_rows)
+    if not changed_parts:
+        _write_join_cursors(view_dir, fa, db)
+        return fa, db
+    changed = changed_parts[0]
+    for p in changed_parts[1:]:
+        changed = changed.unionByName(p)
+    # enrich ONCE against the current dim; deletes ride through with
+    # their (soon-dropped) NULL attrs
+    batch = changed.join(dim_now, join_col, "left")
+    merge_into_partitioned_snapshot(
+        spark,
+        view_dir,
+        batch,
+        key=fact_key,
+        seq="__seq",
+        delete_when="__op = 'D'",
+        marker_cols=("__op",),
+        update_set_all=True,
+    )
+    _write_join_cursors(view_dir, fa, db)
+    return fa, db

@@ -85,6 +85,8 @@ def test_coverage_md_query_names_resolve():
         "test_restore_clone", "test_stream_join", "test_vector_index",
         "dq_split", "dq_enforce_or_fail", "test_analytics",
         "streaming_ivf_upsert", "rebuild_ivf_keymap", "lang",
+        "split_ivf_cells", "subcells", "update_set_all",
+        "test_index_random_walk", "test_views",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []

@@ -695,3 +695,61 @@ def test_ivf_index_probe_and_update_locality_at_scale(spark, tmp_path):
         f"\nivf-scale: build {build_sec:.1f}s, update {update_sec:.1f}s, "
         f"rewrote {len(rewritten)}, carried {len(carried)}/{len(man2['parts'])}"
     )
+
+
+def test_split_bounds_skewed_ingest_at_scale(spark, tmp_path):
+    """r06 (VERDICT #2 done-criteria): a skewed ingest routes ~80% of
+    500k vectors into one cell; split maintenance must end with bounded
+    max-cell rows, byte-identical untouched dirs, and an unchanged
+    probe result."""
+    import numpy as np
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+        split_ivf_cells,
+    )
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    dim, n = 8, 500_000
+    rng = np.random.RandomState(3)
+    centers = (rng.normal(size=(4, dim)) * 10).tolist()
+    # 80% of vectors tightly around center 0, the rest spread over 1-3
+    hot = F.col("id") % 5 < 4
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(hot, F.element_at(F.array(*[F.lit(float(x)) for x in centers[0]]), i.cast("int") + 1) + (F.pmod(F.xxhash64(F.col("id"), i), 100).cast("double") - 50.0) / 500.0)
+            .otherwise(F.element_at(F.array(*[F.lit(float(x)) for x in centers[1]]), i.cast("int") + 1) + (F.pmod(F.xxhash64(F.col("id"), i), 100).cast("double") - 50.0) / 500.0),
+        ).alias("embedding"),
+    )
+    idx = str(tmp_path / "idx")
+    t0 = time.time()
+    build_ivf_index(spark, idx, base, centers, keymap_partitions=32)
+    man0 = versioned.read_manifest(idx)
+    hot_cell = max(man0["rows"], key=lambda c: man0["rows"][c])
+    assert man0["rows"][hot_cell] >= int(n * 0.75)
+    q = spark.createDataFrame(
+        [(999_999_999, centers[0])],
+        "vec_id long, embedding array<double>",
+    )
+    before = sorted(
+        map(tuple, query_ivf_index(spark, idx, q, n_probe=1, k=10).collect())
+    )
+    split_ivf_cells(spark, idx, cell_ids=[hot_cell], sub_k=8, seed=5)
+    man1 = versioned.read_manifest(idx)
+    # bounded: no resulting dir holds more than half the hot cell
+    subs = man1["subcells"][hot_cell]["ids"]
+    assert len(subs) >= 2
+    assert max(man1["rows"].get(str(i), 0) for i in subs) <= int(
+        man0["rows"][hot_cell] * 0.75
+    ), "split must actually divide the hot cell"
+    # untouched dirs carried byte-identical (same dir names in manifest)
+    for c in set(man0["parts"]) - {hot_cell}:
+        assert man1["parts"][c] == man0["parts"][c]
+    after = sorted(
+        map(tuple, query_ivf_index(spark, idx, q, n_probe=1, k=10).collect())
+    )
+    assert after == before, "split must not change probe results"
+    print(f"skewed split smoke: {time.time() - t0:.1f}s")

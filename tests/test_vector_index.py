@@ -806,3 +806,86 @@ def test_filtered_search_escalates_to_k(spark, tmp_path):
     # unfiltered probe with n_probe=1 is untouched: only cluster-0 rows
     plain = query_ivf_index(spark, idx, q, n_probe=1, k=5)
     assert all(r["neighbor_id"] % 4 == 0 for r in plain.collect())
+
+
+def test_index_random_walk(spark, tmp_path):
+    """Seeded fuzz over the index op set (VERDICT r05 #1's fuzz ask):
+    interleave CDC waves, hot-cell splits, re-splits, and keymap
+    rebuilds in random order, checking the indexed corpus against a
+    plain dict model after every step and probe-equality vs a fresh
+    build at the end."""
+    import random
+
+    import numpy as np
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        rebuild_ivf_keymap,
+        split_ivf_cells,
+    )
+
+    rng = random.Random(7)
+    nprng = np.random.RandomState(7)
+    idx = str(tmp_path / "idx")
+    keys = list(range(100))
+    model = {
+        k: [float(nprng.randint(-5, 5)) for _ in range(8)] for k in keys
+    }
+    cells = nprng.normal(size=(4, 8)).tolist()
+    corpus = spark.createDataFrame(
+        [(k, v) for k, v in model.items()],
+        "vec_id long, embedding array<double>",
+    )
+    build_ivf_index(spark, idx, corpus, cells)
+    seq = 0
+    for step in range(10):
+        seq += 1
+        roll = rng.random()
+        if roll < 0.55:  # CDC wave: moves, deletes, inserts
+            rows = []
+            seen = set()
+            for _ in range(rng.randint(1, 8)):
+                k = rng.randrange(140)
+                if k in seen:
+                    continue
+                seen.add(k)
+                if rng.random() < 0.3:
+                    rows.append((k, None, seq, "D"))
+                    model.pop(k, None)
+                else:
+                    v = [float(rng.randint(-5, 5)) for _ in range(8)]
+                    rows.append((k, v, seq, "U"))
+                    model[k] = v
+            if rows:
+                update_ivf_index(
+                    spark,
+                    idx,
+                    spark.createDataFrame(
+                        rows,
+                        "vec_id long, embedding array<double>, "
+                        "seq long, op string",
+                    ),
+                )
+        elif roll < 0.85:  # split (or re-split) a random live cell
+            man = versioned.read_manifest(idx)
+            if man["rows"]:
+                target = rng.choice(sorted(man["rows"]))
+                split_ivf_cells(
+                    spark, idx, cell_ids=[target], sub_k=2,
+                    seed=rng.randrange(100),
+                )
+        else:
+            rebuild_ivf_keymap(spark, idx)
+        got = {
+            r["vec_id"]: list(r["embedding"])
+            for r in read_ivf_index(spark, idx).collect()
+        }
+        assert got == model, f"step {step}: index diverged from model"
+        assert versioned.snapshot_row_count(idx) == len(model)
+    # probe equality vs a fresh build over the final state
+    final = read_ivf_index(spark, idx)
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(spark, rebuilt, final, cells)
+    q = final.filter(F.col("vec_id") < 5)
+    assert _rows(query_ivf_index(spark, idx, q, n_probe=2, k=5)) == _rows(
+        query_ivf_index(spark, rebuilt, q, n_probe=2, k=5)
+    )

@@ -203,3 +203,152 @@ def test_null_group_merges_not_duplicated(spark, tmp_path):
     assert len(rows) == 2
     assert rows[None] == (2, 17)  # one merged NULL-group row
     assert rows["a"] == (2, 6)
+
+
+def test_join_view_fuzzed_interleaving(spark, tmp_path):
+    """r06 (VERDICT #4): after a seeded random interleaving of fact
+    waves, dim waves, and syncs, the incrementally maintained join view
+    equals the full-recompute join of the two final states — including
+    NULLed attributes from dim deletes and re-targeted join keys."""
+    import random
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_join_view_to_snapshots,
+    )
+
+    rng = random.Random(42)
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+
+    def fact_wave(seq, rows):
+        return spark.createDataFrame(
+            rows, "fk long, jk long, amt double, seq long, op string"
+        )
+
+    def dim_wave(seq, rows):
+        return spark.createDataFrame(
+            rows, "jk long, attr string, dseq long, dop string"
+        )
+
+    # seeds
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        fact_wave(0, [(f, f % 7, float(f), 0, "U") for f in range(40)]),
+        key="fk", seq="seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        dim_wave(0, [(j, f"a{j}", 0, "U") for j in range(7)]),
+        key="jk", seq="dseq", num_partitions=4,
+        delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=4)
+
+    seq = 0
+    for step in range(12):
+        seq += 1
+        roll = rng.random()
+        if roll < 0.45:  # fact wave: updates, join-key retargets, dels
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                f = rng.randrange(50)
+                op = "D" if rng.random() < 0.25 else "U"
+                rows.append(
+                    (f, rng.randrange(9), float(rng.randint(0, 99)),
+                     seq, op)
+                )
+            merge_into_partitioned_snapshot(
+                spark, fact_dir, fact_wave(seq, rows), key="fk",
+                seq="seq", delete_when="op = 'D'", marker_cols=("op",),
+            )
+        elif roll < 0.8:  # dim wave: attr changes, dim deletes/inserts
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                j = rng.randrange(9)
+                op = "D" if rng.random() < 0.3 else "U"
+                rows.append((j, f"a{j}s{seq}", seq, op))
+            merge_into_partitioned_snapshot(
+                spark, dim_dir, dim_wave(seq, rows), key="jk",
+                seq="dseq", delete_when="dop = 'D'",
+                marker_cols=("dop",),
+            )
+        else:
+            sync_join_view_to_snapshots(
+                spark, fact_dir, dim_dir, view_dir, "jk",
+                num_partitions=4,
+            )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=4)
+
+    got = {
+        (r["fk"], r["jk"], r["amt"], r["attr"])
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .select("fk", "jk", "amt", "attr")
+        .collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    want = {
+        (r["fk"], r["jk"], r["amt"], r["attr"])
+        for r in fact.join(dim.select("jk", "attr"), "jk", "left")
+        .select("fk", "jk", "amt", "attr")
+        .collect()
+    }
+    assert got == want
+
+
+def test_join_view_update_set_all_nulls_deleted_dim(spark, tmp_path):
+    """A dim delete must NULL the attributes it contributed — the
+    per-column coalesce would silently resurrect them (the reason the
+    view merges with UPDATE SET * semantics)."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_join_view_to_snapshots,
+    )
+
+    fact_dir, dim_dir, view_dir = (
+        str(tmp_path / d) for d in ("f", "d", "v")
+    )
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(1, 10, 5.0, 0, "U")],
+            "fk long, jk long, amt double, seq long, op string",
+        ),
+        key="fk", seq="seq", num_partitions=2,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(10, "gold", 0, "U")],
+            "jk long, attr string, dseq long, dop string",
+        ),
+        key="jk", seq="dseq", num_partitions=2,
+        delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=2)
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(10, None, 1, "D")],
+            "jk long, attr string, dseq long, dop string",
+        ),
+        key="jk", seq="dseq", delete_when="dop = 'D'",
+        marker_cols=("dop",),
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=2)
+    row = read_partitioned_snapshot(spark, view_dir).collect()[0]
+    assert row["fk"] == 1 and row["attr"] is None

@@ -52,6 +52,10 @@ NAMES = [
     # plan properties live in tests/test_vector_index.py + SCALE.md
     "dq_quarantine", "doc_embed_topk", "ann_index_update",
     "ann_filtered_search", "doc_index_pipeline",
+    # r06: split-exact probe, escalating filtered search, join view,
+    # hybrid retrieval
+    "ann_split_probe", "ann_filtered_search_selective",
+    "incremental_join_view", "hybrid_retrieval",
 ]
 
 
