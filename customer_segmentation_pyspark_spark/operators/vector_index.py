@@ -1027,6 +1027,12 @@ def query_ivf_index(
         if i == len(levels) - 1:
             solved.append(scored)  # full depth: take what there is
             break
+        # materialize the level's (post-filter, so small) candidates
+        # ONCE: the starvation count, the carry into the result, and
+        # the final top-k all reuse it instead of re-reading the probed
+        # dirs per job (r06 bench: the re-read doubled the filtered
+        # path's cost)
+        scored = scored.localCheckpoint(eager=True)
         sat = (
             scored.groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("__n"))
