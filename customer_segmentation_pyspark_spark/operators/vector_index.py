@@ -849,6 +849,7 @@ def query_ivf_index(
     vec_col: str = "embedding",
     version: int | None = None,
     where=None,
+    sub_probe: int | None = None,
 ) -> DataFrame:
     """Probe the index: rank each query's n_probe nearest cells from the
     manifest's centers, open ONLY the probed cell dirs, exact-rescore
@@ -874,7 +875,13 @@ def query_ivf_index(
     SPLIT cells (see :func:`split_ivf_cells`): probe ranking is over
     the top-level centers; a probed split cell opens its sub dirs and
     candidates join on their LIVE cell id — the candidate set equals
-    the unsplit index's exactly."""
+    the unsplit index's exactly. ``sub_probe`` (r06) is the SCALE path
+    the split buys on the read side: within each probed split cell,
+    open only the ``sub_probe`` sub-cells nearest THIS query (ranked
+    per query from the fixed sub-centers, first-min ties) instead of
+    all of them — probe IO drops from O(hot cell) to O(sub_probe
+    sub-cells) at a recall tradeoff, the standard two-level-IVF deal.
+    Default None keeps the exact (oracle-gated) semantics."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     man = versioned.read_manifest(index_dir, version)
@@ -914,16 +921,51 @@ def query_ivf_index(
             ),
         )
         if subcells:
-            # expand each probed split TOP cell to its live sub ids
+            # expand each probed split TOP cell to its live sub ids —
+            # all of them (exact), or the sub_probe nearest THIS query
             expand = F.array(F.col("cell").cast("long"))
             for tc, info in sorted(
                 subcells.items(), key=lambda kv: int(kv[0])
             ):
+                ids = [int(i) for i in info["ids"]]
+                if sub_probe is None or sub_probe >= len(ids):
+                    sub = F.array(
+                        *[F.lit(i).cast("long") for i in ids]
+                    )
+                else:
+                    sub = F.transform(
+                        F.slice(
+                            F.array_sort(
+                                F.zip_with(
+                                    F.array(
+                                        *[
+                                            sq_dist(
+                                                F.col("qv"),
+                                                array_lit(
+                                                    list(map(float, c))
+                                                ),
+                                            )
+                                            for c in info["centers"]
+                                        ]
+                                    ),
+                                    F.array(
+                                        *[
+                                            F.lit(i).cast("long")
+                                            for i in ids
+                                        ]
+                                    ),
+                                    lambda d, i: F.struct(
+                                        d.alias("d"), i.alias("id")
+                                    ),
+                                )
+                            ),
+                            1,
+                            sub_probe,
+                        ),
+                        lambda s: s["id"],
+                    )
                 expand = F.when(
-                    F.col("cell") == F.lit(int(tc)),
-                    F.array(
-                        *[F.lit(int(i)).cast("long") for i in info["ids"]]
-                    ),
+                    F.col("cell") == F.lit(int(tc)), sub
                 ).otherwise(expand)
             p = p.withColumn("cell", F.explode(expand))
         return p

@@ -61,12 +61,15 @@ KEYS = list(range(1, 61))
 
 
 class Model:
-    """Per-key dict of column dicts with the merge's coalesce rule."""
+    """Per-key dict of column dicts with the merge's coalesce rule —
+    or, for ``replace=True`` waves (UPDATE SET * semantics, r06), row
+    replacement of every column the wave carries, explicit NULLs
+    included."""
 
     def __init__(self):
         self.rows: dict[int, dict] = {}
 
-    def apply(self, wave):
+    def apply(self, wave, replace=False):
         latest: dict[int, tuple] = {}
         for row in wave:
             k, seq = row["k"], row["seq"]
@@ -81,7 +84,9 @@ class Model:
             for c, v in row.items():
                 if c in ("op", "seq") or c == "k":
                     continue
-                if v is not None or c not in cur:
+                if replace:
+                    nxt[c] = v
+                elif v is not None or c not in cur:
                     nxt[c] = v if v is not None else cur.get(c)
             nxt.setdefault("extra", None)
             self.rows[k] = nxt
@@ -162,11 +167,15 @@ def _run_walk(spark, tmp_path, seed, n_ops, weights=DEFAULT_WEIGHTS):
         roll = rng.random()
         if roll < w_cow:
             wave = _random_wave(rng, seq, evolved)
+            # ~30% of CoW merges use UPDATE SET * semantics (r06):
+            # carried columns replace outright, NULLs included
+            rep = rng.random() < 0.3
             merge_into_partitioned_snapshot(
                 spark, table, _wave_df(spark, wave, evolved), "k", "seq",
                 delete_when="op = 'D'", marker_cols=("op",),
+                update_set_all=rep,
             )
-            model.apply(wave)
+            model.apply(wave, replace=rep)
         elif roll < w_mor:
             wave = _random_wave(rng, seq, evolved)
             merge_mor_into_partitioned_snapshot(

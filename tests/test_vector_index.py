@@ -889,3 +889,46 @@ def test_index_random_walk(spark, tmp_path):
     assert _rows(query_ivf_index(spark, idx, q, n_probe=2, k=5)) == _rows(
         query_ivf_index(spark, rebuilt, q, n_probe=2, k=5)
     )
+
+
+def test_sub_probe_narrows_io_with_full_recall_on_clustered_data(
+    spark, tmp_path
+):
+    """r06 scale path: sub_probe opens only the nearest sub-cells of a
+    probed split cell — fewer files read, and on tightly clustered
+    data the nearest sub-cell holds every true neighbor (recall 1.0
+    here by construction)."""
+    import numpy as np
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        split_ivf_cells,
+    )
+
+    rng = np.random.RandomState(9)
+    top = (rng.normal(size=(2, 8)) * 20).tolist()
+    # two tight sub-clusters INSIDE top cell 0, far apart from each
+    # other relative to their spread
+    sub_a = np.array(top[0]) + 3.0
+    sub_b = np.array(top[0]) - 3.0
+    rows = []
+    for i in range(200):
+        base = sub_a if i % 2 == 0 else sub_b
+        rows.append(
+            (i, (base + rng.normal(size=8) * 0.01).tolist())
+        )
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, corpus, top)
+    split_ivf_cells(
+        spark, idx, cell_ids=["0"],
+        sub_centers={"0": [sub_a.tolist(), sub_b.tolist()]},
+    )
+    q = corpus.filter(F.col("vec_id") == 0)  # lives in sub_a
+    exact = query_ivf_index(spark, idx, q, n_probe=1, k=5)
+    narrow = query_ivf_index(spark, idx, q, n_probe=1, k=5, sub_probe=1)
+    assert _rows(narrow) == _rows(exact)  # full recall here
+    assert len(set(narrow.inputFiles())) < len(set(exact.inputFiles()))
+    # the narrowed probe returns only even ids (the sub_a cluster)
+    assert all(r["neighbor_id"] % 2 == 0 for r in narrow.collect())
