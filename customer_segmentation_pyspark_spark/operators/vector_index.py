@@ -839,6 +839,35 @@ def read_ivf_index(
     return spark.read.parquet(*dirs).select(man["key"], man["vec"])
 
 
+def _pruned_probe_dirs(
+    index_dir: str, man: dict, probe_ids: set, where
+) -> list[str]:
+    """The stats-level dir-pruning decision, separated for testability
+    (the escalation path's localCheckpoint hides file scans from
+    ``inputFiles()``, so tests assert on THIS): of the probed live
+    cells, keep only dirs whose manifest footer stats cannot refute
+    every ``where`` predicate."""
+    stats = man.get("stats", {})
+    if where:
+        from customer_segmentation_pyspark_spark.streaming.merge import (
+            _dir_may_match,
+        )
+
+        probe_ids = {
+            c
+            for c in probe_ids
+            if all(
+                _dir_may_match(stats.get(c, {}), col, op_, val)
+                for col, op_, val in where
+            )
+        }
+    return [
+        os.path.join(index_dir, d)
+        for c, d in man["parts"].items()
+        if c in probe_ids
+    ]
+
+
 def query_ivf_index(
     spark: SparkSession,
     index_dir: str,
@@ -891,7 +920,6 @@ def query_ivf_index(
     key, vec = man["key"], man["vec"]
     n_probe = min(n_probe, len(cells))
     subcells = man.get("subcells", {})
-    stats = man.get("stats", {})
     empty = (
         "query_id long, neighbor_id long, cos_sim double, rank int"
     )
@@ -982,24 +1010,7 @@ def query_ivf_index(
             str(r["cell"])
             for r in probes.select("cell").distinct().collect()
         }
-        if where:
-            from customer_segmentation_pyspark_spark.streaming.merge import (
-                _dir_may_match,
-            )
-
-            probe_ids = {
-                c
-                for c in probe_ids
-                if all(
-                    _dir_may_match(stats.get(c, {}), col, op_, val)
-                    for col, op_, val in where
-                )
-            }
-        dirs = [
-            os.path.join(index_dir, d)
-            for c, d in man["parts"].items()
-            if c in probe_ids
-        ]
+        dirs = _pruned_probe_dirs(index_dir, man, probe_ids, where)
         if not dirs:
             return None
         cand = spark.read.option("mergeSchema", "true").parquet(*dirs)
