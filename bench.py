@@ -178,6 +178,9 @@ HEADLINE = [
     "ann_filtered_search_selective",
     "incremental_join_view",
     "hybrid_retrieval",
+    # r06 capstone #12: corpus MERGE -> CDF -> index sync -> hybrid
+    # retrieval over the maintained state (the full RAG loop)
+    "rag_pipeline",
 ]
 
 

@@ -8939,6 +8939,231 @@ FROM u GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 10"""
 
 
+def q_rag_pipeline(spark, sf_dir):
+    """r06 capstone #12 — the FULL RAG data-maintenance loop under one
+    hash gate: documents live in a lakehouse MERGE table that carries
+    their feature-hash embeddings (computed at ingest — the
+    encoder-at-merge-time position); two waves hit it (text edits
+    re-embed %5, deletes %7, inserts %9); the IVF index is seeded and
+    then kept fresh PURELY from the table's change feed
+    (`sync_ivf_index_to_snapshot`); retrieval is hybrid — BM25 over
+    the CURRENT corpus snapshot + a probe of the MAINTAINED index —
+    fused by RRF. The oracle replays the text change log, re-derives
+    the embeddings with the featurizer's SQL mirror, and runs both
+    legs + the fusion over the replayed state: a stale index cell, a
+    resurrected delete, an un-re-embedded edit, or a drifted BM25 df
+    changes the final top-10. Zero-norm docs are excluded at ingest
+    (both legs, both engines)."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.functions.arrays import dot
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        query_ivf_index,
+        sync_ivf_index_to_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = _scratch_path("rag/corpus")
+    idx = _scratch_path("rag/idx")
+    shutil.rmtree(corpus, ignore_errors=True)
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def _embed(df):
+        """(doc_id, text) -> + embedding, zero-norm rows dropped."""
+        emb = textops.feature_hash_embedding(df, dim=64)
+        return df.join(emb, "doc_id").filter(
+            dot(F.col("embedding"), F.col("embedding")) > 0
+        )
+
+    kw = dict(
+        key="doc_id", seq="seq", delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, corpus,
+        _embed(d).select(
+            "doc_id", "text", "embedding",
+            F.lit(0).cast("long").alias("seq"), F.lit("U").alias("op"),
+        ),
+        num_partitions=8, **kw,
+    )
+    cells = _ivf_fixed_cells()
+    sync_ivf_index_to_snapshot(
+        spark, corpus, idx, cells, vec_col="embedding",
+        keymap_partitions=8,
+    )
+    edited = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    # an edit that zeroes the embedding DELETES the doc (a doc that
+    # loses all content leaves the corpus — keeps Spark and the
+    # replayed oracle, which drops zero-norm rows, exactly aligned)
+    edits = (
+        edited.join(textops.feature_hash_embedding(edited, dim=64), "doc_id")
+        .select(
+            "doc_id", "text", "embedding",
+            F.lit(1).cast("long").alias("seq"),
+            F.when(
+                dot(F.col("embedding"), F.col("embedding")) > 0, "U"
+            ).otherwise("D").alias("op"),
+        )
+    )
+    dels = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("array<double>").alias("embedding"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = _embed(
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" copy")).alias("text"),
+        )
+    ).select(
+        "doc_id", "text", "embedding",
+        F.lit(1).cast("long").alias("seq"), F.lit("U").alias("op"),
+    )
+    merge_into_partitioned_snapshot(
+        spark, corpus, edits.unionByName(dels).unionByName(ins), **kw
+    )
+    sync_ivf_index_to_snapshot(spark, corpus, idx, cells,
+                               vec_col="embedding")
+
+    snap = read_partitioned_snapshot(spark, corpus)
+    from pyspark.sql import Window
+
+    lex = textops.bm25_topk(snap, BM25_QUERY_TERMS, k=20)
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    qvec = _feature_hash_qvec(" ".join(BM25_QUERY_TERMS))
+    qdf = spark.createDataFrame(
+        [(-1, qvec)], "doc_id long, embedding array<double>"
+    )
+    dense_r = query_ivf_index(
+        spark, idx, qdf, n_probe=3, k=20, id_col="doc_id"
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return similarity.rrf_fuse([lex_r, dense_r], k_const=60, k=10)
+
+
+def _sql_rag_pipeline() -> str:
+    """Capstone #12's oracle: replay the text change log latest-wins,
+    re-derive the feature-hash embeddings in SQL (zero-norm excluded),
+    then run the SAME hybrid retrieval as `_sql_hybrid_retrieval` over
+    the replayed state."""
+    cells = _ivf_fixed_cells()
+    qvec = _feature_hash_qvec(" ".join(BM25_QUERY_TERMS))
+    dists = [
+        sum((a - b) * (a - b) for a, b in zip(qvec, c)) for c in cells
+    ]
+    probe = sorted(range(len(cells)), key=lambda j: (dists[j], j))[:3]
+    dcols = []
+    for j, cent in enumerate(cells):
+        terms = " + ".join(
+            f"(v[{dd + 1}] - ({x!r})) * (v[{dd + 1}] - ({x!r}))"
+            for dd, x in enumerate(cent)
+        )
+        dcols.append(f"({terms}) AS d{j}")
+    n = len(cells)
+    whens = []
+    for i in range(n - 1):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, n))
+        whens.append(f"WHEN {conds} THEN {i}")
+    argmin = "CASE " + " ".join(whens) + f" ELSE {n - 1} END"
+    qv = ", ".join(repr(x) for x in qvec)
+    return f"""
+WITH rd AS MATERIALIZED (
+  SELECT doc_id, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+           AS rn
+    FROM (
+      SELECT doc_id, text, 0 AS seq, 'U' AS op FROM documents
+      UNION ALL
+      SELECT doc_id, text || ' updated', 1, 'U'
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, NULL, 2, 'D' FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text || ' copy', 1, 'U'
+      FROM documents WHERE doc_id % 9 = 0
+    )
+  ) WHERE rn = 1 AND op <> 'D'),
+emb AS MATERIALIZED (
+  SELECT vec_id, v FROM (
+    SELECT doc_id AS vec_id,
+           list_transform(range(0, 64), i -> CAST(coalesce(
+             list_sum(list_transform(ps,
+               p -> CASE WHEN p.b = i THEN p.s ELSE 0.0 END)), 0.0)
+             AS DOUBLE)) AS v
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> ''),
+               t -> struct_pack(
+                 b := CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                      % 64,
+                 s := CASE WHEN CAST(('0x' || substring(md5(t), 9, 1))
+                                AS BIGINT) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END)) AS ps
+      FROM rd)
+  ) WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+corpus AS MATERIALIZED (SELECT rd.doc_id, rd.text FROM rd
+           JOIN emb ON rd.doc_id = emb.vec_id),
+terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM corpus),
+t2 AS (SELECT * FROM terms WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+part AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+lex AS (
+  SELECT doc_id, round(sum(part), 6) AS bm25
+  FROM part GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 20),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM lex),
+dd AS (SELECT vec_id, v, {", ".join(dcols)} FROM emb),
+a AS (SELECT vec_id, v, {argmin} AS cell FROM dd),
+dense AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(v, [{qv}]), 4) AS cos
+  FROM a WHERE cell IN ({", ".join(map(str, probe))})
+  ORDER BY cos DESC, doc_id LIMIT 20),
+denser AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+  FROM dense),
+u AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM lexr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM denser)
+SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
+
 def _sql_rrf_fusion() -> str:
     qv = ", ".join(repr(x) for x in _rrf_query_vec())
     return f"""
@@ -9283,6 +9508,9 @@ ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "rrf_fusion": _sql_rrf_fusion(),
     # r06 capstone #11: BM25 + IVF-probed feature-hash dense leg + RRF
     "hybrid_retrieval": _sql_hybrid_retrieval(),
+    # r06 capstone #12: corpus MERGE -> CDF -> incremental index sync ->
+    # hybrid retrieval over the maintained state, one replayed oracle
+    "rag_pipeline": _sql_rag_pipeline(),
     "pq_topk": _sql_pq_topk(),
     "entity_resolution": """
 WITH RECURSIVE names AS (
@@ -12867,6 +13095,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "hybrid_retrieval": QuerySpec(
         q_hybrid_retrieval, ORACLES["hybrid_retrieval"]
     ),
+    "rag_pipeline": QuerySpec(q_rag_pipeline, ORACLES["rag_pipeline"]),
     "hard_negatives": QuerySpec(
         q_hard_negatives, ORACLES["hard_negatives"]
     ),
@@ -12952,7 +13181,7 @@ _DRIVER_SPOTLIGHT = [
     # (104 distinct are already driver-green; the local parity mirror
     # covers the rest). Front of the list: this round's new surface.
     "ann_split_probe", "ann_filtered_search_selective",
-    "incremental_join_view", "hybrid_retrieval",
+    "incremental_join_view", "hybrid_retrieval", "rag_pipeline",
     # r05 additions the r05 verdict asked to prioritize
     "ann_index_update", "ann_filtered_search", "doc_index_pipeline",
     "doc_embed_topk", "snapshot_restore_read",
@@ -12972,7 +13201,6 @@ _DRIVER_SPOTLIGHT = [
     "dedup_keep_first", "dedup_incremental", "simhash", "line_dedup",
     "unigram_ppl", "bigram_ppl", "winnowing", "quality_classifier",
     "inverted_index", "rrf_fusion", "hard_negatives", "dq_checks",
-    "substring_dedup",
 ]
 
 REGISTRY = {
