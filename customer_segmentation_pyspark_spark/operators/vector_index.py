@@ -615,6 +615,42 @@ def rebuild_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
     _merge_keymap(spark, index_dir, exact, key)
 
 
+def vacuum_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
+    """Keymap GC (r06): `rebuild_ivf_keymap` shrinks LIVE keys' superset
+    sets but keys DELETED from the index keep a stale row forever (a
+    superset is always safe, but a churn-heavy index accretes them).
+    This rebuilds the keymap table FROM SCRATCH with only live keys —
+    drop the table, then the ordinary rebuild recreates it exactly
+    (preserving the partition sizing recorded in its own manifest).
+
+    Quiescent-window op like `repartition_snapshot`: a crash (or a
+    concurrent update) between the drop and the rebuild sees a MISSING
+    keymap, which every update already self-heals by rebuilding before
+    it proceeds (the shallow-clone path) — convergent, never a ghost."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    km = _keymap_dir(index_dir)
+    km_man = versioned.read_manifest(km) if os.path.isdir(km) else None
+    parts = (
+        int(km_man["num_partitions"]) if km_man else KEYMAP_PARTITIONS
+    )
+    shutil.rmtree(km, ignore_errors=True)
+    man = versioned.read_manifest(index_dir)
+    if man is None or not man.get("parts"):
+        return  # empty index: nothing live, keymap stays absent
+    key, vec = man["key"], man["vec"]
+    exact = spark.read.parquet(
+        *[os.path.join(index_dir, d) for d in man["parts"].values()]
+    ).select(
+        F.col(key),
+        F.array(_assign_expr(man, F.col(vec)).cast("long")).alias("cells"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    _merge_keymap(spark, index_dir, exact, key, num_partitions=parts)
+
+
 def split_ivf_cells(
     spark: SparkSession,
     index_dir: str,

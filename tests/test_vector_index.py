@@ -1002,3 +1002,36 @@ def test_unfiltered_probe_plan_has_no_escalation_artifacts(
         spark, idx, q, n_probe=3, k=5, where=[("vec_id", "<", 100000)]
     )
     assert got.count() > 0
+
+
+def test_vacuum_keymap_drops_deleted_keys(spark, tmp_path):
+    """r06 keymap GC: after churn, vacuum leaves exactly one keymap row
+    per LIVE key (stale deleted-key rows gone), preserves the keymap's
+    partition sizing, and later updates still route correctly."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        _keymap_dir,
+        vacuum_ivf_keymap,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS, keymap_partitions=8)
+    update_ivf_index(spark, idx, _wave(e))  # deletes %7, moves, inserts
+    live = read_ivf_index(spark, idx)
+    n_live = live.count()
+    km = read_partitioned_snapshot(spark, _keymap_dir(idx))
+    assert km.count() > n_live  # stale rows for the deleted keys
+    vacuum_ivf_keymap(spark, idx)
+    km2 = read_partitioned_snapshot(spark, _keymap_dir(idx))
+    assert km2.count() == n_live
+    assert versioned.read_manifest(_keymap_dir(idx))["num_partitions"] == 8
+    # a later update still finds keys and leaves no ghosts
+    update_ivf_index(
+        spark, idx, _one_up(spark, int(live.first()["vec_id"]),
+                            list(CELLS[2]))
+    )
+    final = read_ivf_index(spark, idx)
+    assert final.count() == final.select("vec_id").distinct().count()
