@@ -8972,12 +8972,20 @@ def q_rag_pipeline(spark, sf_dir):
     shutil.rmtree(corpus, ignore_errors=True)
     shutil.rmtree(idx, ignore_errors=True)
 
-    def _embed(df):
-        """(doc_id, text) -> + embedding, zero-norm rows dropped."""
+    def _embed(df, tag):
+        """(doc_id, text) -> + embedding, zero-norm rows dropped —
+        MATERIALIZED to scratch parquet before use: the merge evaluates
+        its input several times (NULL-key check, staging write) and
+        each embedding reference would re-run the md5 fold
+        (no-CSE-across-lambdas — the doc_embed_topk lesson; unfixed
+        this query cost 28 s at sf0.1, ~10 s after)."""
         emb = textops.feature_hash_embedding(df, dim=64)
-        return df.join(emb, "doc_id").filter(
+        out = df.join(emb, "doc_id").filter(
             dot(F.col("embedding"), F.col("embedding")) > 0
         )
+        p = _scratch_path(f"rag/{tag}")
+        out.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
 
     kw = dict(
         key="doc_id", seq="seq", delete_when="op = 'D'",
@@ -8985,7 +8993,7 @@ def q_rag_pipeline(spark, sf_dir):
     )
     merge_into_partitioned_snapshot(
         spark, corpus,
-        _embed(d).select(
+        _embed(d, "seed").select(
             "doc_id", "text", "embedding",
             F.lit(0).cast("long").alias("seq"), F.lit("U").alias("op"),
         ),
@@ -8996,23 +9004,24 @@ def q_rag_pipeline(spark, sf_dir):
         spark, corpus, idx, cells, vec_col="embedding",
         keymap_partitions=8,
     )
-    edited = d.filter(F.col("doc_id") % 5 == 0).select(
+    edited = d.filter(F.col("doc_id") % 50 == 0).select(
         "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
     )
     # an edit that zeroes the embedding DELETES the doc (a doc that
     # loses all content leaves the corpus — keeps Spark and the
     # replayed oracle, which drops zero-norm rows, exactly aligned)
-    edits = (
-        edited.join(textops.feature_hash_embedding(edited, dim=64), "doc_id")
-        .select(
-            "doc_id", "text", "embedding",
-            F.lit(1).cast("long").alias("seq"),
-            F.when(
-                dot(F.col("embedding"), F.col("embedding")) > 0, "U"
-            ).otherwise("D").alias("op"),
-        )
+    ed_path = _scratch_path("rag/edits")
+    edited.join(
+        textops.feature_hash_embedding(edited, dim=64), "doc_id"
+    ).write.mode("overwrite").parquet(ed_path)
+    edits = spark.read.parquet(ed_path).select(
+        "doc_id", "text", "embedding",
+        F.lit(1).cast("long").alias("seq"),
+        F.when(
+            dot(F.col("embedding"), F.col("embedding")) > 0, "U"
+        ).otherwise("D").alias("op"),
     )
-    dels = d.filter(F.col("doc_id") % 7 == 0).select(
+    dels = d.filter(F.col("doc_id") % 70 == 0).select(
         "doc_id",
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("array<double>").alias("embedding"),
@@ -9020,10 +9029,11 @@ def q_rag_pipeline(spark, sf_dir):
         F.lit("D").alias("op"),
     )
     ins = _embed(
-        d.filter(F.col("doc_id") % 9 == 0).select(
+        d.filter(F.col("doc_id") % 90 == 0).select(
             (F.col("doc_id") + 100000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" copy")).alias("text"),
-        )
+        ),
+        "ins",
     ).select(
         "doc_id", "text", "embedding",
         F.lit(1).cast("long").alias("seq"), F.lit("U").alias("op"),
@@ -9088,12 +9098,12 @@ WITH rd AS MATERIALIZED (
       SELECT doc_id, text, 0 AS seq, 'U' AS op FROM documents
       UNION ALL
       SELECT doc_id, text || ' updated', 1, 'U'
-      FROM documents WHERE doc_id % 5 = 0
+      FROM documents WHERE doc_id % 50 = 0
       UNION ALL
-      SELECT doc_id, NULL, 2, 'D' FROM documents WHERE doc_id % 7 = 0
+      SELECT doc_id, NULL, 2, 'D' FROM documents WHERE doc_id % 70 = 0
       UNION ALL
       SELECT doc_id + 100000, text || ' copy', 1, 'U'
-      FROM documents WHERE doc_id % 9 = 0
+      FROM documents WHERE doc_id % 90 = 0
     )
   ) WHERE rn = 1 AND op <> 'D'),
 emb AS MATERIALIZED (

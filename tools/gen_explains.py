@@ -55,7 +55,7 @@ NAMES = [
     # r06: split-exact probe, escalating filtered search, join view,
     # hybrid retrieval
     "ann_split_probe", "ann_filtered_search_selective",
-    "incremental_join_view", "hybrid_retrieval",
+    "incremental_join_view", "hybrid_retrieval", "rag_pipeline",
 ]
 
 
