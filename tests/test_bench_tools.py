@@ -142,3 +142,16 @@ def test_summary_tail_without_any_queries(tmp_path):
     assert d["value"] == 3.5
     assert d["contention"]["spin_sec_before"] == 0.31
     assert d["queries"] == {} or "q_beta" in d["queries"]
+
+
+def test_bench_non_default_sf_never_clobbers_main_record(tmp_path):
+    """r06: a profiling run at sf0.001 (or a scale run at sf1) must land
+    in BENCH.sf{sf}.json, never overwrite the authoritative sf0.1
+    record — idle or not."""
+    sys.path.insert(0, ".")
+    from bench import _bench_out_path
+
+    here = str(tmp_path)
+    assert _bench_out_path(here, 0.3, sf=0.001).endswith("BENCH.sf0.001.json")
+    assert _bench_out_path(here, 0.9, sf=1.0).endswith("BENCH.sf1.0.json")
+    assert _bench_out_path(here, 0.3, sf=0.1).endswith("/BENCH.json")
