@@ -181,6 +181,9 @@ HEADLINE = [
     # r06 capstone #12: corpus MERGE -> CDF -> index sync -> hybrid
     # retrieval over the maintained state (the full RAG loop)
     "rag_pipeline",
+    # r06: the non-self-maintainable IVM case — extremum deletes take
+    # the scoped-rescan path (3 waves + 3 cursored syncs)
+    "incremental_minmax_view",
 ]
 
 

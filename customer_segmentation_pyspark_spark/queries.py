@@ -4624,6 +4624,54 @@ def q_incremental_agg_view(spark, sf_dir):
     )
 
 
+def q_incremental_minmax_view(spark, sf_dir):
+    """r06 — incremental MIN/MAX view under the hash gate: the
+    textbook NON-self-maintainable aggregate. Per-source (n_rows,
+    min_chars, max_chars) is seeded once, then maintained from each
+    delete wave's change feed: inserts fold in with least/greatest,
+    and a wave that deletes a group's recorded extremum re-aggregates
+    ONLY that group from the post-wave snapshot (the scoped-rescan
+    path — the delete waves here hit extrema by construction, since
+    %3/%4 sweeps take the longest and shortest docs with everything
+    else). The oracle recomputes min/max from the replayed change log;
+    a stale extremum surviving a delete, or an over-eager rescan
+    picking up a dead row, changes the hash. Driven through the
+    exactly-once cursor (`sync_minmax_view_to_snapshot`)."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_minmax_view_to_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    table = _scratch_path("minmax_view/table")
+    view = _scratch_path("minmax_view/view")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    for wave in _delete_wave_frames(d):
+        merge_into_partitioned_snapshot(
+            spark, table, wave, key="doc_id", seq="seq",
+            num_partitions=8, delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+        # sync after EVERY wave: each slice exercises both the cheap
+        # insert fold and the dirty-group rescan
+        sync_minmax_view_to_snapshot(
+            spark, table, view, "source", F.length("text")
+        )
+    return spark.read.parquet(view).select(
+        "source",
+        "n_rows",
+        F.col("vmin").cast("long").alias("min_chars"),
+        F.col("vmax").cast("long").alias("max_chars"),
+    )
+
+
 def q_incremental_join_view(spark, sf_dir):
     """r06 (VERDICT #4) — incremental JOIN-view maintenance: an
     order-grain enrichment view (orders LEFT JOIN customer attributes)
@@ -10764,6 +10812,39 @@ dim AS (
   ) WHERE rn = 1 AND dop <> 'D')
 SELECT f.okey, f.custkey, f.price, d.nation, d.acctbal
 FROM fact f LEFT JOIN dim d ON f.custkey = d.custkey""",
+    # r06: the MIN/MAX view — same replayed truth, the extremum
+    # aggregates whose deletes force the scoped rescan path
+    "incremental_minmax_view": """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 'U' AS op, 0 AS seq FROM documents),
+w1 AS (
+  SELECT doc_id, text || ' kept' AS text, lang, source, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 2
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, 'neo: ' || text, lang, 'ingest', 'U', 1
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, 'ingest', 'D', 3
+  FROM documents WHERE doc_id % 22 = 0),
+w2 AS (
+  SELECT doc_id, 'back: ' || text AS text, lang, source, 'U' AS op, 4 AS seq
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 5
+  FROM documents WHERE doc_id % 4 = 0),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+live AS (SELECT * FROM latest WHERE op <> 'D')
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM live GROUP BY source""",
     "incremental_agg_view": """
 WITH base AS (
   SELECT doc_id, text, lang, source, 'U' AS op, 0 AS seq FROM documents),
@@ -12837,6 +12918,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_join_view": QuerySpec(
         q_incremental_join_view, ORACLES["incremental_join_view"]
     ),
+    "incremental_minmax_view": QuerySpec(
+        q_incremental_minmax_view, ORACLES["incremental_minmax_view"]
+    ),
     "incremental_agg_view": QuerySpec(
         q_incremental_agg_view, ORACLES["incremental_agg_view"]
     ),
@@ -13192,6 +13276,7 @@ _DRIVER_SPOTLIGHT = [
     # covers the rest). Front of the list: this round's new surface.
     "ann_split_probe", "ann_filtered_search_selective",
     "incremental_join_view", "hybrid_retrieval", "rag_pipeline",
+    "incremental_minmax_view",
     # r05 additions the r05 verdict asked to prioritize
     "ann_index_update", "ann_filtered_search", "doc_index_pipeline",
     "doc_embed_topk", "snapshot_restore_read",
@@ -13210,7 +13295,7 @@ _DRIVER_SPOTLIGHT = [
     # dedup / text / LLM-pipeline
     "dedup_keep_first", "dedup_incremental", "simhash", "line_dedup",
     "unigram_ppl", "bigram_ppl", "winnowing", "quality_classifier",
-    "inverted_index", "rrf_fusion", "hard_negatives", "dq_checks",
+    "inverted_index", "rrf_fusion", "hard_negatives",
 ]
 
 REGISTRY = {

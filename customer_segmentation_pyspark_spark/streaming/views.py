@@ -389,3 +389,186 @@ def sync_join_view_to_snapshots(
     )
     _write_join_cursors(view_dir, fa, db)
     return fa, db
+
+
+# ---------------------------------------------------------------------------
+# Incremental MIN/MAX view maintenance (r06): the textbook
+# NON-self-maintainable aggregate. Inserts fold in cheaply
+# (least/greatest), but deleting a group's current extremum leaves the
+# new extremum unknown without data — those groups (and only those) are
+# re-aggregated from the current snapshot. Per wave the cost is
+# O(|changes| + rescan of DIRTY groups' rows); a wave that never
+# touches an extremum costs the same as the COUNT/SUM view. This
+# completes the IVM family: COUNT/SUM (self-maintainable), JOIN
+# enrichment (keyed re-derivation), MIN/MAX (scoped rescan).
+# ---------------------------------------------------------------------------
+
+
+def seed_min_max_view(
+    spark: SparkSession,
+    view_dir: str,
+    snapshot: DataFrame,
+    group_col: str,
+    value_col,
+    src_version: int | None = None,
+) -> None:
+    """Bootstrap (group, n_rows, vmin, vmax) from a full snapshot."""
+    import shutil
+
+    shutil.rmtree(view_dir, ignore_errors=True)
+    agg = snapshot.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+    tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    agg.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
+    crash_safe_swap(view_dir, tmp)
+
+
+def update_min_max_view(
+    spark: SparkSession,
+    view_dir: str,
+    cdf: DataFrame,
+    group_col: str,
+    value_col,
+    current_snapshot: DataFrame,
+    src_version: int | None = None,
+) -> None:
+    """Apply one CDF slice. Insert/post-image values fold in with
+    least/greatest; a group whose delete/pre-image side touches its
+    recorded extremum (or that the adds alone cannot bound) goes DIRTY
+    and is re-aggregated from ``current_snapshot`` — the snapshot AFTER
+    the slice, so a recompute is exact. Drive through
+    :func:`sync_minmax_view_to_snapshot` for exactly-once (the additive
+    n_rows counter is not idempotent, same caveat as the COUNT/SUM
+    view). NULL values never count toward min/max but do count rows."""
+    ct = F.col("_change_type")
+    adds = (
+        cdf.filter(ct.isin("insert", "update_postimage"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__a_n"),
+            F.min(value_col).alias("__a_min"),
+            F.max(value_col).alias("__a_max"),
+        )
+    )
+    subs = (
+        cdf.filter(ct.isin("delete", "update_preimage"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__s_n"),
+            F.min(value_col).alias("__s_min"),
+            F.max(value_col).alias("__s_max"),
+        )
+    )
+    delta = adds.withColumnRenamed(group_col, "__g").join(
+        subs.withColumnRenamed(group_col, "__g2"),
+        F.col("__g").eqNullSafe(F.col("__g2")),
+        "full_outer",
+    ).select(
+        F.coalesce("__g", "__g2").alias("__g"),
+        "__a_n", "__a_min", "__a_max", "__s_n", "__s_min", "__s_max",
+    )
+    recover_swap(view_dir)
+    base = spark.read.parquet(view_dir)
+    j = base.join(
+        delta, F.col(group_col).eqNullSafe(F.col("__g")), "full_outer"
+    )
+    g = F.coalesce(F.col(group_col), F.col("__g")).alias(group_col)
+    n = (
+        F.coalesce(F.col("n_rows"), F.lit(0))
+        + F.coalesce(F.col("__a_n"), F.lit(0))
+        - F.coalesce(F.col("__s_n"), F.lit(0))
+    ).alias("n_rows")
+    # dirty: a removed value ties the recorded extremum (the survivor
+    # extremum is unknown), or the group is brand-new-with-history
+    # complications — a group absent from base is bounded by adds alone
+    dirty = (
+        F.col("n_rows").isNotNull()
+        & F.col("__s_n").isNotNull()
+        & (
+            (F.col("__s_min") <= F.col("vmin"))
+            | (F.col("__s_max") >= F.col("vmax"))
+        )
+    ).alias("__dirty")
+    merged = j.select(
+        g,
+        n,
+        F.least("vmin", "__a_min").alias("vmin"),
+        F.greatest("vmax", "__a_max").alias("vmax"),
+        dirty,
+    ).filter(F.col("n_rows") > 0)
+    clean = merged.filter(~F.coalesce("__dirty", F.lit(False))).drop(
+        "__dirty"
+    )
+    dirty_groups = merged.filter(
+        F.coalesce("__dirty", F.lit(False))
+    ).select(F.col(group_col).alias("__dg"))
+    # scoped rescan: ONLY dirty groups' rows re-aggregate — n_rows too,
+    # straight from the snapshot (self-heals a drifted counter)
+    rescanned = (
+        current_snapshot.join(
+            dirty_groups,
+            F.col(group_col).eqNullSafe(F.col("__dg")),
+            "leftsemi",
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+        .select(group_col, "n_rows", "vmin", "vmax")
+    )
+    out = clean.unionByName(rescanned)
+    tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
+    crash_safe_swap(view_dir, tmp)
+
+
+def sync_minmax_view_to_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    view_dir: str,
+    group_col: str,
+    value_col,
+) -> int:
+    """Exactly-once driver: seed on first call, then fold only the CDF
+    since the cursored version (marker swapped atomically with data,
+    same shape as :func:`sync_view_to_snapshot`)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    recover_swap(view_dir)
+    v0 = view_src_version(view_dir) if os.path.exists(view_dir) else None
+    if v0 is None:
+        seed_min_max_view(
+            spark,
+            view_dir,
+            read_partitioned_snapshot(spark, table_dir, version=cur),
+            group_col,
+            value_col,
+            src_version=cur,
+        )
+        return cur
+    if v0 >= cur:
+        return v0
+    update_min_max_view(
+        spark,
+        view_dir,
+        read_snapshot_changes(spark, table_dir, v0, cur),
+        group_col,
+        value_col,
+        read_partitioned_snapshot(spark, table_dir, version=cur),
+        src_version=cur,
+    )
+    return cur

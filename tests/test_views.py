@@ -352,3 +352,67 @@ def test_join_view_update_set_all_nulls_deleted_dim(spark, tmp_path):
                                 num_partitions=2)
     row = read_partitioned_snapshot(spark, view_dir).collect()[0]
     assert row["fk"] == 1 and row["attr"] is None
+
+
+def test_minmax_view_rescans_only_on_extremum_delete(spark, tmp_path):
+    """MIN/MAX is not self-maintainable: deleting a group's extremum
+    must trigger the scoped rescan (exact new extremum), while a
+    non-extremum delete stays on the cheap path; tracked vs full
+    recompute through waves either way."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_minmax_view_to_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+
+    def wave(rows):
+        return spark.createDataFrame(
+            rows, "k long, grp string, val long, seq long, op string"
+        )
+
+    def merge(rows):
+        merge_into_partitioned_snapshot(
+            spark, table, wave(rows), key="k", seq="seq",
+            num_partitions=4, delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+
+    def check():
+        sync_minmax_view_to_snapshot(
+            spark, table, view, "grp", F.col("val")
+        )
+        got = {
+            r["grp"]: (r["n_rows"], r["vmin"], r["vmax"])
+            for r in spark.read.parquet(view).collect()
+        }
+        want = {
+            r["grp"]: (r["n"], r["lo"], r["hi"])
+            for r in read_partitioned_snapshot(spark, table)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("val").alias("lo"),
+                F.max("val").alias("hi"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    merge([(i, "a" if i < 5 else "b", i * 10, 0, "U") for i in range(10)])
+    check()  # seed: a={0..40}, b={50..90}
+    merge([(4, "a", None, 1, "D")])  # delete a's MAX (40) -> rescan
+    check()
+    merge([(6, "b", 65, 2, "U")])  # mid-range update: cheap path
+    check()
+    merge([(0, "a", None, 3, "D"), (11, "b", 95, 3, "U")])  # min del + new max
+    check()
+    merge([(i, "a", None, 4, "D") for i in (1, 2, 3)])  # group empties
+    check()
+    assert "a" not in {
+        r["grp"] for r in spark.read.parquet(view).collect()
+    }
