@@ -130,15 +130,25 @@ def _max_src(a, b):
 
 def _read_latest_ivf(index_dir: str) -> tuple[int, dict | None]:
     """(version, manifest) as an atomic pair: re-read on the transient
-    window where the pointer references a withdrawn OCC manifest."""
+    window where the pointer references a withdrawn OCC manifest.
+
+    Bounded (r07, ADVICE): a stranded pointer — the winner's verify
+    loop can flip to a loser's version right before the loser unlinks
+    it, then observe nothing higher and stop — would make an unbounded
+    retry spin at 100% CPU until some later commit repairs it. After a
+    few failed pointer reads, fall back to the highest committed
+    manifest FILE (the authoritative record, same regression fallback
+    ``read_manifest(dir, None)`` itself uses) as the version."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
-    while True:
+    for _ in range(5):
         v = versioned.latest_version(index_dir)
         try:
             return v, versioned.read_manifest(index_dir, v or None)
         except FileNotFoundError:
-            continue
+            time.sleep(0.01)
+    v = versioned._max_manifest_version(index_dir)
+    return v, versioned.read_manifest(index_dir, v or None)
 
 
 def _land_cells(
@@ -623,21 +633,32 @@ def vacuum_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
     drop the table, then the ordinary rebuild recreates it exactly
     (preserving the partition sizing recorded in its own manifest).
 
-    Quiescent-window op like `repartition_snapshot`: a crash (or a
-    concurrent update) between the drop and the rebuild sees a MISSING
-    keymap, which every update already self-heals by rebuilding before
-    it proceeds (the shallow-clone path) — convergent, never a ghost."""
+    Quiescent-window op like `repartition_snapshot`. A crash between
+    the drop and the rebuild sees a MISSING keymap, which every update
+    self-heals by rebuilding before it proceeds (the shallow-clone
+    path). A CONCURRENT update is detected, not tolerated (r07,
+    ADVICE): an update that merged its keymap entries just before the
+    rmtree loses them, and our rebuild — derived from the pre-update
+    manifest — would point its moved keys at their OLD cells only, the
+    exact ghost-enabling state the keymap exists to prevent. So the
+    index manifest version is recorded before the drop and
+    ``ConcurrentMergeError`` raised if it changed by the time the
+    rebuilt keymap lands; re-running the vacuum (it rebuilds from the
+    NEW manifest) converges, same contract as `split_ivf_cells`."""
     import shutil
 
     from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+    )
 
+    base_version, man = _read_latest_ivf(index_dir)
     km = _keymap_dir(index_dir)
     km_man = versioned.read_manifest(km) if os.path.isdir(km) else None
     parts = (
         int(km_man["num_partitions"]) if km_man else KEYMAP_PARTITIONS
     )
     shutil.rmtree(km, ignore_errors=True)
-    man = versioned.read_manifest(index_dir)
     if man is None or not man.get("parts"):
         return  # empty index: nothing live, keymap stays absent
     key, vec = man["key"], man["vec"]
@@ -649,6 +670,12 @@ def vacuum_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
         F.lit(0).cast("long").alias("seq"),
     )
     _merge_keymap(spark, index_dir, exact, key, num_partitions=parts)
+    if versioned.latest_version(index_dir) != base_version:
+        raise ConcurrentMergeError(
+            f"a concurrent commit landed on {index_dir} during the "
+            "keymap vacuum; its keymap entries were lost with the drop "
+            "— re-run the vacuum (it rebuilds from the new manifest)"
+        )
 
 
 def split_ivf_cells(

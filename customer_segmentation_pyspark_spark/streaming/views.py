@@ -303,10 +303,10 @@ def sync_join_view_to_snapshots(
             "FK-dim shape"
         )
     dim_now = _snapshot_or_empty(spark, dim_dir, db)
-    fact_cols_now = [
-        f.name
-        for f in _snapshot_or_empty(spark, fact_dir, fa).schema.fields
-    ]
+    fact_fields_now = _snapshot_or_empty(
+        spark, fact_dir, fa
+    ).schema.fields
+    fact_cols_now = [f.name for f in fact_fields_now]
     clash = (set(dim_now.columns) - {join_col}) & set(fact_cols_now)
     if clash:
         raise ValueError(
@@ -361,9 +361,22 @@ def sync_join_view_to_snapshots(
         view_now = _snapshot_or_empty(
             spark, view_dir, versioned.latest_version(view_dir)
         )
+        # schema-evolution tolerance (r07, ADVICE): a fact merge that
+        # added a column since the view's last sync leaves view_now
+        # without it when the first post-evolution wave is dim-only —
+        # select the intersection and pad the missing columns with
+        # typed NULLs (the merge's mergeSchema union already tolerates
+        # that), instead of crashing until a fact wave repairs the view
+        have = set(view_now.columns)
+        sel = [
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in fact_fields_now
+        ]
         re_rows = (
             view_now.join(jv, join_col, "semi")
-            .select(*fact_cols)
+            .select(*sel)
             .withColumn("__seq", F.lit(1).cast("long"))
             .withColumn("__op", F.lit("U"))
         )

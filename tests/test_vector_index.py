@@ -1035,3 +1035,73 @@ def test_vacuum_keymap_drops_deleted_keys(spark, tmp_path):
     )
     final = read_ivf_index(spark, idx)
     assert final.count() == final.select("vec_id").distinct().count()
+
+
+def test_read_latest_bounded_on_stranded_pointer(spark, tmp_path):
+    """r07 (ADVICE): a _LATEST pointer stranded above the highest
+    committed manifest (the withdrawn-OCC-manifest race) must not spin
+    the reader forever — after bounded retries it falls back to the
+    highest committed manifest file, like read_manifest(dir, None)."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        _read_latest_ivf,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    committed = build_ivf_index(spark, idx, e, CELLS)
+    # strand the pointer two versions above any committed manifest
+    with open(f"{idx}/_LATEST", "w") as f:
+        f.write(str(committed + 2))
+    v, man = _read_latest_ivf(idx)
+    assert v == committed
+    assert man is not None and man["kind"] == "ivf"
+
+
+def test_vacuum_raises_on_concurrent_update(spark, tmp_path, monkeypatch):
+    """r07 (ADVICE): an update landing in the vacuum's drop->rebuild
+    window loses its just-merged keymap entries — the vacuum must
+    detect the foreign commit and raise instead of leaving the rebuilt
+    keymap pointing moved keys at their OLD cells only; the re-run
+    (rebuilding from the NEW manifest) converges with no ghosts."""
+    import shutil as _shutil
+
+    import pytest
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        _keymap_dir,
+        vacuum_ivf_keymap,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    moved_key = int(e.first()["vec_id"])
+
+    real_rmtree = _shutil.rmtree
+    state = {"armed": True}
+
+    def inject(path, *a, **kw):
+        fire = state["armed"] and str(path) == _keymap_dir(idx)
+        real_rmtree(path, *a, **kw)
+        if fire:
+            state["armed"] = False
+            # the concurrent update moves a key to a new cell; its
+            # keymap entries land AFTER the drop and survive, but the
+            # manifest advance is what the vacuum must detect
+            update_ivf_index(
+                spark, idx, _one_up(spark, moved_key, list(CELLS[5]))
+            )
+
+    monkeypatch.setattr(_shutil, "rmtree", inject)
+    with pytest.raises(ConcurrentMergeError):
+        vacuum_ivf_keymap(spark, idx)
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    vacuum_ivf_keymap(spark, idx)  # re-run converges
+    # move the key again: the keymap must still know its CURRENT cell
+    update_ivf_index(spark, idx, _one_up(spark, moved_key, list(CELLS[1])))
+    final = read_ivf_index(spark, idx)
+    assert final.count() == final.select("vec_id").distinct().count()
+    assert final.filter(F.col("vec_id") == moved_key).count() == 1

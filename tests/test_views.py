@@ -416,3 +416,74 @@ def test_minmax_view_rescans_only_on_extremum_delete(spark, tmp_path):
     assert "a" not in {
         r["grp"] for r in spark.read.parquet(view).collect()
     }
+
+
+def test_join_view_dim_wave_after_fact_schema_evolution(spark, tmp_path):
+    """r07 (ADVICE): a fact merge that ADDS a column followed by a dim
+    wave (both unsynced) used to crash the sync — the dim-invalidation
+    path selected the fact table's CURRENT columns from a view that
+    predates the evolution. The intersection+typed-NULL padding must
+    let the sync land, with the view equal to the full recompute."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_join_view_to_snapshots,
+    )
+
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, f % 3, float(f), 0) for f in range(12)],
+            "fk long, jk long, amt double, seq long",
+        ),
+        key="fk", seq="seq", num_partitions=4,
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(j, f"a{j}", 0) for j in range(3)],
+            "jk long, attr string, dseq long",
+        ),
+        key="jk", seq="dseq", num_partitions=4,
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=4)
+    # fact wave ADDS a column the view has never seen...
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(3, 1, 30.0, 1, "new3")],
+            "fk long, jk long, amt double, seq long, extra string",
+        ),
+        key="fk", seq="seq",
+    )
+    # ...and a dim wave lands before the next sync
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(0, "a0-v2", 1)], "jk long, attr string, dseq long"
+        ),
+        key="jk", seq="dseq",
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=4)
+    got = {
+        tuple(r)
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .select("fk", "jk", "amt", "extra", "attr")
+        .collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    want = {
+        tuple(r)
+        for r in fact.join(dim.select("jk", "attr"), "jk", "left")
+        .select("fk", "jk", "amt", "extra", "attr")
+        .collect()
+    }
+    assert got == want
