@@ -1029,6 +1029,7 @@ def _snapshot_read_plan(
     version: int | None,
     where,
     key_in,
+    partitions_in=None,
 ) -> tuple[dict, list[str], list[str]]:
     """The pruning decision, separated for testability: returns
     (manifest, kept partition ids, kept dir names) after key-based and
@@ -1047,6 +1048,9 @@ def _snapshot_read_plan(
                 )
     # a partition can live in base dirs, in a pure MoR delta log, or both
     pids = sorted(set(man["parts"]) | set(man.get("deltas", {})))
+    if partitions_in is not None:
+        keep = {str(p) for p in partitions_in}
+        pids = [p for p in pids if p in keep]
     if key_in is not None:
         key = man.get("key")
         if key is None:
@@ -1117,6 +1121,7 @@ def read_partitioned_snapshot(
     version: int | None = None,
     where: list[tuple] | None = None,
     key_in: list | None = None,
+    partitions_in: list | None = None,
 ) -> DataFrame:
     """Read the latest (default) or any historical committed snapshot:
     the union scan over the manifest's immutable part directories.
@@ -1138,9 +1143,18 @@ def read_partitioned_snapshot(
 
     BOTH filters are also applied to the returned rows (key_in as an
     IN-filter), so pruned and unpruned reads return identical data —
-    pruning is never load-bearing for correctness."""
+    pruning is never load-bearing for correctness.
+
+    ``partitions_in=[pid, ...]`` is DIFFERENT: an explicit projection
+    onto the named hash partitions (ids as stored in the manifest) —
+    rows outside them are genuinely absent from the result, so this is
+    load-bearing by design. It exists for maintained secondary
+    structures that track partition ids themselves (the join-view
+    inverted map, r07): the caller proves the excluded partitions
+    cannot contain rows it needs, and the reader never lists their
+    directories."""
     man, pids, dirs = _snapshot_read_plan(
-        spark, table_dir, version, where, key_in
+        spark, table_dir, version, where, key_in, partitions_in
     )
     if any(man.get("deltas", {}).get(p) for p in pids):
         # MoR overlay: at least one kept partition has a pending delta

@@ -209,10 +209,11 @@ def seed_count_sum_view(
 #     fact deletes tombstone their view row.                O(|Δfact|)
 #   * Δdim waves invalidate every view row whose join value appears in
 #     the dim CDF (pre- OR post-image: a dim-key retarget invalidates
-#     both sides); those rows re-enrich and upsert.  The invalidation
-#     scan is O(view) compute but the WRITE stays O(touched rows'
-#     partitions) — the standard SCD asymmetry: dimension changes are
-#     rare and batchy, fact changes are the high-frequency path.
+#     both sides); those rows re-enrich and upsert. The invalidation
+#     READ is pruned by the inverted join-value map (r07, VERDICT #1):
+#     only the view partitions that contain dependents are opened, so
+#     a 1-key dim change costs O(dependent partitions), not O(view);
+#     the WRITE stays O(touched rows' partitions).
 # Re-enrichment uses UPDATE SET * merge semantics (update_set_all):
 # a dim row that vanished must NULL the attributes it contributed —
 # per-column coalesce would resurrect them.
@@ -225,6 +226,200 @@ def seed_count_sum_view(
 # ---------------------------------------------------------------------------
 
 JOIN_CURSOR_FILE = "_JOIN_SRC_VERSIONS"
+
+#: inverted join-value map (r07, VERDICT #1): a tiny MERGE subtable
+#: inside the view dir, keyed by the JOIN VALUE, whose payload is the
+#: set of view hash-PARTITION ids that contain (or ever contained)
+#: dependent fact rows. A dim wave point-reads the changed join values
+#: (pruned by the map's own key hash), collects <= num_partitions ints,
+#: and re-enriches from ONLY those view partitions — dim-side
+#: invalidation drops from O(view) to O(dependent partitions). The map
+#: is a SUPERSET (fact deletes and join-key retargets never remove
+#: entries — extra partitions cost IO, never correctness) and is merged
+#: BEFORE the view write, so a crash can only leave it a superset of
+#: the view's true dependents; same invariant discipline as the IVF
+#: keymap.
+JVMAP_SUBDIR = "_jvmap"
+
+
+def _jvmap_dir(view_dir: str) -> str:
+    return os.path.join(view_dir, JVMAP_SUBDIR)
+
+
+def _merge_jvmap(
+    spark: SparkSession,
+    view_dir: str,
+    entries: DataFrame,
+    join_col: str,
+    num_partitions: int,
+) -> None:
+    """Upsert (join value, partition-id array) rows; NULL join values
+    are dropped (a NULL never equi-joins a dim key, so it can have no
+    dependents to invalidate — and the merge refuses NULL keys)."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    merge_into_partitioned_snapshot(
+        spark,
+        _jvmap_dir(view_dir),
+        entries.filter(F.col(join_col).isNotNull()),
+        key=join_col,
+        seq="__seq",
+        num_partitions=num_partitions,
+        # map reads prune by join-value hash, never by stats
+        collect_stats=False,
+    )
+
+
+def _jvmap_entries_from(
+    df: DataFrame, join_col: str, fact_key: str, num_partitions: int
+) -> DataFrame:
+    """(join value -> sorted distinct view-partition ids) of df's fact
+    rows — the partition id is the view merge's own hash expression, so
+    map and view can never disagree on routing."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _part_expr,
+    )
+
+    return (
+        df.select(
+            F.col(join_col), _part_expr(fact_key, num_partitions).alias("__p")
+        )
+        .groupBy(join_col)
+        .agg(F.sort_array(F.collect_set("__p")).alias("parts"))
+        .withColumn("__seq", F.lit(0).cast("long"))
+    )
+
+
+def _union_jvmap_parts(
+    spark: SparkSession,
+    view_dir: str,
+    fresh: DataFrame,
+    join_col: str,
+    num_partitions: int,
+) -> None:
+    """Fold fresh (join value, parts) entries into the map: each value's
+    set becomes prior ∪ fresh (the superset rule — entries only grow).
+    Point-reads the touched join values only; bounded by the CDC
+    batch's own collect contract."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    fresh = fresh.filter(F.col(join_col).isNotNull())
+    jvs = [r[0] for r in fresh.select(join_col).distinct().collect()]
+    if not jvs:
+        return
+    try:
+        prior = read_partitioned_snapshot(
+            spark, _jvmap_dir(view_dir), key_in=jvs
+        ).select(join_col, "parts")
+    except FileNotFoundError:
+        # the map table was never initialized (a pre-r07 view): merging
+        # ONLY this wave's entries would create a map that misses every
+        # seed-era dependent — leave it absent; the dim-wave fallback
+        # owns the one full-scan backfill that initializes it completely
+        return
+    entries = (
+        fresh.select(join_col, "parts")
+        .unionByName(prior)
+        .groupBy(join_col)
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("parts")))
+            ).alias("parts")
+        )
+        .withColumn("__seq", F.lit(0).cast("long"))
+    )
+    _merge_jvmap(spark, view_dir, entries, join_col, num_partitions)
+
+
+def _ensure_jvmap(
+    spark: SparkSession, view_dir: str, join_col: str
+) -> None:
+    """Initialize the inverted map from the CURRENT view when it does
+    not exist yet (a view seeded pre-r07, or a crash before the seed's
+    map merge) — the one O(view) backfill; committed maps make this a
+    single manifest read."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    if versioned.latest_version(_jvmap_dir(view_dir)) >= 1:
+        return
+    man = versioned.read_manifest(view_dir)
+    if man is None:
+        return
+    view_now = _snapshot_or_empty(
+        spark, view_dir, versioned.latest_version(view_dir)
+    )
+    _merge_jvmap(
+        spark,
+        view_dir,
+        _jvmap_entries_from(
+            view_now, join_col, man["key"], int(man["num_partitions"])
+        ),
+        join_col,
+        int(man["num_partitions"]),
+    )
+
+
+def _invalidated_view_read(
+    spark: SparkSession,
+    view_dir: str,
+    join_col: str,
+    jv_list: list,
+) -> DataFrame:
+    """The dim-wave view read, pruned by the inverted map: point-read
+    the changed join values' map rows, collect the union of their
+    partition ids (<= the view's num_partitions ints), and open ONLY
+    those view partitions. Separated so tests can assert the pruning on
+    ``inputFiles()``. Falls back to the full view scan when the map
+    subtable does not exist (an all-NULL-join-value view has no
+    committable map entries; :func:`_ensure_jvmap` owns backfills)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    view_v = versioned.latest_version(view_dir)
+    jv_list = [v for v in jv_list if v is not None]
+    try:
+        hit = read_partitioned_snapshot(
+            spark, _jvmap_dir(view_dir), key_in=jv_list
+        )
+    except FileNotFoundError:
+        return _snapshot_or_empty(spark, view_dir, view_v)
+    pids = {
+        int(r["p"])
+        for r in hit.select(F.explode("parts").alias("p")).collect()
+    }
+    return _snapshot_or_empty_partitions(
+        spark, view_dir, view_v, sorted(pids)
+    )
+
+
+def _snapshot_or_empty_partitions(
+    spark: SparkSession, table_dir: str, version: int, pids: list
+):
+    """Partition-projected read that degrades to an empty typed frame
+    when nothing survives (all rows deleted, or no dependent
+    partitions)."""
+    from pyspark.sql.types import StructType
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    try:
+        return read_partitioned_snapshot(
+            spark, table_dir, version=version, partitions_in=pids
+        )
+    except FileNotFoundError:
+        man = versioned.read_manifest(table_dir, version)
+        if man is None or "schema" not in man:
+            raise
+        return spark.createDataFrame([], StructType.fromJson(man["schema"]))
 
 
 def _join_cursors(view_dir: str) -> tuple[int, int] | None:
@@ -328,11 +523,17 @@ def sync_join_view_to_snapshots(
             seq="__seq",
             num_partitions=num_partitions,
         )
+        _ensure_jvmap(spark, view_dir, join_col)
         _write_join_cursors(view_dir, fa, db)
         return fa, db
     va0, vb0 = cur
     if va0 >= fa and vb0 >= db:
         return va0, vb0  # already current — the idempotent no-op
+
+    # one-time backfill for views seeded before the inverted map
+    # existed; a no-op (one manifest read) on every later sync
+    _ensure_jvmap(spark, view_dir, join_col)
+    view_parts = int(versioned.read_manifest(view_dir)["num_partitions"])
 
     fact_cols = [c for c in fact_cols_now]
     changed_parts = []
@@ -353,13 +554,26 @@ def sync_join_view_to_snapshots(
             .withColumn("__op", F.lit("D"))
         )
         changed_parts += [ups_a, dels_a]
+        # map BEFORE view write (the superset crash invariant): the
+        # upserts' join values learn these fact keys' partitions now,
+        # so a dim wave can never miss them
+        _union_jvmap_parts(
+            spark,
+            view_dir,
+            _jvmap_entries_from(ups_a, join_col, fact_key, view_parts),
+            join_col,
+            view_parts,
+        )
     if db > vb0:
         cdf_b = read_snapshot_changes(spark, dim_dir, vb0, db)
         # join values invalidated by the dim wave — pre AND post images,
         # so a dim-key retarget re-enriches both old and new dependents
         jv = cdf_b.select(join_col).distinct()
-        view_now = _snapshot_or_empty(
-            spark, view_dir, versioned.latest_version(view_dir)
+        # bounded collect: the dim CDF's distinct join values (dim waves
+        # are the rare/batchy side — same contract as merge key routing)
+        jv_list = [r[0] for r in jv.collect()]
+        view_now = _invalidated_view_read(
+            spark, view_dir, join_col, jv_list
         )
         # schema-evolution tolerance (r07, ADVICE): a fact merge that
         # added a column since the view's last sync leaves view_now

@@ -1007,3 +1007,39 @@ def test_change_feed_matches_python_diff(spark, tmp_path):
         read_snapshot_changes(
             spark, table, versioned.latest_version(table)
         )
+
+
+def test_partitions_in_projection(spark, tmp_path):
+    """r07: partitions_in is an explicit partition projection — rows of
+    exactly the named hash partitions, no other dirs listed; [] yields
+    an empty frame with the table schema."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _part_expr,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    merge_into_partitioned_snapshot(
+        spark,
+        d,
+        spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(40)], "k long, v string, s long"
+        ),
+        key="k",
+        seq="s",
+        num_partitions=8,
+    )
+    full = read_partitioned_snapshot(spark, d)
+    by_pid = {
+        r["k"]: r["p"]
+        for r in full.select("k", _part_expr("k", 8).alias("p")).collect()
+    }
+    want = {k for k, p in by_pid.items() if p in (2, 5)}
+    got_df = read_partitioned_snapshot(spark, d, partitions_in=[2, 5])
+    got = {r["k"] for r in got_df.collect()}
+    assert got == want
+    assert set(got_df.inputFiles()) < set(full.inputFiles())
+    empty = read_partitioned_snapshot(spark, d, partitions_in=[])
+    assert empty.count() == 0
+    assert empty.columns == full.columns

@@ -487,3 +487,161 @@ def test_join_view_dim_wave_after_fact_schema_evolution(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_dim_wave_reads_only_dependent_partitions(spark, tmp_path):
+    """r07 (VERDICT #1 done-criterion): a 1-key dim wave must read only
+    the view partitions that contain its dependents — asserted on
+    inputFiles() of the invalidation read — and the synced view still
+    equals the full recompute."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _part_expr,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        _invalidated_view_read,
+        sync_join_view_to_snapshots,
+    )
+
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+    n_parts = 8
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, f % 8, float(f), 0) for f in range(64)],
+            "fk long, jk long, amt double, seq long",
+        ),
+        key="fk", seq="seq", num_partitions=n_parts,
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(j, f"a{j}", 0) for j in range(8)],
+            "jk long, attr string, dseq long",
+        ),
+        key="jk", seq="dseq", num_partitions=4,
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=n_parts)
+    # ONE dim key changes
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame([(3, "a3-v2", 1)],
+                              "jk long, attr string, dseq long"),
+        key="jk", seq="dseq",
+    )
+    # dependent fact keys of jk=3 and the view partitions they hash to
+    dep_fks = [f for f in range(64) if f % 8 == 3]
+    dep_pids = {
+        r["p"]
+        for r in spark.createDataFrame([(f,) for f in dep_fks], "fk long")
+        .select(_part_expr("fk", n_parts).alias("p"))
+        .collect()
+    }
+    assert len(dep_pids) < n_parts  # the scenario actually prunes
+    pruned = _invalidated_view_read(spark, view_dir, "jk", [3])
+    full = read_partitioned_snapshot(spark, view_dir)
+    pruned_files = set(pruned.inputFiles())
+    full_files = set(full.inputFiles())
+    assert pruned_files and pruned_files < full_files
+    allowed = set(
+        read_partitioned_snapshot(
+            spark, view_dir, partitions_in=sorted(dep_pids)
+        ).inputFiles()
+    )
+    assert pruned_files <= allowed
+    # every dependent row is present in the pruned read
+    assert pruned.filter(F.col("jk") == 3).count() == len(dep_fks)
+    # and the sync itself stays correct
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=n_parts)
+    got = {
+        tuple(r)
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    want = {
+        tuple(r)
+        for r in fact.join(dim.select("jk", "attr"), "jk", "left")
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    assert got == want
+
+
+def test_jvmap_backfills_for_pre_map_view(spark, tmp_path):
+    """A view seeded without the inverted map (pre-r07 engine state,
+    simulated by deleting the map subtable) must backfill it on the
+    next sync and stay correct — fact-wave map merges before the
+    backfill must NOT create a partial map."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        _jvmap_dir,
+        sync_join_view_to_snapshots,
+    )
+
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, f % 5, float(f), 0) for f in range(30)],
+            "fk long, jk long, amt double, seq long",
+        ),
+        key="fk", seq="seq", num_partitions=4,
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(j, f"a{j}", 0) for j in range(5)],
+            "jk long, attr string, dseq long",
+        ),
+        key="jk", seq="dseq", num_partitions=4,
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk")
+    shutil.rmtree(_jvmap_dir(view_dir))  # simulate pre-map view
+    # a fact wave AND a dim wave land before the next sync
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame([(100, 2, 5.0, 1)],
+                              "fk long, jk long, amt double, seq long"),
+        key="fk", seq="seq",
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame([(4, "a4-v2", 1)],
+                              "jk long, attr string, dseq long"),
+        key="jk", seq="dseq",
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk")
+    # map exists again and a later 1-key dim wave routes through it
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame([(2, "a2-v2", 2)],
+                              "jk long, attr string, dseq long"),
+        key="jk", seq="dseq",
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk")
+    got = {
+        tuple(r)
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    want = {
+        tuple(r)
+        for r in fact.join(dim.select("jk", "attr"), "jk", "left")
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    assert got == want
