@@ -1135,6 +1135,15 @@ def query_ivf_index(
     for d in (min(4 * n_probe, len(cells)), len(cells)):
         if d > levels[-1]:
             levels.append(d)
+
+    def _sat(scored_df: DataFrame) -> DataFrame:
+        return (
+            scored_df.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= k)
+            .select("query_id")
+        )
+
     remaining, solved = q, []
     for i, depth in enumerate(levels):
         scored = _scored(remaining, depth)
@@ -1143,24 +1152,29 @@ def query_ivf_index(
         if i == len(levels) - 1:
             solved.append(scored)  # full depth: take what there is
             break
-        # materialize the level's (post-filter, so small) candidates
-        # ONCE: the starvation count, the carry into the result, and
-        # the final top-k all reuse it instead of re-reading the probed
-        # dirs per job (r06 bench: the re-read doubled the filtered
-        # path's cost)
-        scored = scored.localCheckpoint(eager=True)
-        sat = (
-            scored.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") >= k)
-            .select("query_id")
+        # r07 (VERDICT #4): replace the always-paid eager
+        # localCheckpoint with a LAZY cache — the starvation probe is
+        # the action that populates it, so the probed dirs are read
+        # exactly once per level (the r06 invariant) without the
+        # checkpoint write, the ExistingRDD plan break, or the lost
+        # output partitioning; when this level satisfies every query
+        # (the common case) the loop exits after that single action
+        # with no semi-join and no escalation union in the result.
+        # Post-filter candidates are small by construction;
+        # MEMORY_AND_DISK spills if they are not, and Spark's LRU
+        # eviction reclaims the entry after the caller consumes it.
+        scored = scored.persist()
+        starved = remaining.join(
+            F.broadcast(_sat(scored)), "query_id", "left_anti"
         )
+        if starved.isEmpty():  # populates the cache as a side effect
+            solved.append(scored)
+            break
+        sat = _sat(scored)  # re-derived from the now-hot cache
         solved.append(scored.join(F.broadcast(sat), "query_id", "semi"))
         remaining = remaining.join(
             F.broadcast(sat), "query_id", "left_anti"
         )
-        if remaining.isEmpty():
-            break  # nobody starved: no deeper dirs are opened
     if not solved:
         return spark.createDataFrame([], empty)
     out = solved[0]

@@ -1105,3 +1105,26 @@ def test_vacuum_raises_on_concurrent_update(spark, tmp_path, monkeypatch):
     final = read_ivf_index(spark, idx)
     assert final.count() == final.select("vec_id").distinct().count()
     assert final.filter(F.col("vec_id") == moved_key).count() == 1
+
+
+def test_filtered_probe_no_starvation_keeps_single_pass_plan(
+    spark, tmp_path
+):
+    """r07 (VERDICT #4): when level 1 satisfies every query, the
+    filtered path must return the r05 single-pass plan — no
+    checkpointed-RDD scan, no escalation union, no semi-join — and
+    still equal the always-checkpoint result."""
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    q = e.filter(F.col("vec_id") < 5)
+    # a predicate satisfied by ~everything: nobody starves at level 1
+    got = query_ivf_index(
+        spark, idx, q, n_probe=3, k=5, where=[("vec_id", ">=", 0)]
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan  # no localCheckpoint scan
+    assert "Union" not in plan  # no escalation-level union
+    # equals the unfiltered probe (the predicate filters nothing)
+    want = query_ivf_index(spark, idx, q, n_probe=3, k=5)
+    assert _rows(got) == _rows(want)
