@@ -518,6 +518,32 @@ def update_ivf_index(
         cur = fresh  # disjoint foreign commit: both updates survive
 
 
+def _auto_split_hot_cells(
+    spark: SparkSession,
+    index_dir: str,
+    max_rows: int,
+    sub_k: int,
+    seed: int,
+    max_passes: int = 8,
+) -> None:
+    """Split until every live cell holds <= max_rows rows (bounded
+    passes: one split of a hot top cell may leave a sub-cell still hot
+    when the data is concentrated — re-splitting retrains the whole top
+    cell with more centers each pass). Degenerate cells (all-identical
+    vectors, nothing splittable) end the loop."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+
+    for _ in range(max_passes):
+        man = versioned.read_manifest(index_dir)
+        rows = (man or {}).get("rows", {})
+        if not rows or all(int(n) <= max_rows for n in rows.values()):
+            return
+        if not split_ivf_cells(
+            spark, index_dir, max_rows=max_rows, sub_k=sub_k, seed=seed
+        ):
+            return
+
+
 def sync_ivf_index_to_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -525,6 +551,9 @@ def sync_ivf_index_to_snapshot(
     cells: Sequence[Sequence[float]],
     vec_col: str | None = None,
     keymap_partitions: int = KEYMAP_PARTITIONS,
+    split_max_rows: int | None = None,
+    split_sub_k: int = 2,
+    split_seed: int = 1,
 ) -> int:
     """Keep the index fresh from a lakehouse table's CHANGE DATA FEED —
     the corpus→index pipeline: MERGE waves land in the corpus table,
@@ -537,7 +566,18 @@ def sync_ivf_index_to_snapshot(
     corpus is never rescanned after the seed build. A crash mid-update
     retries the same CDF slice: the keymap-first superset ordering makes
     the re-apply converge (see :func:`update_ivf_index`). Returns the
-    source version the index now reflects."""
+    source version the index now reflects.
+
+    ``split_max_rows`` (r07, VERDICT #3) turns hot-cell maintenance
+    into a sync post-step: after the seed build or each CDF fold, any
+    live cell over the threshold is split (:func:`split_ivf_cells`,
+    ``split_sub_k``/``split_seed`` forwarded) until all cells are
+    bounded — so an unattended skewed ingest can no longer grow a cell
+    without limit waiting for an operator. The split commit stays
+    conditional: a foreign commit landing between the fold and the
+    split raises ``ConcurrentMergeError`` rather than losing either
+    side; re-running the sync converges (the cursor makes the re-fold
+    a no-op and the split retries on the fresh manifest)."""
     from customer_segmentation_pyspark_spark.sources import versioned
     from customer_segmentation_pyspark_spark.streaming.merge import (
         read_partitioned_snapshot,
@@ -562,6 +602,10 @@ def sync_ivf_index_to_snapshot(
             src_version=cur,
             keymap_partitions=keymap_partitions,
         )
+        if split_max_rows is not None:
+            _auto_split_hot_cells(
+                spark, index_dir, split_max_rows, split_sub_k, split_seed
+            )
         return cur
     v0 = idx_man.get("src_version")
     if v0 is None:
@@ -570,6 +614,12 @@ def sync_ivf_index_to_snapshot(
             "seed it through this function to enable CDF sync"
         )
     if v0 >= cur:
+        if split_max_rows is not None:
+            # current but possibly still hot (a prior sync's split
+            # raised after its fold landed): finish the maintenance
+            _auto_split_hot_cells(
+                spark, index_dir, split_max_rows, split_sub_k, split_seed
+            )
         return v0  # already current — the idempotent no-op
     cdf = read_snapshot_changes(spark, table_dir, v0, cur)
     extras = [
@@ -588,6 +638,10 @@ def sync_ivf_index_to_snapshot(
         .alias("op"),
     )
     update_ivf_index(spark, index_dir, batch, src_version=cur)
+    if split_max_rows is not None:
+        _auto_split_hot_cells(
+            spark, index_dir, split_max_rows, split_sub_k, split_seed
+        )
     return cur
 
 

@@ -1128,3 +1128,115 @@ def test_filtered_probe_no_starvation_keeps_single_pass_plan(
     # equals the unfiltered probe (the predicate filters nothing)
     want = query_ivf_index(spark, idx, q, n_probe=3, k=5)
     assert _rows(got) == _rows(want)
+
+
+def _skewed_wave(spark, start, n, seq):
+    """80% of vectors near CELLS[0] (the hot cell), the rest spread."""
+    rng = np.random.RandomState(start % 9973 + 7)
+    rows = []
+    for i in range(n):
+        base = CELLS[0] if i % 5 else CELLS[(i // 5) % len(CELLS)]
+        v = (np.array(base) + rng.normal(scale=0.05, size=64)).tolist()
+        rows.append((start + i, v, seq))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, seq long"
+    )
+
+
+def test_sync_auto_split_bounds_cells_across_waves(spark, tmp_path):
+    """r07 (VERDICT #3): with split_max_rows set, the CDF sync alone
+    keeps every live cell under the threshold across a skewed
+    multi-wave ingest — no operator action — and probes of the
+    maintained (split) index stay exact vs an unsplit build over the
+    same final corpus."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        sync_ivf_index_to_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cap = 120
+    merge_into_partitioned_snapshot(
+        spark, tbl, _skewed_wave(spark, 0, 300, 0),
+        key="vec_id", seq="seq", num_partitions=8,
+    )
+    sync_ivf_index_to_snapshot(spark, tbl, idx, CELLS,
+                               split_max_rows=cap)
+    for w in (1, 2):
+        merge_into_partitioned_snapshot(
+            spark, tbl, _skewed_wave(spark, 10000 * w, 300, w),
+            key="vec_id", seq="seq",
+        )
+        sync_ivf_index_to_snapshot(spark, tbl, idx, CELLS,
+                                   split_max_rows=cap)
+        man = versioned.read_manifest(idx)
+        assert all(int(n) <= cap for n in man["rows"].values())
+    man = versioned.read_manifest(idx)
+    assert man.get("subcells")  # the skew actually forced splits
+    # exactness: same top-k as a fresh unsplit index on the final state
+    final = read_partitioned_snapshot(spark, tbl).select(
+        "vec_id", "embedding"
+    )
+    unsplit = str(tmp_path / "unsplit")
+    build_ivf_index(spark, unsplit, final, CELLS)
+    q = final.filter(F.col("vec_id") % 97 == 1)
+    assert _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5)) == _rows(
+        query_ivf_index(spark, unsplit, q, n_probe=3, k=5)
+    )
+
+
+def test_sync_auto_split_concurrent_commit_raises_then_converges(
+    spark, tmp_path, monkeypatch
+):
+    """A foreign commit landing between the sync's CDF fold and its
+    auto-split must raise (the split never silently loses either side);
+    re-running the sync finishes the maintenance."""
+    import pytest
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        sync_ivf_index_to_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+        merge_into_partitioned_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cap = 120
+    merge_into_partitioned_snapshot(
+        spark, tbl, _skewed_wave(spark, 0, 300, 0),
+        key="vec_id", seq="seq", num_partitions=8,
+    )
+
+    real = versioned.commit_manifest
+    state = {"armed": True}
+
+    def wrapped(table_dir, manifest, expected_latest=None):
+        if (
+            state["armed"]
+            and table_dir == idx
+            and manifest.get("operation") == "ivf-split"
+        ):
+            state["armed"] = False
+            update_ivf_index(
+                spark, idx, _one_up(spark, 999000, list(CELLS[3]))
+            )
+        return real(table_dir, manifest, expected_latest)
+
+    monkeypatch.setattr(versioned, "commit_manifest", wrapped)
+    with pytest.raises(ConcurrentMergeError):
+        sync_ivf_index_to_snapshot(spark, tbl, idx, CELLS,
+                                   split_max_rows=cap)
+    monkeypatch.setattr(versioned, "commit_manifest", real)
+    # the foreign update survived; the re-run finishes the split
+    sync_ivf_index_to_snapshot(spark, tbl, idx, CELLS, split_max_rows=cap)
+    man = versioned.read_manifest(idx)
+    assert all(int(n) <= cap for n in man["rows"].values())
+    final = read_ivf_index(spark, idx)
+    assert final.count() == final.select("vec_id").distinct().count()
+    assert final.filter(F.col("vec_id") == 999000).count() == 1
