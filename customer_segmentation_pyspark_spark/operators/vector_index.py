@@ -515,6 +515,19 @@ def update_ivf_index(
                 "concurrently; re-run the update (idempotent — the "
                 "superset keymap makes the re-apply converge)"
             )
+        # re-assert OUR keymap entries before retrying (r07): the
+        # foreign commit we are rebasing over may have been a vacuum
+        # whose stale-row sweep ran while our entries were merged but
+        # our data commit was still in flight — it would have clipped
+        # them (to the vacuum, a keymapped key absent from the index IS
+        # stale). The upsert is idempotent and O(|changes| partitions),
+        # and it restores the superset invariant this commit relies on.
+        _merge_keymap(
+            spark,
+            index_dir,
+            entries.withColumn("seq", F.lit(0).cast("long")),
+            key,
+        )
         cur = fresh  # disjoint foreign commit: both updates survive
 
 
@@ -680,55 +693,100 @@ def rebuild_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
 
 
 def vacuum_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
-    """Keymap GC (r06): `rebuild_ivf_keymap` shrinks LIVE keys' superset
-    sets but keys DELETED from the index keep a stale row forever (a
-    superset is always safe, but a churn-heavy index accretes them).
-    This rebuilds the keymap table FROM SCRATCH with only live keys —
-    drop the table, then the ordinary rebuild recreates it exactly
-    (preserving the partition sizing recorded in its own manifest).
+    """Keymap GC (r06; re-architected r07): `rebuild_ivf_keymap`
+    shrinks LIVE keys' superset sets but keys DELETED from the index
+    keep a stale row forever (a superset is always safe, but a
+    churn-heavy index accretes them). This (1) merges every live key's
+    EXACT entry over its bloated superset and (2) DELETES the rows of
+    keys no longer in the index — both as ordinary merge commits, never
+    a table drop: concurrent readers keep reading committed keymap
+    versions, and a concurrent update's keymap merge either composes
+    (disjoint keymap partitions) or raises the merge layer's own
+    ``ConcurrentMergeError``.
 
-    Quiescent-window op like `repartition_snapshot`. A crash between
-    the drop and the rebuild sees a MISSING keymap, which every update
-    self-heals by rebuilding before it proceeds (the shallow-clone
-    path). A CONCURRENT update is detected, not tolerated (r07,
-    ADVICE): an update that merged its keymap entries just before the
-    rmtree loses them, and our rebuild — derived from the pre-update
-    manifest — would point its moved keys at their OLD cells only, the
-    exact ghost-enabling state the keymap exists to prevent. So the
-    index manifest version is recorded before the drop and
-    ``ConcurrentMergeError`` raised if it changed by the time the
-    rebuilt keymap lands; re-running the vacuum (it rebuilds from the
-    NEW manifest) converges, same contract as `split_ivf_cells`."""
-    import shutil
+    The whole pass is bracketed by a CONDITIONAL no-op commit on the
+    index manifest ("ivf-vacuum", r07 ADVICE): both steps can clip an
+    IN-FLIGHT update's just-merged entries (to the vacuum, a keymapped
+    key absent from the index data is stale, and a live key's exact set
+    omits the in-flight move's new cell). Two cases, both closed:
 
+      * the foreign update COMMITS first — the vacuum's conditional
+        commit fails; it REPAIRS (rebuild from the fresh manifest
+        restores every live key's entry) and raises
+        ``ConcurrentMergeError``; re-running converges.
+      * the vacuum commits first — the update's conditional commit
+        fails, and its rebase loop re-merges its own keymap entries
+        before retrying (see :func:`update_ivf_index`), restoring
+        anything the vacuum clipped.
+
+    A keymap emptied of every row (vacuum of a fully-deleted index)
+    reads as missing downstream; updates already self-heal that."""
     from customer_segmentation_pyspark_spark.sources import versioned
     from customer_segmentation_pyspark_spark.streaming.merge import (
         ConcurrentMergeError,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
     )
 
     base_version, man = _read_latest_ivf(index_dir)
-    km = _keymap_dir(index_dir)
-    km_man = versioned.read_manifest(km) if os.path.isdir(km) else None
-    parts = (
-        int(km_man["num_partitions"]) if km_man else KEYMAP_PARTITIONS
-    )
-    shutil.rmtree(km, ignore_errors=True)
-    if man is None or not man.get("parts"):
-        return  # empty index: nothing live, keymap stays absent
+    if man is None or man.get("kind") != "ivf":
+        raise FileNotFoundError(f"no IVF index committed in {index_dir}")
+    km_dir = _keymap_dir(index_dir)
+    if versioned.latest_version(km_dir) < 1:
+        return  # no keymap yet: nothing to vacuum
     key, vec = man["key"], man["vec"]
-    exact = spark.read.parquet(
-        *[os.path.join(index_dir, d) for d in man["parts"].values()]
-    ).select(
-        F.col(key),
-        F.array(_assign_expr(man, F.col(vec)).cast("long")).alias("cells"),
-        F.lit(0).cast("long").alias("seq"),
+    dirs = [os.path.join(index_dir, d) for d in man["parts"].values()]
+    if dirs:
+        live = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        exact = live.select(
+            F.col(key),
+            F.array(
+                _assign_expr(man, F.col(vec)).cast("long")
+            ).alias("cells"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+        _merge_keymap(spark, index_dir, exact, key)
+        live_keys = live.select(key).distinct()
+    else:
+        live_keys = None
+    try:
+        km = read_partitioned_snapshot(spark, km_dir)
+    except FileNotFoundError:
+        km = None  # already emptied
+    if km is not None:
+        stale = (
+            km.join(live_keys, key, "left_anti") if live_keys is not None
+            else km
+        )
+        stale = (
+            stale.select(key, "cells")
+            .withColumn("seq", F.lit(1).cast("long"))
+            .withColumn("__op", F.lit("D"))
+        )
+        merge_into_partitioned_snapshot(
+            spark,
+            km_dir,
+            stale,
+            key=key,
+            seq="seq",
+            delete_when="__op = 'D'",
+            marker_cols=("__op",),
+            collect_stats=False,
+        )
+    v = versioned.commit_manifest(
+        index_dir,
+        {**man, "operation": "ivf-vacuum", "committed_at": time.time()},
+        expected_latest=base_version,
     )
-    _merge_keymap(spark, index_dir, exact, key, num_partitions=parts)
-    if versioned.latest_version(index_dir) != base_version:
+    if v < 0:
+        # a foreign commit landed while we swept: our exact-set merge /
+        # stale delete may have clipped its in-flight keymap entries —
+        # repair from the CURRENT manifest, then surface the conflict
+        rebuild_ivf_keymap(spark, index_dir)
         raise ConcurrentMergeError(
             f"a concurrent commit landed on {index_dir} during the "
-            "keymap vacuum; its keymap entries were lost with the drop "
-            "— re-run the vacuum (it rebuilds from the new manifest)"
+            "keymap vacuum; the keymap was repaired from the new "
+            "manifest — re-run the vacuum"
         )
 
 

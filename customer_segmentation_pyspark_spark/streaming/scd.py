@@ -1,0 +1,215 @@
+"""SCD Type-2 dimension history (r07, capstone #13): turn a keyed
+lakehouse dimension table's CHANGE DATA FEED into a temporal-validity
+history — one row per (key, version-interval) with
+``valid_from``/``valid_to`` in SOURCE VERSIONS — maintained
+incrementally, then an as-of join of facts to the dim version in
+effect at fact time. The classic warehouse shape (Kimball SCD2) the
+engine's CDF already carries all the inputs for: pre-images close
+intervals, post-images open them, deletes close without reopening.
+
+Storage: the history is an ordinary partitioned MERGE table keyed by
+``__hkey`` — ``<key>:open`` for the key's current (open) interval and
+``<key>:<valid_from>`` for each closed one. Closing an interval is
+therefore an O(|Δ|) POINT-READ of the changed keys' ``:open`` rows
+(partition-pruned by the merge's own key hash — the same discipline as
+the IVF keymap and the join-view inverted map) followed by one keyed
+merge; nothing ever rescans the history.
+
+Granularity: ``valid_from``/``valid_to`` are the SYNC-time source
+versions. A sync that folds several source versions at once records
+one transition (the CDF nets intermediate states away) — sync after
+every wave for version-exact history, the shape the oracle replays.
+
+Exactly-once: the cursor marker (the views module's ``_SRC_VERSION``
+file) is written after the merge; a crash between them replays the
+same CDF slice, and the apply is convergent — re-closing is skipped
+when the open row's ``valid_from`` already equals the slice's target
+version (the witness that the crashed run's merge landed), and every
+other step is an idempotent keyed upsert/delete.
+
+At 100 TB: each sync is O(|Δdim| touched partitions); the as-of join
+is an equi-join on the key plus an interval filter (per-key intervals
+are disjoint, so no range-join blowup), broadcastable whenever the
+filtered history side is dimension-sized. Reference parity: the
+reference has no temporal surface at all (codeText.txt is a k-means
+notebook); engine surface for the warehouse/LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.streaming.views import (
+    _write_marker,
+    view_src_version,
+)
+
+HKEY = "__hkey"
+
+
+def _open_hkey(key_col):
+    return F.concat(key_col.cast("string"), F.lit(":open"))
+
+
+def sync_scd2_history(
+    spark: SparkSession,
+    dim_dir: str,
+    hist_dir: str,
+    num_partitions: int = 32,
+) -> int:
+    """Bring the SCD2 history up to the dim table's latest version,
+    folding only the CDF since the cursored version (seeding all rows
+    as open intervals on first call). Returns the source version the
+    history now reflects."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(dim_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {dim_dir}")
+    dim_man = versioned.read_manifest(dim_dir)
+    key = dim_man["key"]
+
+    v0 = (
+        view_src_version(hist_dir) if os.path.isdir(hist_dir) else None
+    )
+    if v0 is None:
+        snap = read_partitioned_snapshot(spark, dim_dir, version=cur)
+        seed = snap.select(
+            _open_hkey(F.col(key)).alias(HKEY),
+            *snap.columns,
+            F.lit(cur).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(0).cast("long").alias("__seq"),
+            F.lit("U").alias("__op"),
+        )
+        merge_into_partitioned_snapshot(
+            spark,
+            hist_dir,
+            seed,
+            key=HKEY,
+            seq="__seq",
+            num_partitions=num_partitions,
+            delete_when="__op = 'D'",
+            marker_cols=("__op",),
+        )
+        _write_marker(hist_dir, cur)
+        return cur
+    if v0 >= cur:
+        return v0  # already current — the idempotent no-op
+
+    cdf = read_snapshot_changes(spark, dim_dir, v0, cur)
+    attrs = [
+        c
+        for c in cdf.columns
+        if c != "_change_type" and not c.startswith("_")
+    ]
+    ct = F.col("_change_type")
+    # bounded collect: the dim CDF's changed keys (dim waves are the
+    # rare/batchy side — the merge module's key-routing contract)
+    changed_keys = [
+        r[0]
+        for r in cdf.select(key).distinct().collect()
+        if r[0] is not None
+    ]
+    if not changed_keys:
+        _write_marker(hist_dir, cur)
+        return cur
+    open_rows = read_partitioned_snapshot(
+        spark,
+        hist_dir,
+        key_in=[f"{k}:open" for k in changed_keys],
+    ).localCheckpoint(eager=True)  # reused by close + replay-guard
+
+    # 1. CLOSE: every changed key with an open interval gets a closed
+    #    copy (same content, valid_to = cur) at its immutable hkey —
+    #    UNLESS the open row already carries valid_from == cur, the
+    #    witness of a crashed run's landed merge (replay guard).
+    closes = open_rows.filter(F.col("valid_from") < F.lit(cur)).select(
+        F.concat(
+            F.col(key).cast("string"),
+            F.lit(":"),
+            F.col("valid_from").cast("string"),
+        ).alias(HKEY),
+        *attrs,
+        F.col("valid_from"),
+        F.lit(cur).cast("long").alias("valid_to"),
+        F.lit(1).cast("long").alias("__seq"),
+        F.lit("U").alias("__op"),
+    )
+    # 2. REOPEN: upserted keys' post-images become the new open row
+    reopens = cdf.filter(
+        ct.isin("insert", "update_postimage")
+    ).select(
+        _open_hkey(F.col(key)).alias(HKEY),
+        *attrs,
+        F.lit(cur).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(2).cast("long").alias("__seq"),
+        F.lit("U").alias("__op"),
+    )
+    # 3. RETIRE: deleted keys lose their open row (the closed copy from
+    #    step 1 is the record that they existed)
+    retires = cdf.filter(ct == "delete").select(
+        _open_hkey(F.col(key)).alias(HKEY),
+        *attrs,
+        F.lit(None).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(3).cast("long").alias("__seq"),
+        F.lit("D").alias("__op"),
+    )
+    batch = closes.unionByName(reopens).unionByName(retires)
+    merge_into_partitioned_snapshot(
+        spark,
+        hist_dir,
+        batch,
+        key=HKEY,
+        seq="__seq",
+        delete_when="__op = 'D'",
+        marker_cols=("__op",),
+    )
+    _write_marker(hist_dir, cur)
+    return cur
+
+
+def read_scd2_history(spark: SparkSession, hist_dir: str) -> DataFrame:
+    """The full history (key, attrs, valid_from, valid_to) — open
+    intervals have valid_to NULL; the bookkeeping hkey is dropped."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    return read_partitioned_snapshot(spark, hist_dir).drop(HKEY)
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    version_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the dim interval in effect at its version:
+    the history row with ``valid_from <= v < coalesce(valid_to, ∞)``.
+    Per-key intervals are disjoint, so this is an equi-join on the key
+    plus a filter — at most one match per fact row, never a range-join
+    blowup (the same result as an as-of join against the interval
+    starts, `operators/asof.py`, but expressible as a plain equi-join
+    because SCD2 intervals carry their own end bound)."""
+    v = F.col(version_col)
+    cond = (
+        (facts[key] == history[key])
+        & (history["valid_from"] <= v)
+        & (
+            history["valid_to"].isNull()
+            | (v < history["valid_to"])
+        )
+    )
+    return facts.join(history, cond, how).drop(history[key])

@@ -1,0 +1,185 @@
+"""SCD2 dimension history (r07, capstone #13): incremental
+temporal-validity maintenance from the CDF vs a full gaps-and-islands
+recompute over the dim's own time-travel states, exactly-once replay,
+as-of join semantics, and a seeded fuzz interleaving."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.sources import versioned
+from customer_segmentation_pyspark_spark.streaming.merge import (
+    merge_into_partitioned_snapshot,
+    read_partitioned_snapshot,
+)
+from customer_segmentation_pyspark_spark.streaming.scd import (
+    read_scd2_history,
+    scd2_asof_join,
+    sync_scd2_history,
+)
+
+
+def _dim_wave(spark, rows):
+    return spark.createDataFrame(
+        rows, "ck long, attr string, bal double, dseq long, dop string"
+    )
+
+
+def _merge_dim(spark, dim_dir, rows):
+    merge_into_partitioned_snapshot(
+        spark, dim_dir, _dim_wave(spark, rows), key="ck", seq="dseq",
+        num_partitions=4, delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+
+
+def _reference_history(spark, dim_dir):
+    """Driver-side gaps-and-islands recompute over every committed dim
+    version (time travel is the ground truth the increments must
+    match)."""
+    latest = versioned.latest_version(dim_dir)
+    states = {}
+    for v in range(1, latest + 1):
+        try:
+            rows = read_partitioned_snapshot(
+                spark, dim_dir, version=v
+            ).collect()
+        except FileNotFoundError:  # fully-emptied version
+            rows = []
+        states[v] = {r["ck"]: (r["attr"], r["bal"]) for r in rows}
+    hist = set()
+    keys = {k for s in states.values() for k in s}
+    for k in sorted(keys):
+        start, content = None, None
+        for v in range(1, latest + 1):
+            now = states[v].get(k)
+            if now != content:
+                if content is not None:
+                    hist.add((k, *content, start, v))
+                start, content = v, now
+        if content is not None:
+            hist.add((k, *content, start, None))
+    return hist
+
+
+def _got_history(spark, hist_dir):
+    return {
+        (r["ck"], r["attr"], r["bal"], r["valid_from"], r["valid_to"])
+        for r in read_scd2_history(spark, hist_dir).collect()
+    }
+
+
+def test_scd2_history_equals_time_travel_recompute(spark, tmp_path):
+    dim = str(tmp_path / "dim")
+    hist = str(tmp_path / "hist")
+    # v1: seed 6 keys
+    _merge_dim(spark, dim, [(k, f"a{k}", float(k), 0, "U")
+                            for k in range(6)])
+    sync_scd2_history(spark, dim, hist, num_partitions=4)
+    # v2: update 0/2, delete 4
+    _merge_dim(spark, dim, [
+        (0, "a0-v2", 100.0, 1, "U"),
+        (2, "a2-v2", 102.0, 1, "U"),
+        (4, "a4", 4.0, 1, "D"),
+    ])
+    sync_scd2_history(spark, dim, hist)
+    # v3: re-insert 4, update 0 again, delete 1
+    _merge_dim(spark, dim, [
+        (4, "a4-back", 204.0, 2, "U"),
+        (0, "a0-v3", 300.0, 2, "U"),
+        (1, "a1", 1.0, 2, "D"),
+    ])
+    sync_scd2_history(spark, dim, hist)
+    assert _got_history(spark, hist) == _reference_history(spark, dim)
+    # key 0 has three stacked intervals, key 4 a gap then a reopen
+    got = _got_history(spark, hist)
+    assert {t[3:] for t in got if t[0] == 0} == {(1, 2), (2, 3), (3, None)}
+    assert {t[3:] for t in got if t[0] == 4} == {(1, 2), (3, None)}
+    assert {t[3:] for t in got if t[0] == 1} == {(1, 3)}
+
+
+def test_scd2_sync_exactly_once_replay(spark, tmp_path):
+    """A crash between the history merge and the cursor marker replays
+    the same CDF slice — the apply must converge (no duplicated or
+    degenerate intervals)."""
+    import os
+
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        SRC_VERSION_FILE,
+    )
+
+    dim = str(tmp_path / "dim")
+    hist = str(tmp_path / "hist")
+    _merge_dim(spark, dim, [(k, f"a{k}", float(k), 0, "U")
+                            for k in range(4)])
+    sync_scd2_history(spark, dim, hist, num_partitions=4)
+    _merge_dim(spark, dim, [(0, "a0-v2", 9.0, 1, "U"),
+                            (1, "a1", 1.0, 1, "D")])
+    sync_scd2_history(spark, dim, hist)
+    want = _got_history(spark, hist)
+    # simulated crash between the merge and the marker write: the
+    # marker still holds the PREVIOUS cursor, so the retry re-folds
+    # the same v1->v2 slice onto the already-merged history
+    with open(os.path.join(hist, SRC_VERSION_FILE), "w") as f:
+        f.write("1")
+    sync_scd2_history(spark, dim, hist)  # replays the v1->v2 slice
+    assert _got_history(spark, hist) == want
+
+
+def test_scd2_asof_join_picks_version_in_effect(spark, tmp_path):
+    dim = str(tmp_path / "dim")
+    hist = str(tmp_path / "hist")
+    _merge_dim(spark, dim, [(1, "old", 1.0, 0, "U"),
+                            (2, "gone", 2.0, 0, "U")])
+    sync_scd2_history(spark, dim, hist, num_partitions=4)
+    _merge_dim(spark, dim, [(1, "new", 10.0, 1, "U"),
+                            (2, "gone", 2.0, 1, "D")])
+    sync_scd2_history(spark, dim, hist)
+    facts = spark.createDataFrame(
+        [(100, 1, 1), (101, 1, 2), (102, 2, 1), (103, 2, 2)],
+        "fid long, ck long, v long",
+    )
+    got = {
+        (r["fid"], r["attr"])
+        for r in scd2_asof_join(
+            facts, read_scd2_history(spark, hist), "ck", "v"
+        ).collect()
+    }
+    assert got == {
+        (100, "old"),   # v1 sees the original
+        (101, "new"),   # v2 sees the update
+        (102, "gone"),  # v1 sees the soon-deleted row
+        (103, None),    # v2: key deleted, LEFT join nulls
+    }
+    # every fact matched at most one interval
+    j = scd2_asof_join(facts, read_scd2_history(spark, hist), "ck", "v")
+    assert j.count() == facts.count()
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_scd2_fuzzed_interleaving(spark, tmp_path, seed):
+    """Seeded random interleaving of dim waves (update/delete/insert)
+    and syncs — syncing after EVERY wave so version granularity matches
+    the time-travel recompute."""
+    rng = random.Random(seed)
+    dim = str(tmp_path / "dim")
+    hist = str(tmp_path / "hist")
+    _merge_dim(spark, dim, [(k, f"a{k}", float(k), 0, "U")
+                            for k in range(10)])
+    sync_scd2_history(spark, dim, hist, num_partitions=4)
+    for step in range(1, 9):
+        rows = []
+        for _ in range(rng.randint(1, 4)):
+            k = rng.randrange(14)
+            if rng.random() < 0.25:
+                rows.append((k, f"x{k}", 0.0, step, "D"))
+            else:
+                rows.append(
+                    (k, f"a{k}s{step}", float(rng.randint(0, 99)),
+                     step, "U")
+                )
+        _merge_dim(spark, dim, rows)
+        sync_scd2_history(spark, dim, hist)
+    assert _got_history(spark, hist) == _reference_history(spark, dim)

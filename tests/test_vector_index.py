@@ -6,6 +6,7 @@ delete/insert routing through the keymap, and manifest time travel."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -1057,18 +1058,16 @@ def test_read_latest_bounded_on_stranded_pointer(spark, tmp_path):
     assert man is not None and man["kind"] == "ivf"
 
 
-def test_vacuum_raises_on_concurrent_update(spark, tmp_path, monkeypatch):
-    """r07 (ADVICE): an update landing in the vacuum's drop->rebuild
-    window loses its just-merged keymap entries — the vacuum must
-    detect the foreign commit and raise instead of leaving the rebuilt
-    keymap pointing moved keys at their OLD cells only; the re-run
-    (rebuilding from the NEW manifest) converges with no ghosts."""
-    import shutil as _shutil
-
+def test_vacuum_repairs_and_raises_on_concurrent_update(
+    spark, tmp_path, monkeypatch
+):
+    """r07 (ADVICE): an update whose commit lands during the vacuum's
+    sweep may have had its just-merged keymap entries clipped — the
+    vacuum's conditional final commit must fail, repair the keymap from
+    the NEW manifest, and raise; the re-run converges with no ghosts."""
     import pytest
 
     from customer_segmentation_pyspark_spark.operators.vector_index import (
-        _keymap_dir,
         vacuum_ivf_keymap,
     )
     from customer_segmentation_pyspark_spark.streaming.merge import (
@@ -1080,31 +1079,63 @@ def test_vacuum_raises_on_concurrent_update(spark, tmp_path, monkeypatch):
     build_ivf_index(spark, idx, e, CELLS)
     moved_key = int(e.first()["vec_id"])
 
-    real_rmtree = _shutil.rmtree
+    real = versioned.commit_manifest
     state = {"armed": True}
 
-    def inject(path, *a, **kw):
-        fire = state["armed"] and str(path) == _keymap_dir(idx)
-        real_rmtree(path, *a, **kw)
-        if fire:
+    def wrapped(table_dir, manifest, expected_latest=None):
+        if state["armed"] and manifest.get("operation") == "ivf-vacuum":
             state["armed"] = False
-            # the concurrent update moves a key to a new cell; its
-            # keymap entries land AFTER the drop and survive, but the
-            # manifest advance is what the vacuum must detect
             update_ivf_index(
                 spark, idx, _one_up(spark, moved_key, list(CELLS[5]))
             )
+        return real(table_dir, manifest, expected_latest)
 
-    monkeypatch.setattr(_shutil, "rmtree", inject)
+    monkeypatch.setattr(versioned, "commit_manifest", wrapped)
     with pytest.raises(ConcurrentMergeError):
         vacuum_ivf_keymap(spark, idx)
-    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    monkeypatch.setattr(versioned, "commit_manifest", real)
     vacuum_ivf_keymap(spark, idx)  # re-run converges
     # move the key again: the keymap must still know its CURRENT cell
     update_ivf_index(spark, idx, _one_up(spark, moved_key, list(CELLS[1])))
     final = read_ivf_index(spark, idx)
     assert final.count() == final.select("vec_id").distinct().count()
     assert final.filter(F.col("vec_id") == moved_key).count() == 1
+
+
+def test_update_rebases_over_vacuum_restoring_clipped_entries(
+    spark, tmp_path, monkeypatch
+):
+    """r07: the other interleaving — a vacuum sweeping WHILE an update
+    is between its keymap merge and its data commit clips the update's
+    fresh entries; the update's rebase must re-merge them before
+    retrying, so the key's next move still rewrites its real cell (no
+    ghost copy)."""
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        vacuum_ivf_keymap,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    # churn so the vacuum has stale rows to sweep
+    update_ivf_index(spark, idx, _wave(e))
+
+    def foreign():
+        vacuum_ivf_keymap(spark, idx)
+
+    _inject_foreign_index_commit_once(monkeypatch, idx, foreign)
+    # a brand-new key: its keymap entry exists only from this update's
+    # own merge — exactly what the vacuum's stale sweep clips
+    update_ivf_index(spark, idx, _one_up(spark, 888000, list(CELLS[4])))
+    # the update landed (rebased over the vacuum) ...
+    final = read_ivf_index(spark, idx)
+    assert final.filter(F.col("vec_id") == 888000).count() == 1
+    # ... and moving the key MUST leave exactly one copy — a clipped
+    # keymap entry would leave the CELLS[4] ghost behind
+    update_ivf_index(spark, idx, _one_up(spark, 888000, list(CELLS[6])))
+    final = read_ivf_index(spark, idx)
+    assert final.count() == final.select("vec_id").distinct().count()
+    assert final.filter(F.col("vec_id") == 888000).count() == 1
 
 
 def test_filtered_probe_no_starvation_keeps_single_pass_plan(
@@ -1240,3 +1271,100 @@ def test_sync_auto_split_concurrent_commit_raises_then_converges(
     final = read_ivf_index(spark, idx)
     assert final.count() == final.select("vec_id").distinct().count()
     assert final.filter(F.col("vec_id") == 999000).count() == 1
+
+
+@pytest.mark.parametrize("fuzz_seed", [11, 22, 33])
+def test_threaded_sync_split_vacuum_fuzz(spark, tmp_path, fuzz_seed):
+    """r07 (VERDICT #6): genuinely concurrent threads interleaving CDF
+    syncs, hot-cell splits, and keymap vacuums. Invariants: every
+    operation either lands or raises ConcurrentMergeError (nothing
+    else escapes), the terminal index equals the corpus (a sequential
+    replay of the landed commits — no ghost or lost keys), and probes
+    match a fresh rebuild."""
+    import threading
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        split_ivf_cells,
+        sync_ivf_index_to_snapshot,
+        vacuum_ivf_keymap,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        ConcurrentMergeError,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    cap = 90
+    merge_into_partitioned_snapshot(
+        spark, tbl, _skewed_wave(spark, 0, 200, 0),
+        key="vec_id", seq="seq", num_partitions=8,
+    )
+    sync_ivf_index_to_snapshot(spark, tbl, idx, CELLS)
+
+    unexpected: list = []
+    cme = [0]
+
+    def guard(fn):
+        try:
+            fn()
+        except ConcurrentMergeError:
+            cme[0] += 1
+        except Exception as e:  # noqa: BLE001 — the invariant under test
+            unexpected.append(e)
+
+    def ingest():
+        for w in (1, 2):
+            merge_into_partitioned_snapshot(
+                spark, tbl,
+                _skewed_wave(spark, 10000 * w + fuzz_seed, 150, w),
+                key="vec_id", seq="seq",
+            )
+            guard(
+                lambda: sync_ivf_index_to_snapshot(spark, tbl, idx, CELLS)
+            )
+
+    def splitter():
+        for _ in range(2):
+            guard(
+                lambda: split_ivf_cells(
+                    spark, idx, max_rows=cap, seed=fuzz_seed
+                )
+            )
+
+    def vacuumer():
+        for _ in range(2):
+            guard(lambda: vacuum_ivf_keymap(spark, idx))
+
+    threads = [
+        threading.Thread(target=t) for t in (ingest, splitter, vacuumer)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not unexpected, unexpected
+
+    # serial convergence pass: fold anything a raised op left behind
+    for _ in range(10):
+        try:
+            sync_ivf_index_to_snapshot(spark, tbl, idx, CELLS)
+            vacuum_ivf_keymap(spark, idx)
+            break
+        except ConcurrentMergeError:  # pragma: no cover — serial now
+            continue
+    final = read_ivf_index(spark, idx)
+    corpus = read_partitioned_snapshot(spark, tbl).select(
+        "vec_id", "embedding"
+    )
+    assert final.count() == final.select("vec_id").distinct().count()
+    assert final.exceptAll(corpus).count() == 0
+    assert corpus.exceptAll(final).count() == 0
+    # probes equal a fresh unsplit rebuild over the same content
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(spark, rebuilt, corpus, CELLS)
+    q = corpus.filter(F.col("vec_id") % 89 == 1)
+    assert _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5)) == _rows(
+        query_ivf_index(spark, rebuilt, q, n_probe=3, k=5)
+    )
