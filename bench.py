@@ -184,6 +184,10 @@ HEADLINE = [
     # r06: the non-self-maintainable IVM case — extremum deletes take
     # the scoped-rescan path (3 waves + 3 cursored syncs)
     "incremental_minmax_view",
+    # r07 capstone #13: SCD2 dim history (3 waves + 3 cursored syncs,
+    # O(changed-keys) closes) and the as-of enrichment against it
+    "scd2_dim_view",
+    "scd2_asof_facts",
 ]
 
 

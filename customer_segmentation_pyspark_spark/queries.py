@@ -4788,6 +4788,124 @@ def q_incremental_join_view(spark, sf_dir):
     )
 
 
+def _build_scd2_history(spark, sf_dir):
+    """Shared build for the r07 SCD2 capstone (#13): a customer
+    dimension replayed through three versions — base (v1), then
+    acctbal bumps + deletes (v2), then halvings + re-inserts (v3),
+    each wave derived from the SOURCE column values so the oracle can
+    replay them exactly — with `sync_scd2_history` run after every
+    wave (version-exact granularity). Returns the history dir."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.scd import (
+        sync_scd2_history,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    dim_dir = _scratch_path("scd2/dim")
+    hist_dir = _scratch_path("scd2/hist")
+    for p in (dim_dir, hist_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    kw = dict(
+        key="ck", seq="dseq", num_partitions=8,
+        delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+    base = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.lit(0).cast("long").alias("dseq"),
+        F.lit("U").alias("dop"),
+    )
+    w1 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        (F.col("c_acctbal").cast("double") + 100.0).alias("acctbal"),
+        F.lit(1).cast("long").alias("dseq"),
+        F.lit("U").alias("dop"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            F.col("c_custkey").alias("ck"),
+            F.lit(None).cast("long").alias("nation"),
+            F.lit(None).cast("double").alias("acctbal"),
+            F.lit(2).cast("long").alias("dseq"),
+            F.lit("D").alias("dop"),
+        )
+    )
+    w2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        (F.col("c_acctbal").cast("double") * 0.5).alias("acctbal"),
+        F.lit(3).cast("long").alias("dseq"),
+        F.lit("U").alias("dop"),
+    ).unionByName(
+        # re-inserts of keys deleted at v2 (%26 ⊂ %13): a gap then a
+        # reopened interval — the island case
+        c.filter(F.col("c_custkey") % 26 == 0).select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+            (F.col("c_acctbal").cast("double") + 7.0).alias("acctbal"),
+            F.lit(4).cast("long").alias("dseq"),
+            F.lit("U").alias("dop"),
+        )
+    )
+    for wave in (base, w1, w2):
+        merge_into_partitioned_snapshot(spark, dim_dir, wave, **kw)
+        sync_scd2_history(spark, dim_dir, hist_dir, num_partitions=8)
+    return hist_dir
+
+
+def q_scd2_dim_view(spark, sf_dir):
+    """r07 capstone #13 — SCD Type-2 dimension history under the hash
+    gate: the customer dim's three-version change log becomes a
+    temporal-validity table (one row per key-version interval,
+    valid_from/valid_to in source versions, open intervals NULL),
+    maintained purely from the CDF — closes are O(changed keys)
+    point-reads of the ':open' rows, never a history rescan. The
+    oracle recomputes the same intervals with a gaps-and-islands pass
+    over the three replayed states; a missed close, duplicated
+    interval, resurrected delete, or wrong boundary version changes
+    the hash. Cites `streaming/scd.py:sync_scd2_history`."""
+    from customer_segmentation_pyspark_spark.streaming.scd import (
+        read_scd2_history,
+    )
+
+    hist_dir = _build_scd2_history(spark, sf_dir)
+    return read_scd2_history(spark, hist_dir).select(
+        "ck", "nation", "acctbal", "valid_from", "valid_to"
+    )
+
+
+def q_scd2_asof_facts(spark, sf_dir):
+    """r07 — as-of enrichment against the SCD2 history: each order is
+    stamped with a deterministic version-in-effect (1 + okey % 3) and
+    joined to the customer interval covering it — an equi-join on the
+    key plus the interval filter (per-key intervals are disjoint, so
+    no range-join blowup; `streaming/scd.py:scd2_asof_join`). Orders
+    of customers deleted at that version surface NULL attributes
+    (LEFT semantics — history knows they existed, the join knows they
+    were gone)."""
+    from customer_segmentation_pyspark_spark.streaming.scd import (
+        read_scd2_history,
+        scd2_asof_join,
+    )
+
+    hist_dir = _build_scd2_history(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    facts = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ck"),
+        (F.lit(1) + F.col("o_orderkey") % 3).cast("long").alias("v"),
+    )
+    hist = read_scd2_history(spark, hist_dir)
+    return scd2_asof_join(facts, hist, "ck", "v").select(
+        "okey", "ck", "v", "nation", "acctbal"
+    )
+
+
 def _build_feed_table(spark, sf_dir, name):
     """Shared two-wave snapshot build for the r04.5 lakehouse read
     queries: base corpus (seq 0) committed as v1, then ONE merge wave
@@ -12707,6 +12825,83 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n,
 FROM j GROUP BY bin ORDER BY bin"""
 
 
+# r07 capstone #13: the SCD2 history replay — three explicit states
+# (the same latest-per-key fold as the lakehouse oracles), then a
+# gaps-and-islands pass turns per-version liveness+attributes into
+# validity intervals: an island starts where a key becomes alive or
+# changes value, valid_to is the version after the island's last alive
+# version (NULL when it reaches the final state).
+_SCD2_HIST_CTE = """
+WITH allrows AS (
+  SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(c_acctbal AS DOUBLE) AS acctbal, 1 AS vv, 0 AS seq,
+         'U' AS op
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT),
+         CAST(c_acctbal AS DOUBLE) + 100.0, 2, 1, 'U'
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, NULL, 2, 2, 'D'
+  FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT),
+         CAST(c_acctbal AS DOUBLE) * 0.5, 3, 3, 'U'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT),
+         CAST(c_acctbal AS DOUBLE) + 7.0, 3, 4, 'U'
+  FROM customer WHERE c_custkey % 26 = 0),
+grid AS (
+  SELECT g.v, a.ck, a.nation, a.acctbal, a.op,
+         row_number() OVER (PARTITION BY g.v, a.ck
+                            ORDER BY a.seq DESC) AS rn
+  FROM (VALUES (1), (2), (3)) g(v)
+  JOIN allrows a ON a.vv <= g.v),
+states AS (
+  SELECT v, ck, nation, acctbal FROM grid WHERE rn = 1 AND op <> 'D'),
+dense AS (
+  SELECT k.ck, g.v, s.nation, s.acctbal,
+         s.ck IS NOT NULL AS alive
+  FROM (SELECT DISTINCT ck FROM allrows) k
+  CROSS JOIN (VALUES (1), (2), (3)) g(v)
+  LEFT JOIN states s ON s.ck = k.ck AND s.v = g.v),
+marked AS (
+  SELECT *, CASE WHEN alive AND (
+        NOT coalesce(lag(alive) OVER w, FALSE)
+        OR nation IS DISTINCT FROM lag(nation) OVER w
+        OR acctbal IS DISTINCT FROM lag(acctbal) OVER w
+      ) THEN 1 ELSE 0 END AS is_start
+  FROM dense WINDOW w AS (PARTITION BY ck ORDER BY v)),
+isl AS (
+  SELECT *, sum(is_start) OVER (PARTITION BY ck ORDER BY v) AS gid
+  FROM marked),
+hist AS (
+  SELECT ck, max(nation) AS nation, max(acctbal) AS acctbal,
+         CAST(min(v) AS BIGINT) AS valid_from,
+         CASE WHEN max(v) < 3 THEN CAST(max(v) + 1 AS BIGINT) END
+           AS valid_to
+  FROM isl WHERE alive GROUP BY ck, gid)
+"""
+
+ORACLES["scd2_dim_view"] = (
+    _SCD2_HIST_CTE
+    + "SELECT ck, nation, acctbal, valid_from, valid_to FROM hist"
+)
+
+ORACLES["scd2_asof_facts"] = (
+    _SCD2_HIST_CTE
+    + """
+SELECT f.okey, f.ck, f.v, h.nation, h.acctbal
+FROM (SELECT o_orderkey AS okey, o_custkey AS ck,
+             CAST(1 + o_orderkey % 3 AS BIGINT) AS v
+      FROM orders) f
+LEFT JOIN hist h
+  ON h.ck = f.ck AND h.valid_from <= f.v
+ AND (h.valid_to IS NULL OR f.v < h.valid_to)"""
+)
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # relational core
     "project_select": QuerySpec(q_project_select, ORACLES["project_select"]),
@@ -13259,6 +13454,13 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "embedding_drift": QuerySpec(
         q_embedding_drift, ORACLES["embedding_drift"]
+    ),
+    # r07 capstone #13: SCD2 dimension history + as-of enrichment
+    "scd2_dim_view": QuerySpec(
+        q_scd2_dim_view, ORACLES["scd2_dim_view"]
+    ),
+    "scd2_asof_facts": QuerySpec(
+        q_scd2_asof_facts, ORACLES["scd2_asof_facts"]
     ),
 }
 

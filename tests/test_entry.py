@@ -87,6 +87,11 @@ def test_coverage_md_query_names_resolve():
         "streaming_ivf_upsert", "rebuild_ivf_keymap", "lang",
         "split_ivf_cells", "subcells", "update_set_all",
         "test_index_random_walk", "test_views",
+        "_jvmap", "partitions_in", "test_scd2",
+        "test_filtered_probe_no_starvation_keeps_single_pass_plan",
+        "test_scd2_asof_join_picks_version_in_effect",
+        "sync_ivf_index_to_snapshot", "split_max_rows",
+        "test_stream_merge", "sync_scd2_history", "scd2_asof_join",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []
