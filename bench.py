@@ -9,6 +9,9 @@ Prints ONE JSON line:
 Each query is forced to full materialization with the noop sink (no
 driver-side collect of large results — the measured work is the
 distributed plan, matching how the engine is meant to run at scale).
+Per-query values are the MIN over $SPARK_GRAFT_TRIALS runs (default 3,
+r07 — single-shot numbers could not separate host drift from code
+regressions; see SCALE.md); the record carries "trials".
 """
 
 from __future__ import annotations
@@ -281,12 +284,17 @@ def main() -> None:
     # CONTENDED, making the driver-side artifact incomparable. If the
     # host is busy, wait out short contention bursts (bounded) before
     # accepting a contended record. Opt out with SPARK_GRAFT_NO_WAIT=1.
+    # The pre-check spins are logged into the contention block (r07,
+    # ADVICE) so a record that waited shows it.
+    wait_spins: list[float] = []
     if not os.environ.get("SPARK_GRAFT_NO_WAIT"):
         for attempt in range(3):
-            if _calibrate() < CONTENDED_SPIN_SEC:
+            s = _calibrate()
+            wait_spins.append(s)
+            if s < CONTENDED_SPIN_SEC:
                 break
             print(
-                f"host contended (attempt {attempt + 1}/3) — "
+                f"host contended (spin {s}, attempt {attempt + 1}/3) — "
                 "sleeping 60s before re-checking",
                 file=sys.stderr,
             )
@@ -295,13 +303,25 @@ def main() -> None:
     cal_before = _calibrate()
     load_before = list(os.getloadavg())
 
+    # Multi-trial protocol (r07, VERDICT #5): same-code idle totals
+    # drifted 223->362 s across one day on this host, so a single-shot
+    # record cannot separate drift from regression. Each query runs
+    # SPARK_GRAFT_TRIALS times (default 3) and records the MIN — the
+    # least-interference estimate; compare_bench then judges
+    # min-vs-min. Trial 1 absorbs any residual cold cost, so the min
+    # is effectively a warm number; the lakehouse queries rebuild
+    # their scratch tables per call, so repetition is well-defined.
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     cal_after = _calibrate()
     load_after = list(os.getloadavg())
@@ -314,6 +334,8 @@ def main() -> None:
         "loadavg_after": [round(v, 2) for v in load_after],
         "cpus": os.cpu_count(),
     }
+    if wait_spins:
+        contention["spin_sec_prewait"] = wait_spins
     # Compact self-contained record: everything a judge needs WITHOUT
     # the per-query map. Lives in three places so truncation at either
     # end can't lose it (r06, VERDICT #6): (1) LAST key of the stdout
@@ -326,6 +348,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "trials": trials,  # per-query values are min-of-trials (r07)
         "r01_subset_total": round(
             sum(t for n, t in timings.items() if n in R01_SUBSET), 3
         ),
@@ -338,6 +361,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "trials": trials,
             "r01_subset_total": summary["r01_subset_total"],
             "contention": contention,
             "summary": summary,

@@ -13473,31 +13473,32 @@ REGISTRY: dict[str, QuerySpec] = {
 #: semantics anywhere else, and the local mirror still checks ALL
 #: oracled entries regardless of position.
 _DRIVER_SPOTLIGHT = [
-    # r06 rotation: 50 oracled entries NEVER driver-checked in r01-r05
-    # (104 distinct are already driver-green; the local parity mirror
-    # covers the rest). Front of the list: this round's new surface.
-    "ann_split_probe", "ann_filtered_search_selective",
-    "incremental_join_view", "hybrid_retrieval", "rag_pipeline",
-    "incremental_minmax_view",
-    # r05 additions the r05 verdict asked to prioritize
-    "ann_index_update", "ann_filtered_search", "doc_index_pipeline",
-    "doc_embed_topk", "snapshot_restore_read",
-    "snapshot_clone_divergence", "dq_quarantine",
-    # decision-support / relational shapes
-    "large_orders", "supplier_wait", "market_share", "cohort_retention",
-    "pivot_event_dow", "sessionization", "recursive_cte",
-    "catalyst_decorrelation", "null_safe_join", "min_cost_supplier",
-    # windows / statistics
-    "trailing_window_sum", "median_window", "zscore_window",
-    "ewma_value", "regression_stats", "survival_km", "psi_drift",
-    "gini_revenue", "order_acf",
+    # r07 rotation (VERDICT #2, third rotation): 50 oracled entries
+    # NEVER driver-checked in r01-r06 (154 distinct already carry a
+    # driver green; the local parity mirror covers everything else).
+    # Front: this round's new SCD2 surface, then the never-checked
+    # relational core the r06 verdict asked to prioritize.
+    "scd2_dim_view", "scd2_asof_facts",
+    # relational / decision-support core
+    "order_count_distribution", "late_line_priority_counts",
+    "untapped_customers", "disjunctive_revenue", "first_last_window",
+    "top_user_by_value", "mode_value", "value_histogram",
+    "supplier_roster", "multiset_ops", "important_parts",
+    "top_revenue_supplier", "volume_shipping", "product_profit",
+    "supplier_part_counts", "dominant_suppliers", "funnel_steps",
+    "revenue_share", "cumulative_users", "moving_avg", "summary_stats",
+    "skyline_parts", "lateral_topn",
     # formats / expression surface
-    "json_roundtrip", "orc_roundtrip", "variant_json", "try_funcs",
-    "array_funcs", "hof_funcs", "udtf_bigrams",
-    # dedup / text / LLM-pipeline
-    "dedup_keep_first", "dedup_incremental", "simhash", "line_dedup",
-    "unigram_ppl", "bigram_ppl", "winnowing", "quality_classifier",
-    "inverted_index", "rrf_fusion", "hard_negatives",
+    "posexplode_words", "map_funcs", "xml_funcs", "binary_funcs",
+    "sql_sugar", "map_hof_funcs", "try_math", "inline_structs",
+    "union_evolved", "date_arithmetic", "null_funcs", "text_roundtrip",
+    "bool_aggs", "bit_aggs",
+    # lakehouse / audit
+    "zorder_key", "snapshot_diff", "table_fingerprint",
+    "freshness_audit",
+    # sketches / ML / dedup
+    "hll_daily_users", "label_centroids", "knn_classify", "chi_square",
+    "minhash_accuracy", "equidepth_histogram", "dedup_canonical",
 ]
 
 REGISTRY = {

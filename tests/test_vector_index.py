@@ -1368,3 +1368,47 @@ def test_threaded_sync_split_vacuum_fuzz(spark, tmp_path, fuzz_seed):
     assert _rows(query_ivf_index(spark, idx, q, n_probe=3, k=5)) == _rows(
         query_ivf_index(spark, rebuilt, q, n_probe=3, k=5)
     )
+
+
+def test_probe_reads_only_probed_cell_dirs(spark, tmp_path):
+    """r07 (VERDICT #8): the probe's data reads are exactly the probed
+    cells' dirs — no keymap files, no unprobed cells — asserted on
+    inputFiles() of the returned plan (unfiltered path; the filtered
+    path's pruning decision is asserted via _pruned_probe_dirs)."""
+    import os as _os
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        _keymap_dir,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    man = versioned.read_manifest(idx)
+    q = e.filter(F.col("vec_id") < 3)
+    out = query_ivf_index(spark, idx, q, n_probe=2, k=5)
+    files = [f for f in out.inputFiles() if str(tmp_path) in f]
+    assert files, "probe plan must expose its index reads"
+    # probe set: union over the 3 queries of their 2 nearest cells
+    probed_dirs = set()
+    for r in q.collect():
+        import numpy as _np
+
+        d = [
+            float(_np.sum((_np.array(r["embedding"]) - _np.array(c)) ** 2))
+            for c in CELLS
+        ]
+        order = sorted(range(len(CELLS)), key=lambda i: (d[i], i))[:2]
+        probed_dirs |= {man["parts"][str(i)] for i in order}
+    allowed = {_os.path.join(idx, d) for d in probed_dirs}
+    for f in files:
+        parent = _os.path.dirname(f.split("://", 1)[-1])
+        assert parent in allowed, f"unexpected read outside probe set: {f}"
+        assert _keymap_dir(idx) not in f
+    # the opened dirs are EXACTLY the probe set (nothing extra read,
+    # nothing probed left unread)
+    opened = {
+        _os.path.basename(_os.path.dirname(f.split("://", 1)[-1]))
+        for f in files
+    }
+    assert opened == probed_dirs

@@ -199,8 +199,15 @@ def main() -> None:
             )
         elif d.get("_partial"):
             partial = " [reconstructed from partial tail]"
+        trials = d.get("trials") or d.get("summary", {}).get("trials")
+        tnote = (
+            f", min of {trials} trials/query"
+            if trials and trials > 1
+            else ", single-shot"
+        )
         print(
-            f"{label}: total {d['value']} s  ({contention_note(d)}){partial}"
+            f"{label}: total {d['value']} s  "
+            f"({contention_note(d)}{tnote}){partial}"
         )
     for k in ("r01_subset_total",):
         if k in old or k in new:
