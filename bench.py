@@ -191,6 +191,9 @@ HEADLINE = [
     # O(changed-keys) closes) and the as-of enrichment against it
     "scd2_dim_view",
     "scd2_asof_facts",
+    # r07: secondary column index — non-key point lookup, read with the
+    # index deliberately stale (changed-partition union exactness path)
+    "indexed_point_lookup",
 ]
 
 
@@ -308,20 +311,27 @@ def main() -> None:
     # record cannot separate drift from regression. Each query runs
     # SPARK_GRAFT_TRIALS times (default 3) and records the MIN — the
     # least-interference estimate; compare_bench then judges
-    # min-vs-min. Trial 1 absorbs any residual cold cost, so the min
-    # is effectively a warm number; the lakehouse queries rebuild
-    # their scratch tables per call, so repetition is well-defined.
+    # min-vs-min. Trials are interleaved as full PASSES over the query
+    # list (not back-to-back per query): this host shows multi-minute
+    # contention episodes the spin yardstick misses, and consecutive
+    # trials would hand all of a query's samples to one episode —
+    # pass-interleaving spreads each query's samples ~10 minutes
+    # apart, so the per-query min survives any episode shorter than a
+    # pass. Pass 1 absorbs residual cold costs; the lakehouse queries
+    # rebuild their scratch tables per call, so repetition is
+    # well-defined.
     trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(trials):
+    for _pass in range(trials):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            dt = time.perf_counter() - t0
+            timings[name] = round(
+                min(timings.get(name, float("inf")), dt), 3
+            )
 
     cal_after = _calibrate()
     load_after = list(os.getloadavg())

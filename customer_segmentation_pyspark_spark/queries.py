@@ -4906,6 +4906,63 @@ def q_scd2_asof_facts(spark, sf_dir):
     )
 
 
+def q_indexed_point_lookup(spark, sf_dir):
+    """r07 — SECONDARY COLUMN INDEX under the hash gate: a documents
+    table keyed by doc_id grows a CDF-maintained inverted map on a
+    NON-key tag column (value -> partition-id set, the r07 `_jvmap`
+    pattern promoted to a first-class feature). The lookup runs with
+    the index STALE on purpose — a post-sync wave retargets tags and
+    inserts new ones — so the read must union the indexed partitions
+    with every partition whose dir changed since the indexed version
+    (the exactness escape hatch); a lookup that trusted the stale map
+    alone would miss 'hot'/'neo' rows and fail the hash. Cites
+    `streaming/colindex.py:read_by_column_value`."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        read_by_column_value,
+        sync_column_index,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    table = _scratch_path("colidx/table")
+    shutil.rmtree(table, ignore_errors=True)
+    base = d.select(
+        "doc_id",
+        F.concat(F.lit("tag"), (F.col("doc_id") % 997).cast("string"))
+        .alias("tag"),
+        F.length("text").cast("long").alias("nchars"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, base, key="doc_id", seq="seq", num_partitions=8
+    )
+    sync_column_index(spark, table, "tag", num_partitions=8)
+    wave = d.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.lit("hot").alias("tag"),
+        (F.length("text") + 1).cast("long").alias("nchars"),
+        F.lit(1).cast("long").alias("seq"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 900000).alias("doc_id"),
+            F.lit("neo").alias("tag"),
+            F.length("text").cast("long").alias("nchars"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, wave, key="doc_id", seq="seq"
+    )
+    # NO re-sync: 'hot' and 'neo' exist only in the unindexed delta
+    return read_by_column_value(
+        spark, table, "tag", ["hot", "neo", "tag5"]
+    ).select("doc_id", "tag", "nchars")
+
+
 def _build_feed_table(spark, sf_dir, name):
     """Shared two-wave snapshot build for the r04.5 lakehouse read
     queries: base corpus (seq 0) committed as v1, then ONE merge wave
@@ -12889,6 +12946,23 @@ ORACLES["scd2_dim_view"] = (
     + "SELECT ck, nation, acctbal, valid_from, valid_to FROM hist"
 )
 
+ORACLES["indexed_point_lookup"] = """
+WITH allrows AS (
+  SELECT doc_id, 'tag' || CAST(doc_id % 997 AS VARCHAR) AS tag,
+         CAST(length(text) AS BIGINT) AS nchars, 0 AS seq
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'hot', CAST(length(text) + 1 AS BIGINT), 1
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 900000, 'neo', CAST(length(text) AS BIGINT), 1
+  FROM documents WHERE doc_id % 17 = 0),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+SELECT doc_id, tag, nchars FROM latest
+WHERE tag IN ('hot', 'neo', 'tag5')"""
+
 ORACLES["scd2_asof_facts"] = (
     _SCD2_HIST_CTE
     + """
@@ -13462,6 +13536,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "scd2_asof_facts": QuerySpec(
         q_scd2_asof_facts, ORACLES["scd2_asof_facts"]
     ),
+    # r07: secondary column index (non-key point lookup, stale-exact)
+    "indexed_point_lookup": QuerySpec(
+        q_indexed_point_lookup, ORACLES["indexed_point_lookup"]
+    ),
 }
 
 #: r05 (VERDICT item 5): the driver oracle-checks the FIRST 50 registry
@@ -13498,7 +13576,9 @@ _DRIVER_SPOTLIGHT = [
     "freshness_audit",
     # sketches / ML / dedup
     "hll_daily_users", "label_centroids", "knn_classify", "chi_square",
-    "minhash_accuracy", "equidepth_histogram", "dedup_canonical",
+    "minhash_accuracy", "equidepth_histogram",
+    # r07 new surface: the secondary column index, read stale
+    "indexed_point_lookup",
 ]
 
 REGISTRY = {

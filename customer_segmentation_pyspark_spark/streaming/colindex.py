@@ -1,0 +1,195 @@
+"""Secondary column index for partitioned MERGE tables (r07): point
+lookups on a NON-key column without scanning the table.
+
+A merge table is hash-partitioned by its merge key, so `key_in` point
+reads prune to O(|keys|) dirs — but a predicate on any OTHER column
+falls back to footer-stats pruning, which hash partitioning defeats
+for high-cardinality columns (every dir spans the whole value range).
+This module maintains an inverted map
+
+    value of <col>  ->  sorted set of partition ids containing it
+
+as a tiny MERGE subtable (``<table>/_colidx_<col>``) keyed by the
+value, fed INCREMENTALLY from the table's change data feed — the same
+shape as the IVF keymap and the join-view ``_jvmap`` (r07, VERDICT
+#1), promoted to a first-class feature (the Hyperspace /
+Delta-bloom-index role, expressed as a lakehouse subtable).
+
+Semantics:
+  * SUPERSET map — deletes and value retargets never remove entries
+    (extra partitions cost IO, never correctness); each sync is
+    O(|Δ| touched partitions) via point-read + union + merge.
+  * EXACT reads even when the index is stale: the index manifest
+    records the table version it reflects (cursor marker); a read at a
+    newer table version unions the indexed partitions with every
+    partition whose directory CHANGED since the indexed version
+    (manifest diff — still pruned, no full scan), so unindexed deltas
+    can never be missed. Callers sync opportunistically, not
+    critically.
+  * The residual equality filter always runs on the returned rows —
+    pruning is never load-bearing beyond the partition projection.
+
+At 100 TB: a point lookup on an indexed column reads O(dirs that ever
+contained the value) + O(dirs touched since the last sync) instead of
+all P partitions; the index itself is (distinct values × ≤P ints).
+Reference parity: no secondary indexes in the reference (a k-means
+notebook, codeText.txt); engine surface for the lakehouse north star.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.streaming.views import (
+    _write_marker,
+    view_src_version,
+)
+
+
+def _colidx_dir(table_dir: str, col: str) -> str:
+    return os.path.join(table_dir, f"_colidx_{col}")
+
+
+def sync_column_index(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    num_partitions: int = 32,
+) -> int:
+    """Bring the column index up to the table's latest version: seed
+    from the full snapshot on first call (the one O(table) step), then
+    fold only the CDF since the cursored version — insert/post-image
+    rows union their partition id into their value's entry; deletes
+    and pre-images are ignored (superset rule). Returns the table
+    version the index now reflects."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _part_expr,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    man = versioned.read_manifest(table_dir)
+    key, tparts = man["key"], int(man["num_partitions"])
+    idx_dir = _colidx_dir(table_dir, col)
+
+    v0 = view_src_version(idx_dir) if os.path.isdir(idx_dir) else None
+    if v0 is None:
+        src = read_partitioned_snapshot(spark, table_dir, version=cur)
+    elif v0 >= cur:
+        return v0  # already current — the idempotent no-op
+    else:
+        src = read_snapshot_changes(spark, table_dir, v0, cur).filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        )
+    fresh = (
+        src.filter(F.col(col).isNotNull())
+        .select(F.col(col), _part_expr(key, tparts).alias("__p"))
+        .groupBy(col)
+        .agg(F.sort_array(F.collect_set("__p")).alias("parts"))
+    )
+    # union into prior entries (point-read of the touched values only —
+    # bounded by the CDC batch's own collect contract on the delta
+    # path; the seed path merges into an empty table)
+    if v0 is not None:
+        vals = [r[0] for r in fresh.select(col).distinct().collect()]
+        if vals:
+            try:
+                prior = read_partitioned_snapshot(
+                    spark, idx_dir, key_in=vals
+                ).select(col, "parts")
+                fresh = (
+                    fresh.unionByName(prior)
+                    .groupBy(col)
+                    .agg(
+                        F.sort_array(
+                            F.array_distinct(
+                                F.flatten(F.collect_list("parts"))
+                            )
+                        ).alias("parts")
+                    )
+                )
+            except FileNotFoundError:
+                pass  # marker exists but table empty: plain insert
+    if not fresh.isEmpty():
+        merge_into_partitioned_snapshot(
+            spark,
+            idx_dir,
+            fresh.withColumn("__seq", F.lit(0).cast("long")),
+            key=col,
+            seq="__seq",
+            num_partitions=num_partitions,
+            collect_stats=False,  # index reads prune by value hash
+        )
+    os.makedirs(idx_dir, exist_ok=True)
+    _write_marker(idx_dir, cur)
+    return cur
+
+
+def _parts_changed_since(man_old: dict, man_new: dict) -> set[str]:
+    """Partition ids whose base dir or delta log differs between two
+    manifests — the partitions that could hold rows the index has not
+    seen yet."""
+    changed = set()
+    for p in set(man_old.get("parts", {})) | set(man_new.get("parts", {})):
+        if man_old.get("parts", {}).get(p) != man_new.get("parts", {}).get(
+            p
+        ):
+            changed.add(p)
+    for p in set(man_old.get("deltas", {})) | set(
+        man_new.get("deltas", {})
+    ):
+        if man_old.get("deltas", {}).get(p) != man_new.get(
+            "deltas", {}
+        ).get(p):
+            changed.add(p)
+    return changed
+
+
+def read_by_column_value(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    values: list,
+) -> DataFrame:
+    """Point lookup on an indexed non-key column: open only (a) the
+    partitions the index maps the values to, plus (b) the partitions
+    whose directories changed since the index's cursored version (the
+    staleness escape hatch — exact without requiring a sync). The
+    equality filter is applied to the returned rows regardless. Falls
+    back to the plain filtered scan when no index exists for ``col``."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    values = [v for v in values if v is not None]
+    idx_dir = _colidx_dir(table_dir, col)
+    v_idx = view_src_version(idx_dir) if os.path.isdir(idx_dir) else None
+    cur = versioned.latest_version(table_dir)
+    if v_idx is None:
+        return read_partitioned_snapshot(spark, table_dir).filter(
+            F.col(col).isin(values)
+        )
+    try:
+        hit = read_partitioned_snapshot(spark, idx_dir, key_in=values)
+        pids = {
+            str(r["p"])
+            for r in hit.select(F.explode("parts").alias("p")).collect()
+        }
+    except FileNotFoundError:
+        pids = set()  # index committed-empty (all-NULL column so far)
+    if cur > v_idx:
+        man_old = versioned.read_manifest(table_dir, v_idx)
+        man_new = versioned.read_manifest(table_dir, cur)
+        pids |= _parts_changed_since(man_old or {}, man_new or {})
+    return read_partitioned_snapshot(
+        spark, table_dir, partitions_in=sorted(pids)
+    ).filter(F.col(col).isin(values))

@@ -733,6 +733,7 @@ def merge_mor_into_partitioned_snapshot(
     num_partitions: int = 32,
     delete_when: str | None = None,
     marker_cols: tuple = (),
+    auto_compact_logs: int | None = None,
 ) -> None:
     """Merge-on-read MERGE step: identical semantics to
     ``merge_into_partitioned_snapshot`` (latest-wins per key by ``seq``,
@@ -749,7 +750,15 @@ def merge_mor_into_partitioned_snapshot(
     so unlike the CoW merge this never raises ConcurrentMergeError.
     Crash-safe and idempotent like the CoW path: a replayed batch
     re-appends the same latest-per-key rows, and replaying an upsert
-    over itself is a no-op at read time."""
+    over itself is a no-op at read time.
+
+    ``auto_compact_logs`` (r07): an unattended MoR pipeline otherwise
+    accretes delta logs until an operator compacts — pass N to fold
+    back, after this merge's commit, every partition whose log has
+    grown past N entries (:func:`compact_mor_partitions` with
+    ``min_log_len=N+1``); partitions under the threshold keep their
+    cheap append-only cadence. The fold commit is conditional per
+    partition, so a concurrent appender simply wins that pass."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     base_version = versioned.latest_version(table_dir)
@@ -854,6 +863,10 @@ def merge_mor_into_partitioned_snapshot(
             table_dir, nxt, expected_latest=base_version
         )
         if v > 0:
+            if auto_compact_logs is not None:
+                compact_mor_partitions(
+                    spark, table_dir, min_log_len=auto_compact_logs + 1
+                )
             return
         # rebase the append onto the intervening commit (appends compose)
         fresh_v = versioned.latest_version(table_dir)
@@ -885,7 +898,7 @@ def merge_mor_into_partitioned_snapshot(
 
 
 def compact_mor_partitions(
-    spark: SparkSession, table_dir: str
+    spark: SparkSession, table_dir: str, min_log_len: int = 1
 ) -> list[str]:
     """Fold each partition's delta log back into its base dir (the MoR
     maintenance job): ONE Spark job materializes ``_partition_state``
@@ -899,13 +912,22 @@ def compact_mor_partitions(
     deltas); read-side plans over folded partitions drop the overlay
     join entirely. Historical manifests keep referencing the old
     base+delta dirs, so time travel survives until expiry. Returns the
-    partition ids folded AND committed."""
+    partition ids folded AND committed.
+
+    ``min_log_len`` (r07) restricts the fold to partitions whose log
+    has at least that many entries — the auto-compact policy's
+    threshold knob (default 1 = every logged partition, the original
+    behavior)."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     man = versioned.read_manifest(table_dir)
     if man is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    logged = sorted(p for p, log in man.get("deltas", {}).items() if log)
+    logged = sorted(
+        p
+        for p, log in man.get("deltas", {}).items()
+        if len(log) >= min_log_len
+    )
     if not logged:
         return []
     # ONE Spark job folds every logged partition: keys never cross hash

@@ -292,6 +292,38 @@ def _jvmap_entries_from(
     )
 
 
+#: above this many distinct join values, map reads switch from a
+#: key_in point-read (driver list + partition pruning — the 1-key dim
+#: change fast path) to a distributed semi-join against the whole map
+#: table (tiny: 2 columns x distinct values) — a 15k-element IN-list
+#: plan costs more than the scan it saves (r07 bench: it tripled
+#: incremental_join_view)
+_JVMAP_POINT_READ_MAX = 64
+
+
+def _jvmap_rows_for(
+    spark: SparkSession, view_dir: str, jv: DataFrame, join_col: str
+) -> DataFrame:
+    """Map rows of the join values in ``jv`` — point-read when few
+    (collect + partition-pruned key_in), semi-join over the small map
+    table otherwise. Raises FileNotFoundError when no map exists."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    sample = jv.limit(_JVMAP_POINT_READ_MAX + 1).collect()
+    if len(sample) <= _JVMAP_POINT_READ_MAX:
+        vals = [r[0] for r in sample if r[0] is not None]
+        return read_partitioned_snapshot(
+            spark, _jvmap_dir(view_dir), key_in=vals
+        ).select(join_col, "parts")
+    return (
+        read_partitioned_snapshot(spark, _jvmap_dir(view_dir))
+        .join(jv, join_col, "leftsemi")
+        .select(join_col, "parts")
+    )
+
+
 def _union_jvmap_parts(
     spark: SparkSession,
     view_dir: str,
@@ -301,26 +333,23 @@ def _union_jvmap_parts(
 ) -> None:
     """Fold fresh (join value, parts) entries into the map: each value's
     set becomes prior ∪ fresh (the superset rule — entries only grow).
-    Point-reads the touched join values only; bounded by the CDC
-    batch's own collect contract."""
-    from customer_segmentation_pyspark_spark.streaming.merge import (
-        read_partitioned_snapshot,
-    )
+    Prior entries come from a point-read for small waves and a
+    semi-join over the (tiny) map table for large ones — never a
+    driver-side IN-list proportional to the wave."""
+    from customer_segmentation_pyspark_spark.sources import versioned
 
     fresh = fresh.filter(F.col(join_col).isNotNull())
-    jvs = [r[0] for r in fresh.select(join_col).distinct().collect()]
-    if not jvs:
-        return
-    try:
-        prior = read_partitioned_snapshot(
-            spark, _jvmap_dir(view_dir), key_in=jvs
-        ).select(join_col, "parts")
-    except FileNotFoundError:
+    if versioned.latest_version(_jvmap_dir(view_dir)) < 1:
         # the map table was never initialized (a pre-r07 view): merging
         # ONLY this wave's entries would create a map that misses every
-        # seed-era dependent — leave it absent; the dim-wave fallback
-        # owns the one full-scan backfill that initializes it completely
+        # seed-era dependent — leave it absent; _ensure_jvmap owns the
+        # one full-scan backfill that initializes it completely
         return
+    if fresh.isEmpty():
+        return
+    prior = _jvmap_rows_for(
+        spark, view_dir, fresh.select(join_col), join_col
+    )
     entries = (
         fresh.select(join_col, "parts")
         .unionByName(prior)
@@ -367,26 +396,22 @@ def _invalidated_view_read(
     spark: SparkSession,
     view_dir: str,
     join_col: str,
-    jv_list: list,
+    jv: DataFrame,
 ) -> DataFrame:
-    """The dim-wave view read, pruned by the inverted map: point-read
-    the changed join values' map rows, collect the union of their
-    partition ids (<= the view's num_partitions ints), and open ONLY
-    those view partitions. Separated so tests can assert the pruning on
-    ``inputFiles()``. Falls back to the full view scan when the map
-    subtable does not exist (an all-NULL-join-value view has no
-    committable map entries; :func:`_ensure_jvmap` owns backfills)."""
+    """The dim-wave view read, pruned by the inverted map: look up the
+    changed join values' map rows (point-read for small waves,
+    semi-join for large — `_jvmap_rows_for`), collect the union of
+    their partition ids (<= the view's num_partitions ints), and open
+    ONLY those view partitions. Separated so tests can assert the
+    pruning on ``inputFiles()``. Falls back to the full view scan when
+    the map subtable does not exist (an all-NULL-join-value view has
+    no committable map entries; :func:`_ensure_jvmap` owns
+    backfills)."""
     from customer_segmentation_pyspark_spark.sources import versioned
-    from customer_segmentation_pyspark_spark.streaming.merge import (
-        read_partitioned_snapshot,
-    )
 
     view_v = versioned.latest_version(view_dir)
-    jv_list = [v for v in jv_list if v is not None]
     try:
-        hit = read_partitioned_snapshot(
-            spark, _jvmap_dir(view_dir), key_in=jv_list
-        )
+        hit = _jvmap_rows_for(spark, view_dir, jv, join_col)
     except FileNotFoundError:
         return _snapshot_or_empty(spark, view_dir, view_v)
     pids = {
@@ -538,7 +563,13 @@ def sync_join_view_to_snapshots(
     fact_cols = [c for c in fact_cols_now]
     changed_parts = []
     if fa > va0:
-        cdf_a = read_snapshot_changes(spark, fact_dir, va0, fa)
+        # materialize the fact CDF once: the map maintenance (emptiness
+        # probe + prior lookup + merge) and the view merge each action
+        # it, and every action would otherwise re-run the manifest-diff
+        # plan (the same fixed-cost lesson as the r06 index sync)
+        cdf_a = read_snapshot_changes(
+            spark, fact_dir, va0, fa
+        ).localCheckpoint(eager=True)
         ups_a = (
             cdf_a.filter(
                 F.col("_change_type").isin("insert", "update_postimage")
@@ -565,16 +596,13 @@ def sync_join_view_to_snapshots(
             view_parts,
         )
     if db > vb0:
-        cdf_b = read_snapshot_changes(spark, dim_dir, vb0, db)
+        cdf_b = read_snapshot_changes(
+            spark, dim_dir, vb0, db
+        ).localCheckpoint(eager=True)
         # join values invalidated by the dim wave — pre AND post images,
         # so a dim-key retarget re-enriches both old and new dependents
         jv = cdf_b.select(join_col).distinct()
-        # bounded collect: the dim CDF's distinct join values (dim waves
-        # are the rare/batchy side — same contract as merge key routing)
-        jv_list = [r[0] for r in jv.collect()]
-        view_now = _invalidated_view_read(
-            spark, view_dir, join_col, jv_list
-        )
+        view_now = _invalidated_view_read(spark, view_dir, join_col, jv)
         # schema-evolution tolerance (r07, ADVICE): a fact merge that
         # added a column since the view's last sync leaves view_now
         # without it when the first post-evolution wave is dim-only —

@@ -1,0 +1,149 @@
+"""Secondary column index (r07): CDF-maintained value→partition map
+for non-key point lookups — pruned reads, staleness escape hatch,
+superset semantics, replay idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.streaming.colindex import (
+    _colidx_dir,
+    read_by_column_value,
+    sync_column_index,
+)
+from customer_segmentation_pyspark_spark.streaming.merge import (
+    merge_into_partitioned_snapshot,
+    read_partitioned_snapshot,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _mk(spark, d, rows, n_parts=8):
+    merge_into_partitioned_snapshot(
+        spark,
+        d,
+        spark.createDataFrame(
+            rows, "k long, cat string, v double, seq long"
+        ),
+        key="k",
+        seq="seq",
+        num_partitions=n_parts,
+    )
+
+
+def test_indexed_lookup_equals_filter_and_prunes(spark, tmp_path):
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _part_expr,
+    )
+
+    d = str(tmp_path / "t")
+    # rare values: ~3 rows per tag over 8 partitions, so a looked-up
+    # tag maps to a few partitions and pruning is observable
+    _mk(spark, d, [(i, f"c{i % 67}", float(i), 0) for i in range(200)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    got = read_by_column_value(spark, d, "cat", ["c3", "c7"])
+    full = read_partitioned_snapshot(spark, d)
+    want = full.filter(F.col("cat").isin(["c3", "c7"]))
+    assert _rows(got, "k", "cat", "v") == _rows(want, "k", "cat", "v")
+    # strict pruning: only the partitions holding c3/c7 rows are read
+    dep_keys = [i for i in range(200) if i % 67 in (3, 7)]
+    dep_pids = {
+        r["p"]
+        for r in spark.createDataFrame([(k,) for k in dep_keys], "k long")
+        .select(_part_expr("k", 8).alias("p"))
+        .collect()
+    }
+    assert len(dep_pids) < 8
+    allowed = set(
+        read_partitioned_snapshot(
+            spark, d, partitions_in=sorted(dep_pids)
+        ).inputFiles()
+    )
+    got_files = set(got.inputFiles())
+    full_files = set(full.inputFiles())
+    assert got_files and got_files <= allowed < full_files
+
+
+def test_stale_index_reads_are_exact(spark, tmp_path):
+    """Rows merged AFTER the last index sync must still be found — the
+    read unions the partitions whose dirs changed since the indexed
+    version (no re-sync required)."""
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(i, f"c{i % 5}", float(i), 0) for i in range(60)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    # post-sync wave: new value 'zz', a retarget to c1, a delete-less
+    # update — none indexed yet
+    _mk(spark, d, [(1000, "zz", 1.0, 1), (3, "c1", 33.0, 1)])
+    for vals in (["zz"], ["c1"], ["zz", "c0"]):
+        got = read_by_column_value(spark, d, "cat", vals)
+        want = read_partitioned_snapshot(spark, d).filter(
+            F.col("cat").isin(vals)
+        )
+        assert _rows(got, "k", "cat", "v") == _rows(want, "k", "cat", "v")
+    # after the sync the fresh value is indexed and still correct
+    sync_column_index(spark, d, "cat")
+    got = read_by_column_value(spark, d, "cat", ["zz"])
+    assert _rows(got, "k") == [(1000,)]
+
+
+def test_index_superset_after_deletes(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(i, f"c{i % 3}", float(i), 0) for i in range(30)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    # delete every c2 row (value leaves the table, entry stays — the
+    # superset rule: extra IO, never wrong rows)
+    dels = spark.createDataFrame(
+        [(i, "c2", float(i), 1, "D") for i in range(30) if i % 3 == 2],
+        "k long, cat string, v double, seq long, op string",
+    )
+    merge_into_partitioned_snapshot(
+        spark, d, dels, key="k", seq="seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    sync_column_index(spark, d, "cat")
+    got = read_by_column_value(spark, d, "cat", ["c2"])
+    assert got.count() == 0
+
+
+def test_sync_replay_is_idempotent(spark, tmp_path):
+    import os
+
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        SRC_VERSION_FILE,
+    )
+
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(i, f"c{i % 4}", float(i), 0) for i in range(40)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    _mk(spark, d, [(500, "c9", 5.0, 1)])
+    sync_column_index(spark, d, "cat")
+    want = _rows(
+        read_partitioned_snapshot(spark, _colidx_dir(d, "cat")),
+        "cat",
+        "parts",
+    )
+    # simulated crash: marker rolled back to the pre-wave cursor, the
+    # retry re-folds the same CDF slice onto the already-merged index
+    with open(os.path.join(_colidx_dir(d, "cat"), SRC_VERSION_FILE),
+              "w") as f:
+        f.write("1")
+    sync_column_index(spark, d, "cat")
+    got = _rows(
+        read_partitioned_snapshot(spark, _colidx_dir(d, "cat")),
+        "cat",
+        "parts",
+    )
+    assert got == want
+
+
+def test_unindexed_column_falls_back(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(i, f"c{i % 3}", float(i), 0) for i in range(30)])
+    got = read_by_column_value(spark, d, "cat", ["c1"])
+    want = read_partitioned_snapshot(spark, d).filter(
+        F.col("cat") == "c1"
+    )
+    assert _rows(got, "k", "cat", "v") == _rows(want, "k", "cat", "v")

@@ -87,6 +87,7 @@ def test_coverage_md_query_names_resolve():
         "streaming_ivf_upsert", "rebuild_ivf_keymap", "lang",
         "split_ivf_cells", "subcells", "update_set_all",
         "test_index_random_walk", "test_views",
+        "test_colindex", "read_by_column_value", "_colidx_",
         "_jvmap", "partitions_in", "test_scd2",
         "test_filtered_probe_no_starvation_keeps_single_pass_plan",
         "test_scd2_asof_join_picks_version_in_effect",

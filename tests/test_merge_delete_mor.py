@@ -1078,3 +1078,42 @@ def test_merge_occ_raises_on_concurrent_restore(
     )
     got = _read_dict(read_partitioned_snapshot(spark, table))
     assert got == {1: 1.0, new_key: 9.0}
+
+
+def test_mor_auto_compact_bounds_log_length(spark, tmp_path):
+    """r07: auto_compact_logs=N keeps every partition's delta log at
+    <= N entries after each merge without operator action — partitions
+    under the threshold keep their cheap append cadence (logs are NOT
+    always folded to zero) — and the overlay content stays exact."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_mor_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    expected = {}
+    saw_nonzero_log = False
+    for wave in range(6):
+        rows = [(k, f"v{wave}-{k}", wave) for k in range(wave % 3, 12, 3)]
+        for k, v, s in rows:
+            expected[k] = v
+        merge_mor_into_partitioned_snapshot(
+            spark,
+            d,
+            spark.createDataFrame(rows, "k long, val string, seq long"),
+            key="k",
+            seq="seq",
+            num_partitions=4,
+            auto_compact_logs=2,
+        )
+        man = versioned.read_manifest(d)
+        logs = {p: len(v) for p, v in man.get("deltas", {}).items() if v}
+        assert all(n <= 2 for n in logs.values()), logs
+        saw_nonzero_log = saw_nonzero_log or bool(logs)
+        got = {
+            r["k"]: r["val"]
+            for r in read_partitioned_snapshot(spark, d).collect()
+        }
+        assert got == expected
+    assert saw_nonzero_log  # the policy is a threshold, not fold-always

@@ -753,3 +753,53 @@ def test_split_bounds_skewed_ingest_at_scale(spark, tmp_path):
     )
     assert after == before, "split must not change probe results"
     print(f"skewed split smoke: {time.time() - t0:.1f}s")
+
+
+def test_colindex_point_lookup_locality_at_scale(spark, tmp_path):
+    """r07: the secondary column index's 100 TB contract at 1M rows /
+    64 partitions — a point lookup on a rare non-key value opens a
+    SMALL fraction of the table's partition dirs (the indexed set plus
+    any dirs changed since the sync), and a stale lookup (post-sync
+    wave) is still exact."""
+    import os as _os
+
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        read_by_column_value,
+        sync_column_index,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    n, nparts = 1_000_000, 64
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("t"), (F.col("id") % 99_991).cast("string"))
+        .alias("tag"),
+        (F.col("id") * 2).alias("v"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d = str(tmp_path / "t")
+    merge_into_partitioned_snapshot(
+        spark, d, base, key="k", seq="seq", num_partitions=nparts
+    )
+    sync_column_index(spark, d, "tag", num_partitions=16)
+    # ~10 rows per tag over 64 partitions -> <= 10 dirs per value
+    got = read_by_column_value(spark, d, "tag", ["t12345"])
+    assert got.count() == len([i for i in range(n) if i % 99991 == 12345])
+    dirs = {_os.path.dirname(f) for f in got.inputFiles()}
+    assert len(dirs) <= 12, len(dirs)
+    # stale exactness: one post-sync row with a brand-new tag is found
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame([(n + 1, "fresh", 1, 1)],
+                              "k long, tag string, v long, seq long"),
+        key="k", seq="seq",
+    )
+    stale = read_by_column_value(spark, d, "tag", ["fresh"])
+    assert [r["k"] for r in stale.collect()] == [n + 1]
+    dirs2 = {_os.path.dirname(f) for f in stale.inputFiles()}
+    assert len(dirs2) <= 2, len(dirs2)  # only the changed partition
+    full = read_partitioned_snapshot(spark, d)
+    assert len({_os.path.dirname(f) for f in full.inputFiles()}) == nparts

@@ -542,7 +542,9 @@ def test_dim_wave_reads_only_dependent_partitions(spark, tmp_path):
         .collect()
     }
     assert len(dep_pids) < n_parts  # the scenario actually prunes
-    pruned = _invalidated_view_read(spark, view_dir, "jk", [3])
+    pruned = _invalidated_view_read(
+        spark, view_dir, "jk", spark.createDataFrame([(3,)], "jk long")
+    )
     full = read_partitioned_snapshot(spark, view_dir)
     pruned_files = set(pruned.inputFiles())
     full_files = set(full.inputFiles())
