@@ -194,6 +194,8 @@ HEADLINE = [
     # r07: secondary column index — non-key point lookup, read with the
     # index deliberately stale (changed-partition union exactness path)
     "indexed_point_lookup",
+    # r07: COUNT-DISTINCT view (support multiset, no rescan path)
+    "incremental_distinct_view",
 ]
 
 

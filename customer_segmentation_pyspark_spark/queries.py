@@ -4672,6 +4672,51 @@ def q_incremental_minmax_view(spark, sf_dir):
     )
 
 
+def q_incremental_distinct_view(spark, sf_dir):
+    """r07 — incremental COUNT-DISTINCT view under the hash gate: the
+    support-multiset construction (per-(source, lang) multiplicities
+    maintained from each delete wave's change feed; a pair at
+    multiplicity zero leaves, and the exposed per-source
+    (n_distinct_langs, n_rows) derives exactly from the support — no
+    rescan path, unlike MIN/MAX). The %3/%4 delete sweeps remove the
+    LAST copy of some (source, lang) pairs at every SF, so a view that
+    merely counted deletes without tracking multiplicities would keep
+    phantom distincts and fail the hash. Oracle recomputes
+    COUNT(DISTINCT lang) from the replayed change log. Cites
+    `streaming/views.py:update_distinct_view`."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_distinct_view,
+        sync_distinct_view_to_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    table = _scratch_path("distinct_view/table")
+    view = _scratch_path("distinct_view/view")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    for wave in _delete_wave_frames(d):
+        merge_into_partitioned_snapshot(
+            spark, table, wave, key="doc_id", seq="seq",
+            num_partitions=8, delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+        sync_distinct_view_to_snapshot(
+            spark, table, view, "source", F.col("lang")
+        )
+    return read_distinct_view(spark, view).select(
+        F.col("__g").alias("source"),
+        F.col("n_distinct").alias("n_distinct_langs"),
+        "n_rows",
+    )
+
+
 def q_incremental_join_view(spark, sf_dir):
     """r06 (VERDICT #4) — incremental JOIN-view maintenance: an
     order-grain enrichment view (orders LEFT JOIN customer attributes)
@@ -12946,6 +12991,37 @@ ORACLES["scd2_dim_view"] = (
     + "SELECT ck, nation, acctbal, valid_from, valid_to FROM hist"
 )
 
+ORACLES["incremental_distinct_view"] = """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 'U' AS op, 0 AS seq FROM documents),
+w1 AS (
+  SELECT doc_id, text || ' kept' AS text, lang, source, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 2
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, 'neo: ' || text, lang, 'ingest', 'U', 1
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, 'ingest', 'D', 3
+  FROM documents WHERE doc_id % 22 = 0),
+w2 AS (
+  SELECT doc_id, 'back: ' || text AS text, lang, source, 'U' AS op, 4 AS seq
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 5
+  FROM documents WHERE doc_id % 4 = 0),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+live AS (SELECT * FROM latest WHERE op <> 'D')
+SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_langs,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM live GROUP BY source"""
+
 ORACLES["indexed_point_lookup"] = """
 WITH allrows AS (
   SELECT doc_id, 'tag' || CAST(doc_id % 997 AS VARCHAR) AS tag,
@@ -13539,6 +13615,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # r07: secondary column index (non-key point lookup, stale-exact)
     "indexed_point_lookup": QuerySpec(
         q_indexed_point_lookup, ORACLES["indexed_point_lookup"]
+    ),
+    # r07: COUNT-DISTINCT view (support multiset — no rescan path)
+    "incremental_distinct_view": QuerySpec(
+        q_incremental_distinct_view, ORACLES["incremental_distinct_view"]
     ),
 }
 

@@ -126,25 +126,48 @@ def read_manifest(
 ) -> dict | None:
     """The committed manifest at ``version`` (default: latest), or None
     when the table has no committed version yet. Shape:
-    ``{"num_partitions": P, "parts": {"<part_id>": "<dir name>"}}``."""
-    import json
+    ``{"num_partitions": P, "parts": {"<part_id>": "<dir name>"}}``.
 
-    v = latest_version(table_dir) if version is None else version
-    if v < 1:
-        return None
-    path = os.path.join(table_dir, f"manifest-v{v}.json")
-    if version is None and not os.path.exists(path):
-        # the pointer can transiently reference a version withdrawn by
-        # a failed conditional commit (commit_manifest's OCC hook) if a
-        # concurrent pointer-repair flip raced the withdrawal; latest
-        # means "highest committed manifest", so fall back to it — the
-        # next successful commit repairs the pointer upward
-        v = _max_manifest_version(table_dir)
+    Latest-reads are retried through the OCC-withdrawal window (r07,
+    threaded-fuzz finding): a failed conditional commit UNLINKS the
+    manifest it just linked, so both the pointer and the glob can
+    transiently name a file that vanishes before ``open`` — a reader
+    racing it saw FileNotFoundError. A withdrawn manifest disappears
+    within the loser's same call, so a bounded re-read always lands on
+    a committed file (or None for a still-empty table). Explicit
+    ``version`` reads keep raising: the caller named a specific
+    version, and its absence is real information (expired/withdrawn)."""
+    import json
+    import time as _time
+
+    if version is not None:
+        v = version
+        if v < 1:
+            return None
+        with open(os.path.join(table_dir, f"manifest-v{v}.json")) as f:
+            return json.load(f)
+    path = None
+    for _ in range(6):
+        v = latest_version(table_dir)
         if v < 1:
             return None
         path = os.path.join(table_dir, f"manifest-v{v}.json")
-    with open(path) as f:
-        return json.load(f)
+        if not os.path.exists(path):
+            # the pointer can transiently reference a version withdrawn
+            # by a failed conditional commit if a concurrent
+            # pointer-repair flip raced the withdrawal; latest means
+            # "highest committed manifest", so fall back to it — the
+            # next successful commit repairs the pointer upward
+            v = _max_manifest_version(table_dir)
+            if v < 1:
+                return None
+            path = os.path.join(table_dir, f"manifest-v{v}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            _time.sleep(0.01)  # mid-withdrawal: re-resolve and retry
+    raise FileNotFoundError(path)
 
 
 def _max_manifest_version(table_dir: str) -> int:

@@ -198,6 +198,145 @@ def seed_count_sum_view(
 
 
 # ---------------------------------------------------------------------------
+# Incremental COUNT-DISTINCT view (r07): the classic support-multiset
+# construction — COUNT(DISTINCT value) per group is NOT self-maintainable
+# from the view alone (a delete may or may not remove the group's last
+# copy of a value), but it IS self-maintainable from the auxiliary
+# multiset {(group, value) -> multiplicity}: each CDF row contributes a
+# signed ±1 to its pair, pairs at multiplicity 0 leave, and the exposed
+# view is exact counts over the support (n_distinct = pairs, n_rows =
+# Σmult). No rescan path at all — this sits between COUNT/SUM
+# (self-maintainable directly) and MIN/MAX (scoped rescan) in the IVM
+# family. State is per distinct (group, value) pair and rewrites per
+# wave like the other swap-style views; a domain too large for that
+# wants the same keyed-MERGE-table treatment as the JOIN view (hkey =
+# group⊕value) — documented upgrade path, same delta rule.
+# ---------------------------------------------------------------------------
+
+
+def seed_distinct_view(
+    spark: SparkSession,
+    view_dir: str,
+    snapshot: DataFrame,
+    group_col: str,
+    value_col,
+    src_version: int | None = None,
+) -> None:
+    """Bootstrap the support multiset from a full snapshot."""
+    import shutil
+
+    shutil.rmtree(view_dir, ignore_errors=True)
+    sup = snapshot.groupBy(
+        F.col(group_col).alias("__g"), value_col.alias("__v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__mult"))
+    tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    sup.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
+    crash_safe_swap(view_dir, tmp)
+
+
+def update_distinct_view(
+    spark: SparkSession,
+    view_dir: str,
+    cdf: DataFrame,
+    group_col: str,
+    value_col,
+    src_version: int | None = None,
+) -> None:
+    """Fold one CDF slice into the support multiset: ±1 per
+    (group, value) pair; zero-multiplicity pairs leave. Additive like
+    the COUNT/SUM view — drive through
+    :func:`sync_distinct_view_to_snapshot` for exactly-once."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = cdf.groupBy(
+        F.col(group_col).alias("__dg"), value_col.alias("__dv")
+    ).agg(F.sum(sign).cast("long").alias("__d"))
+    recover_swap(view_dir)
+    base = spark.read.parquet(view_dir)
+    merged = (
+        base.join(
+            delta,
+            F.col("__g").eqNullSafe(F.col("__dg"))
+            & F.col("__v").eqNullSafe(F.col("__dv")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("__g"), F.col("__dg")).alias("__g"),
+            F.coalesce(F.col("__v"), F.col("__dv")).alias("__v"),
+            (
+                F.coalesce(F.col("__mult"), F.lit(0))
+                + F.coalesce(F.col("__d"), F.lit(0))
+            ).alias("__mult"),
+        )
+        .filter(F.col("__mult") > 0)
+    )
+    tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
+    crash_safe_swap(view_dir, tmp)
+
+
+def read_distinct_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """(group, n_distinct, n_rows) derived exactly from the support
+    multiset — NULL values count rows but not distincts (SQL
+    COUNT(DISTINCT) semantics)."""
+    recover_swap(view_dir)
+    sup = spark.read.parquet(view_dir)
+    return sup.groupBy(F.col("__g")).agg(
+        F.count(F.when(F.col("__v").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_distinct"),
+        F.sum("__mult").cast("long").alias("n_rows"),
+    )
+
+
+def sync_distinct_view_to_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    view_dir: str,
+    group_col: str,
+    value_col,
+) -> int:
+    """Exactly-once driver: seed on first call, then fold only the CDF
+    since the cursored version (same marker shape as
+    :func:`sync_view_to_snapshot`)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    recover_swap(view_dir)
+    v0 = view_src_version(view_dir) if os.path.exists(view_dir) else None
+    if v0 is None:
+        seed_distinct_view(
+            spark,
+            view_dir,
+            read_partitioned_snapshot(spark, table_dir, version=cur),
+            group_col,
+            value_col,
+            src_version=cur,
+        )
+        return cur
+    if v0 >= cur:
+        return v0
+    update_distinct_view(
+        spark,
+        view_dir,
+        read_snapshot_changes(spark, table_dir, v0, cur),
+        group_col,
+        value_col,
+        src_version=cur,
+    )
+    return cur
+
+
+# ---------------------------------------------------------------------------
 # Incremental JOIN-view maintenance (r06, VERDICT #4): the other classic
 # materialized-view shape. The view is a fact-grain LEFT-join enrichment
 # (one row per fact row, dimension attributes denormalized in), stored as

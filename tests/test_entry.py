@@ -93,6 +93,8 @@ def test_coverage_md_query_names_resolve():
         "test_scd2_asof_join_picks_version_in_effect",
         "sync_ivf_index_to_snapshot", "split_max_rows",
         "test_stream_merge", "sync_scd2_history", "scd2_asof_join",
+        "test_mor_auto_compact_bounds_log_length", "auto_compact_logs",
+        "update_distinct_view",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []

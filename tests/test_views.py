@@ -647,3 +647,96 @@ def test_jvmap_backfills_for_pre_map_view(spark, tmp_path):
         .select("fk", "jk", "amt", "attr").collect()
     }
     assert got == want
+
+
+def test_distinct_view_tracks_recompute_through_waves(spark, tmp_path):
+    """r07: the support-multiset COUNT-DISTINCT view — deletes that
+    remove a group's LAST copy of a value drop n_distinct exactly;
+    NULL values count rows but never distincts (SQL semantics)."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_distinct_view,
+        sync_distinct_view_to_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    view = str(tmp_path / "view")
+    waves = [
+        # (k, g, v, seq, op)
+        [(1, "a", "x", 0, "U"), (2, "a", "x", 0, "U"),
+         (3, "a", "y", 0, "U"), (4, "b", None, 0, "U"),
+         (5, "b", "z", 0, "U")],
+        # delete ONE of a's two x rows (n_distinct unchanged) and b's
+        # only z row (n_distinct drops)
+        [(1, "a", "x", 1, "D"), (5, "b", "z", 1, "D")],
+        # retarget 3 from y to x: y leaves, x multiplicity back to 2
+        [(3, "a", "x", 2, "U"), (6, "b", "w", 2, "U")],
+    ]
+    for w in waves:
+        merge_into_partitioned_snapshot(
+            spark, d,
+            spark.createDataFrame(
+                w, "k long, g string, v string, seq long, op string"
+            ),
+            key="k", seq="seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+        sync_distinct_view_to_snapshot(
+            spark, d, view, "g", F.col("v")
+        )
+        got = {
+            (r["__g"], r["n_distinct"], r["n_rows"])
+            for r in read_distinct_view(spark, view).collect()
+        }
+        live = read_partitioned_snapshot(spark, d)
+        want = {
+            (r["g"], r["nd"], r["n"])
+            for r in live.groupBy("g")
+            .agg(
+                F.count_distinct("v").cast("long").alias("nd"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+
+
+def test_distinct_view_exactly_once_marker(spark, tmp_path):
+    import os
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        SRC_VERSION_FILE,
+        read_distinct_view,
+        sync_distinct_view_to_snapshot,
+    )
+
+    d = str(tmp_path / "t")
+    view = str(tmp_path / "view")
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame(
+            [(i, "g", f"v{i % 3}", 0) for i in range(9)],
+            "k long, g string, v string, seq long",
+        ),
+        key="k", seq="seq", num_partitions=4,
+    )
+    sync_distinct_view_to_snapshot(spark, d, view, "g", F.col("v"))
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame([(100, "g", "v9", 1)],
+                              "k long, g string, v string, seq long"),
+        key="k", seq="seq",
+    )
+    sync_distinct_view_to_snapshot(spark, d, view, "g", F.col("v"))
+    want = sorted(map(tuple, read_distinct_view(spark, view).collect()))
+    # replay the same slice (crashed-marker simulation): additive fold
+    # must NOT double-apply thanks to the cursor
+    sync_distinct_view_to_snapshot(spark, d, view, "g", F.col("v"))
+    got = sorted(map(tuple, read_distinct_view(spark, view).collect()))
+    assert got == want
