@@ -4899,7 +4899,14 @@ def _build_scd2_history(spark, sf_dir):
     )
     for wave in (base, w1, w2):
         merge_into_partitioned_snapshot(spark, dim_dir, wave, **kw)
-        sync_scd2_history(spark, dim_dir, hist_dir, num_partitions=8)
+        # dseq is merge bookkeeping, not a tracked attribute: a wave
+        # that lands identical nation/acctbal (w2's orig*0.5 == w1's
+        # orig+100 exactly when c_acctbal = -200.00) must NOT split an
+        # interval the oracle's island logic merges (r08, ADVICE)
+        sync_scd2_history(
+            spark, dim_dir, hist_dir, num_partitions=8,
+            tracked_cols=["nation", "acctbal"],
+        )
     return hist_dir
 
 
@@ -12303,8 +12310,8 @@ FROM events""",
 SELECT l_linestatus,
        count(nullif(l_returnflag, 'N')) AS n_flagged,
        count(*) AS n_total,
-       sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END)
-         AS n_null,
+       CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        count(DISTINCT coalesce(nullif(l_returnflag, 'N'), '?'))
          AS n_flag_vals
 FROM lineitem GROUP BY l_linestatus""",

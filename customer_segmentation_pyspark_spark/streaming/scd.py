@@ -59,11 +59,24 @@ def sync_scd2_history(
     dim_dir: str,
     hist_dir: str,
     num_partitions: int = 32,
+    tracked_cols: list[str] | None = None,
 ) -> int:
     """Bring the SCD2 history up to the dim table's latest version,
     folding only the CDF since the cursored version (seeding all rows
     as open intervals on first call). Returns the source version the
-    history now reflects."""
+    history now reflects.
+
+    ``tracked_cols`` names the attributes whose change closes and
+    reopens an interval (default: every payload column). The dim
+    table's merge SEQ column is bookkeeping, not a tracked attribute —
+    a merge wave that re-writes a key with IDENTICAL tracked values
+    (only the seq advanced) still emits CDF pre/post images, and
+    without suppression the history would split an interval any
+    recompute (or gaps-and-islands oracle over the tracked attrs)
+    keeps whole (r08, ADVICE). A post-image null-safe-equal to the
+    key's open row on every tracked attribute is therefore a NO-OP:
+    no close, no reopen — the open interval's untracked columns stay
+    frozen at its ``valid_from``."""
     from customer_segmentation_pyspark_spark.sources import versioned
     from customer_segmentation_pyspark_spark.streaming.merge import (
         merge_into_partitioned_snapshot,
@@ -126,13 +139,43 @@ def sync_scd2_history(
         spark,
         hist_dir,
         key_in=[f"{k}:open" for k in changed_keys],
-    ).localCheckpoint(eager=True)  # reused by close + replay-guard
+    ).localCheckpoint(eager=True)  # reused by close/suppress/replay-guard
 
-    # 1. CLOSE: every changed key with an open interval gets a closed
-    #    copy (same content, valid_to = cur) at its immutable hkey —
-    #    UNLESS the open row already carries valid_from == cur, the
-    #    witness of a crashed run's landed merge (replay guard).
-    closes = open_rows.filter(F.col("valid_from") < F.lit(cur)).select(
+    post = cdf.filter(ct.isin("insert", "update_postimage"))
+    dels = cdf.filter(ct == "delete")
+    tracked = [
+        a for a in attrs if tracked_cols is None or a in tracked_cols
+    ]
+    if tracked:
+        # no-op suppression (r08, ADVICE): a post-image null-safe-equal
+        # to its open row on every tracked attribute closes nothing and
+        # opens nothing — only a seq/bookkeeping column moved, and the
+        # recompute (or any island oracle over the tracked attrs) keeps
+        # the interval whole. Keys with no open row (inserts, reopens
+        # after a delete) always pass.
+        open_t = open_rows.select(
+            F.col(key).alias("__ok"),
+            *[F.col(a).alias(f"__o_{a}") for a in tracked],
+        )
+        same = F.lit(True)
+        for a in tracked:
+            same = same & F.col(a).eqNullSafe(F.col(f"__o_{a}"))
+        post = (
+            post.join(open_t, F.col(key) == F.col("__ok"), "left")
+            .filter(F.col("__ok").isNull() | ~same)
+            .drop("__ok", *[f"__o_{a}" for a in tracked])
+        )
+    # keys that actually transition this slice — suppressed no-ops must
+    # not close their interval either
+    trans = post.select(key).unionByName(dels.select(key)).distinct()
+
+    # 1. CLOSE: every transitioning key with an open interval gets a
+    #    closed copy (same content, valid_to = cur) at its immutable
+    #    hkey — UNLESS the open row already carries valid_from == cur,
+    #    the witness of a crashed run's landed merge (replay guard).
+    closes = open_rows.join(trans, key, "semi").filter(
+        F.col("valid_from") < F.lit(cur)
+    ).select(
         F.concat(
             F.col(key).cast("string"),
             F.lit(":"),
@@ -145,9 +188,7 @@ def sync_scd2_history(
         F.lit("U").alias("__op"),
     )
     # 2. REOPEN: upserted keys' post-images become the new open row
-    reopens = cdf.filter(
-        ct.isin("insert", "update_postimage")
-    ).select(
+    reopens = post.select(
         _open_hkey(F.col(key)).alias(HKEY),
         *attrs,
         F.lit(cur).cast("long").alias("valid_from"),
@@ -157,7 +198,7 @@ def sync_scd2_history(
     )
     # 3. RETIRE: deleted keys lose their open row (the closed copy from
     #    step 1 is the record that they existed)
-    retires = cdf.filter(ct == "delete").select(
+    retires = dels.select(
         _open_hkey(F.col(key)).alias(HKEY),
         *attrs,
         F.lit(None).cast("long").alias("valid_from"),

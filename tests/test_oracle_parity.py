@@ -85,3 +85,24 @@ def test_rows_only_runs(spark, name):
     sdf = spec.fn(spark, SF_ORACLE)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+def test_oracle_output_types_portable(duck):
+    """r08 (VERDICT r07 #1): the driver's value-hash is TYPE-sensitive
+    and Spark has no 128-bit integer — an oracle output column DuckDB
+    types as HUGEINT (e.g. an uncast ``sum(CASE ...)``) or DECIMAL
+    hash-mismatches even when every value is identical on both sides
+    (the r07 ``null_funcs`` red row). DESCRIBE every oracle (plans
+    only, no execution) and reject the whole class so it can never
+    ship again."""
+    bad = []
+    for name in ORACLE_QUERIES:
+        rel = duck.sql(f"DESCRIBE {REGISTRY[name].oracle}")
+        for cname, ctype in [(r[0], r[1]) for r in rel.fetchall()]:
+            t = str(ctype).upper()
+            if "HUGEINT" in t or t.startswith("DECIMAL"):
+                bad.append((name, cname, t))
+    assert not bad, (
+        f"oracle output types DuckDB-only (wrap in CAST(... AS BIGINT/"
+        f"DOUBLE)): {bad[:10]}"
+    )

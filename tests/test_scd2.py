@@ -183,3 +183,64 @@ def test_scd2_fuzzed_interleaving(spark, tmp_path, seed):
         _merge_dim(spark, dim, rows)
         sync_scd2_history(spark, dim, hist)
     assert _got_history(spark, hist) == _reference_history(spark, dim)
+
+
+def test_scd2_tracked_cols_suppress_noop_close_reopen(spark, tmp_path):
+    """r08 (ADVICE): the dim's merge SEQ column is bookkeeping — a wave
+    that advances dseq but lands IDENTICAL tracked values (the
+    acctbal = -200.00 coincidence: orig+100 == orig*0.5) must not
+    close and reopen the interval, because any recompute/island oracle
+    over the tracked attrs keeps it whole."""
+    dim = str(tmp_path / "dim")
+    hist = str(tmp_path / "hist")
+    kw = dict(num_partitions=4, tracked_cols=["attr", "bal"])
+    _merge_dim(spark, dim, [(0, "a0", -200.0, 0, "U"),
+                            (1, "a1", 1.0, 0, "U"),
+                            (2, "a2", 2.0, 0, "U")])
+    sync_scd2_history(spark, dim, hist, **kw)
+    # key 0: identical tracked values, new dseq (the no-op upsert);
+    # key 1: a real change; key 2: a delete
+    _merge_dim(spark, dim, [(0, "a0", -200.0, 1, "U"),
+                            (1, "a1-v2", 9.0, 1, "U"),
+                            (2, "a2", 2.0, 1, "D")])
+    sync_scd2_history(spark, dim, hist, **kw)
+    got = _got_history(spark, hist)
+    assert got == _reference_history(spark, dim)
+    # key 0's interval stayed whole and OPEN from v1
+    assert {t[3:] for t in got if t[0] == 0} == {(1, None)}
+    # key 1 split; key 2 closed without a reopen
+    assert {t[3:] for t in got if t[0] == 1} == {(1, 2), (2, None)}
+    assert {t[3:] for t in got if t[0] == 2} == {(1, 2)}
+    # a later REAL change to key 0 still closes the original interval
+    _merge_dim(spark, dim, [(0, "a0-v3", 7.0, 2, "U")])
+    sync_scd2_history(spark, dim, hist, **kw)
+    got = _got_history(spark, hist)
+    assert got == _reference_history(spark, dim)
+    assert {t[3:] for t in got if t[0] == 0} == {(1, 3), (3, None)}
+
+
+def test_scd2_suppression_replay_converges(spark, tmp_path):
+    """A crash-replay of a slice containing a suppressed no-op upsert
+    must converge to the same history (the suppression re-derives the
+    same way; nothing double-applies)."""
+    import os
+
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        SRC_VERSION_FILE,
+    )
+
+    dim = str(tmp_path / "dim")
+    hist = str(tmp_path / "hist")
+    kw = dict(num_partitions=4, tracked_cols=["attr", "bal"])
+    _merge_dim(spark, dim, [(0, "a0", -200.0, 0, "U"),
+                            (1, "a1", 1.0, 0, "U")])
+    sync_scd2_history(spark, dim, hist, **kw)
+    _merge_dim(spark, dim, [(0, "a0", -200.0, 1, "U"),
+                            (1, "a1-v2", 9.0, 1, "U")])
+    sync_scd2_history(spark, dim, hist, **kw)
+    want = _got_history(spark, hist)
+    with open(os.path.join(hist, SRC_VERSION_FILE), "w") as f:
+        f.write("1")
+    sync_scd2_history(spark, dim, hist, **kw)  # replay the v1->v2 slice
+    assert _got_history(spark, hist) == want
+    assert want == _reference_history(spark, dim)
