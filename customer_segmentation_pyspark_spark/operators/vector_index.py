@@ -383,6 +383,10 @@ def update_ivf_index(
     }
     old_cells: set[str] = set()
     prior = None
+    # a vacuum that died mid-sweep leaves its in-progress marker: the
+    # keymap may be clipped, so rebuild before trusting the point-read
+    # (r08, ADVICE — the marker is the vacuum's to remove, not ours)
+    _heal_interrupted_vacuum(spark, index_dir)
     try:
         prior = read_partitioned_snapshot(
             spark, _keymap_dir(index_dir), key_in=changed_keys
@@ -692,6 +696,39 @@ def rebuild_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
     _merge_keymap(spark, index_dir, exact, key)
 
 
+#: dropped inside the keymap dir for the duration of a vacuum sweep: a
+#: sweep that dies between clipping an in-flight update's entries and
+#: the bracketing conditional commit (process crash, or an inner merge
+#: raising on a keymap-partition collision) leaves no other trace —
+#: the marker forces the next update to rebuild the keymap before
+#: trusting point-reads (r08, ADVICE). Owned by the vacuum: only a
+#: completing vacuum (success or repaired-raise) removes it.
+VACUUM_MARKER = "_vacuum-inprogress"
+
+
+def _vacuum_marker_path(index_dir: str) -> str:
+    return os.path.join(_keymap_dir(index_dir), VACUUM_MARKER)
+
+
+def _clear_vacuum_marker(index_dir: str) -> None:
+    try:
+        os.remove(_vacuum_marker_path(index_dir))
+    except OSError:
+        pass
+
+
+def _heal_interrupted_vacuum(spark: SparkSession, index_dir: str) -> None:
+    """Restore the keymap superset invariant when a vacuum marker is
+    present: a vacuum died mid-sweep (or is running right now — the
+    rebuild is then merely redundant), so point-reads cannot be
+    trusted until every live key's entry is re-derived from the index
+    data. The marker is left in place — the vacuum owns its removal —
+    so a crashed vacuum costs each update a rebuild until a vacuum
+    re-runs to completion, never a ghost copy."""
+    if os.path.exists(_vacuum_marker_path(index_dir)):
+        rebuild_ivf_keymap(spark, index_dir)
+
+
 def vacuum_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
     """Keymap GC (r06; re-architected r07): `rebuild_ivf_keymap`
     shrinks LIVE keys' superset sets but keys DELETED from the index
@@ -735,44 +772,61 @@ def vacuum_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
     if versioned.latest_version(km_dir) < 1:
         return  # no keymap yet: nothing to vacuum
     key, vec = man["key"], man["vec"]
-    dirs = [os.path.join(index_dir, d) for d in man["parts"].values()]
-    if dirs:
-        live = spark.read.option("mergeSchema", "true").parquet(*dirs)
-        exact = live.select(
-            F.col(key),
-            F.array(
-                _assign_expr(man, F.col(vec)).cast("long")
-            ).alias("cells"),
-            F.lit(0).cast("long").alias("seq"),
-        )
-        _merge_keymap(spark, index_dir, exact, key)
-        live_keys = live.select(key).distinct()
-    else:
-        live_keys = None
+    # vacuum-in-progress marker (r08, ADVICE): dropped before the first
+    # clipping merge so a crash anywhere in the sweep forces the next
+    # update to rebuild before trusting point-reads
+    with open(_vacuum_marker_path(index_dir), "w") as f:
+        f.write(str(time.time()))
     try:
-        km = read_partitioned_snapshot(spark, km_dir)
-    except FileNotFoundError:
-        km = None  # already emptied
-    if km is not None:
-        stale = (
-            km.join(live_keys, key, "left_anti") if live_keys is not None
-            else km
-        )
-        stale = (
-            stale.select(key, "cells")
-            .withColumn("seq", F.lit(1).cast("long"))
-            .withColumn("__op", F.lit("D"))
-        )
-        merge_into_partitioned_snapshot(
-            spark,
-            km_dir,
-            stale,
-            key=key,
-            seq="seq",
-            delete_when="__op = 'D'",
-            marker_cols=("__op",),
-            collect_stats=False,
-        )
+        dirs = [os.path.join(index_dir, d) for d in man["parts"].values()]
+        if dirs:
+            live = spark.read.option("mergeSchema", "true").parquet(*dirs)
+            exact = live.select(
+                F.col(key),
+                F.array(
+                    _assign_expr(man, F.col(vec)).cast("long")
+                ).alias("cells"),
+                F.lit(0).cast("long").alias("seq"),
+            )
+            _merge_keymap(spark, index_dir, exact, key)
+            live_keys = live.select(key).distinct()
+        else:
+            live_keys = None
+        try:
+            km = read_partitioned_snapshot(spark, km_dir)
+        except FileNotFoundError:
+            km = None  # already emptied
+        if km is not None:
+            stale = (
+                km.join(live_keys, key, "left_anti")
+                if live_keys is not None
+                else km
+            )
+            stale = (
+                stale.select(key, "cells")
+                .withColumn("seq", F.lit(1).cast("long"))
+                .withColumn("__op", F.lit("D"))
+            )
+            merge_into_partitioned_snapshot(
+                spark,
+                km_dir,
+                stale,
+                key=key,
+                seq="seq",
+                delete_when="__op = 'D'",
+                marker_cols=("__op",),
+                collect_stats=False,
+            )
+    except BaseException:
+        # an inner merge died mid-sweep (e.g. ConcurrentMergeError on a
+        # keymap-partition collision with a concurrent update): the
+        # sweep may already have clipped that update's just-merged
+        # entries, and no bracket commit will run to detect it — repair
+        # NOW, then surface. If the repair itself dies the marker stays
+        # and the next update rebuilds (r08, ADVICE).
+        rebuild_ivf_keymap(spark, index_dir)
+        _clear_vacuum_marker(index_dir)
+        raise
     v = versioned.commit_manifest(
         index_dir,
         {**man, "operation": "ivf-vacuum", "committed_at": time.time()},
@@ -783,11 +837,13 @@ def vacuum_ivf_keymap(spark: SparkSession, index_dir: str) -> None:
         # stale delete may have clipped its in-flight keymap entries —
         # repair from the CURRENT manifest, then surface the conflict
         rebuild_ivf_keymap(spark, index_dir)
+        _clear_vacuum_marker(index_dir)
         raise ConcurrentMergeError(
             f"a concurrent commit landed on {index_dir} during the "
             "keymap vacuum; the keymap was repaired from the new "
             "manifest — re-run the vacuum"
         )
+    _clear_vacuum_marker(index_dir)
 
 
 def split_ivf_cells(
@@ -1256,7 +1312,7 @@ def query_ivf_index(
             .select("query_id")
         )
 
-    remaining, solved = q, []
+    remaining, solved, cached, escalated = q, [], [], False
     for i, depth in enumerate(levels):
         scored = _scored(remaining, depth)
         if scored is None:
@@ -1273,23 +1329,41 @@ def query_ivf_index(
         # (the common case) the loop exits after that single action
         # with no semi-join and no escalation union in the result.
         # Post-filter candidates are small by construction;
-        # MEMORY_AND_DISK spills if they are not, and Spark's LRU
-        # eviction reclaims the entry after the caller consumes it.
+        # MEMORY_AND_DISK spills if they are not. The probe is a
+        # count(), not isEmpty() (r08, ADVICE): isEmpty's limit-1
+        # short-circuit stops at the first starved query and leaves
+        # the cache PARTIALLY populated, so the starved path's
+        # semi-join would silently re-read the probed dirs.
         scored = scored.persist()
+        cached.append(scored)
         starved = remaining.join(
             F.broadcast(_sat(scored)), "query_id", "left_anti"
         )
-        if starved.isEmpty():  # populates the cache as a side effect
+        if starved.count() == 0:  # populates the cache as a side effect
             solved.append(scored)
             break
+        escalated = True
         sat = _sat(scored)  # re-derived from the now-hot cache
         solved.append(scored.join(F.broadcast(sat), "query_id", "semi"))
         remaining = remaining.join(
             F.broadcast(sat), "query_id", "left_anti"
         )
     if not solved:
+        for c in cached:
+            c.unpersist()
         return spark.createDataFrame([], empty)
     out = solved[0]
     for s in solved[1:]:
         out = out.unionByName(s)
-    return _topk(out)
+    out = _topk(out)
+    if escalated:
+        # the starved path pinned several levels' frames: materialize
+        # the (tiny, <= |q| x k rows) final top-k once, then release
+        # every cache entry instead of leaving them to executor LRU
+        # across repeated queries in one session (r08, ADVICE). The
+        # no-starvation path keeps its single lazy cached frame so the
+        # returned plan stays the r05 single pass.
+        out = out.localCheckpoint(eager=True)
+        for c in cached:
+            c.unpersist()
+    return out

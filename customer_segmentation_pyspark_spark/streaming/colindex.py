@@ -53,6 +53,14 @@ def _colidx_dir(table_dir: str, col: str) -> str:
     return os.path.join(table_dir, f"_colidx_{col}")
 
 
+#: above this many distinct values in one sync's delta, the prior-entry
+#: lookup switches from a key_in point-read (driver list + partition
+#: pruning) to a distributed semi-join against the whole index subtable
+#: — same bound and rationale as the join-view `_JVMAP_POINT_READ_MAX`
+#: (a wave-sized IN-list plan costs more than the scan it saves)
+_COLIDX_POINT_READ_MAX = 64
+
+
 def sync_column_index(
     spark: SparkSession,
     table_dir: str,
@@ -95,16 +103,31 @@ def sync_column_index(
         .groupBy(col)
         .agg(F.sort_array(F.collect_set("__p")).alias("parts"))
     )
-    # union into prior entries (point-read of the touched values only —
-    # bounded by the CDC batch's own collect contract on the delta
-    # path; the seed path merges into an empty table)
+    # union into prior entries. `key_in` is a POINT-lookup API (the
+    # r07 jvmap lesson, SCALE.md): a high-cardinality indexed column
+    # with a large CDC batch must NOT collect a wave-sized value list
+    # to the driver and build a giant IN-list plan — point-read only
+    # when the delta touches few values, semi-join the (tiny: 2
+    # columns x distinct values) index subtable otherwise (r08,
+    # VERDICT #3).
     if v0 is not None:
-        vals = [r[0] for r in fresh.select(col).distinct().collect()]
-        if vals:
+        sample = (
+            fresh.select(col).limit(_COLIDX_POINT_READ_MAX + 1).collect()
+        )
+        if sample:
             try:
-                prior = read_partitioned_snapshot(
-                    spark, idx_dir, key_in=vals
-                ).select(col, "parts")
+                if len(sample) <= _COLIDX_POINT_READ_MAX:
+                    prior = read_partitioned_snapshot(
+                        spark,
+                        idx_dir,
+                        key_in=[r[0] for r in sample],
+                    ).select(col, "parts")
+                else:
+                    prior = (
+                        read_partitioned_snapshot(spark, idx_dir)
+                        .join(fresh.select(col), col, "leftsemi")
+                        .select(col, "parts")
+                    )
                 fresh = (
                     fresh.unionByName(prior)
                     .groupBy(col)
@@ -175,9 +198,9 @@ def read_by_column_value(
     v_idx = view_src_version(idx_dir) if os.path.isdir(idx_dir) else None
     cur = versioned.latest_version(table_dir)
     if v_idx is None:
-        return read_partitioned_snapshot(spark, table_dir).filter(
-            F.col(col).isin(values)
-        )
+        return read_partitioned_snapshot(
+            spark, table_dir, version=cur
+        ).filter(F.col(col).isin(values))
     try:
         hit = read_partitioned_snapshot(spark, idx_dir, key_in=values)
         pids = {
@@ -187,9 +210,22 @@ def read_by_column_value(
     except FileNotFoundError:
         pids = set()  # index committed-empty (all-NULL column so far)
     if cur > v_idx:
-        man_old = versioned.read_manifest(table_dir, v_idx)
+        try:
+            man_old = versioned.read_manifest(table_dir, v_idx)
+        except FileNotFoundError:
+            # the indexed version's manifest expired (retention GC): the
+            # changed-partition escape hatch can no longer be computed —
+            # degrade to the full filtered scan instead of crashing
+            # (r08, ADVICE); the next sync re-cursors to a live version
+            return read_partitioned_snapshot(
+                spark, table_dir, version=cur
+            ).filter(F.col(col).isin(values))
         man_new = versioned.read_manifest(table_dir, cur)
         pids |= _parts_changed_since(man_old or {}, man_new or {})
+    # the final read is PINNED to the version the escape hatch was
+    # computed against (r08, ADVICE): a commit landing between
+    # latest_version() and an unpinned read could add rows in
+    # partitions outside pids, silently violating exactness
     return read_partitioned_snapshot(
-        spark, table_dir, partitions_in=sorted(pids)
+        spark, table_dir, version=cur, partitions_in=sorted(pids)
     ).filter(F.col(col).isin(values))

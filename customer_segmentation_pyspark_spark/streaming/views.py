@@ -600,6 +600,9 @@ def _join_cursors(view_dir: str) -> tuple[int, int] | None:
 def _write_join_cursors(view_dir: str, fact_v: int, dim_v: int) -> None:
     import json
 
+    # an empty seed (zero-row fact) commits no view data, so the merge
+    # never created the dir — the cursors still need a home (r08)
+    os.makedirs(view_dir, exist_ok=True)
     tmp = os.path.join(view_dir, f".cursor-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump({"fact": int(fact_v), "dim": int(dim_v)}, f)
@@ -674,6 +677,12 @@ def sync_join_view_to_snapshots(
         )
 
     cur = _join_cursors(view_dir) if os.path.isdir(view_dir) else None
+    if cur is not None and versioned.read_manifest(view_dir) is None:
+        # cursors exist but the view never committed: a seed sync over a
+        # zero-row fact table writes the cursors while the merge commits
+        # nothing ("if not touched: return") — re-seed instead of
+        # subscripting the None manifest below (r08, ADVICE)
+        cur = None
     if cur is None:
         fact = _snapshot_or_empty(spark, fact_dir, fa)
         seeded = fact.withColumn("__seq", F.lit(0).cast("long")).join(

@@ -147,3 +147,101 @@ def test_unindexed_column_falls_back(spark, tmp_path):
         F.col("cat") == "c1"
     )
     assert _rows(got, "k", "cat", "v") == _rows(want, "k", "cat", "v")
+
+
+def test_large_delta_sync_avoids_wave_sized_in_list(
+    spark, tmp_path, monkeypatch
+):
+    """r08 (VERDICT #3): a CDC batch touching more distinct values than
+    `_COLIDX_POINT_READ_MAX` must look up prior entries with a
+    semi-join against the index subtable, never a driver collect +
+    wave-sized key_in IN-list — and stay exact."""
+    from customer_segmentation_pyspark_spark.streaming import colindex
+    from customer_segmentation_pyspark_spark.streaming import merge
+
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(i, f"c{i}", float(i), 0) for i in range(150)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+
+    real = merge.read_partitioned_snapshot
+    key_in_sizes = []
+
+    def spy(spark_, table_dir, **kw):
+        if kw.get("key_in") is not None:
+            key_in_sizes.append(len(list(kw["key_in"])))
+        return real(spark_, table_dir, **kw)
+
+    monkeypatch.setattr(merge, "read_partitioned_snapshot", spy)
+    # a wave retargeting >64 distinct values
+    _mk(spark, d, [(i, f"c{i + 1000}", float(i), 1) for i in range(100)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    assert all(
+        n <= colindex._COLIDX_POINT_READ_MAX for n in key_in_sizes
+    ), key_in_sizes
+    # and a small wave still takes the point-read fast path
+    key_in_sizes.clear()
+    _mk(spark, d, [(0, "tiny", 0.0, 2)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    assert key_in_sizes and max(key_in_sizes) <= 64
+    got = read_by_column_value(spark, d, "cat", ["c1005", "tiny"])
+    want = read_partitioned_snapshot(spark, d).filter(
+        F.col("cat").isin(["c1005", "tiny"])
+    )
+    assert _rows(got, "k", "cat", "v") == _rows(want, "k", "cat", "v")
+
+
+def test_lookup_pins_version_against_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """r08 (ADVICE): the final pruned read must be PINNED to the version
+    the changed-partition escape hatch was computed against — a commit
+    landing between latest_version() and the read adds rows the pid
+    set does not cover, and an unpinned read would return a mixed
+    (non-snapshot) result. Pinned, the lookup returns exactly the
+    pre-commit state."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming import colindex
+
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(i, f"c{i % 5}", float(i), 0) for i in range(40)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    want = _rows(
+        read_partitioned_snapshot(spark, d).filter(F.col("cat") == "c3"),
+        "k", "cat", "v",
+    )
+
+    real = versioned.latest_version
+    fired = {"done": False}
+
+    def racing(table_dir):
+        v = real(table_dir)
+        if table_dir == d and not fired["done"]:
+            fired["done"] = True
+            # a foreign commit lands right after the version resolve
+            _mk(spark, d, [(1000, "c3", 999.0, 1)])
+        return v
+
+    monkeypatch.setattr(versioned, "latest_version", racing)
+    got = read_by_column_value(spark, d, "cat", ["c3"])
+    assert _rows(got, "k", "cat", "v") == want  # the pinned snapshot
+
+
+def test_lookup_degrades_when_indexed_manifest_expired(spark, tmp_path):
+    """r08 (ADVICE): once the indexed version's manifest is gone
+    (retention GC), the changed-partition escape hatch cannot be
+    computed — the lookup must degrade to the full filtered scan, not
+    crash with FileNotFoundError."""
+    import os
+
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(i, f"c{i % 5}", float(i), 0) for i in range(40)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    _mk(spark, d, [(500, "c3", 1.0, 1)])  # a post-sync wave (cur > v_idx)
+    # expire the indexed version's manifest
+    v_idx = 1
+    os.remove(os.path.join(d, f"manifest-v{v_idx}.json"))
+    got = read_by_column_value(spark, d, "cat", ["c3"])
+    want = read_partitioned_snapshot(spark, d).filter(
+        F.col("cat") == "c3"
+    )
+    assert _rows(got, "k", "cat", "v") == _rows(want, "k", "cat", "v")

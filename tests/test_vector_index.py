@@ -1412,3 +1412,127 @@ def test_probe_reads_only_probed_cell_dirs(spark, tmp_path):
         for f in files
     }
     assert opened == probed_dirs
+
+
+def test_vacuum_crash_at_bracket_leaves_marker_and_update_heals(
+    spark, tmp_path, monkeypatch
+):
+    """r08 (ADVICE): a vacuum that dies at the bracketing conditional
+    commit (after its clipping merges landed) leaves the in-progress
+    marker behind; the next update must rebuild the keymap before
+    trusting point-reads, and a completing vacuum clears the marker."""
+    import os
+
+    from customer_segmentation_pyspark_spark.operators import (
+        vector_index as vi,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    update_ivf_index(spark, idx, _wave(e))  # churn: stale rows to sweep
+
+    real = versioned.commit_manifest
+    state = {"armed": True}
+
+    def boom(table_dir, manifest, expected_latest=None):
+        if state["armed"] and manifest.get("operation") == "ivf-vacuum":
+            state["armed"] = False
+            raise RuntimeError("simulated crash at the bracket commit")
+        return real(table_dir, manifest, expected_latest)
+
+    monkeypatch.setattr(versioned, "commit_manifest", boom)
+    with pytest.raises(RuntimeError):
+        vi.vacuum_ivf_keymap(spark, idx)
+    marker = vi._vacuum_marker_path(idx)
+    assert os.path.exists(marker)  # crash path: marker survives
+    # the next update heals (rebuild) and proceeds correctly — and the
+    # marker stays: the vacuum owns its removal
+    update_ivf_index(spark, idx, _one_up(spark, 444000, list(CELLS[2])))
+    update_ivf_index(spark, idx, _one_up(spark, 444000, list(CELLS[6])))
+    final = read_ivf_index(spark, idx)
+    assert final.count() == final.select("vec_id").distinct().count()
+    assert final.filter(F.col("vec_id") == 444000).count() == 1
+    assert os.path.exists(marker)
+    vi.vacuum_ivf_keymap(spark, idx)  # disarmed: completes
+    assert not os.path.exists(marker)
+
+
+def test_vacuum_inner_merge_failure_repairs_and_raises(
+    spark, tmp_path, monkeypatch
+):
+    """r08 (ADVICE): an inner sweep merge that raises (the stale-row
+    delete here) must trigger the repair-and-clear path — the keymap is
+    rebuilt on the way out, the marker is cleared, and the error
+    surfaces."""
+    import os
+
+    from customer_segmentation_pyspark_spark.operators import (
+        vector_index as vi,
+    )
+    from customer_segmentation_pyspark_spark.streaming import merge
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    update_ivf_index(spark, idx, _wave(e))
+
+    real_merge = merge.merge_into_partitioned_snapshot
+    calls = {"rebuilds": 0}
+
+    def boom(spark_, table_dir, delta, **kw):
+        if table_dir.endswith("_keymap") and kw.get("delete_when"):
+            raise RuntimeError("simulated stale-delete failure")
+        return real_merge(spark_, table_dir, delta, **kw)
+
+    real_rebuild = vi.rebuild_ivf_keymap
+
+    def spy_rebuild(spark_, index_dir):
+        calls["rebuilds"] += 1
+        return real_rebuild(spark_, index_dir)
+
+    monkeypatch.setattr(merge, "merge_into_partitioned_snapshot", boom)
+    monkeypatch.setattr(vi, "rebuild_ivf_keymap", spy_rebuild)
+    with pytest.raises(RuntimeError, match="stale-delete"):
+        vi.vacuum_ivf_keymap(spark, idx)
+    assert calls["rebuilds"] == 1  # repaired on the way out
+    assert not os.path.exists(vi._vacuum_marker_path(idx))
+
+
+def test_interrupted_vacuum_marker_forces_keymap_rebuild(
+    spark, tmp_path
+):
+    """r08 (ADVICE): the hard-crash shape — a keymap CLIPPED by a dead
+    vacuum (its marker still present) must not ghost: the next update
+    rebuilds before trusting its point-read, so moving the clipped key
+    still rewrites its real cell."""
+    import os
+
+    from customer_segmentation_pyspark_spark.operators import (
+        vector_index as vi,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    update_ivf_index(spark, idx, _one_up(spark, 555000, list(CELLS[2])))
+    # simulate the dead vacuum: clip the key's keymap row, drop marker
+    km_dir = os.path.join(idx, "_keymap")
+    clip = spark.createDataFrame(
+        [(555000, [0], 99)], "vec_id long, cells array<long>, seq long"
+    ).withColumn("__op", F.lit("D"))
+    merge_into_partitioned_snapshot(
+        spark, km_dir, clip, key="vec_id", seq="seq",
+        delete_when="__op = 'D'", marker_cols=("__op",),
+        collect_stats=False,
+    )
+    with open(vi._vacuum_marker_path(idx), "w") as f:
+        f.write("1")
+    # move the clipped key: without the heal its CELLS[2] copy ghosts
+    update_ivf_index(spark, idx, _one_up(spark, 555000, list(CELLS[6])))
+    final = read_ivf_index(spark, idx)
+    assert final.filter(F.col("vec_id") == 555000).count() == 1
+    assert final.count() == final.select("vec_id").distinct().count()

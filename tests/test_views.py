@@ -740,3 +740,89 @@ def test_distinct_view_exactly_once_marker(spark, tmp_path):
     sync_distinct_view_to_snapshot(spark, d, view, "g", F.col("v"))
     got = sorted(map(tuple, read_distinct_view(spark, view).collect()))
     assert got == want
+
+
+def test_join_view_seed_over_emptied_fact_then_growth(spark, tmp_path):
+    """r08 (ADVICE): seeding the join view while the fact table is
+    EMPTY (all rows deleted) writes the cursors but commits no view
+    manifest — the next sync, after the fact grows, must re-seed
+    instead of subscripting the None manifest (TypeError)."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_join_view_to_snapshots,
+    )
+
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, f % 3, float(f), 0, "U") for f in range(6)],
+            "fk long, jk long, amt double, seq long, op string",
+        ),
+        key="fk", seq="seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, f % 3, float(f), 1, "D") for f in range(6)],
+            "fk long, jk long, amt double, seq long, op string",
+        ),
+        key="fk", seq="seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(j, f"a{j}", 0) for j in range(3)],
+            "jk long, attr string, dseq long",
+        ),
+        key="jk", seq="dseq", num_partitions=4,
+    )
+    # seed over the emptied fact: cursors land, nothing commits
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=4)
+    # the fact grows back; the next sync must re-seed, not crash
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, f % 3, float(f) * 2, 2, "U") for f in range(4)],
+            "fk long, jk long, amt double, seq long, op string",
+        ),
+        key="fk", seq="seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=4)
+    got = {
+        tuple(r)
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    want = {
+        tuple(r)
+        for r in fact.join(dim.select("jk", "attr"), "jk", "left")
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    assert got == want
+    # and a further incremental wave keeps tracking
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame([(1, "a1-v2", 1)],
+                              "jk long, attr string, dseq long"),
+        key="jk", seq="dseq",
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=4)
+    assert (
+        read_partitioned_snapshot(spark, view_dir)
+        .filter(F.col("jk") == 1).select("attr").distinct().collect()
+        [0][0] == "a1-v2"
+    )
