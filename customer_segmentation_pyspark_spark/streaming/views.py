@@ -374,10 +374,21 @@ JOIN_CURSOR_FILE = "_JOIN_SRC_VERSIONS"
 #: and re-enriches from ONLY those view partitions — dim-side
 #: invalidation drops from O(view) to O(dependent partitions). The map
 #: is a SUPERSET (fact deletes and join-key retargets never remove
-#: entries — extra partitions cost IO, never correctness) and is merged
-#: BEFORE the view write, so a crash can only leave it a superset of
-#: the view's true dependents; same invariant discipline as the IVF
-#: keymap.
+#: entries — extra partitions cost IO, never correctness).
+#:
+#: Maintenance is LAZY (r08, VERDICT #6): the map carries its own
+#: fact-version marker (the views module's ``_SRC_VERSION`` file in
+#: the map dir) recording the highest fact version whose post-images'
+#: (value -> partition) entries it contains. Fact waves commit NOTHING
+#: to the map; a dim wave unions the map lookup with an ESCAPE HATCH —
+#: the view partitions of every fact key changed in
+#: (marker, view's fact cursor] (one pruned CDF read) — so staleness
+#: is exact, never a correctness risk. The map catches up (one merge,
+#: folding the whole lag plus the current wave's upserts) only when a
+#: dim wave finds a nonzero lag — amortizing the per-fact-wave merge
+#: commit r07 paid into at most one commit per dim wave, and zero when
+#: fact and dim waves alternate within one sync. Same marker-escape
+#: discipline as the secondary column index (`streaming/colindex.py`).
 JVMAP_SUBDIR = "_jvmap"
 
 
@@ -456,9 +467,12 @@ def _jvmap_rows_for(
         return read_partitioned_snapshot(
             spark, _jvmap_dir(view_dir), key_in=vals
         ).select(join_col, "parts")
+    # jv is a dim CDF's distinct join values — small by the module's
+    # key-routing contract; broadcasting it keeps the probe a single
+    # shuffle-free stage over the (tiny) map table (r08, VERDICT #6)
     return (
         read_partitioned_snapshot(spark, _jvmap_dir(view_dir))
-        .join(jv, join_col, "leftsemi")
+        .join(F.broadcast(jv), join_col, "leftsemi")
         .select(join_col, "parts")
     )
 
@@ -503,16 +517,33 @@ def _union_jvmap_parts(
     _merge_jvmap(spark, view_dir, entries, join_col, num_partitions)
 
 
+def _write_jvmap_marker(view_dir: str, fact_version: int) -> None:
+    os.makedirs(_jvmap_dir(view_dir), exist_ok=True)
+    _write_marker(_jvmap_dir(view_dir), fact_version)
+
+
 def _ensure_jvmap(
-    spark: SparkSession, view_dir: str, join_col: str
+    spark: SparkSession,
+    view_dir: str,
+    join_col: str,
+    fact_cursor: int | None = None,
 ) -> None:
     """Initialize the inverted map from the CURRENT view when it does
     not exist yet (a view seeded pre-r07, or a crash before the seed's
     map merge) — the one O(view) backfill; committed maps make this a
-    single manifest read."""
+    single manifest read. ``fact_cursor`` (r08) is the fact version the
+    view reflects: it becomes the map's fact-version marker — for a
+    backfill the entries cover exactly the committed view, and for a
+    pre-r08 map (committed but markerless) the eager per-wave merges
+    guaranteed coverage through the view's cursor."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     if versioned.latest_version(_jvmap_dir(view_dir)) >= 1:
+        if (
+            fact_cursor is not None
+            and view_src_version(_jvmap_dir(view_dir)) is None
+        ):
+            _write_jvmap_marker(view_dir, fact_cursor)
         return
     man = versioned.read_manifest(view_dir)
     if man is None:
@@ -529,6 +560,8 @@ def _ensure_jvmap(
         join_col,
         int(man["num_partitions"]),
     )
+    if fact_cursor is not None:
+        _write_jvmap_marker(view_dir, fact_cursor)
 
 
 def _invalidated_view_read(
@@ -536,16 +569,19 @@ def _invalidated_view_read(
     view_dir: str,
     join_col: str,
     jv: DataFrame,
+    extra_pids=(),
 ) -> DataFrame:
     """The dim-wave view read, pruned by the inverted map: look up the
     changed join values' map rows (point-read for small waves,
     semi-join for large — `_jvmap_rows_for`), collect the union of
     their partition ids (<= the view's num_partitions ints), and open
-    ONLY those view partitions. Separated so tests can assert the
-    pruning on ``inputFiles()``. Falls back to the full view scan when
-    the map subtable does not exist (an all-NULL-join-value view has
-    no committable map entries; :func:`_ensure_jvmap` owns
-    backfills)."""
+    ONLY those view partitions. ``extra_pids`` (r08) is the lazy-map
+    escape hatch: the view partitions of fact keys changed since the
+    map's fact-version marker — unioned in so a stale map can never
+    hide a dependent. Separated so tests can assert the pruning on
+    ``inputFiles()``. Falls back to the full view scan when the map
+    subtable does not exist (an all-NULL-join-value view has no
+    committable map entries; :func:`_ensure_jvmap` owns backfills)."""
     from customer_segmentation_pyspark_spark.sources import versioned
 
     view_v = versioned.latest_version(view_dir)
@@ -556,7 +592,7 @@ def _invalidated_view_read(
     pids = {
         int(r["p"])
         for r in hit.select(F.explode("parts").alias("p")).collect()
-    }
+    } | {int(p) for p in extra_pids}
     return _snapshot_or_empty_partitions(
         spark, view_dir, view_v, sorted(pids)
     )
@@ -647,6 +683,7 @@ def sync_join_view_to_snapshots(
     unambiguous. Returns the (fact, dim) versions the view reflects."""
     from customer_segmentation_pyspark_spark.sources import versioned
     from customer_segmentation_pyspark_spark.streaming.merge import (
+        _part_expr,
         merge_into_partitioned_snapshot,
         read_snapshot_changes,
     )
@@ -696,7 +733,7 @@ def sync_join_view_to_snapshots(
             seq="__seq",
             num_partitions=num_partitions,
         )
-        _ensure_jvmap(spark, view_dir, join_col)
+        _ensure_jvmap(spark, view_dir, join_col, fact_cursor=fa)
         _write_join_cursors(view_dir, fa, db)
         return fa, db
     va0, vb0 = cur
@@ -705,16 +742,17 @@ def sync_join_view_to_snapshots(
 
     # one-time backfill for views seeded before the inverted map
     # existed; a no-op (one manifest read) on every later sync
-    _ensure_jvmap(spark, view_dir, join_col)
+    _ensure_jvmap(spark, view_dir, join_col, fact_cursor=va0)
     view_parts = int(versioned.read_manifest(view_dir)["num_partitions"])
 
     fact_cols = [c for c in fact_cols_now]
     changed_parts = []
+    ups_a = None
     if fa > va0:
-        # materialize the fact CDF once: the map maintenance (emptiness
-        # probe + prior lookup + merge) and the view merge each action
-        # it, and every action would otherwise re-run the manifest-diff
-        # plan (the same fixed-cost lesson as the r06 index sync)
+        # materialize the fact CDF once: the escape-hatch/catch-up path
+        # and the view merge each action it, and every action would
+        # otherwise re-run the manifest-diff plan (the same fixed-cost
+        # lesson as the r06 index sync)
         cdf_a = read_snapshot_changes(
             spark, fact_dir, va0, fa
         ).localCheckpoint(eager=True)
@@ -733,16 +771,10 @@ def sync_join_view_to_snapshots(
             .withColumn("__op", F.lit("D"))
         )
         changed_parts += [ups_a, dels_a]
-        # map BEFORE view write (the superset crash invariant): the
-        # upserts' join values learn these fact keys' partitions now,
-        # so a dim wave can never miss them
-        _union_jvmap_parts(
-            spark,
-            view_dir,
-            _jvmap_entries_from(ups_a, join_col, fact_key, view_parts),
-            join_col,
-            view_parts,
-        )
+        # NO eager map merge (r08, VERDICT #6): the map's fact-version
+        # marker plus the dim-wave escape hatch below keep stale maps
+        # exact, so fact waves commit nothing to the map — the r07
+        # design paid one map merge commit per fact wave here
     if db > vb0:
         cdf_b = read_snapshot_changes(
             spark, dim_dir, vb0, db
@@ -750,7 +782,56 @@ def sync_join_view_to_snapshots(
         # join values invalidated by the dim wave — pre AND post images,
         # so a dim-key retarget re-enriches both old and new dependents
         jv = cdf_b.select(join_col).distinct()
-        view_now = _invalidated_view_read(spark, view_dir, join_col, jv)
+        # lazy-map escape hatch (r08): fact post-images in
+        # (map marker, view's fact cursor] are dependents the committed
+        # map has not learned yet — their view partitions (a pruned CDF
+        # read, no join-value filter needed: a superset of partitions
+        # costs IO, never correctness) are unioned into the dim read
+        mv = view_src_version(_jvmap_dir(view_dir))
+        escape_pids: list = []
+        lag_posts = None
+        if mv is not None and va0 > mv:
+            try:
+                lag_posts = (
+                    read_snapshot_changes(spark, fact_dir, mv, va0)
+                    .filter(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        )
+                    )
+                    .select(
+                        F.col(join_col),
+                        _part_expr(fact_key, view_parts).alias("__p"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                escape_pids = sorted(
+                    int(r["__p"])
+                    for r in lag_posts.select("__p").distinct().collect()
+                )
+            except FileNotFoundError:
+                # the marker version's manifest expired: the lag can no
+                # longer be replayed — rebuild exact entries from the
+                # committed view (the one O(view) heal; replace-merge,
+                # so bloat shrinks too) and continue with a clean map
+                lag_posts = None
+                view_cur = _snapshot_or_empty(
+                    spark, view_dir, versioned.latest_version(view_dir)
+                )
+                _merge_jvmap(
+                    spark,
+                    view_dir,
+                    _jvmap_entries_from(
+                        view_cur, join_col, fact_key, view_parts
+                    ),
+                    join_col,
+                    view_parts,
+                )
+                _write_jvmap_marker(view_dir, va0)
+                mv = va0
+        view_now = _invalidated_view_read(
+            spark, view_dir, join_col, jv, extra_pids=escape_pids
+        )
         # schema-evolution tolerance (r07, ADVICE): a fact merge that
         # added a column since the view's last sync leaves view_now
         # without it when the first post-evolution wave is dim-only —
@@ -771,6 +852,29 @@ def sync_join_view_to_snapshots(
             .withColumn("__op", F.lit("U"))
         )
         changed_parts.append(re_rows)
+        # amortized catch-up (r08): a dim wave that found lag folds the
+        # whole lag PLUS the current wave's upserts into the map in one
+        # merge, then advances the marker — at most one map commit per
+        # dim wave, zero when the map is already current (the marker
+        # write follows its merge, so a crash between them just
+        # re-folds the same slice; the union apply is idempotent)
+        if lag_posts is not None:
+            fold = (
+                lag_posts.filter(F.col(join_col).isNotNull())
+                .groupBy(join_col)
+                .agg(F.sort_array(F.collect_set("__p")).alias("parts"))
+                .withColumn("__seq", F.lit(0).cast("long"))
+            )
+            if ups_a is not None:
+                fold = fold.unionByName(
+                    _jvmap_entries_from(
+                        ups_a, join_col, fact_key, view_parts
+                    )
+                )
+            _union_jvmap_parts(spark, view_dir, fold, join_col, view_parts)
+            _write_jvmap_marker(
+                view_dir, fa if ups_a is not None else va0
+            )
     if not changed_parts:
         _write_join_cursors(view_dir, fa, db)
         return fa, db

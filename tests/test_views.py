@@ -826,3 +826,88 @@ def test_join_view_seed_over_emptied_fact_then_growth(spark, tmp_path):
         .filter(F.col("jk") == 1).select("attr").distinct().collect()
         [0][0] == "a1-v2"
     )
+
+
+def test_jvmap_lazy_fact_waves_commit_nothing(spark, tmp_path):
+    """r08 (VERDICT #6): fact waves commit NOTHING to the inverted map
+    — the map's fact-version marker plus the dim-wave escape hatch
+    keep a stale map exact. A fact-only sync must leave the map table
+    at its seed version; the next dim wave must still re-enrich the
+    lagged dependents (whose join value the committed map has never
+    seen), fold the whole lag in ONE map merge, and advance the
+    marker."""
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        _jvmap_dir,
+        sync_join_view_to_snapshots,
+        view_src_version,
+    )
+
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, f % 4, float(f), 0) for f in range(32)],
+            "fk long, jk long, amt double, seq long",
+        ),
+        key="fk", seq="seq", num_partitions=8,
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(j, f"a{j}", 0) for j in range(4)],
+            "jk long, attr string, dseq long",
+        ),
+        key="jk", seq="dseq", num_partitions=4,
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=8)
+    jm = _jvmap_dir(view_dir)
+    v_map_seed = versioned.latest_version(jm)
+    m_seed = view_src_version(jm)
+    assert v_map_seed >= 1 and m_seed == versioned.latest_version(fact_dir)
+
+    # fact-only wave: new keys under a BRAND-NEW join value (jk=9) the
+    # committed map has never seen
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(100 + i, 9, 9.0 + i, 1) for i in range(6)],
+            "fk long, jk long, amt double, seq long",
+        ),
+        key="fk", seq="seq",
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=8)
+    assert versioned.latest_version(jm) == v_map_seed  # nothing committed
+    assert view_src_version(jm) == m_seed              # marker untouched
+
+    # dim wave introduces jk=9: the map knows nothing about its
+    # dependents — only the escape hatch (fact CDF since the marker)
+    # can route the re-enrichment; a broken hatch leaves attr NULL
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame([(9, "a9", 1)],
+                              "jk long, attr string, dseq long"),
+        key="jk", seq="dseq",
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=8)
+    got = {
+        tuple(r)
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    want = {
+        tuple(r)
+        for r in fact.join(dim.select("jk", "attr"), "jk", "left")
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    assert got == want
+    assert {r[3] for r in got if r[1] == 9} == {"a9"}  # hatch routed them
+    # the catch-up folded the lag in ONE merge and advanced the marker
+    assert versioned.latest_version(jm) == v_map_seed + 1
+    assert view_src_version(jm) == versioned.latest_version(fact_dir)
