@@ -60,6 +60,25 @@ def _colidx_dir(table_dir: str, col: str) -> str:
 #: (a wave-sized IN-list plan costs more than the scan it saves)
 _COLIDX_POINT_READ_MAX = 64
 
+#: dropped inside the index dir for the duration of a vacuum sweep
+#: (r08, VERDICT #4). READS never need it — the version-marker escape
+#: hatch keeps them exact through any partial vacuum state (a clipped
+#: entry only loses partitions no CURRENT row of the value occupies,
+#: and rows newer than the marker ride the changed-partition union).
+#: The marker exists to stop a CONCURRENT SYNC's marker advance from
+#: racing a clip: a sync that union-merged entries for versions
+#: (v, v'] and then stamps v' AFTER the vacuum replaced those entries
+#: with exact-at-older-v would open a coverage hole. Syncs seeing the
+#: marker therefore rebuild from the full snapshot instead of folding
+#: incrementally (redundant-but-safe if the vacuum is live, the heal
+#: if it crashed); only a COMPLETING vacuum removes the marker — the
+#: keymap vacuum's discipline (`operators/vector_index.py`).
+VACUUM_MARKER = "_vacuum-inprogress"
+
+
+def _vacuum_marker_path(idx_dir: str) -> str:
+    return os.path.join(idx_dir, VACUUM_MARKER)
+
 
 def sync_column_index(
     spark: SparkSession,
@@ -89,6 +108,13 @@ def sync_column_index(
     idx_dir = _colidx_dir(table_dir, col)
 
     v0 = view_src_version(idx_dir) if os.path.isdir(idx_dir) else None
+    if v0 is not None and os.path.exists(_vacuum_marker_path(idx_dir)):
+        # interrupted (or live) vacuum sweep: an incremental fold's
+        # marker advance could race a mid-flight clip into a coverage
+        # hole — rebuild from the full snapshot instead (redundant if
+        # the vacuum is live, the heal if it crashed). The marker stays
+        # in place; only a completing vacuum removes it (r08).
+        v0 = None
     if v0 is None:
         src = read_partitioned_snapshot(spark, table_dir, version=cur)
     elif v0 >= cur:
@@ -152,7 +178,21 @@ def sync_column_index(
             collect_stats=False,  # index reads prune by value hash
         )
     os.makedirs(idx_dir, exist_ok=True)
-    _write_marker(idx_dir, cur)
+    # marker-clamp (r08): while a vacuum sweep is in flight, advancing
+    # the version marker past the sweep's DERIVATION version could
+    # stamp coverage over entries the sweep is about to clip — clamp to
+    # the derivation version recorded in the vacuum marker (re-read
+    # just before the write, so a vacuum that started mid-sync is seen
+    # too). A completing vacuum re-stamps its own derivation version.
+    stamp = cur
+    try:
+        with open(_vacuum_marker_path(idx_dir)) as f:
+            stamp = min(cur, int(f.read().strip() or 0))
+    except FileNotFoundError:
+        pass
+    except ValueError:
+        stamp = 0  # unreadable marker: claim nothing, stay exact
+    _write_marker(idx_dir, stamp)
     return cur
 
 
@@ -229,3 +269,90 @@ def read_by_column_value(
     return read_partitioned_snapshot(
         spark, table_dir, version=cur, partitions_in=sorted(pids)
     ).filter(F.col(col).isin(values))
+
+
+def vacuum_column_index(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+) -> None:
+    """Index GC (r08, VERDICT #4): the superset rule means deletes and
+    value retargets never remove entries, so a churn-heavy table
+    accretes (a) partition ids no current row of a value occupies and
+    (b) whole rows for values no longer in the table — read IO, never
+    correctness. This re-derives every live value's EXACT entry from
+    the current snapshot (replace-merge over the bloated superset) and
+    DELETES the rows of vanished values, as ONE ordinary merge commit —
+    never a table drop, so concurrent readers keep reading committed
+    versions and a concurrent writer's merge either composes (disjoint
+    index partitions) or raises the merge layer's own
+    ``ConcurrentMergeError``.
+
+    Crash-safety (the keymap vacuum's discipline): reads stay exact
+    through ANY partial state — a clipped entry only loses partitions
+    that held no current row at the derivation version, rows newer than
+    the index's version marker ride the changed-partition escape hatch,
+    and the marker is only advanced here AFTER the merge commits, to
+    the pinned derivation version (so the escape hatch covers exactly
+    what the clip could have removed). The ``_vacuum-inprogress``
+    marker guards the one true race — a concurrent SYNC advancing the
+    marker over entries this sweep just clipped: syncs seeing it
+    rebuild from the full snapshot instead of folding incrementally,
+    and only a completing vacuum removes it."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _part_expr,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    man = versioned.read_manifest(table_dir)
+    key, tparts = man["key"], int(man["num_partitions"])
+    idx_dir = _colidx_dir(table_dir, col)
+    if versioned.latest_version(idx_dir) < 1:
+        return  # no committed index: nothing to vacuum
+    with open(_vacuum_marker_path(idx_dir), "w") as f:
+        f.write(str(cur))
+    exact = (
+        read_partitioned_snapshot(spark, table_dir, version=cur)
+        .filter(F.col(col).isNotNull())
+        .select(F.col(col), _part_expr(key, tparts).alias("__p"))
+        .groupBy(col)
+        .agg(F.sort_array(F.collect_set("__p")).alias("parts"))
+        .withColumn("__seq", F.lit(0).cast("long"))
+        .withColumn("__op", F.lit("U"))
+    )
+    try:
+        idx_vals = read_partitioned_snapshot(spark, idx_dir).select(col)
+    except FileNotFoundError:
+        idx_vals = None  # committed-empty index (all-NULL column)
+    batch = exact
+    if idx_vals is not None:
+        stale = (
+            idx_vals.join(exact.select(col), col, "left_anti")
+            .withColumn("parts", F.lit(None).cast("array<int>"))
+            .withColumn("__seq", F.lit(1).cast("long"))
+            .withColumn("__op", F.lit("D"))
+        )
+        batch = exact.unionByName(stale)
+    merge_into_partitioned_snapshot(
+        spark,
+        idx_dir,
+        batch,
+        key=col,
+        seq="__seq",
+        delete_when="__op = 'D'",
+        marker_cols=("__op",),
+        collect_stats=False,
+    )
+    # marker advance AFTER the merge, to the pinned derivation version:
+    # anything the clip could have removed is newer than cur and rides
+    # the changed-partition escape hatch
+    _write_marker(idx_dir, cur)
+    try:
+        os.remove(_vacuum_marker_path(idx_dir))
+    except OSError:
+        pass

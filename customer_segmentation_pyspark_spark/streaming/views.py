@@ -517,8 +517,33 @@ def _union_jvmap_parts(
     _merge_jvmap(spark, view_dir, entries, join_col, num_partitions)
 
 
+#: dropped inside the map dir for the duration of a vacuum sweep (r08,
+#: VERDICT #4) — see :func:`vacuum_jvmap`; the file's CONTENT is the
+#: view's fact cursor at derivation time, the ceiling every concurrent
+#: marker write clamps to
+JVMAP_VACUUM_MARKER = "_vacuum-inprogress"
+
+
+def _jvmap_vacuum_marker_path(view_dir: str) -> str:
+    return os.path.join(_jvmap_dir(view_dir), JVMAP_VACUUM_MARKER)
+
+
 def _write_jvmap_marker(view_dir: str, fact_version: int) -> None:
+    """Stamp the map's fact-version marker — CLAMPED to a live vacuum
+    sweep's derivation version (r08): advancing the marker past what
+    the sweep is about to clip entries back to would stamp coverage
+    the map no longer has; the escape hatch starts at the marker, so
+    a too-low marker only costs IO, never correctness."""
     os.makedirs(_jvmap_dir(view_dir), exist_ok=True)
+    try:
+        with open(_jvmap_vacuum_marker_path(view_dir)) as f:
+            fact_version = min(
+                int(fact_version), int(f.read().strip() or 0)
+            )
+    except FileNotFoundError:
+        pass
+    except ValueError:
+        fact_version = 0  # unreadable sweep marker: claim nothing
     _write_marker(_jvmap_dir(view_dir), fact_version)
 
 
@@ -562,6 +587,84 @@ def _ensure_jvmap(
     )
     if fact_cursor is not None:
         _write_jvmap_marker(view_dir, fact_cursor)
+
+
+def vacuum_jvmap(spark: SparkSession, view_dir: str) -> None:
+    """Inverted-map GC (r08, VERDICT #4): the superset rule means fact
+    deletes and join-key retargets never remove entries, so a
+    churn-heavy view accretes (a) partition ids no current dependent
+    occupies and (b) whole rows for join values with no dependents
+    left — read IO, never correctness. This re-derives every live join
+    value's EXACT entry from the committed view (replace-merge over the
+    bloated superset) and DELETES the rows of vanished values, as ONE
+    ordinary merge commit — never a table drop: concurrent readers keep
+    reading committed map versions, and a concurrent sync's map merge
+    either composes (disjoint map partitions) or raises the merge
+    layer's own ``ConcurrentMergeError``.
+
+    Crash-safety: reads stay exact through ANY partial state — a
+    clipped entry only loses partitions with no current dependent at
+    the derivation version, newer dependents ride the fact-version
+    escape hatch, and the version marker is only advanced after the
+    merge, clamped to the derivation cursor recorded in the
+    ``_vacuum-inprogress`` marker. The in-progress marker guards the
+    one true race (a concurrent sync stamping coverage over entries
+    this sweep just clipped): syncs seeing it rebuild exact entries
+    instead of folding incrementally, their marker stamps clamp to the
+    derivation cursor, and only a completing vacuum removes it — the
+    IVF keymap vacuum's discipline (`operators/vector_index.py`)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    jm = _jvmap_dir(view_dir)
+    if versioned.latest_version(jm) < 1:
+        return  # no committed map: nothing to vacuum
+    man = versioned.read_manifest(view_dir)
+    if man is None:
+        raise FileNotFoundError(f"no committed view in {view_dir}")
+    join_col = versioned.read_manifest(jm)["key"]
+    fact_key, view_parts = man["key"], int(man["num_partitions"])
+    cur = _join_cursors(view_dir)
+    va0 = cur[0] if cur is not None else 0
+    with open(_jvmap_vacuum_marker_path(view_dir), "w") as f:
+        f.write(str(va0))
+    view_now = _snapshot_or_empty(
+        spark, view_dir, versioned.latest_version(view_dir)
+    )
+    exact = _jvmap_entries_from(
+        view_now, join_col, fact_key, view_parts
+    ).filter(F.col(join_col).isNotNull()).withColumn("__op", F.lit("U"))
+    try:
+        live_vals = read_partitioned_snapshot(spark, jm).select(join_col)
+    except FileNotFoundError:
+        live_vals = None  # committed-empty map
+    batch = exact
+    if live_vals is not None:
+        stale = (
+            live_vals.join(exact.select(join_col), join_col, "left_anti")
+            .withColumn("parts", F.lit(None).cast("array<int>"))
+            .withColumn("__seq", F.lit(1).cast("long"))
+            .withColumn("__op", F.lit("D"))
+        )
+        batch = exact.unionByName(stale)
+    merge_into_partitioned_snapshot(
+        spark,
+        jm,
+        batch,
+        key=join_col,
+        seq="__seq",
+        delete_when="__op = 'D'",
+        marker_cols=("__op",),
+        collect_stats=False,
+    )
+    _write_jvmap_marker(view_dir, va0)
+    try:
+        os.remove(_jvmap_vacuum_marker_path(view_dir))
+    except OSError:
+        pass
 
 
 def _invalidated_view_read(
@@ -782,6 +885,30 @@ def sync_join_view_to_snapshots(
         # join values invalidated by the dim wave — pre AND post images,
         # so a dim-key retarget re-enriches both old and new dependents
         jv = cdf_b.select(join_col).distinct()
+        # interrupted (or live) vacuum sweep (r08): incremental
+        # catch-up folds can't be trusted to compose with a mid-flight
+        # clip — rebuild exact entries from the committed view instead
+        # (redundant if the sweep is live, the heal if it crashed); the
+        # sweep marker stays, only a completing vacuum removes it, and
+        # the marker stamp clamps to the sweep's derivation version
+        jvmap_frozen = os.path.exists(_jvmap_vacuum_marker_path(view_dir))
+        if (
+            jvmap_frozen
+            and versioned.latest_version(_jvmap_dir(view_dir)) >= 1
+        ):
+            view_cur = _snapshot_or_empty(
+                spark, view_dir, versioned.latest_version(view_dir)
+            )
+            _merge_jvmap(
+                spark,
+                view_dir,
+                _jvmap_entries_from(
+                    view_cur, join_col, fact_key, view_parts
+                ),
+                join_col,
+                view_parts,
+            )
+            _write_jvmap_marker(view_dir, va0)
         # lazy-map escape hatch (r08): fact post-images in
         # (map marker, view's fact cursor] are dependents the committed
         # map has not learned yet — their view partitions (a pruned CDF
@@ -858,7 +985,7 @@ def sync_join_view_to_snapshots(
         # dim wave, zero when the map is already current (the marker
         # write follows its merge, so a crash between them just
         # re-folds the same slice; the union apply is idempotent)
-        if lag_posts is not None:
+        if lag_posts is not None and not jvmap_frozen:
             fold = (
                 lag_posts.filter(F.col(join_col).isNotNull())
                 .groupBy(join_col)

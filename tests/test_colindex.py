@@ -245,3 +245,138 @@ def test_lookup_degrades_when_indexed_manifest_expired(spark, tmp_path):
         F.col("cat") == "c3"
     )
     assert _rows(got, "k", "cat", "v") == _rows(want, "k", "cat", "v")
+
+
+def test_colindex_vacuum_shrinks_and_stays_exact(spark, tmp_path):
+    """r08 (VERDICT #4): after churn (deletes + value retargets) the
+    superset map accretes partitions and whole rows no current data
+    justifies; vacuum re-derives exact entries and deletes vanished
+    values' rows, post-vacuum lookups open strictly fewer files, and
+    exactness is preserved — including through a LATER wave (the
+    version marker advanced to the vacuum's derivation version, so the
+    escape hatch still guards post-vacuum commits)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        vacuum_column_index,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        view_src_version,
+    )
+
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(i, f"c{i % 5}", float(i), 0) for i in range(80)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    # churn: retarget every c1 row to c9 (c1 vanishes entirely), and
+    # delete ALL c2 rows except k=42 — c2's true footprint collapses
+    # to one partition while its superset entry keeps them all
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame(
+            [(i, "c9", float(i), 1) for i in range(80) if i % 5 == 1],
+            "k long, cat string, v double, seq long",
+        ),
+        key="k", seq="seq",
+    )
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame(
+            [(i, "c2", None, 2, "D")
+             for i in range(80) if i % 5 == 2 and i != 42],
+            "k long, cat string, v double, seq long, op string",
+        ),
+        key="k", seq="seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    idx = _colidx_dir(d, "cat")
+    pre_vals = {r[0] for r in read_partitioned_snapshot(spark, idx)
+                .select("cat").collect()}
+    assert "c1" in pre_vals  # superset bloat is really there
+    pre_files = set(read_by_column_value(spark, d, "cat", ["c2"])
+                    .inputFiles())
+
+    vacuum_column_index(spark, d, "cat")
+
+    post_vals = {r[0] for r in read_partitioned_snapshot(spark, idx)
+                 .select("cat").collect()}
+    assert "c1" not in post_vals and "c2" in post_vals
+    assert view_src_version(idx) == versioned.latest_version(d)
+    import os as _os
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        _vacuum_marker_path,
+    )
+    assert not _os.path.exists(_vacuum_marker_path(idx))
+    post_files = set(read_by_column_value(spark, d, "cat", ["c2"])
+                     .inputFiles())
+    assert post_files < pre_files  # strictly fewer dirs opened
+    # exactness now and through a post-vacuum wave the index hasn't seen
+    for probe in (["c9"], ["c0", "c3"], ["c1"], ["c2"]):
+        got = read_by_column_value(spark, d, "cat", probe)
+        want = read_partitioned_snapshot(spark, d).filter(
+            F.col("cat").isin(probe)
+        )
+        assert _rows(got, "k", "cat") == _rows(want, "k", "cat")
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame([(500, "c9", 1.0, 3)],
+                              "k long, cat string, v double, seq long"),
+        key="k", seq="seq",
+    )
+    got = read_by_column_value(spark, d, "cat", ["c9"])
+    assert (500, "c9") in _rows(got, "k", "cat")
+
+
+def test_colindex_vacuum_crash_sync_rebuilds(spark, tmp_path):
+    """A crashed vacuum leaves the in-progress marker; the next sync
+    must rebuild from the full snapshot instead of folding
+    incrementally (a fold's marker advance could stamp coverage over a
+    mid-flight clip), keep the marker in place, and clamp its version
+    stamp to the sweep's derivation version. Reads stay exact the
+    whole time — including against a deliberately CLIPPED entry, the
+    worst partial state a dying sweep can leave."""
+    import os as _os
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        _vacuum_marker_path,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        view_src_version,
+    )
+
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(i, f"c{i % 5}", float(i), 0) for i in range(40)])
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    idx = _colidx_dir(d, "cat")
+    v_derive = versioned.latest_version(d)
+    # simulate a sweep that died mid-clip: marker dropped, then c3's
+    # entry clipped to an empty partition set (the worst wrong state)
+    with open(_vacuum_marker_path(idx), "w") as f:
+        f.write(str(v_derive))
+    merge_into_partitioned_snapshot(
+        spark, idx,
+        spark.createDataFrame(
+            [("c3", [], 99)], "cat string, parts array<int>, __seq long"
+        ),
+        key="cat", seq="__seq", collect_stats=False,
+    )
+    # a wave lands AFTER the crash; the next sync must rebuild
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame([(100, "c3", 7.0, 1)],
+                              "k long, cat string, v double, seq long"),
+        key="k", seq="seq",
+    )
+    sync_column_index(spark, d, "cat", num_partitions=4)
+    assert _os.path.exists(_vacuum_marker_path(idx))  # sync keeps it
+    assert view_src_version(idx) <= v_derive  # stamp clamped
+    got = read_by_column_value(spark, d, "cat", ["c3"])
+    want = read_partitioned_snapshot(spark, d).filter(F.col("cat") == "c3")
+    assert _rows(got, "k", "cat") == _rows(want, "k", "cat")
+    assert (100, "c3") in _rows(got, "k", "cat")
+    # a completing vacuum clears the marker and restores fast syncs
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        vacuum_column_index,
+    )
+    vacuum_column_index(spark, d, "cat")
+    assert not _os.path.exists(_vacuum_marker_path(idx))
+    assert view_src_version(idx) == versioned.latest_version(d)

@@ -207,7 +207,8 @@ def test_null_group_merges_not_duplicated(spark, tmp_path):
 
 def test_join_view_fuzzed_interleaving(spark, tmp_path):
     """r06 (VERDICT #4): after a seeded random interleaving of fact
-    waves, dim waves, and syncs, the incrementally maintained join view
+    waves, dim waves, syncs, and map vacuums (r08: the GC must compose
+    with every interleaving), the incrementally maintained join view
     equals the full-recompute join of the two final states — including
     NULLed attributes from dim deletes and re-targeted join keys."""
     import random
@@ -218,6 +219,7 @@ def test_join_view_fuzzed_interleaving(spark, tmp_path):
     )
     from customer_segmentation_pyspark_spark.streaming.views import (
         sync_join_view_to_snapshots,
+        vacuum_jvmap,
     )
 
     rng = random.Random(42)
@@ -279,6 +281,8 @@ def test_join_view_fuzzed_interleaving(spark, tmp_path):
                 seq="dseq", delete_when="dop = 'D'",
                 marker_cols=("dop",),
             )
+        elif roll < 0.88:  # map GC at an arbitrary point (r08)
+            vacuum_jvmap(spark, view_dir)
         else:
             sync_join_view_to_snapshots(
                 spark, fact_dir, dim_dir, view_dir, "jk",
@@ -911,3 +915,199 @@ def test_jvmap_lazy_fact_waves_commit_nothing(spark, tmp_path):
     # the catch-up folded the lag in ONE merge and advanced the marker
     assert versioned.latest_version(jm) == v_map_seed + 1
     assert view_src_version(jm) == versioned.latest_version(fact_dir)
+
+
+def test_jvmap_vacuum_shrinks_and_stays_exact(spark, tmp_path):
+    """r08 (VERDICT #4): fact deletes and join-key retargets bloat the
+    superset map; vacuum re-derives exact entries from the committed
+    view and deletes vanished values' rows — post-vacuum dim-wave
+    reads open strictly fewer files, the view still tracks the full
+    recompute through later waves, and a concurrent-era fact wave
+    (newer than the vacuum's derivation cursor) rides the escape
+    hatch."""
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        _invalidated_view_read,
+        _jvmap_dir,
+        _jvmap_vacuum_marker_path,
+        sync_join_view_to_snapshots,
+        vacuum_jvmap,
+        view_src_version,
+    )
+
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, f % 4, float(f), 0, "U") for f in range(64)],
+            "fk long, jk long, amt double, seq long, op string",
+        ),
+        key="fk", seq="seq", num_partitions=8,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(j, f"a{j}", 0) for j in range(4)],
+            "jk long, attr string, dseq long",
+        ),
+        key="jk", seq="dseq", num_partitions=4,
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=8)
+    # churn: every jk=2 fact row except fk=2 deleted, so jk=2's true
+    # dependent footprint collapses to one partition; jk=3 retargets
+    # wholesale to jk=5 (jk=3 loses all dependents)
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, 2, None, 1, "D") for f in range(64)
+             if f % 4 == 2 and f != 2]
+            + [(f, 5, float(f), 1, "U") for f in range(64) if f % 4 == 3],
+            "fk long, jk long, amt double, seq long, op string",
+        ),
+        key="fk", seq="seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    # a dim wave forces the catch-up so the map actually absorbed the
+    # churn (superset bloat, not just marker lag)
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame([(5, "a5", 1)],
+                              "jk long, attr string, dseq long"),
+        key="jk", seq="dseq",
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=8)
+    jm = _jvmap_dir(view_dir)
+    pre_vals = {r[0] for r in read_partitioned_snapshot(spark, jm)
+                .select("jk").collect()}
+    assert 3 in pre_vals  # bloat: jk=3 has no dependents left
+    jv2 = spark.createDataFrame([(2,)], "jk long")
+    pre_files = set(
+        _invalidated_view_read(spark, view_dir, "jk", jv2).inputFiles()
+    )
+
+    vacuum_jvmap(spark, view_dir)
+
+    import os as _os
+    assert not _os.path.exists(_jvmap_vacuum_marker_path(view_dir))
+    post_vals = {r[0] for r in read_partitioned_snapshot(spark, jm)
+                 .select("jk").collect()}
+    assert 3 not in post_vals and 2 in post_vals
+    post_files = set(
+        _invalidated_view_read(spark, view_dir, "jk", jv2).inputFiles()
+    )
+    assert post_files < pre_files  # strictly fewer view dirs opened
+    # post-vacuum fact wave (newer than the derivation cursor) then a
+    # dim wave: the escape hatch must route the new dependents
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame([(900, 7, 9.0, 2, "U")],
+                              "fk long, jk long, amt double, seq long, op string"),
+        key="fk", seq="seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=8)
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame([(7, "a7", 2)],
+                              "jk long, attr string, dseq long"),
+        key="jk", seq="dseq",
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=8)
+    got = {
+        tuple(r)
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    want = {
+        tuple(r)
+        for r in fact.join(dim.select("jk", "attr"), "jk", "left")
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    assert got == want
+    assert (900, 7, 9.0, "a7") in got
+    assert view_src_version(jm) is not None
+
+
+def test_jvmap_vacuum_crash_sync_heals(spark, tmp_path):
+    """A crashed vacuum leaves the in-progress marker (and possibly a
+    clipped entry — the worst partial state); the next dim-wave sync
+    must rebuild exact entries instead of folding, clamp its marker
+    stamp to the sweep's derivation cursor, keep the sweep marker in
+    place, and still produce the recompute-equal view."""
+    import os as _os
+
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        _jvmap_dir,
+        _jvmap_vacuum_marker_path,
+        sync_join_view_to_snapshots,
+        vacuum_jvmap,
+        view_src_version,
+    )
+
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    view_dir = str(tmp_path / "view")
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            [(f, f % 4, float(f), 0) for f in range(32)],
+            "fk long, jk long, amt double, seq long",
+        ),
+        key="fk", seq="seq", num_partitions=8,
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame(
+            [(j, f"a{j}", 0) for j in range(4)],
+            "jk long, attr string, dseq long",
+        ),
+        key="jk", seq="dseq", num_partitions=4,
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=8)
+    jm = _jvmap_dir(view_dir)
+    # simulate the dying sweep: marker dropped, jk=1's entry clipped
+    # to an empty partition set
+    with open(_jvmap_vacuum_marker_path(view_dir), "w") as f:
+        f.write("1")
+    merge_into_partitioned_snapshot(
+        spark, jm,
+        spark.createDataFrame([(1, [], 99)],
+                              "jk long, parts array<int>, __seq long"),
+        key="jk", seq="__seq", collect_stats=False,
+    )
+    # dim wave touching the clipped value: the frozen-sync heal must
+    # rebuild the entry before the invalidation read routes on it
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        spark.createDataFrame([(1, "a1-v2", 1)],
+                              "jk long, attr string, dseq long"),
+        key="jk", seq="dseq",
+    )
+    sync_join_view_to_snapshots(spark, fact_dir, dim_dir, view_dir, "jk",
+                                num_partitions=8)
+    assert _os.path.exists(_jvmap_vacuum_marker_path(view_dir))
+    assert view_src_version(jm) <= 1  # stamp clamped to derivation
+    got = {
+        tuple(r)
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    want = {
+        tuple(r)
+        for r in fact.join(dim.select("jk", "attr"), "jk", "left")
+        .select("fk", "jk", "amt", "attr").collect()
+    }
+    assert got == want
+    assert {r[3] for r in got if r[1] == 1} == {"a1-v2"}
+    # a completing vacuum clears the marker and unfreezes syncs
+    vacuum_jvmap(spark, view_dir)
+    assert not _os.path.exists(_jvmap_vacuum_marker_path(view_dir))
