@@ -5015,6 +5015,67 @@ def q_indexed_point_lookup(spark, sf_dir):
     ).select("doc_id", "tag", "nchars")
 
 
+def q_indexed_range_lookup(spark, sf_dir):
+    """r08 (VERDICT #5) — BUCKETED RANGE INDEX under the hash gate: the
+    one predicate class hash partitioning still defeats after the
+    equality index — a RANGE on a non-key column (per-partition footer
+    min/max spans the whole value range when values are uncorrelated
+    with the key hash). Values quantize to buckets
+    (floor(value/width)); each bucket maps to the partition ids that
+    ever held a value in it. The lookup runs with the index STALE on
+    purpose — a post-sync wave moves two in-range rows OUT (+1000) and
+    inserts new in-range rows — so the read must union the overlapping
+    buckets' partitions with every partition whose dir changed since
+    the indexed version; trusting the stale buckets alone would both
+    miss the inserts and resurrect the moved rows, failing the hash.
+    Cites `streaming/colindex.py:read_by_column_range`."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        read_by_column_range,
+        sync_range_index,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    table = _scratch_path("colrng/table")
+    shutil.rmtree(table, ignore_errors=True)
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id").cast("double") / 10.0).alias("val"),
+        "lang",
+        F.lit(0).cast("long").alias("seq"),
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, base, key="doc_id", seq="seq", num_partitions=8
+    )
+    sync_range_index(
+        spark, table, "val", bucket_width=5.0, num_partitions=8
+    )
+    wave = d.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        (F.col("doc_id").cast("double") / 10.0 + 1000.0).alias("val"),
+        "lang",
+        F.lit(1).cast("long").alias("seq"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 900000).alias("doc_id"),
+            F.lit(21.0).alias("val"),
+            "lang",
+            F.lit(1).cast("long").alias("seq"),
+        )
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, wave, key="doc_id", seq="seq"
+    )
+    # NO re-sync: the moves and inserts exist only in the unindexed delta
+    return read_by_column_range(spark, table, "val", 20.0, 22.5).select(
+        "doc_id", "val", "lang"
+    )
+
+
 def _build_feed_table(spark, sf_dir, name):
     """Shared two-wave snapshot build for the r04.5 lakehouse read
     queries: base corpus (seq 0) committed as v1, then ONE merge wave
@@ -13046,6 +13107,22 @@ latest AS (
 SELECT doc_id, tag, nchars FROM latest
 WHERE tag IN ('hot', 'neo', 'tag5')"""
 
+ORACLES["indexed_range_lookup"] = """
+WITH allrows AS (
+  SELECT doc_id, CAST(doc_id AS DOUBLE) / 10.0 AS val, lang, 0 AS seq
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(doc_id AS DOUBLE) / 10.0 + 1000.0, lang, 1
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 900000, 21.0, lang, 1
+  FROM documents WHERE doc_id % 17 = 0),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1)
+SELECT doc_id, val, lang FROM latest
+WHERE val BETWEEN 20.0 AND 22.5"""
+
 ORACLES["scd2_asof_facts"] = (
     _SCD2_HIST_CTE
     + """
@@ -13620,6 +13697,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_scd2_asof_facts, ORACLES["scd2_asof_facts"]
     ),
     # r07: secondary column index (non-key point lookup, stale-exact)
+    "indexed_range_lookup": QuerySpec(
+        q_indexed_range_lookup, ORACLES["indexed_range_lookup"]
+    ),
     "indexed_point_lookup": QuerySpec(
         q_indexed_point_lookup, ORACLES["indexed_point_lookup"]
     ),

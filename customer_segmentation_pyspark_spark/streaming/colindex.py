@@ -356,3 +356,223 @@ def vacuum_column_index(
         os.remove(_vacuum_marker_path(idx_dir))
     except OSError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Bucketed RANGE index (r08, VERDICT #5): the one predicate class hash
+# partitioning still defeats after the equality index — a RANGE on a
+# non-key column (per-partition footer min/max spans the whole value
+# range when values are uncorrelated with the key hash). Same inverted
+# map, different key: values quantize to buckets (floor(value/width)),
+# each bucket maps to the partition ids that ever held a value in it.
+# A range [lo, hi] reads the overlapping buckets' entries (point-read
+# when few, bucket-filtered scan of the tiny index otherwise), unions
+# the changed-partition escape hatch, and applies the residual BETWEEN
+# — superset + stale-exactness semantics identical to the equality
+# index above. Width is fixed at index creation (persisted in the
+# index dir): changing it is a rebuild, not a sync.
+# ---------------------------------------------------------------------------
+
+WIDTH_FILE = "_BUCKET_WIDTH"
+
+
+def _colrng_dir(table_dir: str, col: str) -> str:
+    return os.path.join(table_dir, f"_colrng_{col}")
+
+
+def _bucket_expr(col: str, width: float):
+    return F.floor(F.col(col) / F.lit(float(width))).cast("long")
+
+
+def _stored_width(idx_dir: str) -> float | None:
+    try:
+        with open(os.path.join(idx_dir, WIDTH_FILE)) as f:
+            return float(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+#: a range spanning more buckets than this reads the (tiny) index with
+#: a bucket BETWEEN filter instead of building a giant key_in list —
+#: the same wave-sized-IN-list rationale as the sync bound above
+_RANGE_POINT_READ_MAX = 512
+
+
+def sync_range_index(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    bucket_width: float | None = None,
+    num_partitions: int = 32,
+) -> int:
+    """Bring the range index up to the table's latest version: seed
+    from the full snapshot on first call (``bucket_width`` required and
+    persisted), then fold only the CDF since the cursored version —
+    insert/post-image rows union their partition id into their BUCKET's
+    entry; deletes and pre-images are ignored (superset rule). Returns
+    the table version the index now reflects."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _part_expr,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    man = versioned.read_manifest(table_dir)
+    key, tparts = man["key"], int(man["num_partitions"])
+    idx_dir = _colrng_dir(table_dir, col)
+
+    w = _stored_width(idx_dir)
+    if w is None:
+        if bucket_width is None or float(bucket_width) <= 0:
+            raise ValueError(
+                "first sync of a range index needs a positive "
+                "bucket_width (persisted; later syncs inherit it)"
+            )
+        w = float(bucket_width)
+        os.makedirs(idx_dir, exist_ok=True)
+        with open(os.path.join(idx_dir, WIDTH_FILE), "w") as f:
+            f.write(repr(w))
+    elif bucket_width is not None and float(bucket_width) != w:
+        raise ValueError(
+            f"range index on '{col}' was created with bucket_width={w}; "
+            "changing it is a rebuild, not a sync"
+        )
+
+    v0 = view_src_version(idx_dir)
+    if v0 is not None and os.path.exists(_vacuum_marker_path(idx_dir)):
+        v0 = None  # interrupted vacuum: rebuild (see sync_column_index)
+    if v0 is None:
+        src = read_partitioned_snapshot(spark, table_dir, version=cur)
+    elif v0 >= cur:
+        return v0  # already current — the idempotent no-op
+    else:
+        src = read_snapshot_changes(spark, table_dir, v0, cur).filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        )
+    fresh = (
+        src.filter(F.col(col).isNotNull())
+        .select(
+            _bucket_expr(col, w).alias("__bkt"),
+            _part_expr(key, tparts).alias("__p"),
+        )
+        .groupBy("__bkt")
+        .agg(F.sort_array(F.collect_set("__p")).alias("parts"))
+    )
+    if v0 is not None:
+        sample = (
+            fresh.select("__bkt").limit(_COLIDX_POINT_READ_MAX + 1).collect()
+        )
+        if sample:
+            try:
+                if len(sample) <= _COLIDX_POINT_READ_MAX:
+                    prior = read_partitioned_snapshot(
+                        spark, idx_dir, key_in=[r[0] for r in sample]
+                    ).select("__bkt", "parts")
+                else:
+                    prior = (
+                        read_partitioned_snapshot(spark, idx_dir)
+                        .join(fresh.select("__bkt"), "__bkt", "leftsemi")
+                        .select("__bkt", "parts")
+                    )
+                fresh = (
+                    fresh.unionByName(prior)
+                    .groupBy("__bkt")
+                    .agg(
+                        F.sort_array(
+                            F.array_distinct(
+                                F.flatten(F.collect_list("parts"))
+                            )
+                        ).alias("parts")
+                    )
+                )
+            except FileNotFoundError:
+                pass  # marker exists but index empty: plain insert
+    if not fresh.isEmpty():
+        merge_into_partitioned_snapshot(
+            spark,
+            idx_dir,
+            fresh.withColumn("__seq", F.lit(0).cast("long")),
+            key="__bkt",
+            seq="__seq",
+            num_partitions=num_partitions,
+            collect_stats=False,
+        )
+    os.makedirs(idx_dir, exist_ok=True)
+    stamp = cur
+    try:
+        with open(_vacuum_marker_path(idx_dir)) as f:
+            stamp = min(cur, int(f.read().strip() or 0))
+    except FileNotFoundError:
+        pass
+    except ValueError:
+        stamp = 0
+    _write_marker(idx_dir, stamp)
+    return cur
+
+
+def read_by_column_range(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Range lookup on a range-indexed non-key column: open only (a)
+    the partitions the overlapping buckets map to, plus (b) the
+    partitions whose directories changed since the index's cursored
+    version (stale-exactness escape hatch). The residual
+    ``col BETWEEN lo AND hi`` filter (inclusive) is applied to the
+    returned rows regardless. Falls back to the plain filtered scan
+    when no range index exists for ``col``."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    residual = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    idx_dir = _colrng_dir(table_dir, col)
+    w = _stored_width(idx_dir)
+    v_idx = view_src_version(idx_dir) if w is not None else None
+    cur = versioned.latest_version(table_dir)
+    if v_idx is None:
+        return read_partitioned_snapshot(
+            spark, table_dir, version=cur
+        ).filter(residual)
+    import math
+
+    b_lo = math.floor(float(lo) / w)
+    b_hi = math.floor(float(hi) / w)
+    try:
+        if b_hi - b_lo + 1 <= _RANGE_POINT_READ_MAX:
+            hit = read_partitioned_snapshot(
+                spark, idx_dir, key_in=list(range(b_lo, b_hi + 1))
+            )
+        else:
+            hit = read_partitioned_snapshot(spark, idx_dir).filter(
+                F.col("__bkt").between(b_lo, b_hi)
+            )
+        pids = {
+            str(r["p"])
+            for r in hit.select(F.explode("parts").alias("p")).collect()
+        }
+    except FileNotFoundError:
+        pids = set()  # index committed-empty (all-NULL column so far)
+    if cur > v_idx:
+        try:
+            man_old = versioned.read_manifest(table_dir, v_idx)
+        except FileNotFoundError:
+            # indexed version's manifest expired: escape hatch can't be
+            # computed — degrade to the full filtered scan
+            return read_partitioned_snapshot(
+                spark, table_dir, version=cur
+            ).filter(residual)
+        man_new = versioned.read_manifest(table_dir, cur)
+        pids |= _parts_changed_since(man_old or {}, man_new or {})
+    return read_partitioned_snapshot(
+        spark, table_dir, version=cur, partitions_in=sorted(pids)
+    ).filter(residual)
