@@ -196,6 +196,11 @@ HEADLINE = [
     "indexed_point_lookup",
     # r07: COUNT-DISTINCT view (support multiset, no rescan path)
     "incremental_distinct_view",
+    # r08 capstone #14: SCD2 x join-view composition (as-of enrichment,
+    # dim waves append history only — no invalidation read)
+    "scd2_enriched_view",
+    # r08: bucketed range index on a non-key column, read stale
+    "indexed_range_lookup",
 ]
 
 
@@ -379,6 +384,39 @@ def main() -> None:
             "summary": summary,
         }
     )
+    # The driver keeps only the TAIL (~2 KB) of stdout and parses it as
+    # JSON — r03..r07 artifacts all carried a head-truncated line with
+    # "parsed": null (r08, VERDICT #8). The CONTRACTUAL stdout line is
+    # therefore size-capped to survive that capture whole: when the
+    # full record exceeds the budget, the printed line keeps only the
+    # SLOWEST queries (the ones cross-round comparisons care about)
+    # plus a count of what was dropped; the untruncated record is in
+    # the committed BENCH.json either way.
+    stdout_line = result_line
+    _TAIL_BUDGET = 1800
+    if len(stdout_line) > _TAIL_BUDGET:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])
+        )
+        kept: dict[str, float] = {}
+        for name, secs in slowest.items():
+            trial = {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {**kept, name: secs},
+                "queries_omitted": len(timings) - len(kept) - 1,
+                "queries_full": "BENCH.json",
+                "sf": sf,
+                "trials": trials,
+                "r01_subset_total": summary["r01_subset_total"],
+                "contention": contention,
+            }
+            line = json.dumps(trial, separators=(",", ":"))
+            if len(line) > _TAIL_BUDGET:
+                break
+            kept[name] = secs
+            stdout_line = line
     # Durable artifact FIRST (the driver's tail capture has truncated
     # the stdout line mid-JSON before — BENCH_r03.json lost its total),
     # then the contractual one-line stdout print. A failed file write
@@ -407,7 +445,7 @@ def main() -> None:
             f.write(json.dumps(summary) + "\n")
     except OSError as e:
         print(f"warning: could not write BENCH.json: {e}", file=sys.stderr)
-    print(result_line, flush=True)
+    print(stdout_line, flush=True)
 
 
 if __name__ == "__main__":

@@ -5015,6 +5015,142 @@ def q_indexed_point_lookup(spark, sf_dir):
     ).select("doc_id", "tag", "nchars")
 
 
+def q_scd2_enriched_view(spark, sf_dir):
+    """r08 capstone #14 — SCD2 x join-view composition under the hash
+    gate: an incrementally maintained order-grain view enriched AS-OF
+    (each fact row joined to the customer-dim version in effect at its
+    stamp) instead of latest-wins. Dim waves append HISTORY only —
+    as-of attribution is stable once the history covers a stamp, so no
+    dim-side invalidation read exists at all; fact waves fold
+    O(|Δfact|) with UPDATE SET * semantics (a re-keyed fact whose new
+    attribution is NULL must not resurrect old attributes). The dim
+    replays the capstone-#13 three-version history (version-exact,
+    tracked attrs only); facts replay a base wave stamped at v1 plus an
+    update/delete/insert wave with varying stamps once the dim reaches
+    v3. The oracle rebuilds the same gaps-and-islands history, replays
+    the fact log latest-wins, and interval-joins — a stale attribute,
+    wrong-boundary attribution, resurrected delete, or missed
+    re-enrichment changes the hash. Cites
+    `streaming/scd.py:sync_scd2_enriched_view`."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.scd import (
+        sync_scd2_enriched_view,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dim_dir = _scratch_path("scd2v/dim")
+    fact_dir = _scratch_path("scd2v/fact")
+    hist_dir = _scratch_path("scd2v/hist")
+    view_dir = _scratch_path("scd2v/view")
+    for p in (dim_dir, fact_dir, hist_dir, view_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    kw_d = dict(
+        key="ck", seq="dseq", num_partitions=8,
+        delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+    kw_f = dict(
+        key="okey", seq="seq", num_partitions=8,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    dim_base = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.lit(0).cast("long").alias("dseq"),
+        F.lit("U").alias("dop"),
+    )
+    dim_w1 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        (F.col("c_acctbal").cast("double") + 100.0).alias("acctbal"),
+        F.lit(1).cast("long").alias("dseq"),
+        F.lit("U").alias("dop"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            F.col("c_custkey").alias("ck"),
+            F.lit(None).cast("long").alias("nation"),
+            F.lit(None).cast("double").alias("acctbal"),
+            F.lit(2).cast("long").alias("dseq"),
+            F.lit("D").alias("dop"),
+        )
+    )
+    dim_w2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        (F.col("c_acctbal").cast("double") * 0.5).alias("acctbal"),
+        F.lit(3).cast("long").alias("dseq"),
+        F.lit("U").alias("dop"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 26 == 0).select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+            (F.col("c_acctbal").cast("double") + 7.0).alias("acctbal"),
+            F.lit(4).cast("long").alias("dseq"),
+            F.lit("U").alias("dop"),
+        )
+    )
+    fact_base = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").cast("double").alias("amt"),
+        F.lit(1).cast("long").alias("v"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    stamp = F.expr("1 + (o_orderkey div 3) % 3").cast("long")
+    fact_wave = (
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("ck"),
+            (F.col("o_totalprice").cast("double") + 10.0).alias("amt"),
+            stamp.alias("v"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_custkey").alias("ck"),
+                F.lit(None).cast("double").alias("amt"),
+                F.lit(1).cast("long").alias("v"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 5000000).alias("okey"),
+                F.col("o_custkey").alias("ck"),
+                (F.col("o_totalprice").cast("double") * 0.5).alias("amt"),
+                stamp.alias("v"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    sync = lambda: sync_scd2_enriched_view(  # noqa: E731
+        spark, fact_dir, dim_dir, hist_dir, view_dir, "v",
+        num_partitions=8, tracked_cols=["nation", "acctbal"],
+    )
+    merge_into_partitioned_snapshot(spark, dim_dir, dim_base, **kw_d)
+    merge_into_partitioned_snapshot(spark, fact_dir, fact_base, **kw_f)
+    sync()  # seed: history to v1, every fact stamped 1
+    merge_into_partitioned_snapshot(spark, dim_dir, dim_w1, **kw_d)
+    sync()  # dim-only: history appends, view untouched (stability)
+    merge_into_partitioned_snapshot(spark, dim_dir, dim_w2, **kw_d)
+    merge_into_partitioned_snapshot(spark, fact_dir, fact_wave, **kw_f)
+    sync()  # combined: history to v3, fact fold with varying stamps
+    return read_partitioned_snapshot(spark, view_dir).select(
+        "okey", "ck", "amt", "v", "nation", "acctbal", "valid_from"
+    )
+
+
 def q_indexed_range_lookup(spark, sf_dir):
     """r08 (VERDICT #5) — BUCKETED RANGE INDEX under the hash gate: the
     one predicate class hash partitioning still defeats after the
@@ -13107,6 +13243,37 @@ latest AS (
 SELECT doc_id, tag, nchars FROM latest
 WHERE tag IN ('hot', 'neo', 'tag5')"""
 
+ORACLES["scd2_enriched_view"] = (
+    _SCD2_HIST_CTE
+    + """, fall AS (
+  SELECT o_orderkey AS okey, o_custkey AS fck,
+         CAST(o_totalprice AS DOUBLE) AS amt, CAST(1 AS BIGINT) AS v,
+         0 AS fseq, 'U' AS fop
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) + 10.0,
+         CAST(1 + (o_orderkey // 3) % 3 AS BIGINT), 1, 'U'
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, NULL, CAST(1 AS BIGINT), 2, 'D'
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 5000000, o_custkey,
+         CAST(o_totalprice AS DOUBLE) * 0.5,
+         CAST(1 + (o_orderkey // 3) % 3 AS BIGINT), 1, 'U'
+  FROM orders WHERE o_orderkey % 11 = 0),
+flatest AS (
+  SELECT * FROM fall
+  QUALIFY row_number() OVER (PARTITION BY okey ORDER BY fseq DESC) = 1),
+flive AS (SELECT * FROM flatest WHERE fop <> 'D')
+SELECT f.okey, f.fck AS ck, f.amt, f.v, h.nation, h.acctbal,
+       h.valid_from
+FROM flive f
+LEFT JOIN hist h
+  ON h.ck = f.fck AND h.valid_from <= f.v
+ AND (h.valid_to IS NULL OR f.v < h.valid_to)"""
+)
+
 ORACLES["indexed_range_lookup"] = """
 WITH allrows AS (
   SELECT doc_id, CAST(doc_id AS DOUBLE) / 10.0 AS val, lang, 0 AS seq
@@ -13697,6 +13864,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_scd2_asof_facts, ORACLES["scd2_asof_facts"]
     ),
     # r07: secondary column index (non-key point lookup, stale-exact)
+    "scd2_enriched_view": QuerySpec(
+        q_scd2_enriched_view, ORACLES["scd2_enriched_view"]
+    ),
     "indexed_range_lookup": QuerySpec(
         q_indexed_range_lookup, ORACLES["indexed_range_lookup"]
     ),
@@ -13718,34 +13888,29 @@ REGISTRY: dict[str, QuerySpec] = {
 #: semantics anywhere else, and the local mirror still checks ALL
 #: oracled entries regardless of position.
 _DRIVER_SPOTLIGHT = [
-    # r07 rotation (VERDICT #2, third rotation): 50 oracled entries
-    # NEVER driver-checked in r01-r06 (154 distinct already carry a
-    # driver green; the local parity mirror covers everything else).
-    # Front: this round's new SCD2 surface, then the never-checked
-    # relational core the r06 verdict asked to prioritize.
-    "scd2_dim_view", "scd2_asof_facts",
-    # relational / decision-support core
-    "order_count_distribution", "late_line_priority_counts",
-    "untapped_customers", "disjunctive_revenue", "first_last_window",
-    "top_user_by_value", "mode_value", "value_histogram",
-    "supplier_roster", "multiset_ops", "important_parts",
-    "top_revenue_supplier", "volume_shipping", "product_profit",
-    "supplier_part_counts", "dominant_suppliers", "funnel_steps",
-    "revenue_share", "cumulative_users", "moving_avg", "summary_stats",
-    "skyline_parts", "lateral_topn",
-    # formats / expression surface
-    "posexplode_words", "map_funcs", "xml_funcs", "binary_funcs",
-    "sql_sugar", "map_hof_funcs", "try_math", "inline_structs",
-    "union_evolved", "date_arithmetic", "null_funcs", "text_roundtrip",
-    "bool_aggs", "bit_aggs",
-    # lakehouse / audit
-    "zorder_key", "snapshot_diff", "table_fingerprint",
-    "freshness_audit",
-    # sketches / ML / dedup
-    "hll_daily_users", "label_centroids", "knn_classify", "chi_square",
-    "minhash_accuracy", "equidepth_histogram",
-    # r07 new surface: the secondary column index, read stale
-    "indexed_point_lookup",
+    # r08 rotation (VERDICT #2, fourth rotation): the null_funcs
+    # re-check (the r07 oracle-typing fix must show driver-green), this
+    # round's new surface (SCD2 enriched view, range index), and 46
+    # more oracled entries NEVER driver-checked in r01-r07 — 204
+    # distinct already carry a driver green; 32 remain for a final r09
+    # sweep to 100% driver coverage. The local parity mirror checks ALL
+    # oracled entries regardless of position.
+    "null_funcs", "scd2_enriched_view", "indexed_range_lookup",
+    "incremental_distinct_view",
+    "scd2_intervals", "pii_redact", "twap_value", "brand_affinity",
+    "dp_count", "token_ids", "degree_distribution",
+    "repeat_purchase_interval", "feature_cross", "jl_projection",
+    "bigram_lm", "span_corruption", "ppr_brand", "dedup_canonical",
+    "decontaminate", "mixture_weights", "minmax_scaled",
+    "string_indexed", "bucketized", "approx_top_words", "corr_matrix",
+    "fingerprint", "chunk_documents", "stratified_sample",
+    "approx_distinct", "cube_agg", "ann_ivf_fixed", "pseudonymize",
+    "multimodal_meta", "decode_image_stub", "frame_sample",
+    "bloom_prune_join", "lag_features", "interval_concurrency",
+    "event_transitions", "doc_entropy", "mixture_sample",
+    "k_anonymity", "key_skew_profile", "dataset_split",
+    "event_dedup_window", "oov_rate", "source_quota",
+    "attribution_last_touch", "prefix_jaccard", "split_leakage",
 ]
 
 REGISTRY = {

@@ -254,3 +254,138 @@ def scd2_asof_join(
         )
     )
     return facts.join(history, cond, how).drop(history[key])
+
+
+def sync_scd2_enriched_view(
+    spark: SparkSession,
+    fact_dir: str,
+    dim_dir: str,
+    hist_dir: str,
+    view_dir: str,
+    version_col: str,
+    num_partitions: int = 32,
+    tracked_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """SCD2 -> join-view composition (r08, capstone #14): an
+    incrementally maintained fact view enriched AS-OF — each fact row
+    joined to the dim version in effect at its ``version_col`` stamp —
+    instead of latest-wins. The payoff over the latest-wins join view
+    (`streaming/views.py:sync_join_view_to_snapshots`): **dim waves
+    append history instead of re-enriching dependents**, because as-of
+    attribution is STABLE — once the history covers a fact's stamp,
+    every future history mutation happens at source versions strictly
+    above it (closing an interval preserves its attributes over the
+    stamped range; reopens/deletes only create boundaries at future
+    versions), so an enriched row never needs revisiting. Maintenance
+    is therefore O(|Δfact|) + the history's own O(changed dim keys),
+    with NO dim-side invalidation read at all.
+
+    Per sync: (1) the history catches up to the dim's latest version
+    (its own cursor, exactly-once); (2) fact post-images since the
+    view's fact cursor as-of join the history (pruned to the batch's
+    keys) and upsert; fact deletes tombstone. Both cursors replay
+    convergently — the as-of attribution is deterministic and the
+    keyed merge idempotent.
+
+    Contract: every fact stamp must be <= the dim version in effect
+    when the fact row was written (enforced: a batch whose max stamp
+    exceeds the freshly-synced history cursor raises — enriching a
+    future stamp against a still-open interval would go silently stale
+    when that interval later closes below the stamp). Returns the
+    (fact, dim) versions the view reflects."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    h = sync_scd2_history(
+        spark,
+        dim_dir,
+        hist_dir,
+        num_partitions=num_partitions,
+        tracked_cols=tracked_cols,
+    )
+    fa = versioned.latest_version(fact_dir)
+    if fa < 1:
+        raise FileNotFoundError(f"no committed snapshot in {fact_dir}")
+    fact_key = versioned.read_manifest(fact_dir)["key"]
+    dim_key = versioned.read_manifest(dim_dir)["key"]
+    # the history table persists its merge seq internally; it is
+    # bookkeeping, not an attribute — and it would collide with the
+    # batch's own __seq in the view merge
+    hist = read_scd2_history(spark, hist_dir).drop("__seq")
+
+    v0 = view_src_version(view_dir) if os.path.isdir(view_dir) else None
+    if v0 is not None and v0 >= fa:
+        return v0, h  # fact-current; dim waves never touch the view
+    if v0 is None:
+        snap = read_partitioned_snapshot(spark, fact_dir, version=fa)
+        fact_cols = snap.columns
+        batch = snap.withColumn("__seq", F.lit(0).cast("long")).withColumn(
+            "__op", F.lit("U")
+        )
+    else:
+        cdf = read_snapshot_changes(spark, fact_dir, v0, fa)
+        fact_cols = [
+            c
+            for c in cdf.columns
+            if c != "_change_type" and not c.startswith("_")
+        ]
+        ct = F.col("_change_type")
+        batch = (
+            cdf.filter(ct.isin("insert", "update_postimage"))
+            .select(*fact_cols)
+            .withColumn("__seq", F.lit(1).cast("long"))
+            .withColumn("__op", F.lit("U"))
+        ).unionByName(
+            cdf.filter(ct == "delete")
+            .select(*fact_cols)
+            .withColumn("__seq", F.lit(2).cast("long"))
+            .withColumn("__op", F.lit("D"))
+        )
+    clash = (set(hist.columns) - {dim_key}) & set(fact_cols)
+    if clash:
+        raise ValueError(
+            f"fact and history share non-join columns {sorted(clash)}; "
+            "rename one side before building the view"
+        )
+    mx = batch.agg(F.max(F.col(version_col))).first()[0]
+    if mx is not None and int(mx) > h:
+        raise ValueError(
+            f"fact stamp {mx} exceeds the history cursor {h}: stamps "
+            "must be <= the dim version in effect at fact-write time"
+        )
+    # prune the history to the batch's keys (Δfact is the small side;
+    # per-key intervals are disjoint, so the join is equi+filter with
+    # at most one match per fact row — never a range-join blowup)
+    hist_f = hist.join(
+        batch.select(dim_key).distinct(), dim_key, "leftsemi"
+    )
+    # valid_to is intentionally NOT materialized: the covering
+    # interval's END bound mutates when an open interval later closes
+    # (the one non-stable field), while its attributes and valid_from
+    # are frozen the moment the history covers the stamp — valid_from
+    # is the stable attribution witness the view records
+    enriched = scd2_asof_join(batch, hist_f, dim_key, version_col).drop(
+        "valid_to"
+    )
+    merge_into_partitioned_snapshot(
+        spark,
+        view_dir,
+        enriched,
+        key=fact_key,
+        seq="__seq",
+        num_partitions=num_partitions,
+        delete_when="__op = 'D'",
+        marker_cols=("__op",),
+        # UPDATE SET *: a re-stamped or re-keyed fact whose new
+        # attribution is NULL (no interval covers it) must NULL the
+        # attributes the old enrichment contributed — per-column
+        # coalesce would resurrect them (the join-view lesson, r06)
+        update_set_all=True,
+    )
+    os.makedirs(view_dir, exist_ok=True)
+    _write_marker(view_dir, fa)
+    return fa, h

@@ -244,3 +244,154 @@ def test_scd2_suppression_replay_converges(spark, tmp_path):
     sync_scd2_history(spark, dim, hist, **kw)  # replay the v1->v2 slice
     assert _got_history(spark, hist) == want
     assert want == _reference_history(spark, dim)
+
+
+def _merge_fact(spark, fact_dir, rows):
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        spark.createDataFrame(
+            rows, "fk long, ck long, amt double, v long, seq long, "
+                  "op string"
+        ),
+        key="fk", seq="seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_scd2_enriched_view_fuzzed_vs_recompute(spark, tmp_path, seed):
+    """r08 (capstone #14): after a seeded random interleaving of dim
+    waves, fact waves (with as-of stamps <= the dim version in effect
+    at write time), and view syncs, the incrementally maintained
+    enriched view equals the full recompute — final live facts as-of
+    joined to the final history. The incremental path never re-enriches
+    on dim waves (as-of attribution is stable), so any divergence here
+    means the stability argument is wrong."""
+    from customer_segmentation_pyspark_spark.streaming.scd import (
+        sync_scd2_enriched_view,
+    )
+
+    rng = random.Random(seed)
+    dim_dir = str(tmp_path / "dim")
+    fact_dir = str(tmp_path / "fact")
+    hist_dir = str(tmp_path / "hist")
+    view_dir = str(tmp_path / "view")
+
+    _merge_dim(spark, dim_dir,
+               [(k, f"a{k}", float(k), 0, "U") for k in range(8)])
+    _merge_fact(spark, fact_dir,
+                [(f, f % 8, float(f), 1, 0, "U") for f in range(30)])
+    sync_scd2_enriched_view(
+        spark, fact_dir, dim_dir, hist_dir, view_dir, "v",
+        num_partitions=4, tracked_cols=["attr", "bal"],
+    )
+
+    seq = 0
+    for _ in range(14):
+        seq += 1
+        roll = rng.random()
+        if roll < 0.35:  # dim wave: attr changes, deletes, reinserts
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                k = rng.randrange(10)
+                op = "D" if rng.random() < 0.25 else "U"
+                rows.append((k, f"a{k}s{seq}", float(seq), seq, op))
+            _merge_dim(spark, dim_dir, rows)
+        elif roll < 0.7:  # fact wave: stamps <= current dim version
+            dv = versioned.latest_version(dim_dir)
+            rows = []
+            for _ in range(rng.randint(1, 5)):
+                f = rng.randrange(40)
+                op = "D" if rng.random() < 0.2 else "U"
+                rows.append(
+                    (f, rng.randrange(10), float(rng.randint(0, 99)),
+                     rng.randint(1, dv), seq, op)
+                )
+            _merge_fact(spark, fact_dir, rows)
+        else:
+            sync_scd2_enriched_view(
+                spark, fact_dir, dim_dir, hist_dir, view_dir, "v",
+                num_partitions=4, tracked_cols=["attr", "bal"],
+            )
+    sync_scd2_enriched_view(
+        spark, fact_dir, dim_dir, hist_dir, view_dir, "v",
+        num_partitions=4, tracked_cols=["attr", "bal"],
+    )
+
+    cols = ["fk", "ck", "amt", "v", "attr", "bal", "valid_from"]
+    got = sorted(
+        tuple(r)
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .select(*cols).collect()
+    )
+    facts = read_partitioned_snapshot(spark, fact_dir)
+    hist = read_scd2_history(spark, hist_dir)
+    want = sorted(
+        tuple(r)
+        for r in scd2_asof_join(facts, hist, "ck", "v")
+        .select(*cols).collect()
+    )
+    assert got == want
+
+
+def test_scd2_enriched_view_cursors_and_stamp_contract(spark, tmp_path):
+    """Exactly-once on both CDFs: a replayed sync no-ops on the fact
+    cursor while the dim cursor (the history's own marker) advances
+    independently; dim-only waves change the HISTORY but commit nothing
+    to the view; a fact stamped beyond the dim version raises."""
+    from customer_segmentation_pyspark_spark.streaming.scd import (
+        sync_scd2_enriched_view,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    fact_dir = str(tmp_path / "fact")
+    hist_dir = str(tmp_path / "hist")
+    view_dir = str(tmp_path / "view")
+    _merge_dim(spark, dim_dir,
+               [(k, f"a{k}", float(k), 0, "U") for k in range(4)])
+    _merge_fact(spark, fact_dir, [(f, f % 4, 1.0, 1, 0, "U")
+                                  for f in range(12)])
+    assert sync_scd2_enriched_view(
+        spark, fact_dir, dim_dir, hist_dir, view_dir, "v",
+        num_partitions=4, tracked_cols=["attr", "bal"],
+    ) == (1, 1)
+    v_view = versioned.latest_version(view_dir)
+    # replay: fact-current no-op (view table untouched)
+    assert sync_scd2_enriched_view(
+        spark, fact_dir, dim_dir, hist_dir, view_dir, "v",
+        num_partitions=4, tracked_cols=["attr", "bal"],
+    ) == (1, 1)
+    assert versioned.latest_version(view_dir) == v_view
+    # dim-only wave: history advances, view commits NOTHING — and the
+    # already-enriched rows keep their stamped attribution (stability)
+    _merge_dim(spark, dim_dir, [(0, "a0-v2", 99.0, 1, "U")])
+    assert sync_scd2_enriched_view(
+        spark, fact_dir, dim_dir, hist_dir, view_dir, "v",
+        num_partitions=4, tracked_cols=["attr", "bal"],
+    ) == (1, 2)
+    assert versioned.latest_version(view_dir) == v_view
+    got = {
+        (r["fk"], r["attr"])
+        for r in read_partitioned_snapshot(spark, view_dir)
+        .filter(F.col("ck") == 0).collect()
+    }
+    assert got == {(f, "a0") for f in range(12) if f % 4 == 0}
+    # a fact stamped at v=3 when the dim is only at v=2 must refuse
+    _merge_fact(spark, fact_dir, [(100, 0, 5.0, 3, 1, "U")])
+    with pytest.raises(ValueError, match="stamp"):
+        sync_scd2_enriched_view(
+            spark, fact_dir, dim_dir, hist_dir, view_dir, "v",
+            num_partitions=4, tracked_cols=["attr", "bal"],
+        )
+    # once the dim reaches v=3 the same fold succeeds and enriches
+    # the pending row against the interval in effect at 3
+    _merge_dim(spark, dim_dir, [(1, "a1-v3", 7.0, 2, "U")])
+    fa, h = sync_scd2_enriched_view(
+        spark, fact_dir, dim_dir, hist_dir, view_dir, "v",
+        num_partitions=4, tracked_cols=["attr", "bal"],
+    )
+    assert (fa, h) == (2, 3)
+    row = read_partitioned_snapshot(spark, view_dir).filter(
+        F.col("fk") == 100
+    ).collect()[0]
+    assert row["attr"] == "a0-v2" and row["v"] == 3
