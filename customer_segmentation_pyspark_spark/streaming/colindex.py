@@ -576,3 +576,76 @@ def read_by_column_range(
     return read_partitioned_snapshot(
         spark, table_dir, version=cur, partitions_in=sorted(pids)
     ).filter(residual)
+
+
+def vacuum_range_index(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+) -> None:
+    """Range-index GC (r08): same contract as
+    :func:`vacuum_column_index`, keyed by bucket — live buckets'
+    entries re-derive exactly from the current snapshot, buckets whose
+    every value left the table delete, one merge commit, the
+    ``_vacuum-inprogress`` marker freezes concurrent syncs into
+    rebuild mode and clamps their marker stamps."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        _part_expr,
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    man = versioned.read_manifest(table_dir)
+    key, tparts = man["key"], int(man["num_partitions"])
+    idx_dir = _colrng_dir(table_dir, col)
+    w = _stored_width(idx_dir)
+    if w is None or versioned.latest_version(idx_dir) < 1:
+        return  # no committed index: nothing to vacuum
+    with open(_vacuum_marker_path(idx_dir), "w") as f:
+        f.write(str(cur))
+    exact = (
+        read_partitioned_snapshot(spark, table_dir, version=cur)
+        .filter(F.col(col).isNotNull())
+        .select(
+            _bucket_expr(col, w).alias("__bkt"),
+            _part_expr(key, tparts).alias("__p"),
+        )
+        .groupBy("__bkt")
+        .agg(F.sort_array(F.collect_set("__p")).alias("parts"))
+        .withColumn("__seq", F.lit(0).cast("long"))
+        .withColumn("__op", F.lit("U"))
+    )
+    try:
+        idx_bkts = read_partitioned_snapshot(spark, idx_dir).select(
+            "__bkt"
+        )
+    except FileNotFoundError:
+        idx_bkts = None  # committed-empty index
+    batch = exact
+    if idx_bkts is not None:
+        stale = (
+            idx_bkts.join(exact.select("__bkt"), "__bkt", "left_anti")
+            .withColumn("parts", F.lit(None).cast("array<int>"))
+            .withColumn("__seq", F.lit(1).cast("long"))
+            .withColumn("__op", F.lit("D"))
+        )
+        batch = exact.unionByName(stale)
+    merge_into_partitioned_snapshot(
+        spark,
+        idx_dir,
+        batch,
+        key="__bkt",
+        seq="__seq",
+        delete_when="__op = 'D'",
+        marker_cols=("__op",),
+        collect_stats=False,
+    )
+    _write_marker(idx_dir, cur)
+    try:
+        os.remove(_vacuum_marker_path(idx_dir))
+    except OSError:
+        pass

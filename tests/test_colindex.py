@@ -467,3 +467,72 @@ def test_range_lookup_without_index_falls_back(spark, tmp_path):
 
     got = read_by_column_range(spark, d, "v", 5.0, 8.0)
     assert _rows(got, "k", "v") == [(k, float(k)) for k in (5, 6, 7, 8)]
+
+
+def test_range_index_vacuum_shrinks_and_stays_exact(spark, tmp_path):
+    """r08: buckets whose values all left the table lose their rows,
+    surviving buckets shrink to their true partition footprint, and
+    range reads stay exact through the sweep + a later wave."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        _colrng_dir,
+        read_by_column_range,
+        sync_range_index,
+        vacuum_range_index,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        view_src_version,
+    )
+
+    d = str(tmp_path / "t")
+    _mk(spark, d, [(k, "c", float(k), 0) for k in range(120)])
+    sync_range_index(spark, d, "v", bucket_width=10.0, num_partitions=4)
+    # move every value in [50, 60) up by 1000 except one; delete all
+    # of [60, 70)
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame(
+            [(k, "c", float(k) + 1000.0, 1) for k in range(50, 60)
+             if k != 55],
+            "k long, cat string, v double, seq long",
+        ),
+        key="k", seq="seq",
+    )
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame(
+            [(k, "c", None, 2, "D") for k in range(60, 70)],
+            "k long, cat string, v double, seq long, op string",
+        ),
+        key="k", seq="seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    sync_range_index(spark, d, "v", num_partitions=4)
+    idx = _colrng_dir(d, "v")
+    pre_bkts = {r[0] for r in read_partitioned_snapshot(spark, idx)
+                .select("__bkt").collect()}
+    assert 6 in pre_bkts  # [60,70) bloat: emptied but still mapped
+    pre_files = set(read_by_column_range(spark, d, "v", 50.0, 59.0)
+                    .inputFiles())
+    vacuum_range_index(spark, d, "v")
+    post_bkts = {r[0] for r in read_partitioned_snapshot(spark, idx)
+                 .select("__bkt").collect()}
+    assert 6 not in post_bkts and 5 in post_bkts
+    assert view_src_version(idx) == versioned.latest_version(d)
+    post_files = set(read_by_column_range(spark, d, "v", 50.0, 59.0)
+                     .inputFiles())
+    assert post_files < pre_files  # bucket 5 shrank to one row's dir
+    for lo, hi in ((50.0, 59.0), (60.0, 69.0), (0.0, 5.0)):
+        got = read_by_column_range(spark, d, "v", lo, hi)
+        want = read_partitioned_snapshot(spark, d).filter(
+            F.col("v").between(lo, hi)
+        )
+        assert _rows(got, "k", "v") == _rows(want, "k", "v")
+    # post-vacuum wave rides the escape hatch
+    merge_into_partitioned_snapshot(
+        spark, d,
+        spark.createDataFrame([(700, "c", 52.5, 3)],
+                              "k long, cat string, v double, seq long"),
+        key="k", seq="seq",
+    )
+    got = read_by_column_range(spark, d, "v", 50.0, 59.0)
+    assert (700, 52.5) in _rows(got, "k", "v")

@@ -807,3 +807,86 @@ def test_colindex_point_lookup_locality_at_scale(spark, tmp_path):
     assert len(dirs2) <= 2, len(dirs2)  # only the changed partition
     full = read_partitioned_snapshot(spark, d)
     assert len({_os.path.dirname(f) for f in full.inputFiles()}) == nparts
+
+
+def test_range_index_locality_at_scale(spark, tmp_path):
+    """r08: the bucketed range index's 100 TB contract at 1M rows /
+    64 partitions — a SELECTIVE range on a non-key value column opens
+    only the overlapping buckets' dirs (value has no correlation with
+    the key hash, so footer stats could never prune this), and a stale
+    range read after a post-sync wave adds only the changed
+    partition."""
+    import os as _os
+
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        read_by_column_range,
+        sync_range_index,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    n, nparts = 1_000_000, 64
+    # value = a hash-scrambled permutation of [0, n): uniformly spread,
+    # zero correlation with the key hash — the worst case for stats
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n)).cast("double")
+        .alias("score"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d = str(tmp_path / "t")
+    merge_into_partitioned_snapshot(
+        spark, d, base, key="k", seq="seq", num_partitions=nparts
+    )
+    # ~1000 values per bucket; a 2-bucket range matches ~0.2% of rows
+    sync_range_index(
+        spark, d, "score", bucket_width=1000.0, num_partitions=16
+    )
+    got = read_by_column_range(spark, d, "score", 5000.0, 6999.0)
+    want = read_partitioned_snapshot(spark, d).filter(
+        F.col("score").between(5000.0, 6999.0)
+    )
+    assert got.count() == want.count() > 0
+    # ~2000 matching rows spread over 64 partitions: every dir likely
+    # holds a few, so the honest claim is bucket-level: the read's
+    # PLAN opens only the two buckets' mapped dirs — with a uniform
+    # spread that is still all 64. Tighten the scenario: a range
+    # narrower than one bucket containing ~20 rows via a second
+    # indexed table.
+    m = 100_000
+    base2 = spark.range(m).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(m)) * 100).cast("double")
+        .alias("score"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    d2 = str(tmp_path / "t2")
+    merge_into_partitioned_snapshot(
+        spark, d2, base2, key="k", seq="seq", num_partitions=nparts
+    )
+    # width 100 over values spaced 100 apart -> ~1 row per bucket
+    sync_range_index(
+        spark, d2, "score", bucket_width=100.0, num_partitions=16
+    )
+    sel = read_by_column_range(spark, d2, "score", 500_000.0, 501_999.0)
+    want2 = read_partitioned_snapshot(spark, d2).filter(
+        F.col("score").between(500_000.0, 501_999.0)
+    )
+    assert sel.count() == want2.count() > 0
+    dirs = {_os.path.dirname(f) for f in sel.inputFiles()}
+    assert len(dirs) <= 24, len(dirs)  # ~20 rows -> ~20 of 64 dirs
+    # stale range read: the post-sync row lands in exactly one more dir
+    merge_into_partitioned_snapshot(
+        spark, d2,
+        spark.createDataFrame([(m + 1, 500_050.0, 1)],
+                              "k long, score double, seq long"),
+        key="k", seq="seq",
+    )
+    stale = read_by_column_range(spark, d2, "score", 500_000.0, 501_999.0)
+    assert stale.count() == want2.count() + 1
+    dirs2 = {_os.path.dirname(f) for f in stale.inputFiles()}
+    assert len(dirs2) <= len(dirs) + 1
+    full = read_partitioned_snapshot(spark, d2)
+    assert len({_os.path.dirname(f) for f in full.inputFiles()}) == nparts
