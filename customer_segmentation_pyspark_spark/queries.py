@@ -4717,6 +4717,56 @@ def q_incremental_distinct_view(spark, sf_dir):
     )
 
 
+def q_incremental_topk_view(spark, sf_dir):
+    """r08 — incremental TOP-K view under the hash gate: per-source
+    top-5 distinct text lengths maintained from each delete wave's
+    change feed via a bounded top-(k+slack) buffer with multiplicities
+    (`streaming/views.py:update_topk_view`). The %3/%4 delete sweeps
+    remove the longest docs, draining the buffered frontier past the
+    slack so the scoped underflow-rescan path runs at every SF, while
+    the `kept`/`neo:`/`back:` updates exercise above-frontier entry
+    (+trim) and the brand-new `ingest` group; a stale buffered value,
+    a phantom multiplicity, or an under-eager rescan changes the hash.
+    Oracle recomputes the per-source distinct-length ranking from the
+    replayed change log. Driven through the exactly-once cursor
+    (`sync_topk_view_to_snapshot`)."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_topk_view,
+        sync_topk_view_to_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    table = _scratch_path("topk_view/table")
+    view = _scratch_path("topk_view/view")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    for wave in _delete_wave_frames(d):
+        merge_into_partitioned_snapshot(
+            spark, table, wave, key="doc_id", seq="seq",
+            num_partitions=8, delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+        # sync after EVERY wave: each slice exercises the cheap fold
+        # AND (on the delete waves) the underflow rescan
+        sync_topk_view_to_snapshot(
+            spark, table, view, "source", F.length("text"),
+            k=5, slack=2,
+        )
+    return read_topk_view(spark, view).select(
+        F.col("__g").alias("source"),
+        F.col("__rank").alias("rnk"),
+        F.col("__v").cast("long").alias("chars"),
+        F.col("__mult").alias("n_at"),
+    )
+
+
 def q_incremental_join_view(spark, sf_dir):
     """r06 (VERDICT #4) — incremental JOIN-view maintenance: an
     order-grain enrichment view (orders LEFT JOIN customer attributes)
@@ -13226,6 +13276,44 @@ SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_langs,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM live GROUP BY source"""
 
+ORACLES["incremental_topk_view"] = """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 'U' AS op, 0 AS seq FROM documents),
+w1 AS (
+  SELECT doc_id, text || ' kept' AS text, lang, source, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 2
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, 'neo: ' || text, lang, 'ingest', 'U', 1
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, 'ingest', 'D', 3
+  FROM documents WHERE doc_id % 22 = 0),
+w2 AS (
+  SELECT doc_id, 'back: ' || text AS text, lang, source, 'U' AS op, 4 AS seq
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 5
+  FROM documents WHERE doc_id % 4 = 0),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+live AS (SELECT * FROM latest WHERE op <> 'D'),
+vals AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS chars,
+         CAST(count(*) AS BIGINT) AS n_at
+  FROM live GROUP BY source, length(text)),
+ranked AS (
+  SELECT source, chars, n_at,
+         row_number() OVER (PARTITION BY source ORDER BY chars DESC) AS rn
+  FROM vals)
+SELECT source, CAST(rn AS BIGINT) AS rnk, chars, n_at
+FROM ranked WHERE rn <= 5"""
+
 ORACLES["indexed_point_lookup"] = """
 WITH allrows AS (
   SELECT doc_id, 'tag' || CAST(doc_id % 997 AS VARCHAR) AS tag,
@@ -13876,6 +13964,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # r07: COUNT-DISTINCT view (support multiset — no rescan path)
     "incremental_distinct_view": QuerySpec(
         q_incremental_distinct_view, ORACLES["incremental_distinct_view"]
+    ),
+    # r08: TOP-K view (bounded buffer + scoped underflow rescan)
+    "incremental_topk_view": QuerySpec(
+        q_incremental_topk_view, ORACLES["incremental_topk_view"]
     ),
 }
 

@@ -1206,3 +1206,309 @@ def sync_minmax_view_to_snapshot(
         src_version=cur,
     )
     return cur
+
+
+# ---------------------------------------------------------------------------
+# Incremental TOP-K view (r08): per-group top-k DISTINCT values, the
+# IVM case that sits between MIN/MAX (scoped rescan) and COUNT-DISTINCT
+# (support multiset). The view buffers the top (k + slack) distinct
+# values per group WITH their multiplicities, plus a per-group
+# ``__complete`` flag recording whether the buffer holds ALL of the
+# group's distinct values. The buffered frontier (the group's minimum
+# buffered value) makes every slice decidable without touching the
+# source table:
+#   * a change to a BUFFERED value folds additively into its count;
+#   * a brand-new value ABOVE the frontier (or any value of a complete
+#     group / a brand-new group) enters with its slice-net count — it
+#     cannot have prior rows, because an incomplete buffer holds every
+#     existing value above its frontier;
+#   * an insert BELOW the frontier of an incomplete group is discarded
+#     (it cannot reach the top-k while the buffer holds >= k larger
+#     values), and a delete below the frontier is ignored — neither
+#     disturbs "buffer == exactly the top-|buffer| distinct values";
+#   * groups are trimmed back to (k + slack) after entries (a trimmed
+#     group becomes incomplete).
+# A group goes DIRTY — re-aggregated from the post-slice snapshot,
+# scoped to that group alone, like MIN/MAX — only when its incomplete
+# buffer underflows k (deletes consumed the slack) or when a count
+# drifts negative / a complete group sees a delete for a value it
+# doesn't hold (impossible under the exactly-once cursor; kept as a
+# self-heal). NULL values never participate (top-k over values is
+# NULL-free by SQL ordering semantics).
+#
+# At 100 TB: the view is O(groups * (k + slack)) rows, every update is
+# a join of the slice's (group, value) deltas against that small state,
+# and the only source-table read is the scoped rescan of underflowed
+# groups. k and slack persist at creation (changing them is a rebuild),
+# same discipline as the range index's bucket width.
+# ---------------------------------------------------------------------------
+
+TOPK_META_FILE = "_TOPK_META"
+
+
+def _write_topk_meta(dir_path: str, k: int, slack: int) -> None:
+    import json
+
+    with open(os.path.join(dir_path, TOPK_META_FILE), "w") as f:
+        json.dump({"k": int(k), "slack": int(slack)}, f)
+
+
+def topk_view_meta(view_dir: str) -> tuple[int, int]:
+    """The (k, slack) this view was created with."""
+    import json
+
+    with open(os.path.join(view_dir, TOPK_META_FILE)) as f:
+        m = json.load(f)
+    return int(m["k"]), int(m["slack"])
+
+
+def _topk_buffer(snapshot: DataFrame, group_col: str, value_col, cap: int):
+    """Top-``cap`` distinct values per group with multiplicities and the
+    completeness flag — the seed/rescan aggregation."""
+    from pyspark.sql.window import Window
+
+    sup = (
+        snapshot.filter(value_col.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"), value_col.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__mult"))
+    )
+    w = Window.partitionBy("__g")
+    ranked = sup.withColumn(
+        "__rn",
+        F.row_number().over(w.orderBy(F.col("__v").desc())),
+    ).withColumn("__nd", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("__rn") <= cap).select(
+        "__g",
+        "__v",
+        "__mult",
+        (F.col("__nd") <= cap).alias("__complete"),
+    )
+
+
+def seed_topk_view(
+    spark: SparkSession,
+    view_dir: str,
+    snapshot: DataFrame,
+    group_col: str,
+    value_col,
+    k: int,
+    slack: int = 3,
+    src_version: int | None = None,
+) -> None:
+    """Bootstrap the buffered top-(k+slack) state from a full snapshot."""
+    import shutil
+
+    if k < 1 or slack < 0:
+        raise ValueError(f"need k >= 1 and slack >= 0, got ({k}, {slack})")
+    shutil.rmtree(view_dir, ignore_errors=True)
+    buf = _topk_buffer(snapshot, group_col, value_col, k + slack)
+    tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    buf.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
+    _write_topk_meta(tmp, k, slack)
+    crash_safe_swap(view_dir, tmp)
+
+
+def update_topk_view(
+    spark: SparkSession,
+    view_dir: str,
+    cdf: DataFrame,
+    group_col: str,
+    value_col,
+    current_snapshot: DataFrame,
+    src_version: int | None = None,
+) -> None:
+    """Fold one CDF slice into the buffered state (see the family
+    comment for the decision table). ``current_snapshot`` is the
+    source AFTER the slice — only dirty groups read it. Additive like
+    the other IVM views: drive through
+    :func:`sync_topk_view_to_snapshot` for exactly-once."""
+    from pyspark.sql.window import Window
+
+    k, slack = topk_view_meta(view_dir)
+    cap = k + slack
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        cdf.filter(value_col.isNotNull())
+        .groupBy(F.col(group_col).alias("__dg"), value_col.alias("__dv"))
+        .agg(F.sum(sign).cast("long").alias("__d"))
+        .filter(F.col("__d") != 0)
+    )
+    recover_swap(view_dir)
+    base = spark.read.parquet(view_dir)
+    # per-group frontier + completeness of the PRE-slice buffer
+    gstats = base.groupBy(F.col("__g").alias("__sg")).agg(
+        F.min("__v").alias("__fmin"),
+        F.max(F.col("__complete").cast("int")).alias("__ci"),
+    )
+    j = base.join(
+        delta,
+        F.col("__g").eqNullSafe(F.col("__dg"))
+        & (F.col("__v") == F.col("__dv")),
+        "full_outer",
+    ).select(
+        F.coalesce("__g", "__dg").alias("__g"),
+        F.coalesce("__v", "__dv").alias("__v"),
+        "__mult",
+        "__d",
+    )
+    m = j.join(
+        gstats, F.col("__g").eqNullSafe(F.col("__sg")), "left"
+    ).drop("__sg")
+    in_base = F.col("__mult").isNotNull()
+    known = F.col("__fmin").isNotNull()  # group existed in the buffer
+    complete_g = F.col("__ci") == 1
+    newm = (
+        F.coalesce(F.col("__mult"), F.lit(0))
+        + F.coalesce(F.col("__d"), F.lit(0))
+    )
+    # a delta-only value is PROVABLY brand-new when the group is new,
+    # complete, or the value sits above the frontier
+    provable = ~known | complete_g | (F.col("__v") > F.col("__fmin"))
+    enter = ~in_base & provable & (newm > 0)
+    drift = (in_base & (newm < 0)) | (
+        ~in_base & provable & (F.coalesce(F.col("__d"), F.lit(0)) < 0)
+    )
+    staged = m.select(
+        "__g",
+        "__v",
+        newm.alias("__mult"),
+        (in_base | enter).alias("__keep"),
+        drift.alias("__drift"),
+        # complete-so-far: a new group starts complete; an existing
+        # group carries its flag (trim below may clear it)
+        F.when(known, complete_g).otherwise(F.lit(True)).alias("__c0"),
+    )
+    w = Window.partitionBy("__g")
+    live = staged.filter(F.col("__keep") & (F.col("__mult") > 0))
+    ranked = live.withColumn(
+        "__rn", F.row_number().over(w.orderBy(F.col("__v").desc()))
+    ).withColumn("__n", F.count(F.lit(1)).over(w))
+    trimmed = ranked.filter(F.col("__rn") <= cap).select(
+        "__g",
+        "__v",
+        "__mult",
+        (F.col("__c0") & (F.col("__n") <= cap)).alias("__complete"),
+        F.least(F.col("__n"), F.lit(cap)).alias("__live_n"),
+    )
+    # dirty: drift anywhere in the group, or an incomplete buffer that
+    # underflowed k (deletes consumed the slack) — including groups
+    # whose buffer emptied entirely (absent from `trimmed`)
+    per_g = staged.groupBy("__g").agg(
+        F.max(F.col("__drift").cast("int")).alias("__dr"),
+        F.max(F.col("__c0").cast("int")).alias("__c0i"),
+    )
+    sizes = trimmed.groupBy(F.col("__g").alias("__zg")).agg(
+        F.max("__live_n").alias("__ln"),
+        F.max(F.col("__complete").cast("int")).alias("__compi"),
+    )
+    dirty_groups = (
+        per_g.join(sizes, F.col("__g").eqNullSafe(F.col("__zg")), "left")
+        .filter(
+            (F.col("__dr") == 1)
+            | (
+                (F.coalesce(F.col("__compi"), F.col("__c0i")) == 0)
+                & (F.coalesce(F.col("__ln"), F.lit(0)) < k)
+            )
+        )
+        .select(F.col("__g").alias("__dirtyg"))
+    )
+    clean = trimmed.join(
+        dirty_groups,
+        F.col("__g").eqNullSafe(F.col("__dirtyg")),
+        "left_anti",
+    ).select("__g", "__v", "__mult", "__complete")
+    rescanned = _topk_buffer(
+        current_snapshot.join(
+            dirty_groups,
+            F.col(group_col).eqNullSafe(F.col("__dirtyg")),
+            "leftsemi",
+        ),
+        group_col,
+        value_col,
+        cap,
+    )
+    out = clean.unionByName(rescanned)
+    tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
+    _write_topk_meta(tmp, k, slack)
+    crash_safe_swap(view_dir, tmp)
+
+
+def read_topk_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """(group, value, multiplicity, rank) for rank <= k — exact top-k
+    distinct values per group (groups with fewer than k distinct
+    values expose them all; the post-sync invariant guarantees every
+    incomplete buffer still holds >= k values)."""
+    from pyspark.sql.window import Window
+
+    k, _ = topk_view_meta(view_dir)
+    recover_swap(view_dir)
+    buf = spark.read.parquet(view_dir)
+    w = Window.partitionBy("__g").orderBy(F.col("__v").desc())
+    return (
+        buf.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select("__g", "__v", "__mult", F.col("__rank").cast("long").alias("__rank"))
+    )
+
+
+def sync_topk_view_to_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    view_dir: str,
+    group_col: str,
+    value_col,
+    k: int | None = None,
+    slack: int = 3,
+) -> int:
+    """Exactly-once driver: seed on first call (``k`` required), then
+    fold only the CDF since the cursored version. ``k``/``slack`` are
+    creation-time parameters — passing a different ``k`` later raises
+    (a re-parameterized view is a rebuild, same contract as the range
+    index's bucket width)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    recover_swap(view_dir)
+    v0 = view_src_version(view_dir) if os.path.exists(view_dir) else None
+    if v0 is None:
+        if k is None:
+            raise ValueError("k is required when seeding a top-k view")
+        seed_topk_view(
+            spark,
+            view_dir,
+            read_partitioned_snapshot(spark, table_dir, version=cur),
+            group_col,
+            value_col,
+            k,
+            slack=slack,
+            src_version=cur,
+        )
+        return cur
+    k0, _s0 = topk_view_meta(view_dir)
+    if k is not None and int(k) != k0:
+        raise ValueError(
+            f"view was created with k={k0}; changing k is a rebuild"
+        )
+    if v0 >= cur:
+        return v0
+    update_topk_view(
+        spark,
+        view_dir,
+        read_snapshot_changes(spark, table_dir, v0, cur),
+        group_col,
+        value_col,
+        read_partitioned_snapshot(spark, table_dir, version=cur),
+        src_version=cur,
+    )
+    return cur

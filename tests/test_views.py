@@ -1111,3 +1111,174 @@ def test_jvmap_vacuum_crash_sync_heals(spark, tmp_path):
     # a completing vacuum clears the marker and unfreezes syncs
     vacuum_jvmap(spark, view_dir)
     assert not _os.path.exists(_jvmap_vacuum_marker_path(view_dir))
+
+
+# ---------------------------------------------------------------------------
+# Incremental TOP-K view (r08)
+# ---------------------------------------------------------------------------
+
+
+def _topk_recompute(spark, table, k):
+    from pyspark.sql.window import Window
+
+    snap = read_partitioned_snapshot(spark, table)
+    sup = (
+        snap.filter(F.col("val").isNotNull())
+        .groupBy("grp", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("mult"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("val").desc())
+    return {
+        (r["grp"], r["rnk"]): (r["val"], r["mult"])
+        for r in sup.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    }
+
+
+def test_topk_view_tracks_recompute_through_waves(spark, tmp_path):
+    """Every decision branch of the buffered top-k state against a full
+    recompute: above-frontier entry + trim, below-frontier discard,
+    multiplicity folds, underflow rescan, complete-group shrink below
+    k without rescan, group emptying, NULL values, value updates."""
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_topk_view,
+        sync_topk_view_to_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    K, SLACK = 3, 2  # cap = 5
+
+    def merge(rows):
+        merge_into_partitioned_snapshot(
+            spark,
+            table,
+            spark.createDataFrame(
+                rows, "k long, grp string, val long, seq long, op string"
+            ),
+            key="k",
+            seq="seq",
+            num_partitions=4,
+            delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+
+    def check():
+        sync_topk_view_to_snapshot(
+            spark, table, view, "grp", F.col("val"), k=K, slack=SLACK
+        )
+        got = {
+            (r["__g"], r["__rank"]): (r["__v"], r["__mult"])
+            for r in read_topk_view(spark, view).collect()
+        }
+        want = _topk_recompute(spark, table, K)
+        assert got == want, (got, want)
+
+    def buffer_vals(grp):
+        return {
+            r["__v"]
+            for r in spark.read.parquet(view).filter(
+                F.col("__g") == grp
+            ).collect()
+        }
+
+    # a: 8 distinct values (one duplicated), buffer truncates to cap=5
+    # (incomplete, frontier 40); b: 2 values (complete); NULL ignored
+    merge(
+        [(i, "a", (i + 1) * 10, 0, "U") for i in range(8)]
+        + [(100, "a", 60, 0, "U")]  # dup of 60 -> mult 2
+        + [(200, "b", 7, 0, "U"), (201, "b", 9, 0, "U")]
+        + [(300, "a", None, 0, "U")]
+    )
+    check()
+
+    # below-frontier insert: must be DISCARDED from the buffer (not
+    # just absent from the top-k read) and never trigger a rescan
+    merge([(301, "a", 5, 1, "U")])
+    check()
+    assert 5 not in buffer_vals("a")
+
+    # above-frontier entry + trim: 75 enters, 40 falls off the buffer
+    merge([(302, "a", 75, 2, "U")])
+    check()
+    assert 75 in buffer_vals("a") and 40 not in buffer_vals("a")
+
+    # duplicate-multiplicity fold: deleting ONE copy of 60 keeps it
+    merge([(100, "a", None, 3, "D")])
+    check()
+    assert 60 in buffer_vals("a")
+
+    # underflow rescan: kill 80, 75, 70 -> incomplete buffer drops to
+    # {60, 50} < k; the scoped rescan rebuilds the top-cap from the
+    # snapshot — 40/30/20 re-enter, values the incremental path had
+    # already truncated away and could never resurrect on its own
+    merge([(7, "a", None, 4, "D"), (302, "a", None, 4, "D"),
+           (6, "a", None, 4, "D")])
+    check()
+    assert buffer_vals("a") == {60, 50, 40, 30, 20}
+
+    # complete group shrinking below k: b loses one of two values —
+    # no rescan possible or needed, top-k just exposes the survivor
+    merge([(200, "b", None, 5, "D")])
+    check()
+
+    # value UPDATE (pre-image decrements old value, post enters new)
+    merge([(5, "a", 999, 6, "U")])
+    check()
+
+    # group empties entirely -> vanishes from the view
+    merge([(201, "b", None, 7, "D")])
+    check()
+    assert "b" not in {
+        r["__g"] for r in spark.read.parquet(view).collect()
+    }
+
+
+def test_topk_view_k_is_sticky_and_marker_exactly_once(spark, tmp_path):
+    """k persists at creation (a different k later raises — rebuild
+    contract), and a no-op sync with no new source version leaves the
+    view bytes untouched."""
+    import glob
+    import os
+
+    import pytest
+
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_topk_view_to_snapshot,
+        topk_view_meta,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(i, "g", i, 0, "U") for i in range(10)],
+            "k long, grp string, val long, seq long, op string",
+        ),
+        key="k",
+        seq="seq",
+        num_partitions=2,
+        delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+    v = sync_topk_view_to_snapshot(
+        spark, table, view, "grp", F.col("val"), k=4, slack=1
+    )
+    assert topk_view_meta(view) == (4, 1)
+    with pytest.raises(ValueError, match="rebuild"):
+        sync_topk_view_to_snapshot(
+            spark, table, view, "grp", F.col("val"), k=5
+        )
+    stamp = {
+        p: os.path.getmtime(p) for p in glob.glob(f"{view}/*.parquet")
+    }
+    assert (
+        sync_topk_view_to_snapshot(spark, table, view, "grp", F.col("val"))
+        == v
+    )
+    assert stamp == {
+        p: os.path.getmtime(p) for p in glob.glob(f"{view}/*.parquet")
+    }
