@@ -201,6 +201,11 @@ HEADLINE = [
     "scd2_enriched_view",
     # r08: bucketed range index on a non-key column, read stale
     "indexed_range_lookup",
+    # r08: TOP-K view (bounded buffer, scoped underflow rescan)
+    "incremental_topk_view",
+    # r08 capstone #15: two-level IVM cascade (gold folds the silver
+    # join view's own CDF — view-on-view composability)
+    "ivm_cascade",
 ]
 
 

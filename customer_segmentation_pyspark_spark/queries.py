@@ -4883,6 +4883,131 @@ def q_incremental_join_view(spark, sf_dir):
     )
 
 
+def q_ivm_cascade(spark, sf_dir):
+    """r08 capstone #15 — two-level IVM cascade (the medallion shape)
+    under the hash gate: a SILVER join view (orders enriched with the
+    customer's nation) is maintained from both sources' change feeds,
+    and a GOLD per-nation COUNT/SUM view is maintained from the silver
+    view's OWN change feed — the silver view is an ordinary versioned
+    MERGE table, so its CDF is exact and `sync_view_to_snapshot` folds
+    it with no special casing (view-on-view composability is the whole
+    point). The fact wave exercises gold's additive fold; the dim wave
+    re-enriches silver rows (nation changes / NULLs from dim deletes),
+    whose pre/post images MOVE gold rows between nation groups — a
+    missed re-enrichment, a stale group, or a double-counted catch-up
+    changes the hash. The qty measure is integer arithmetic throughout
+    so no cross-engine float-summation order is involved. Oracle
+    replays both change logs latest-wins, joins, and aggregates.
+    At 100 TB each level stays O(its own delta): fact CDF -> silver
+    merge -> silver CDF -> gold fold, no level ever rescans its
+    source. Cites `streaming/views.py:sync_view_to_snapshot` and
+    `sync_join_view_to_snapshots`."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_join_view_to_snapshots,
+        sync_view_to_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fact_dir = _scratch_path("ivm_cascade/fact")
+    dim_dir = _scratch_path("ivm_cascade/dim")
+    silver = _scratch_path("ivm_cascade/silver")
+    gold = _scratch_path("ivm_cascade/gold")
+    for p in (fact_dir, dim_dir, silver, gold):
+        shutil.rmtree(p, ignore_errors=True)
+
+    base_f = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_orderkey") % 97).cast("long").alias("qty"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    base_d = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.lit(0).cast("long").alias("dseq"),
+        F.lit("U").alias("dop"),
+    )
+    kw_f = dict(
+        key="okey", seq="seq", num_partitions=8,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    kw_d = dict(
+        key="custkey", seq="dseq", num_partitions=8,
+        delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+
+    def syncs():
+        sync_join_view_to_snapshots(
+            spark, fact_dir, dim_dir, silver, "custkey", num_partitions=8
+        )
+        sync_view_to_snapshot(spark, silver, gold, "nation", F.col("qty"))
+
+    merge_into_partitioned_snapshot(spark, fact_dir, base_f, **kw_f)
+    merge_into_partitioned_snapshot(spark, dim_dir, base_d, **kw_d)
+    syncs()  # seed both levels
+
+    wave_f = (
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("custkey"),
+            ((F.col("o_orderkey") % 97) + 5).cast("long").alias("qty"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_custkey").alias("custkey"),
+                F.lit(None).cast("long").alias("qty"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 5000000).alias("okey"),
+                F.col("o_custkey").alias("custkey"),
+                (F.col("o_orderkey") % 89).cast("long").alias("qty"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    merge_into_partitioned_snapshot(spark, fact_dir, wave_f, **kw_f)
+    syncs()  # Δfact -> silver merge -> silver CDF -> gold fold
+
+    wave_d = (
+        c.filter(F.col("c_custkey") % 10 == 0).select(
+            F.col("c_custkey").alias("custkey"),
+            (F.col("c_nationkey").cast("long") + 100).alias("nation"),
+            F.lit(1).cast("long").alias("dseq"),
+            F.lit("U").alias("dop"),
+        )
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit(None).cast("long").alias("nation"),
+            F.lit(2).cast("long").alias("dseq"),
+            F.lit("D").alias("dop"),
+        )
+    )
+    merge_into_partitioned_snapshot(spark, dim_dir, wave_d, **kw_d)
+    syncs()  # Δdim re-enriches silver; gold rows MOVE between nations
+
+    return spark.read.parquet(gold).select(
+        "nation",
+        "n_rows",
+        F.col("total").alias("total_qty"),
+    )
+
+
 def _build_scd2_history(spark, sf_dir):
     """Shared build for the r07 SCD2 capstone (#13): a customer
     dimension replayed through three versions — base (v1), then
@@ -13314,6 +13439,42 @@ ranked AS (
 SELECT source, CAST(rn AS BIGINT) AS rnk, chars, n_at
 FROM ranked WHERE rn <= 5"""
 
+ORACLES["ivm_cascade"] = """
+WITH factlog AS (
+  SELECT o_orderkey AS okey, o_custkey AS custkey,
+         o_orderkey % 97 AS qty, 0 AS seq, 'U' AS op FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, (o_orderkey % 97) + 5, 1, 'U'
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, NULL, 2, 'D'
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 5000000, o_custkey, o_orderkey % 89, 1, 'U'
+  FROM orders WHERE o_orderkey % 11 = 0),
+dimlog AS (
+  SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS nation,
+         0 AS dseq, 'U' AS dop FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) + 100, 1, 'U'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, 2, 'D'
+  FROM customer WHERE c_custkey % 13 = 0),
+flive AS (
+  SELECT * FROM factlog
+  QUALIFY row_number() OVER (PARTITION BY okey ORDER BY seq DESC) = 1),
+dlive AS (
+  SELECT * FROM dimlog
+  QUALIFY row_number() OVER (PARTITION BY custkey ORDER BY dseq DESC) = 1),
+joined AS (
+  SELECT d.nation AS nation, f.qty AS qty
+  FROM (SELECT * FROM flive WHERE op <> 'D') f
+  LEFT JOIN (SELECT * FROM dlive WHERE dop <> 'D') d USING (custkey))
+SELECT nation, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(qty) AS BIGINT) AS total_qty
+FROM joined GROUP BY nation"""
+
 ORACLES["indexed_point_lookup"] = """
 WITH allrows AS (
   SELECT doc_id, 'tag' || CAST(doc_id % 997 AS VARCHAR) AS tag,
@@ -13969,6 +14130,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_topk_view": QuerySpec(
         q_incremental_topk_view, ORACLES["incremental_topk_view"]
     ),
+    # r08 capstone #15: two-level IVM cascade (view-on-view CDF)
+    "ivm_cascade": QuerySpec(q_ivm_cascade, ORACLES["ivm_cascade"]),
 }
 
 #: r05 (VERDICT item 5): the driver oracle-checks the FIRST 50 registry
@@ -13982,12 +14145,13 @@ REGISTRY: dict[str, QuerySpec] = {
 _DRIVER_SPOTLIGHT = [
     # r08 rotation (VERDICT #2, fourth rotation): the null_funcs
     # re-check (the r07 oracle-typing fix must show driver-green), this
-    # round's new surface (SCD2 enriched view, range index), and 46
-    # more oracled entries NEVER driver-checked in r01-r07 — 204
-    # distinct already carry a driver green; 32 remain for a final r09
-    # sweep to 100% driver coverage. The local parity mirror checks ALL
-    # oracled entries regardless of position.
+    # round's new surface (SCD2 enriched view, range index, TOP-K view,
+    # IVM cascade), and 44 more oracled entries NEVER driver-checked in
+    # r01-r07 — 204 distinct already carry a driver green; 34 remain
+    # for a final r09 sweep to 100% driver coverage. The local parity
+    # mirror checks ALL oracled entries regardless of position.
     "null_funcs", "scd2_enriched_view", "indexed_range_lookup",
+    "incremental_topk_view", "ivm_cascade",
     "incremental_distinct_view",
     "scd2_intervals", "pii_redact", "twap_value", "brand_affinity",
     "dp_count", "token_ids", "degree_distribution",
@@ -14002,7 +14166,7 @@ _DRIVER_SPOTLIGHT = [
     "event_transitions", "doc_entropy", "mixture_sample",
     "k_anonymity", "key_skew_profile", "dataset_split",
     "event_dedup_window", "oov_rate", "source_quota",
-    "attribution_last_touch", "prefix_jaccard", "split_leakage",
+    "attribution_last_touch",
 ]
 
 REGISTRY = {

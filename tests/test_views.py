@@ -1282,3 +1282,123 @@ def test_topk_view_k_is_sticky_and_marker_exactly_once(spark, tmp_path):
     assert stamp == {
         p: os.path.getmtime(p) for p in glob.glob(f"{view}/*.parquet")
     }
+
+
+def test_ivm_cascade_view_on_view_fuzz(spark, tmp_path):
+    """r08 capstone #15: view-on-view IVM — a COUNT/SUM gold view is
+    maintained from the silver JOIN view's OWN change feed (the silver
+    view is an ordinary versioned MERGE table, so its CDF is already
+    exact). Gold lags silver arbitrarily through a seeded interleaving
+    of fact waves, dim waves, silver syncs, and gold syncs, folding
+    multi-version CDF slices on catch-up; after the final syncs the
+    gold aggregate equals the full recompute from the two SOURCE
+    tables — attribute-group moves from dim re-enrichment included."""
+    import random
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_join_view_to_snapshots,
+        sync_view_to_snapshot,
+    )
+
+    rng = random.Random(7)
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+
+    def fact_wave(rows):
+        return spark.createDataFrame(
+            rows, "fk long, jk long, amt long, seq long, op string"
+        )
+
+    def dim_wave(rows):
+        return spark.createDataFrame(
+            rows, "jk long, attr string, dseq long, dop string"
+        )
+
+    merge_into_partitioned_snapshot(
+        spark, fact_dir,
+        fact_wave([(f, f % 7, f * 3, 0, "U") for f in range(40)]),
+        key="fk", seq="seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir,
+        dim_wave([(j, f"a{j % 3}", 0, "U") for j in range(7)]),
+        key="jk", seq="dseq", num_partitions=4,
+        delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+
+    def sync_silver():
+        sync_join_view_to_snapshots(
+            spark, fact_dir, dim_dir, silver, "jk", num_partitions=4
+        )
+
+    def sync_gold():
+        sync_view_to_snapshot(spark, silver, gold, "attr", F.col("amt"))
+
+    sync_silver()
+    sync_gold()
+
+    seq = 0
+    for _ in range(14):
+        seq += 1
+        roll = rng.random()
+        if roll < 0.4:  # fact wave
+            rows = [
+                (
+                    rng.randrange(50),
+                    rng.randrange(9),
+                    rng.randint(0, 99),
+                    seq,
+                    "D" if rng.random() < 0.25 else "U",
+                )
+                for _ in range(rng.randint(1, 6))
+            ]
+            merge_into_partitioned_snapshot(
+                spark, fact_dir, fact_wave(rows), key="fk",
+                seq="seq", delete_when="op = 'D'", marker_cols=("op",),
+            )
+        elif roll < 0.65:  # dim wave: attr regroup, deletes, inserts
+            rows = [
+                (
+                    rng.randrange(9),
+                    f"a{rng.randrange(4)}",
+                    seq,
+                    "D" if rng.random() < 0.3 else "U",
+                )
+                for _ in range(rng.randint(1, 3))
+            ]
+            merge_into_partitioned_snapshot(
+                spark, dim_dir, dim_wave(rows), key="jk",
+                seq="dseq", delete_when="dop = 'D'",
+                marker_cols=("dop",),
+            )
+        elif roll < 0.85:
+            sync_silver()
+        else:
+            sync_gold()  # may fold several silver versions at once
+    sync_silver()
+    sync_gold()
+
+    got = {
+        (r["attr"], r["n_rows"], r["total"])
+        for r in spark.read.parquet(gold).collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    want = {
+        (r["attr"], r["n"], r["t"])
+        for r in fact.join(dim.select("jk", "attr"), "jk", "left")
+        .groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("amt", F.lit(0))).cast("long").alias("t"),
+        )
+        .collect()
+    }
+    assert got == want, (got, want)
