@@ -430,11 +430,15 @@ def merge_into_partitioned_snapshot(
     orig_parts = dict(parts)
     orig_deltas = {p: tuple(v) for p, v in deltas.items()}
 
-    delta = latest_per_key(changes, key, seq).withColumn(
-        "__part", _part_expr(key, num_partitions)
-    )
+    # touched-partition discovery runs on the RAW batch's key column —
+    # dedup can't change the key set, so skipping latest_per_key here
+    # avoids executing its window shuffle twice per merge (once for
+    # this collect, once inside the write job) and lets the scan prune
+    # to the key column alone (r08, fixed-cost shave)
     part_rows = (
-        delta.groupBy("__part")
+        changes.groupBy(
+            _part_expr(key, num_partitions).alias("__part")
+        )
         .agg(F.max(F.col(key).isNull()).alias("has_null"))
         .collect()
     )  # bounded by num_partitions
@@ -451,7 +455,7 @@ def merge_into_partitioned_snapshot(
     touched = sorted(r["__part"] for r in part_rows)
     if not touched:
         return
-    delta = delta.drop("__part")
+    delta = latest_per_key(changes, key, seq)
     ups, dels = _split_deletes(delta, key, delete_when, marker_cols)
 
     # current state of the touched partitions: base dirs (mergeSchema —
@@ -786,11 +790,12 @@ def merge_mor_into_partitioned_snapshot(
         delta_stats = {}
         schema_fields = []
 
-    delta = latest_per_key(changes, key, seq).withColumn(
-        "__part", _part_expr(key, num_partitions)
-    )
+    # same raw-batch discovery as the CoW merge (r08): the key set is
+    # invariant under dedup, so the collect skips the window shuffle
     part_rows = (
-        delta.groupBy("__part")
+        changes.groupBy(
+            _part_expr(key, num_partitions).alias("__part")
+        )
         .agg(F.max(F.col(key).isNull()).alias("has_null"))
         .collect()
     )  # bounded by num_partitions
@@ -802,6 +807,9 @@ def merge_mor_into_partitioned_snapshot(
     touched = sorted(r["__part"] for r in part_rows)
     if not touched:
         return
+    delta = latest_per_key(changes, key, seq).withColumn(
+        "__part", _part_expr(key, num_partitions)
+    )
     cond = (
         F.coalesce(F.expr(delete_when), F.lit(False))
         if delete_when is not None

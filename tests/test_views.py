@@ -1402,3 +1402,52 @@ def test_ivm_cascade_view_on_view_fuzz(spark, tmp_path):
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_topk_view_clean_path_never_touches_source(spark, tmp_path):
+    """Locality contract: a slice that dirties nothing (buffered-value
+    folds, above-frontier entries, below-frontier discards) must not
+    read the source snapshot at all. Proven functionally: the update is
+    handed an EMPTY frame as ``current_snapshot`` — if any group
+    wrongly took the rescan path its rows would vanish, failing the
+    recompute equality."""
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_topk_view,
+        seed_topk_view,
+        update_topk_view,
+    )
+
+    seed = spark.createDataFrame(
+        [(i, "g", (i + 1) * 10) for i in range(8)]
+        + [(100, "h", 1), (101, "h", 2)],
+        "k long, grp string, val long",
+    )
+    view = str(tmp_path / "v")
+    seed_topk_view(spark, view, seed, "grp", F.col("val"), k=3, slack=2)
+    # fold on a buffered value (+1 copy of 80), enter above frontier
+    # (85), discard below frontier (g: 5), new group (n: 42), delete a
+    # NON-frontier-exhausting copy (one of the two h values survives as
+    # a complete group)
+    cdf = spark.createDataFrame(
+        [
+            (1, "g", 80, "insert"),
+            (2, "g", 85, "insert"),
+            (3, "g", 5, "insert"),
+            (4, "n", 42, "insert"),
+            (101, "h", 2, "delete"),
+        ],
+        "k long, grp string, val long, _change_type string",
+    )
+    empty = spark.createDataFrame([], seed.schema)
+    update_topk_view(spark, view, cdf, "grp", F.col("val"), empty)
+    got = {
+        (r["__g"], r["__rank"]): (r["__v"], r["__mult"])
+        for r in read_topk_view(spark, view).collect()
+    }
+    assert got == {
+        ("g", 1): (85, 1),
+        ("g", 2): (80, 2),
+        ("g", 3): (70, 1),
+        ("h", 1): (1, 1),
+        ("n", 1): (42, 1),
+    }, got
