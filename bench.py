@@ -206,6 +206,8 @@ HEADLINE = [
     # r08 capstone #15: two-level IVM cascade (gold folds the silver
     # join view's own CDF — view-on-view composability)
     "ivm_cascade",
+    # r08: QUANTILE view (bucketized support, delete-capable percentiles)
+    "incremental_quantile_view",
 ]
 
 

@@ -4767,6 +4767,55 @@ def q_incremental_topk_view(spark, sf_dir):
     )
 
 
+def q_incremental_quantile_view(spark, sf_dir):
+    """r08 — incremental QUANTILE view under the hash gate: per-source
+    p25/p50/p90/p99 of text length maintained from each delete wave's
+    change feed via the bucketized support multiset
+    (`streaming/views.py:update_quantile_view`) — the construction
+    that gives percentiles FULL delete support (sketches are
+    insert-only and cannot subtract the %3/%4 sweeps). Rank arithmetic
+    is pure integers (idx = (n*pct + 99) div 100) and the exposed
+    value is the bucket LOWER BOUND, so the DuckDB oracle reproduces
+    the result bit-for-bit from the replayed change log; a stale
+    bucket multiplicity, a phantom bucket surviving its last delete,
+    or off-by-one rank handling changes the hash. Driven through the
+    exactly-once cursor (`sync_quantile_view_to_snapshot`)."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_quantile_view,
+        sync_quantile_view_to_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    table = _scratch_path("quantile_view/table")
+    view = _scratch_path("quantile_view/view")
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(view, ignore_errors=True)
+    for wave in _delete_wave_frames(d):
+        merge_into_partitioned_snapshot(
+            spark, table, wave, key="doc_id", seq="seq",
+            num_partitions=8, delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+        sync_quantile_view_to_snapshot(
+            spark, table, view, "source", F.length("text"), width=40.0
+        )
+    return read_quantile_view(
+        spark, view, percents=[25, 50, 90, 99]
+    ).select(
+        F.col("__g").alias("source"),
+        "pct",
+        "q_lo",
+        "n_rows",
+    )
+
+
 def q_incremental_join_view(spark, sf_dir):
     """r06 (VERDICT #4) — incremental JOIN-view maintenance: an
     order-grain enrichment view (orders LEFT JOIN customer attributes)
@@ -13439,6 +13488,51 @@ ranked AS (
 SELECT source, CAST(rn AS BIGINT) AS rnk, chars, n_at
 FROM ranked WHERE rn <= 5"""
 
+ORACLES["incremental_quantile_view"] = """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 'U' AS op, 0 AS seq FROM documents),
+w1 AS (
+  SELECT doc_id, text || ' kept' AS text, lang, source, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 2
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, 'neo: ' || text, lang, 'ingest', 'U', 1
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, 'ingest', 'D', 3
+  FROM documents WHERE doc_id % 22 = 0),
+w2 AS (
+  SELECT doc_id, 'back: ' || text AS text, lang, source, 'U' AS op, 4 AS seq
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 5
+  FROM documents WHERE doc_id % 4 = 0),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+live AS (SELECT * FROM latest WHERE op <> 'D'),
+bk AS (
+  SELECT source, CAST(floor(length(text) / 40.0) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS m
+  FROM live GROUP BY source, floor(length(text) / 40.0)),
+cum AS (
+  SELECT source, b,
+         CAST(sum(m) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS c,
+         CAST(sum(m) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM bk),
+px(pct) AS (VALUES (25), (50), (90), (99)),
+hit AS (
+  SELECT source, pct, b, n FROM cum CROSS JOIN px
+  WHERE c >= (n * pct + 99) // 100)
+SELECT source, CAST(pct AS BIGINT) AS pct,
+       CAST(min(b) * 40.0 AS DOUBLE) AS q_lo,
+       n AS n_rows
+FROM hit GROUP BY source, pct, n"""
+
 ORACLES["ivm_cascade"] = """
 WITH factlog AS (
   SELECT o_orderkey AS okey, o_custkey AS custkey,
@@ -14132,6 +14226,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # r08 capstone #15: two-level IVM cascade (view-on-view CDF)
     "ivm_cascade": QuerySpec(q_ivm_cascade, ORACLES["ivm_cascade"]),
+    # r08: QUANTILE view (bucketized support — delete-capable percentiles)
+    "incremental_quantile_view": QuerySpec(
+        q_incremental_quantile_view, ORACLES["incremental_quantile_view"]
+    ),
 }
 
 #: r05 (VERDICT item 5): the driver oracle-checks the FIRST 50 registry
@@ -14151,7 +14249,7 @@ _DRIVER_SPOTLIGHT = [
     # for a final r09 sweep to 100% driver coverage. The local parity
     # mirror checks ALL oracled entries regardless of position.
     "null_funcs", "scd2_enriched_view", "indexed_range_lookup",
-    "incremental_topk_view", "ivm_cascade",
+    "incremental_topk_view", "ivm_cascade", "incremental_quantile_view",
     "incremental_distinct_view",
     "scd2_intervals", "pii_redact", "twap_value", "brand_affinity",
     "dp_count", "token_ids", "degree_distribution",
@@ -14166,7 +14264,6 @@ _DRIVER_SPOTLIGHT = [
     "event_transitions", "doc_entropy", "mixture_sample",
     "k_anonymity", "key_skew_profile", "dataset_split",
     "event_dedup_window", "oov_rate", "source_quota",
-    "attribution_last_touch",
 ]
 
 REGISTRY = {

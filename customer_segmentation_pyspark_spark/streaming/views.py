@@ -1512,3 +1512,219 @@ def sync_topk_view_to_snapshot(
         src_version=cur,
     )
     return cur
+
+
+# ---------------------------------------------------------------------------
+# Incremental QUANTILE view (r08): percentiles with FULL delete support.
+# Sketches (t-digest, GK, KLL) are insert-only — a delete cannot be
+# subtracted — so the maintainable construction is the bucketized
+# support multiset: per (group, floor(value/width)) multiplicities
+# folded with signed CDF contributions (the COUNT-DISTINCT machinery on
+# a quantized value). Every percentile then derives exactly from the
+# support at BUCKET resolution — error is bounded by ``width``, chosen
+# at creation, and never degrades under churn. Rank arithmetic is pure
+# integers (idx = ceil(n*p/100) computed as (n*p + 99) div 100), so the
+# DuckDB oracle reproduces it bit-for-bit.
+#
+# At 100 TB: state is O(groups x occupied buckets), an update joins the
+# slice's bucket deltas against that state, and there is no rescan path
+# at all (the support is self-maintainable). The p95-latency dashboard
+# shape: maintained per merge wave without rescanning history.
+# ---------------------------------------------------------------------------
+
+QVIEW_META_FILE = "_QVIEW_META"
+
+
+def _write_qview_meta(dir_path: str, width: float) -> None:
+    import json
+
+    with open(os.path.join(dir_path, QVIEW_META_FILE), "w") as f:
+        json.dump({"width": float(width)}, f)
+
+
+def quantile_view_width(view_dir: str) -> float:
+    """The bucket width this view was created with."""
+    import json
+
+    with open(os.path.join(view_dir, QVIEW_META_FILE)) as f:
+        return float(json.load(f)["width"])
+
+
+def _bucketize(value_col, width: float):
+    return F.floor(value_col / F.lit(float(width))).cast("long")
+
+
+def seed_quantile_view(
+    spark: SparkSession,
+    view_dir: str,
+    snapshot: DataFrame,
+    group_col: str,
+    value_col,
+    width: float,
+    src_version: int | None = None,
+) -> None:
+    """Bootstrap the bucketized support from a full snapshot (NULL
+    values are excluded — SQL percentile semantics)."""
+    import shutil
+
+    if not width > 0:
+        raise ValueError(f"bucket width must be positive, got {width}")
+    shutil.rmtree(view_dir, ignore_errors=True)
+    sup = (
+        snapshot.filter(value_col.isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"),
+            _bucketize(value_col, width).alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__mult"))
+    )
+    tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    sup.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
+    _write_qview_meta(tmp, width)
+    crash_safe_swap(view_dir, tmp)
+
+
+def update_quantile_view(
+    spark: SparkSession,
+    view_dir: str,
+    cdf: DataFrame,
+    group_col: str,
+    value_col,
+    src_version: int | None = None,
+) -> None:
+    """Fold one CDF slice: signed ±1 per (group, bucket); empty buckets
+    leave. Additive — drive through
+    :func:`sync_quantile_view_to_snapshot` for exactly-once."""
+    width = quantile_view_width(view_dir)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        cdf.filter(value_col.isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__dg"),
+            _bucketize(value_col, width).alias("__dv"),
+        )
+        .agg(F.sum(sign).cast("long").alias("__d"))
+        .filter(F.col("__d") != 0)
+    )
+    recover_swap(view_dir)
+    base = spark.read.parquet(view_dir)
+    merged = (
+        base.join(
+            delta,
+            F.col("__g").eqNullSafe(F.col("__dg"))
+            & (F.col("__v") == F.col("__dv")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("__g", "__dg").alias("__g"),
+            F.coalesce("__v", "__dv").alias("__v"),
+            (
+                F.coalesce(F.col("__mult"), F.lit(0))
+                + F.coalesce(F.col("__d"), F.lit(0))
+            ).alias("__mult"),
+        )
+        .filter(F.col("__mult") > 0)
+    )
+    tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, src_version)
+    _write_qview_meta(tmp, width)
+    crash_safe_swap(view_dir, tmp)
+
+
+def read_quantile_view(
+    spark: SparkSession,
+    view_dir: str,
+    percents: list[int] = (50, 90, 99),
+) -> DataFrame:
+    """(group, pct, q_lo, n_rows): for each requested integer percent,
+    the LOWER BOUND of the bucket containing the ceil(n*pct/100)-th
+    value (1-indexed over the sorted multiset) — the true percentile
+    lies in [q_lo, q_lo + width). Integer rank arithmetic throughout."""
+    from pyspark.sql.window import Window
+
+    width = quantile_view_width(view_dir)
+    recover_swap(view_dir)
+    sup = spark.read.parquet(view_dir)
+    wg = Window.partitionBy("__g")
+    cum = sup.withColumn(
+        "__c", F.sum("__mult").over(wg.orderBy("__v"))
+    ).withColumn("__n", F.sum("__mult").over(wg))
+    pcts = spark.createDataFrame(
+        [(int(p),) for p in percents], "pct long"
+    )
+    idx = F.floor(
+        (F.col("__n") * F.col("pct") + F.lit(99)) / F.lit(100)
+    )  # = ceil(n*pct/100), exactly, in integers
+    return (
+        cum.crossJoin(F.broadcast(pcts))
+        .filter(F.col("__c") >= idx)
+        .groupBy("__g", "pct", "__n")
+        .agg(F.min("__v").alias("__b"))
+        .select(
+            "__g",
+            "pct",
+            (F.col("__b") * F.lit(float(width))).alias("q_lo"),
+            F.col("__n").alias("n_rows"),
+        )
+    )
+
+
+def sync_quantile_view_to_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    view_dir: str,
+    group_col: str,
+    value_col,
+    width: float | None = None,
+) -> int:
+    """Exactly-once driver: seed on first call (``width`` required),
+    then fold only the CDF since the cursored version. ``width`` is a
+    creation-time parameter — a different value later raises (rebuild
+    contract, same as the TOP-K view's k and the range index's bucket
+    width)."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    recover_swap(view_dir)
+    v0 = view_src_version(view_dir) if os.path.exists(view_dir) else None
+    if v0 is None:
+        if width is None:
+            raise ValueError(
+                "width is required when seeding a quantile view"
+            )
+        seed_quantile_view(
+            spark,
+            view_dir,
+            read_partitioned_snapshot(spark, table_dir, version=cur),
+            group_col,
+            value_col,
+            width,
+            src_version=cur,
+        )
+        return cur
+    w0 = quantile_view_width(view_dir)
+    if width is not None and float(width) != w0:
+        raise ValueError(
+            f"view was created with width={w0}; changing it is a rebuild"
+        )
+    if v0 >= cur:
+        return v0
+    update_quantile_view(
+        spark,
+        view_dir,
+        read_snapshot_changes(spark, table_dir, v0, cur),
+        group_col,
+        value_col,
+        src_version=cur,
+    )
+    return cur

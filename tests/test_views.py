@@ -1451,3 +1451,125 @@ def test_topk_view_clean_path_never_touches_source(spark, tmp_path):
         ("h", 1): (1, 1),
         ("n", 1): (42, 1),
     }, got
+
+
+# ---------------------------------------------------------------------------
+# Incremental QUANTILE view (r08)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_view_tracks_recompute_through_waves(spark, tmp_path):
+    """The bucketized support folds signed contributions exactly — the
+    incrementally maintained view equals a fresh seed from the final
+    snapshot after every wave (inserts, updates moving values across
+    buckets, deletes emptying buckets, NULLs excluded), and the rank
+    arithmetic picks the documented bucket on a hand-checked case."""
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_quantile_view,
+        seed_quantile_view,
+        sync_quantile_view_to_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+
+    def merge(rows):
+        merge_into_partitioned_snapshot(
+            spark,
+            table,
+            spark.createDataFrame(
+                rows, "k long, grp string, val long, seq long, op string"
+            ),
+            key="k",
+            seq="seq",
+            num_partitions=4,
+            delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+
+    def check():
+        sync_quantile_view_to_snapshot(
+            spark, table, view, "grp", F.col("val"), width=10.0
+        )
+        got = sorted(
+            (r["__g"], r["pct"], r["q_lo"], r["n_rows"])
+            for r in read_quantile_view(
+                spark, view, percents=[25, 50, 90, 99]
+            ).collect()
+        )
+        fresh = str(tmp_path / "fresh")
+        seed_quantile_view(
+            spark, fresh,
+            read_partitioned_snapshot(spark, table),
+            "grp", F.col("val"), width=10.0,
+        )
+        want = sorted(
+            (r["__g"], r["pct"], r["q_lo"], r["n_rows"])
+            for r in read_quantile_view(
+                spark, fresh, percents=[25, 50, 90, 99]
+            ).collect()
+        )
+        assert got == want, (got, want)
+        return dict(
+            ((g, p), (q, n)) for g, p, q, n in got
+        )
+
+    # a: values 0..99 (one per unit of 1), buckets 0..9 x10 rows; the
+    # 50th percentile: idx = ceil(100*50/100) = 50 -> cum hits 50 at
+    # bucket 4 (rows 40..49 are ranks 41..50) -> q_lo = 40.0
+    merge([(i, "a", i, 0, "U") for i in range(100)]
+          + [(500, "b", None, 0, "U"), (501, "b", 7, 0, "U")])
+    got = check()
+    assert got[("a", 50)] == (40.0, 100)
+    assert got[("a", 99)] == (90.0, 100)  # idx 99 -> bucket 9
+    assert got[("b", 50)] == (0.0, 1)     # NULL excluded from n
+
+    # delete the whole top bucket (90..99) and update 10 values from
+    # bucket 0 into bucket 5 — cross-bucket moves + an emptied bucket
+    merge([(i, "a", None, 1, "D") for i in range(90, 100)]
+          + [(i, "a", 55, 1, "U") for i in range(10)])
+    got = check()
+    assert got[("a", 99)] == (80.0, 90)
+
+    # group b gains rows; group a partially drains
+    merge([(600 + i, "b", i * 3, 2, "U") for i in range(20)]
+          + [(i, "a", None, 2, "D") for i in range(10, 40)])
+    check()
+
+
+def test_quantile_view_width_sticky(spark, tmp_path):
+    import pytest
+
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        quantile_view_width,
+        sync_quantile_view_to_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    merge_into_partitioned_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(i, "g", i, 0, "U") for i in range(10)],
+            "k long, grp string, val long, seq long, op string",
+        ),
+        key="k",
+        seq="seq",
+        num_partitions=2,
+        delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+    sync_quantile_view_to_snapshot(
+        spark, table, view, "grp", F.col("val"), width=5.0
+    )
+    assert quantile_view_width(view) == 5.0
+    with pytest.raises(ValueError, match="rebuild"):
+        sync_quantile_view_to_snapshot(
+            spark, table, view, "grp", F.col("val"), width=2.0
+        )
+    # width omitted after creation: fine (meta carries it)
+    assert (
+        sync_quantile_view_to_snapshot(spark, table, view, "grp", F.col("val"))
+        == 1
+    )
