@@ -208,6 +208,8 @@ HEADLINE = [
     "ivm_cascade",
     # r08: QUANTILE view (bucketized support, delete-capable percentiles)
     "incremental_quantile_view",
+    # r08: depth-3 cascade anchored by the merge-backed gold agg view
+    "ivm_cascade_deep",
 ]
 
 

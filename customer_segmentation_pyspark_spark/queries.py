@@ -5057,6 +5057,140 @@ def q_ivm_cascade(spark, sf_dir):
     )
 
 
+def q_ivm_cascade_deep(spark, sf_dir):
+    """r08 — DEPTH-3 IVM cascade under the hash gate: fact/dim ->
+    SILVER join view -> GOLD merge-backed per-customer aggregate
+    (`streaming/views.py:sync_agg_merge_view` — O(|Δ| + changed
+    groups' partitions) maintenance, per-group __applied replay
+    witness, and crucially its OWN exact CDF because it is an ordinary
+    versioned MERGE table) -> PLATINUM order-count distribution
+    (swap-style COUNT/SUM over gold's change feed, grouped by gold's
+    n_orders column). The fact wave moves customers between
+    order-count groups (gold CDF pre/post images re-bucket them in
+    platinum); the dim wave's %10 nation renumber flows silver -> gold
+    as a NO-OP delta (value contribution unchanged) while the %13 dim
+    delete NULLs nation and drops those orders' qty contribution —
+    changing gold sums and platinum totals two levels downstream. All
+    integer arithmetic; the oracle replays both logs and re-aggregates
+    the three levels."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_agg_merge_view,
+        sync_join_view_to_snapshots,
+        sync_view_to_snapshot,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    fact_dir = _scratch_path("ivm_deep/fact")
+    dim_dir = _scratch_path("ivm_deep/dim")
+    silver = _scratch_path("ivm_deep/silver")
+    gold = _scratch_path("ivm_deep/gold")
+    platinum = _scratch_path("ivm_deep/plat")
+    for p in (fact_dir, dim_dir, silver, gold, platinum):
+        shutil.rmtree(p, ignore_errors=True)
+
+    base_f = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_orderkey") % 97).cast("long").alias("qty"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    base_d = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.lit(0).cast("long").alias("dseq"),
+        F.lit("U").alias("dop"),
+    )
+    kw_f = dict(
+        key="okey", seq="seq", num_partitions=8,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    kw_d = dict(
+        key="custkey", seq="dseq", num_partitions=8,
+        delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+
+    def syncs():
+        sync_join_view_to_snapshots(
+            spark, fact_dir, dim_dir, silver, "custkey", num_partitions=8
+        )
+        sync_agg_merge_view(
+            spark, silver, gold, "custkey",
+            F.when(F.col("nation").isNotNull(), F.col("qty")).otherwise(
+                F.lit(0)
+            ),
+            num_partitions=8,
+            n_col="n_orders", sum_col="qty_sum",
+        )
+        sync_view_to_snapshot(
+            spark, gold, platinum, "n_orders", F.col("qty_sum")
+        )
+
+    merge_into_partitioned_snapshot(spark, fact_dir, base_f, **kw_f)
+    merge_into_partitioned_snapshot(spark, dim_dir, base_d, **kw_d)
+    syncs()
+
+    wave_f = (
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("custkey"),
+            ((F.col("o_orderkey") % 97) + 5).cast("long").alias("qty"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("okey"),
+                F.col("o_custkey").alias("custkey"),
+                F.lit(None).cast("long").alias("qty"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 5000000).alias("okey"),
+                F.col("o_custkey").alias("custkey"),
+                (F.col("o_orderkey") % 89).cast("long").alias("qty"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+    )
+    merge_into_partitioned_snapshot(spark, fact_dir, wave_f, **kw_f)
+    syncs()  # customers change order counts -> platinum re-buckets
+
+    wave_d = (
+        c.filter(F.col("c_custkey") % 10 == 0).select(
+            F.col("c_custkey").alias("custkey"),
+            (F.col("c_nationkey").cast("long") + 100).alias("nation"),
+            F.lit(1).cast("long").alias("dseq"),
+            F.lit("U").alias("dop"),
+        )
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit(None).cast("long").alias("nation"),
+            F.lit(2).cast("long").alias("dseq"),
+            F.lit("D").alias("dop"),
+        )
+    )
+    merge_into_partitioned_snapshot(spark, dim_dir, wave_d, **kw_d)
+    syncs()  # %13 deletes zero qty contributions two levels down
+
+    return spark.read.parquet(platinum).select(
+        "n_orders",
+        F.col("n_rows").alias("n_customers"),
+        F.col("total").alias("sum_qty"),
+    )
+
+
 def _build_scd2_history(spark, sf_dir):
     """Shared build for the r07 SCD2 capstone (#13): a customer
     dimension replayed through three versions — base (v1), then
@@ -13569,6 +13703,47 @@ SELECT nation, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(qty) AS BIGINT) AS total_qty
 FROM joined GROUP BY nation"""
 
+ORACLES["ivm_cascade_deep"] = """
+WITH factlog AS (
+  SELECT o_orderkey AS okey, o_custkey AS custkey,
+         o_orderkey % 97 AS qty, 0 AS seq, 'U' AS op FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, (o_orderkey % 97) + 5, 1, 'U'
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, NULL, 2, 'D'
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 5000000, o_custkey, o_orderkey % 89, 1, 'U'
+  FROM orders WHERE o_orderkey % 11 = 0),
+dimlog AS (
+  SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS nation,
+         0 AS dseq, 'U' AS dop FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) + 100, 1, 'U'
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, 2, 'D'
+  FROM customer WHERE c_custkey % 13 = 0),
+flive AS (
+  SELECT * FROM factlog
+  QUALIFY row_number() OVER (PARTITION BY okey ORDER BY seq DESC) = 1),
+dlive AS (
+  SELECT * FROM dimlog
+  QUALIFY row_number() OVER (PARTITION BY custkey ORDER BY dseq DESC) = 1),
+silver AS (
+  SELECT f.custkey AS custkey, f.qty AS qty, d.nation AS nation
+  FROM (SELECT * FROM flive WHERE op <> 'D') f
+  LEFT JOIN (SELECT * FROM dlive WHERE dop <> 'D') d USING (custkey)),
+gold AS (
+  SELECT custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN nation IS NOT NULL THEN qty ELSE 0 END)
+              AS BIGINT) AS qty_sum
+  FROM silver GROUP BY custkey)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(qty_sum) AS BIGINT) AS sum_qty
+FROM gold GROUP BY n_orders"""
+
 ORACLES["indexed_point_lookup"] = """
 WITH allrows AS (
   SELECT doc_id, 'tag' || CAST(doc_id % 997 AS VARCHAR) AS tag,
@@ -14230,6 +14405,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "incremental_quantile_view": QuerySpec(
         q_incremental_quantile_view, ORACLES["incremental_quantile_view"]
     ),
+    # r08: depth-3 cascade (merge-backed gold agg view anchors level 3)
+    "ivm_cascade_deep": QuerySpec(
+        q_ivm_cascade_deep, ORACLES["ivm_cascade_deep"]
+    ),
 }
 
 #: r05 (VERDICT item 5): the driver oracle-checks the FIRST 50 registry
@@ -14250,7 +14429,7 @@ _DRIVER_SPOTLIGHT = [
     # mirror checks ALL oracled entries regardless of position.
     "null_funcs", "scd2_enriched_view", "indexed_range_lookup",
     "incremental_topk_view", "ivm_cascade", "incremental_quantile_view",
-    "incremental_distinct_view",
+    "ivm_cascade_deep", "incremental_distinct_view",
     "scd2_intervals", "pii_redact", "twap_value", "brand_affinity",
     "dp_count", "token_ids", "degree_distribution",
     "repeat_purchase_interval", "feature_cross", "jl_projection",
@@ -14263,7 +14442,7 @@ _DRIVER_SPOTLIGHT = [
     "bloom_prune_join", "lag_features", "interval_concurrency",
     "event_transitions", "doc_entropy", "mixture_sample",
     "k_anonymity", "key_skew_profile", "dataset_split",
-    "event_dedup_window", "oov_rate", "source_quota",
+    "event_dedup_window", "oov_rate",
 ]
 
 REGISTRY = {

@@ -1728,3 +1728,182 @@ def sync_quantile_view_to_snapshot(
         src_version=cur,
     )
     return cur
+
+
+# ---------------------------------------------------------------------------
+# MERGE-backed COUNT/SUM view (r08): the swap-style views above rewrite
+# the WHOLE view parquet per sync — O(groups), fine for dashboard-sized
+# views, wrong for millions of groups. This variant stores the same
+# (group, n_rows, total) state in an ordinary partitioned MERGE table
+# keyed by a group surrogate, so one sync is O(|Δ| + changed groups'
+# partitions): the slice's signed per-group deltas point-read their
+# current rows (bounded key_in, semi-join fallback past 64 groups — the
+# _jvmap_rows_for discipline), fold, and merge back; groups reaching
+# zero rows tombstone.
+#
+# Exactly-once WITHOUT the atomic-swap trick: the additive fold is made
+# convergent by a per-group ``__applied`` source-version witness. The
+# view merge is atomic (manifest commit), so after a crash between the
+# merge and the cursor write, the replayed slice finds every one of its
+# groups already stamped ``__applied == cur`` and skips them — the fold
+# can never double-count. (Group deletes replay as tombstones of absent
+# keys — idempotent no-ops.)
+#
+# Because the view is a versioned MERGE table, it has an exact CDF of
+# its own — aggregate views can feed further views (the N-level cascade
+# the swap-style gold cannot anchor, having no manifests). NULL groups
+# are legal: the merge key is a string surrogate ('n' prefix for NULL,
+# 'v:<str>' otherwise); the real group value rides as payload.
+# ---------------------------------------------------------------------------
+
+GKEY = "__gkey"
+
+
+def _group_surrogate(group_col):
+    return F.when(
+        group_col.isNull(), F.lit("n")
+    ).otherwise(F.concat(F.lit("v:"), group_col.cast("string")))
+
+
+def read_agg_merge_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """(group, <n_col>, <sum_col>) — surrogate key and bookkeeping
+    dropped; the aggregate column names are whatever the sync was
+    created with."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    return read_partitioned_snapshot(spark, view_dir).drop(
+        GKEY, "__applied", "__seq", "__op"
+    )
+
+
+def sync_agg_merge_view(
+    spark: SparkSession,
+    table_dir: str,
+    view_dir: str,
+    group_col: str,
+    value_col,
+    num_partitions: int = 32,
+    point_read_max_groups: int = 64,
+    n_col: str = "n_rows",
+    sum_col: str = "total",
+) -> int:
+    """Bring the merge-backed COUNT/SUM view up to the source's latest
+    version, folding only the CDF since the cursored version (seeding
+    from the snapshot on first call). Returns the reflected version.
+    NULL values count the row and add 0, same as the swap-style view."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(table_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    v0 = view_src_version(view_dir) if os.path.isdir(view_dir) else None
+    if v0 is not None and v0 >= cur:
+        return v0
+    if v0 is None:
+        snap = read_partitioned_snapshot(spark, table_dir, version=cur)
+        g = F.col(group_col)
+        rows = snap.groupBy(g.alias(group_col)).agg(
+            F.count(F.lit(1)).cast("long").alias(n_col),
+            F.sum(F.coalesce(value_col, F.lit(0)))
+            .cast("long")
+            .alias(sum_col),
+        ).select(
+            _group_surrogate(F.col(group_col)).alias(GKEY),
+            group_col,
+            n_col,
+            sum_col,
+            F.lit(cur).cast("long").alias("__applied"),
+            F.lit(0).cast("long").alias("__seq"),
+            F.lit("U").alias("__op"),
+        )
+        merge_into_partitioned_snapshot(
+            spark,
+            view_dir,
+            rows,
+            key=GKEY,
+            seq="__seq",
+            num_partitions=num_partitions,
+            delete_when="__op = 'D'",
+            marker_cols=("__op",),
+        )
+        os.makedirs(view_dir, exist_ok=True)
+        _write_marker(view_dir, cur)
+        return cur
+
+    cdf = read_snapshot_changes(spark, table_dir, v0, cur)
+    value = F.coalesce(value_col, F.lit(0))
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        cdf.groupBy(F.col(group_col).alias("__dg"))
+        .agg(
+            F.sum(sign).cast("long").alias("__d_n"),
+            F.sum(sign * value).cast("long").alias("__d_sum"),
+        )
+        .filter((F.col("__d_n") != 0) | (F.col("__d_sum") != 0))
+        .withColumn("__dkey", _group_surrogate(F.col("__dg")))
+        .localCheckpoint(eager=True)  # reused: key collect + fold
+    )
+    keys = [
+        r["__dkey"]
+        for r in delta.select("__dkey")
+        .limit(point_read_max_groups + 1)
+        .collect()
+    ]
+    if not keys:
+        _write_marker(view_dir, cur)
+        return cur
+    if len(keys) <= point_read_max_groups:
+        current = read_partitioned_snapshot(spark, view_dir, key_in=keys)
+    else:
+        # wave-sized group set: never build a driver IN-list — read the
+        # view and semi-join (the _jvmap_rows_for discipline)
+        current = read_partitioned_snapshot(spark, view_dir).join(
+            delta.select(F.col("__dkey").alias(GKEY)), GKEY, "leftsemi"
+        )
+    j = current.join(
+        delta, F.col(GKEY) == F.col("__dkey"), "full_outer"
+    )
+    # replay guard: a group already stamped at this source version took
+    # its fold in the crashed run's landed merge — skip it
+    replayed = F.col("__applied").isNotNull() & (
+        F.col("__applied") >= F.lit(cur)
+    )
+    n_new = F.when(replayed, F.col(n_col)).otherwise(
+        F.coalesce(F.col(n_col), F.lit(0))
+        + F.coalesce(F.col("__d_n"), F.lit(0))
+    )
+    t_new = F.when(replayed, F.col(sum_col)).otherwise(
+        F.coalesce(F.col(sum_col), F.lit(0))
+        + F.coalesce(F.col("__d_sum"), F.lit(0))
+    )
+    out = j.select(
+        F.coalesce(F.col(GKEY), F.col("__dkey")).alias(GKEY),
+        F.coalesce(F.col(group_col), F.col("__dg")).alias(group_col),
+        n_new.alias(n_col),
+        t_new.alias(sum_col),
+        F.greatest(
+            F.coalesce(F.col("__applied"), F.lit(0)), F.lit(cur)
+        ).cast("long").alias("__applied"),
+        F.lit(1).cast("long").alias("__seq"),
+        F.when(n_new <= 0, F.lit("D")).otherwise(F.lit("U")).alias("__op"),
+    )
+    merge_into_partitioned_snapshot(
+        spark,
+        view_dir,
+        out,
+        key=GKEY,
+        seq="__seq",
+        delete_when="__op = 'D'",
+        marker_cols=("__op",),
+    )
+    _write_marker(view_dir, cur)
+    return cur

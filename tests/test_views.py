@@ -1573,3 +1573,130 @@ def test_quantile_view_width_sticky(spark, tmp_path):
         sync_quantile_view_to_snapshot(spark, table, view, "grp", F.col("val"))
         == 1
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE-backed COUNT/SUM view (r08)
+# ---------------------------------------------------------------------------
+
+
+def _agg_merge_recompute(spark, table):
+    return {
+        r["grp"]: (r["n"], r["t"])
+        for r in read_partitioned_snapshot(spark, table)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("val", F.lit(0))).cast("long").alias("t"),
+        )
+        .collect()
+    }
+
+
+def test_agg_merge_view_tracks_recompute_and_replays_convergently(
+    spark, tmp_path
+):
+    """The merge-backed view folds every wave exactly (NULL groups and
+    values, group emptying included) — and re-folding the SAME slice
+    after a simulated crash (cursor rewound past a landed merge) is a
+    no-op thanks to the per-group __applied witness: the additive fold
+    can never double-count."""
+    import os as _os
+
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        SRC_VERSION_FILE,
+        read_agg_merge_view,
+        sync_agg_merge_view,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    versions = []
+    for wave in WAVES:
+        merge_into_partitioned_snapshot(
+            spark, table, spark.createDataFrame(wave, SCHEMA),
+            "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+        versions.append(versioned.latest_version(table))
+        sync_agg_merge_view(
+            spark, table, view, "grp", F.col("val"), num_partitions=4
+        )
+        got = {
+            r["grp"]: (r["n_rows"], r["total"])
+            for r in read_agg_merge_view(spark, view).collect()
+        }
+        assert got == _agg_merge_recompute(spark, table), got
+    # group 'c' emptied -> tombstoned out of the view
+    assert "c" not in got
+
+    # crash simulation: the last sync's merge LANDED but the cursor
+    # write was lost — rewind the marker and replay the slice
+    with open(_os.path.join(view, SRC_VERSION_FILE), "w") as f:
+        f.write(str(versions[-2]))
+    assert (
+        sync_agg_merge_view(spark, table, view, "grp", F.col("val"))
+        == versions[-1]
+    )
+    replayed = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in read_agg_merge_view(spark, view).collect()
+    }
+    assert replayed == got, (replayed, got)
+
+
+def test_agg_merge_view_semi_join_fallback_matches_point_read(
+    spark, tmp_path
+):
+    """Past the point-read bound the sync must switch to the semi-join
+    read (never a wave-sized IN-list) with identical results; NULL
+    groups route through the surrogate on both paths."""
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_agg_merge_view,
+        sync_agg_merge_view,
+    )
+
+    table = str(tmp_path / "t")
+    v_point = str(tmp_path / "vp")
+    v_semi = str(tmp_path / "vs")
+    base = [(i, f"g{i % 20}" if i % 7 else None, float(i), 0, "U")
+            for i in range(100)]
+    wave = [(i, f"g{i % 20}" if i % 7 else None, float(i * 2), 1, "U")
+            for i in range(0, 100, 2)] + [
+        (i, None, None, 1, "D") for i in range(1, 100, 9)
+    ]
+    for rows in (base,):
+        merge_into_partitioned_snapshot(
+            spark, table, spark.createDataFrame(rows, SCHEMA),
+            "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+    for v in (v_point, v_semi):
+        sync_agg_merge_view(
+            spark, table, v, "grp", F.col("val"), num_partitions=4
+        )
+    merge_into_partitioned_snapshot(
+        spark, table, spark.createDataFrame(wave, SCHEMA),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    sync_agg_merge_view(
+        spark, table, v_point, "grp", F.col("val"),
+        point_read_max_groups=64,
+    )
+    sync_agg_merge_view(
+        spark, table, v_semi, "grp", F.col("val"),
+        point_read_max_groups=2,  # force the fallback
+    )
+    nskey = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    rows = lambda d: sorted(  # noqa: E731
+        ((r["grp"], r["n_rows"], r["total"])
+         for r in read_agg_merge_view(spark, d).collect()),
+        key=nskey,
+    )
+    want = sorted(
+        ((g, n, t) for g, (n, t) in
+         _agg_merge_recompute(spark, table).items()),
+        key=nskey,
+    )
+    assert rows(v_point) == want
+    assert rows(v_semi) == want
