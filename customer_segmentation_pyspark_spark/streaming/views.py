@@ -1807,7 +1807,17 @@ def sync_agg_merge_view(
     if v0 is not None and v0 >= cur:
         return v0
     if v0 is None:
-        snap = read_partitioned_snapshot(spark, table_dir, version=cur)
+        try:
+            snap = read_partitioned_snapshot(
+                spark, table_dir, version=cur
+            )
+        except FileNotFoundError:
+            # source committed but currently EMPTY (all rows deleted):
+            # the view is trivially empty at cur — record the cursor;
+            # the update path re-seeds once rows exist
+            os.makedirs(view_dir, exist_ok=True)
+            _write_marker(view_dir, cur)
+            return cur
         g = F.col(group_col)
         rows = snap.groupBy(g.alias(group_col)).agg(
             F.count(F.lit(1)).cast("long").alias(n_col),
@@ -1837,6 +1847,18 @@ def sync_agg_merge_view(
         _write_marker(view_dir, cur)
         return cur
 
+    if versioned.latest_version(view_dir) < 1:
+        # a seed over a zero-row source wrote the cursor but the merge
+        # committed nothing (no touched partitions -> no manifest) —
+        # re-seed instead of reading a manifest-less dir (the r07
+        # join-view None-manifest lesson, applied at birth)
+        os.remove(os.path.join(view_dir, SRC_VERSION_FILE))
+        return sync_agg_merge_view(
+            spark, table_dir, view_dir, group_col, value_col,
+            num_partitions=num_partitions,
+            point_read_max_groups=point_read_max_groups,
+            n_col=n_col, sum_col=sum_col,
+        )
     cdf = read_snapshot_changes(spark, table_dir, v0, cur)
     value = F.coalesce(value_col, F.lit(0))
     sign = F.when(

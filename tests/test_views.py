@@ -1700,3 +1700,44 @@ def test_agg_merge_view_semi_join_fallback_matches_point_read(
     )
     assert rows(v_point) == want
     assert rows(v_semi) == want
+
+
+def test_agg_merge_view_seed_over_empty_source_then_growth(spark, tmp_path):
+    """A seed over a table whose snapshot is EMPTY (all rows deleted)
+    commits no view manifest; the next sync must re-seed instead of
+    reading a manifest-less dir (the r07 join-view None-manifest
+    lesson, applied to the merge-backed view)."""
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_agg_merge_view,
+        sync_agg_merge_view,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    merge_into_partitioned_snapshot(
+        spark, table,
+        spark.createDataFrame([(1, "a", 5.0, 0, "U")], SCHEMA),
+        "k", "seq", num_partitions=2,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, table,
+        spark.createDataFrame([(1, "a", None, 1, "D")], SCHEMA),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    sync_agg_merge_view(
+        spark, table, view, "grp", F.col("val"), num_partitions=2
+    )  # empty seed: cursor written, nothing committed
+    merge_into_partitioned_snapshot(
+        spark, table,
+        spark.createDataFrame(
+            [(2, "b", 3.0, 2, "U"), (3, "b", 4.0, 2, "U")], SCHEMA
+        ),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    sync_agg_merge_view(spark, table, view, "grp", F.col("val"))
+    got = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in read_agg_merge_view(spark, view).collect()
+    }
+    assert got == {"b": (2, 7)}, got
