@@ -84,7 +84,7 @@ def sync_view_to_snapshot(
         seed_count_sum_view(
             spark,
             view_dir,
-            read_partitioned_snapshot(spark, table_dir, version=cur),
+            _snapshot_or_empty(spark, table_dir, cur),
             group_col,
             value_col,
             src_version=cur,
@@ -317,7 +317,7 @@ def sync_distinct_view_to_snapshot(
         seed_distinct_view(
             spark,
             view_dir,
-            read_partitioned_snapshot(spark, table_dir, version=cur),
+            _snapshot_or_empty(spark, table_dir, cur),
             group_col,
             value_col,
             src_version=cur,
@@ -1188,7 +1188,7 @@ def sync_minmax_view_to_snapshot(
         seed_min_max_view(
             spark,
             view_dir,
-            read_partitioned_snapshot(spark, table_dir, version=cur),
+            _snapshot_or_empty(spark, table_dir, cur),
             group_col,
             value_col,
             src_version=cur,
@@ -1202,7 +1202,7 @@ def sync_minmax_view_to_snapshot(
         read_snapshot_changes(spark, table_dir, v0, cur),
         group_col,
         value_col,
-        read_partitioned_snapshot(spark, table_dir, version=cur),
+        _snapshot_or_empty(spark, table_dir, cur),
         src_version=cur,
     )
     return cur
@@ -1487,7 +1487,7 @@ def sync_topk_view_to_snapshot(
         seed_topk_view(
             spark,
             view_dir,
-            read_partitioned_snapshot(spark, table_dir, version=cur),
+            _snapshot_or_empty(spark, table_dir, cur),
             group_col,
             value_col,
             k,
@@ -1508,7 +1508,7 @@ def sync_topk_view_to_snapshot(
         read_snapshot_changes(spark, table_dir, v0, cur),
         group_col,
         value_col,
-        read_partitioned_snapshot(spark, table_dir, version=cur),
+        _snapshot_or_empty(spark, table_dir, cur),
         src_version=cur,
     )
     return cur
@@ -1705,7 +1705,7 @@ def sync_quantile_view_to_snapshot(
         seed_quantile_view(
             spark,
             view_dir,
-            read_partitioned_snapshot(spark, table_dir, version=cur),
+            _snapshot_or_empty(spark, table_dir, cur),
             group_col,
             value_col,
             width,

@@ -1741,3 +1741,43 @@ def test_agg_merge_view_seed_over_empty_source_then_growth(spark, tmp_path):
         for r in read_agg_merge_view(spark, view).collect()
     }
     assert got == {"b": (2, 7)}, got
+
+
+def test_swap_view_seed_over_emptied_source_is_empty_not_crash(
+    spark, tmp_path
+):
+    """Seeding ANY swap-style view over a table whose snapshot is
+    currently empty (manifest present, zero part dirs) must produce an
+    empty view at that cursor — not raise — and the next sync folds
+    growth normally (r08: _snapshot_or_empty applied uniformly to all
+    sync drivers' snapshot reads)."""
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_view_to_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    merge_into_partitioned_snapshot(
+        spark, table,
+        spark.createDataFrame([(1, "a", 5.0, 0, "U")], SCHEMA),
+        "k", "seq", num_partitions=2,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, table,
+        spark.createDataFrame([(1, "a", None, 1, "D")], SCHEMA),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    assert sync_view_to_snapshot(spark, table, view, "grp", F.col("val")) == 2
+    assert spark.read.parquet(view).count() == 0
+    merge_into_partitioned_snapshot(
+        spark, table,
+        spark.createDataFrame([(2, "b", 3.0, 2, "U")], SCHEMA),
+        "k", "seq", delete_when="op = 'D'", marker_cols=("op",),
+    )
+    assert sync_view_to_snapshot(spark, table, view, "grp", F.col("val")) == 3
+    got = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in spark.read.parquet(view).collect()
+    }
+    assert got == {"b": (1, 3)}, got
