@@ -95,6 +95,12 @@ def test_coverage_md_query_names_resolve():
         "test_stream_merge", "sync_scd2_history", "scd2_asof_join",
         "test_mor_auto_compact_bounds_log_length", "auto_compact_logs",
         "update_distinct_view",
+        # r08: inverted-map GC, view-on-view cascade, IVM additions
+        "vacuum_jvmap", "vacuum_column_index", "sync_view_to_snapshot",
+        "test_ivm_cascade_view_on_view_fuzz", "update_topk_view",
+        "update_quantile_view", "sync_agg_merge_view",
+        "read_by_column_range", "sync_topk_view_to_snapshot",
+        "sync_quantile_view_to_snapshot",
     }
     path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
     unknown = []
