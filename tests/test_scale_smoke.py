@@ -890,3 +890,80 @@ def test_range_index_locality_at_scale(spark, tmp_path):
     assert len(dirs2) <= len(dirs) + 1
     full = read_partitioned_snapshot(spark, d2)
     assert len({_os.path.dirname(f) for f in full.inputFiles()}) == nparts
+
+
+def test_agg_merge_view_wave_locality_at_scale(spark, tmp_path):
+    """r08: the merge-backed aggregate view's 100 TB contract at 1M
+    source rows / ~100k groups / 64 view partitions — a wave touching
+    20 groups rewrites ONLY those groups' hash partitions (manifest
+    diff), leaves every other partition's dir untouched, and the
+    folded groups match a recompute."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_agg_merge_view,
+        sync_agg_merge_view,
+    )
+
+    n, ngroups, nparts = 1_000_000, 100_003, 64
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % ngroups).cast("long").alias("grp"),
+        (F.col("id") % 1_000).cast("long").alias("val"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+    merge_into_partitioned_snapshot(
+        spark, table, base, key="k", seq="seq", num_partitions=32
+    )
+    sync_agg_merge_view(
+        spark, table, view, "grp", F.col("val"), num_partitions=nparts
+    )
+    man_before = versioned.read_manifest(view)
+    assert len(man_before["parts"]) == nparts
+
+    # wave: 40 rows spread over 20 groups (updates + 2 deletes)
+    wave = spark.createDataFrame(
+        [(g * 17, (g * 17) % ngroups, 999, 1, "U") for g in range(18)]
+        + [(18 * 17, (18 * 17) % ngroups, None, 1, "D"),
+           (19 * 17, (19 * 17) % ngroups, None, 1, "D")],
+        "k long, grp long, val long, seq long, op string",
+    )
+    merge_into_partitioned_snapshot(
+        spark, table, wave, key="k", seq="seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    sync_agg_merge_view(spark, table, view, "grp", F.col("val"))
+    man_after = versioned.read_manifest(view)
+    changed = {
+        p
+        for p in man_after["parts"]
+        if man_after["parts"][p] != man_before["parts"].get(p)
+    }
+    # <= 20 distinct groups -> <= 20 view hash partitions rewritten
+    assert 0 < len(changed) <= 20, len(changed)
+
+    # folded groups equal the recompute (spot-check the touched set)
+    touched_groups = [int((g * 17) % ngroups) for g in range(20)]
+    got = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in read_agg_merge_view(spark, view)
+        .filter(F.col("grp").isin(touched_groups))
+        .collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["t"])
+        for r in read_partitioned_snapshot(spark, table)
+        .filter(F.col("grp").isin(touched_groups))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("val", F.lit(0))).cast("long").alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
