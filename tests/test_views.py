@@ -1781,3 +1781,131 @@ def test_swap_view_seed_over_emptied_source_is_empty_not_crash(
         for r in spark.read.parquet(view).collect()
     }
     assert got == {"b": (1, 3)}, got
+
+
+def test_ivm_cascade_deep_fuzz_all_levels_lag(spark, tmp_path):
+    """Depth-3 fuzz: silver (join view), gold (MERGE-backed per-key
+    aggregate), and platinum (swap-style distribution over gold's CDF)
+    each sync at independent random points — every level lags every
+    other arbitrarily and folds multi-version slices on catch-up;
+    after the final sync chain, platinum equals the full recompute
+    from the two source tables."""
+    import random
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_agg_merge_view,
+        sync_join_view_to_snapshots,
+        sync_view_to_snapshot,
+    )
+
+    rng = random.Random(11)
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    plat = str(tmp_path / "plat")
+
+    def fw(rows):
+        return spark.createDataFrame(
+            rows, "fk long, jk long, amt long, seq long, op string"
+        )
+
+    def dw(rows):
+        return spark.createDataFrame(
+            rows, "jk long, attr string, dseq long, dop string"
+        )
+
+    merge_into_partitioned_snapshot(
+        spark, fact_dir, fw([(f, f % 5, f, 0, "U") for f in range(30)]),
+        key="fk", seq="seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark, dim_dir, dw([(j, f"a{j % 2}", 0, "U") for j in range(5)]),
+        key="jk", seq="dseq", num_partitions=4,
+        delete_when="dop = 'D'", marker_cols=("dop",),
+    )
+
+    def s_silver():
+        sync_join_view_to_snapshots(
+            spark, fact_dir, dim_dir, silver, "jk", num_partitions=4
+        )
+
+    def s_gold():
+        sync_agg_merge_view(
+            spark, silver, gold, "jk",
+            F.when(F.col("attr").isNotNull(), F.col("amt")).otherwise(
+                F.lit(0)
+            ),
+            num_partitions=4, n_col="n_facts", sum_col="amt_sum",
+        )
+
+    def s_plat():
+        sync_view_to_snapshot(
+            spark, gold, plat, "n_facts", F.col("amt_sum")
+        )
+
+    s_silver(); s_gold(); s_plat()
+    seq = 0
+    for _ in range(16):
+        seq += 1
+        roll = rng.random()
+        if roll < 0.35:
+            rows = [
+                (rng.randrange(40), rng.randrange(6),
+                 rng.randint(0, 50), seq,
+                 "D" if rng.random() < 0.25 else "U")
+                for _ in range(rng.randint(1, 5))
+            ]
+            merge_into_partitioned_snapshot(
+                spark, fact_dir, fw(rows), key="fk", seq="seq",
+                delete_when="op = 'D'", marker_cols=("op",),
+            )
+        elif roll < 0.55:
+            rows = [
+                (rng.randrange(6), f"a{rng.randrange(3)}", seq,
+                 "D" if rng.random() < 0.3 else "U")
+                for _ in range(rng.randint(1, 2))
+            ]
+            merge_into_partitioned_snapshot(
+                spark, dim_dir, dw(rows), key="jk", seq="dseq",
+                delete_when="dop = 'D'", marker_cols=("dop",),
+            )
+        elif roll < 0.72:
+            s_silver()
+        elif roll < 0.88:
+            s_gold()
+        else:
+            s_plat()
+    s_silver(); s_gold(); s_plat()
+
+    got = {
+        (r["n_facts"], r["n_rows"], r["total"])
+        for r in spark.read.parquet(plat).collect()
+    }
+    fact = read_partitioned_snapshot(spark, fact_dir)
+    dim = read_partitioned_snapshot(spark, dim_dir)
+    gold_rc = (
+        fact.join(dim.select("jk", "attr"), "jk", "left")
+        .groupBy("jk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.sum(
+                F.when(F.col("attr").isNotNull(), F.col("amt")).otherwise(0)
+            ).cast("long").alias("amt_sum"),
+        )
+    )
+    want = {
+        (r["n_facts"], r["n"], r["t"])
+        for r in gold_rc.groupBy("n_facts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("amt_sum").cast("long").alias("t"),
+        )
+        .collect()
+    }
+    assert got == want, (got, want)
