@@ -210,6 +210,8 @@ HEADLINE = [
     "incremental_quantile_view",
     # r08: depth-3 cascade anchored by the merge-backed gold agg view
     "ivm_cascade_deep",
+    # r08 capstone #16: maintained BM25 retrieval over postings + views
+    "bm25_maintained_index",
 ]
 
 

@@ -5191,6 +5191,69 @@ def q_ivm_cascade_deep(spark, sf_dir):
     )
 
 
+def q_bm25_maintained_index(spark, sf_dir):
+    """r08 capstone #16 — maintained BM25 retrieval under the hash
+    gate, composed entirely from existing parts: the corpus delete
+    waves flow CDF -> postings MERGE table
+    (`streaming/retrieval.py:sync_postings_index` — post-images
+    re-emit a doc's postings, vanished pre-image terms tombstone) ->
+    the merge-backed df view (postings' OWN CDF; n_rows per term IS
+    document frequency) and the swap-style (N, avgdl) stats view over
+    the corpus feed. The term column index is synced ONCE after the
+    seed and left STALE through both delete waves, so the final
+    query's term read must union the changed partitions to stay exact
+    — a stale posting, phantom df, or missed tombstone changes the
+    hash. Scoring is the engine's standard BM25 (k1=1.2, b=0.75,
+    ln idf, round 6); the oracle replays the corpus log and computes
+    the same arithmetic from scratch."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        sync_column_index,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.retrieval import (
+        bm25_query_maintained,
+        sync_postings_index,
+        token_count,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        sync_agg_merge_view,
+        sync_view_to_snapshot,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = _scratch_path("bm25_idx/corpus")
+    post = _scratch_path("bm25_idx/postings")
+    dfv = _scratch_path("bm25_idx/df")
+    stats = _scratch_path("bm25_idx/stats")
+    for p in (corpus, post, dfv, stats):
+        shutil.rmtree(p, ignore_errors=True)
+    for i, wave in enumerate(_delete_wave_frames(d)):
+        merge_into_partitioned_snapshot(
+            spark, corpus, wave, key="doc_id", seq="seq",
+            num_partitions=8, delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+        sync_postings_index(spark, corpus, post, num_partitions=8)
+        sync_agg_merge_view(
+            spark, post, dfv, "term", F.lit(0),
+            num_partitions=8, n_col="df", sum_col="z",
+        )
+        sync_view_to_snapshot(
+            spark, corpus, stats, "lang", token_count(F.col("text"))
+        )
+        if i == 0:
+            sync_column_index(spark, post, "term", num_partitions=8)
+    return bm25_query_maintained(
+        spark, post, dfv, stats, BM25_QUERY_TERMS, k=10
+    )
+
+
 def _build_scd2_history(spark, sf_dir):
     """Shared build for the r07 SCD2 capstone (#13): a customer
     dimension replayed through three versions — base (v1), then
@@ -13703,6 +13766,54 @@ SELECT nation, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(qty) AS BIGINT) AS total_qty
 FROM joined GROUP BY nation"""
 
+ORACLES["bm25_maintained_index"] = """
+WITH base AS (
+  SELECT doc_id, text, lang, source, 'U' AS op, 0 AS seq FROM documents),
+w1 AS (
+  SELECT doc_id, text || ' kept' AS text, lang, source, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 2
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, 'neo: ' || text, lang, 'ingest', 'U', 1
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, 'ingest', 'D', 3
+  FROM documents WHERE doc_id % 22 = 0),
+w2 AS (
+  SELECT doc_id, 'back: ' || text AS text, lang, source, 'U' AS op, 4 AS seq
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, 'D', 5
+  FROM documents WHERE doc_id % 4 = 0),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+live AS (SELECT * FROM latest WHERE op <> 'D'),
+terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM live),
+t2 AS (SELECT * FROM terms WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+       WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+part AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id, stats s)
+SELECT doc_id, round(sum(part), 6) AS bm25
+FROM part GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10"""
+
 ORACLES["ivm_cascade_deep"] = """
 WITH factlog AS (
   SELECT o_orderkey AS okey, o_custkey AS custkey,
@@ -14409,6 +14520,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivm_cascade_deep": QuerySpec(
         q_ivm_cascade_deep, ORACLES["ivm_cascade_deep"]
     ),
+    # r08 capstone #16: maintained BM25 retrieval (postings + df view +
+    # stats view + stale term index) composed from existing parts
+    "bm25_maintained_index": QuerySpec(
+        q_bm25_maintained_index, ORACLES["bm25_maintained_index"]
+    ),
 }
 
 #: r05 (VERDICT item 5): the driver oracle-checks the FIRST 50 registry
@@ -14429,7 +14545,8 @@ _DRIVER_SPOTLIGHT = [
     # mirror checks ALL oracled entries regardless of position.
     "null_funcs", "scd2_enriched_view", "indexed_range_lookup",
     "incremental_topk_view", "ivm_cascade", "incremental_quantile_view",
-    "ivm_cascade_deep", "incremental_distinct_view",
+    "ivm_cascade_deep", "bm25_maintained_index",
+    "incremental_distinct_view",
     "scd2_intervals", "pii_redact", "twap_value", "brand_affinity",
     "dp_count", "token_ids", "degree_distribution",
     "repeat_purchase_interval", "feature_cross", "jl_projection",
@@ -14442,7 +14559,7 @@ _DRIVER_SPOTLIGHT = [
     "bloom_prune_join", "lag_features", "interval_concurrency",
     "event_transitions", "doc_entropy", "mixture_sample",
     "k_anonymity", "key_skew_profile", "dataset_split",
-    "event_dedup_window", "oov_rate",
+    "event_dedup_window",
 ]
 
 REGISTRY = {

@@ -1,0 +1,226 @@
+"""Maintained BM25 retrieval index (r08, capstone #16): the lexical
+half of the RAG stack as INCREMENTALLY MAINTAINED state, composed
+entirely from existing engine parts — no new index machinery:
+
+* **postings** — an ordinary partitioned MERGE table, one row per
+  (term, doc) with tf and the doc's token count, keyed by the
+  ``term:doc`` surrogate and maintained from the corpus CDF: a doc's
+  post-image re-emits all its postings (upsert), and pre-image terms
+  absent from the post-image tombstone — O(|Δdocs| x terms/doc) per
+  sync, never a corpus rescan.
+* **term locality** — the secondary column index
+  (`streaming/colindex.py`) on the postings' ``term`` column gives
+  query-term reads a partition-pruned, STALE-EXACT path (changed
+  partitions union in, so the index may lag the postings arbitrarily).
+* **df** — the merge-backed aggregate view (`streaming/views.py:
+  sync_agg_merge_view`) over the postings table's OWN CDF: n_rows per
+  term IS the document frequency, point-readable per query term.
+* **(N, avgdl)** — the swap-style COUNT/SUM view over the corpus CDF
+  with token count as the value; the query aggregates its few group
+  rows to scalars.
+
+Query evaluation then touches O(query terms) state: postings of the
+query's terms (pruned read), their df rows (point-read), the tiny
+stats view — and runs the standard BM25 arithmetic (identical
+constants and tokenizer to `operators/textops.py:bm25_topk`, so the
+DuckDB oracle replays it exactly).
+
+At 100 TB: every maintenance step is O(its delta) (the cascade
+argument — each layer consumes the previous layer's CDF), the hot
+query path reads only term-pruned partitions, and the one global
+state (N, avgdl) is a dashboard-sized view. The reference has no
+retrieval surface (SURVEY.md: a k-means notebook); engine surface for
+the LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.streaming.views import (
+    _write_marker,
+    view_src_version,
+)
+
+PKEY = "__pkey"
+
+
+def _tokens(text_col):
+    """lower + whitespace split + drop empties — byte-identical to the
+    bm25_topk oracle's string_split_regex(lower(text), '\\s+')."""
+    return F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda x: x != ""
+    )
+
+
+def token_count(text_col):
+    """The doc-length measure BM25 uses (exposed for the stats view)."""
+    return F.size(_tokens(text_col))
+
+
+def _postings_of(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = _tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return exploded.groupBy(id_col, "term", "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def _with_pkey(p: DataFrame, id_col: str) -> DataFrame:
+    return p.withColumn(
+        PKEY,
+        F.concat(
+            F.col("term"), F.lit(":"), F.col(id_col).cast("string")
+        ),
+    )
+
+
+def sync_postings_index(
+    spark: SparkSession,
+    corpus_dir: str,
+    post_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> int:
+    """Bring the postings table up to the corpus's latest version,
+    folding only the CDF since the cursored version (seeding from the
+    snapshot on first call). Post-images re-emit every posting of the
+    doc (keyed upsert — tf/dl changes overwrite); pre-image terms the
+    post-image no longer contains tombstone. Idempotent per slice
+    (upserts + tombstones of absent keys), so the crash-replay story
+    is the join-view's, not the additive views'."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+
+    cur = versioned.latest_version(corpus_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {corpus_dir}")
+    v0 = view_src_version(post_dir) if os.path.isdir(post_dir) else None
+    if v0 is not None and v0 >= cur:
+        return v0
+    if v0 is None:
+        snap = read_partitioned_snapshot(
+            spark, corpus_dir, version=cur
+        ).select(id_col, text_col)
+        batch = _with_pkey(
+            _postings_of(snap, id_col, text_col), id_col
+        ).select(
+            PKEY, id_col, "term", "dl", "tf",
+            F.lit(0).cast("long").alias("__seq"),
+            F.lit("U").alias("__op"),
+        )
+    else:
+        cdf = read_snapshot_changes(spark, corpus_dir, v0, cur)
+        ct = F.col("_change_type")
+        posts = _postings_of(
+            cdf.filter(ct.isin("insert", "update_postimage")).select(
+                id_col, text_col
+            ),
+            id_col,
+            text_col,
+        )
+        pres = _postings_of(
+            cdf.filter(ct.isin("delete", "update_preimage")).select(
+                id_col, text_col
+            ),
+            id_col,
+            text_col,
+        )
+        # pre-image postings whose (term, doc) the post-image no longer
+        # emits leave the index; shared keys are overwritten by the
+        # upsert (tf/dl refresh) so they need no tombstone
+        gone = pres.join(
+            posts.select(id_col, "term"), [id_col, "term"], "left_anti"
+        )
+        batch = _with_pkey(posts, id_col).select(
+            PKEY, id_col, "term", "dl", "tf",
+            F.lit(1).cast("long").alias("__seq"),
+            F.lit("U").alias("__op"),
+        ).unionByName(
+            _with_pkey(gone, id_col).select(
+                PKEY, id_col, "term", "dl", "tf",
+                F.lit(2).cast("long").alias("__seq"),
+                F.lit("D").alias("__op"),
+            )
+        )
+    merge_into_partitioned_snapshot(
+        spark,
+        post_dir,
+        batch,
+        key=PKEY,
+        seq="__seq",
+        num_partitions=num_partitions,
+        delete_when="__op = 'D'",
+        marker_cols=("__op",),
+    )
+    os.makedirs(post_dir, exist_ok=True)
+    _write_marker(post_dir, cur)
+    return cur
+
+
+def bm25_query_maintained(
+    spark: SparkSession,
+    post_dir: str,
+    df_view_dir: str,
+    stats_view_dir: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over the MAINTAINED state: postings of the query's
+    terms via the term column index (partition-pruned, stale-exact),
+    df via point-reads of the merge-backed view, (N, avgdl) from the
+    stats view's few group rows. Identical scoring arithmetic to
+    `operators/textops.py:bm25_topk` (ln idf, k1=1.2, b=0.75,
+    round 6, doc_id tie-break)."""
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        read_by_column_value,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    posts = read_by_column_value(spark, post_dir, "term", list(terms))
+    dfv = read_partitioned_snapshot(
+        spark, df_view_dir, key_in=[f"v:{t}" for t in terms]
+    ).select(F.col("term").alias("__t"), F.col("df"))
+    srow = (
+        spark.read.parquet(stats_view_dir)
+        .agg(
+            F.sum("n_rows").cast("double").alias("n"),
+            F.sum("total").cast("double").alias("tt"),
+        )
+        .first()
+    )
+    n_docs, avgdl = float(srow["n"]), float(srow["tt"]) / float(srow["n"])
+    scored = posts.join(F.broadcast(dfv), posts["term"] == dfv["__t"])
+    part = (
+        F.log(
+            1.0
+            + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(part), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,117 @@
+"""Maintained BM25 retrieval index (r08, capstone #16): the postings
+table must track a recompute through corpus churn, and the composed
+query path (term column index + df view + stats view) must equal the
+batch BM25 over the final corpus snapshot — including with the term
+index deliberately stale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_segmentation_pyspark_spark.streaming.colindex import (
+    sync_column_index,
+)
+from customer_segmentation_pyspark_spark.streaming.merge import (
+    merge_into_partitioned_snapshot,
+    read_partitioned_snapshot,
+)
+from customer_segmentation_pyspark_spark.streaming.retrieval import (
+    _postings_of,
+    bm25_query_maintained,
+    sync_postings_index,
+    token_count,
+)
+from customer_segmentation_pyspark_spark.streaming.views import (
+    sync_agg_merge_view,
+    sync_view_to_snapshot,
+)
+
+SCHEMA = "doc_id long, text string, lang string, seq long, op string"
+
+WAVES = [
+    # seed: overlapping vocab; doc 3 is the only 'cider' doc
+    [(1, "alpha beta gamma beta", "en", 0, "U"),
+     (2, "beta beta delta", "en", 0, "U"),
+     (3, "gamma cider", "fr", 0, "U"),
+     (4, "alpha alpha alpha beta", "en", 0, "U")],
+    # update 1 (drops beta entirely -> tombstoned postings), delete 2
+    # (all its postings go), insert 5
+    [(1, "alpha gamma gamma", "en", 1, "U"),
+     (2, None, "en", 1, "D"),
+     (5, "beta cider cider", "fr", 1, "U")],
+    # re-insert 2 with new text; tf-only change for 4
+    [(2, "delta delta alpha", "en", 2, "U"),
+     (4, "alpha beta", "en", 2, "U")],
+]
+
+
+def _merge_wave(spark, corpus, rows):
+    merge_into_partitioned_snapshot(
+        spark, corpus, spark.createDataFrame(rows, SCHEMA),
+        key="doc_id", seq="seq", num_partitions=4,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+
+
+def test_postings_sync_tracks_recompute(spark, tmp_path):
+    corpus = str(tmp_path / "c")
+    post = str(tmp_path / "p")
+    for rows in WAVES:
+        _merge_wave(spark, corpus, rows)
+        sync_postings_index(spark, corpus, post, num_partitions=4)
+        got = {
+            (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+            for r in read_partitioned_snapshot(spark, post).collect()
+        }
+        snap = read_partitioned_snapshot(spark, corpus).select(
+            "doc_id", "text"
+        )
+        want = {
+            (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+            for r in _postings_of(snap, "doc_id", "text").collect()
+        }
+        assert got == want, (got, want)
+    # wave 2 specifics: doc 1 lost 'beta' (tombstone), doc 2's postings
+    # came back with the re-insert text only
+    assert (1, "beta") not in got and (2, "delta") in got
+    assert got[(4, "beta")] == (1, 2)  # tf refreshed, dl refreshed
+
+
+def test_bm25_maintained_equals_batch_even_stale(spark, tmp_path):
+    """The composed maintained path == operators/textops.bm25_topk over
+    the final snapshot; the term column index is synced only ONCE
+    (after the seed), so the last two waves exercise the stale-exact
+    escape hatch end-to-end."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    corpus = str(tmp_path / "c")
+    post = str(tmp_path / "p")
+    dfv = str(tmp_path / "df")
+    stats = str(tmp_path / "s")
+    terms = ["alpha", "beta", "cider"]
+    for i, rows in enumerate(WAVES):
+        _merge_wave(spark, corpus, rows)
+        sync_postings_index(spark, corpus, post, num_partitions=4)
+        sync_agg_merge_view(
+            spark, post, dfv, "term", F.lit(0),
+            num_partitions=4, n_col="df", sum_col="z",
+        )
+        sync_view_to_snapshot(
+            spark, corpus, stats, "lang", token_count(F.col("text"))
+        )
+        if i == 0:
+            sync_column_index(spark, post, "term", num_partitions=4)
+        got = sorted(
+            (r["doc_id"], r["bm25"])
+            for r in bm25_query_maintained(
+                spark, post, dfv, stats, terms, k=10
+            ).collect()
+        )
+        snap = read_partitioned_snapshot(spark, corpus).select(
+            "doc_id", "text"
+        )
+        want = sorted(
+            (r["doc_id"], r["bm25"])
+            for r in textops.bm25_topk(snap, terms, k=10).collect()
+        )
+        assert got == want, (i, got, want)
