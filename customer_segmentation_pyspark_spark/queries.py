@@ -14538,11 +14538,12 @@ REGISTRY: dict[str, QuerySpec] = {
 _DRIVER_SPOTLIGHT = [
     # r08 rotation (VERDICT #2, fourth rotation): the null_funcs
     # re-check (the r07 oracle-typing fix must show driver-green), this
-    # round's new surface (SCD2 enriched view, range index, TOP-K view,
-    # IVM cascade), and 44 more oracled entries NEVER driver-checked in
-    # r01-r07 — 204 distinct already carry a driver green; 34 remain
-    # for a final r09 sweep to 100% driver coverage. The local parity
-    # mirror checks ALL oracled entries regardless of position.
+    # round's new surface (SCD2 enriched view, range index, TOP-K /
+    # quantile views, both IVM cascades, maintained BM25), and 41 more
+    # oracled entries NEVER driver-checked in r01-r07 — 204 distinct
+    # already carry a driver green; 37 remain for a final r09 sweep to
+    # 100% driver coverage. The local parity mirror checks ALL oracled
+    # entries regardless of position.
     "null_funcs", "scd2_enriched_view", "indexed_range_lookup",
     "incremental_topk_view", "ivm_cascade", "incremental_quantile_view",
     "ivm_cascade_deep", "bm25_maintained_index",
