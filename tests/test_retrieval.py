@@ -115,3 +115,52 @@ def test_bm25_maintained_equals_batch_even_stale(spark, tmp_path):
             for r in textops.bm25_topk(snap, terms, k=10).collect()
         )
         assert got == want, (i, got, want)
+
+
+def test_bm25_maintained_survives_index_vacuum(spark, tmp_path):
+    """GC composition: vacuuming the term column index between waves
+    (clipping its superset back to exact) must leave retrieval equal
+    to the batch — including when the index then goes stale again."""
+    from customer_segmentation_pyspark_spark.operators import textops
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        vacuum_column_index,
+    )
+
+    corpus = str(tmp_path / "c")
+    post = str(tmp_path / "p")
+    dfv = str(tmp_path / "df")
+    stats = str(tmp_path / "s")
+    terms = ["alpha", "beta", "cider"]
+
+    def syncs():
+        sync_postings_index(spark, corpus, post, num_partitions=4)
+        sync_agg_merge_view(
+            spark, post, dfv, "term", F.lit(0),
+            num_partitions=4, n_col="df", sum_col="z",
+        )
+        sync_view_to_snapshot(
+            spark, corpus, stats, "lang", token_count(F.col("text"))
+        )
+
+    _merge_wave(spark, corpus, WAVES[0])
+    syncs()
+    sync_column_index(spark, post, "term", num_partitions=4)
+    _merge_wave(spark, corpus, WAVES[1])
+    syncs()
+    vacuum_column_index(spark, post, "term")  # GC mid-churn
+    _merge_wave(spark, corpus, WAVES[2])
+    syncs()  # index stale again after the vacuum
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_query_maintained(
+            spark, post, dfv, stats, terms, k=10
+        ).collect()
+    )
+    snap = read_partitioned_snapshot(spark, corpus).select(
+        "doc_id", "text"
+    )
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in textops.bm25_topk(snap, terms, k=10).collect()
+    )
+    assert got == want, (got, want)
