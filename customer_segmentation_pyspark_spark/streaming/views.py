@@ -1778,6 +1778,36 @@ def read_agg_merge_view(spark: SparkSession, view_dir: str) -> DataFrame:
     )
 
 
+def _applied_high_water(spark: SparkSession, view_dir: str) -> int | None:
+    """The highest ``__applied`` stamp any live view row carries —
+    the witness of the last LANDED fold, independent of the cursor
+    marker. Read from the manifest's per-partition column stats
+    (driver-side, O(partitions)); the exact aggregate is the fallback
+    for any stats gap. Returns None for a view with no committed
+    manifest."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        read_partitioned_snapshot,
+    )
+
+    man = versioned.read_manifest(view_dir)
+    if man is None:
+        return None
+    vals = []
+    stats = man.get("stats", {})
+    for pid in man.get("parts", {}):
+        st = (stats.get(pid) or {}).get("__applied")
+        if not st or st[1] is None:
+            r = (
+                read_partitioned_snapshot(spark, view_dir)
+                .agg(F.max("__applied"))
+                .first()[0]
+            )
+            return int(r) if r is not None else None
+        vals.append(int(st[1]))
+    return max(vals) if vals else None
+
+
 def sync_agg_merge_view(
     spark: SparkSession,
     table_dir: str,
@@ -1804,6 +1834,21 @@ def sync_agg_merge_view(
     if cur < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
     v0 = view_src_version(view_dir) if os.path.isdir(view_dir) else None
+    if v0 is not None:
+        # crash healing: a landed fold whose cursor write was lost
+        # leaves rows stamped ABOVE the marker. The per-group
+        # __applied witness alone is not enough once the SOURCE has
+        # advanced past the crashed slice (the retry would fold
+        # (marker, cur2] and re-apply (marker, crashed] on top of the
+        # landed state), so the effective cursor is the view's own
+        # high-water stamp — and the marker is healed to it. A
+        # crashed fold that left no positive row (pure tombstones)
+        # carries no stamp, and exactly that fold replays
+        # idempotently.
+        hw = _applied_high_water(spark, view_dir)
+        if hw is not None and hw > v0:
+            v0 = hw
+            _write_marker(view_dir, v0)
     if v0 is not None and v0 >= cur:
         return v0
     if v0 is None:

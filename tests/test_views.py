@@ -1877,10 +1877,28 @@ def test_ivm_cascade_deep_fuzz_all_levels_lag(spark, tmp_path):
             )
         elif roll < 0.72:
             s_silver()
-        elif roll < 0.88:
+        elif roll < 0.82:
             s_gold()
-        else:
+        elif roll < 0.92:
             s_plat()
+        else:
+            # crash-replay injection: rewind gold's cursor one version
+            # below its marker (a landed merge whose cursor write was
+            # lost) — the __applied witness must make the re-fold a
+            # no-op, never a double count
+            import os as _os
+
+            from customer_segmentation_pyspark_spark.streaming.views import (
+                SRC_VERSION_FILE,
+                view_src_version,
+            )
+
+            mk = _os.path.join(gold, SRC_VERSION_FILE)
+            v = view_src_version(gold)
+            if v is not None and v > 1:
+                with open(mk, "w") as f:
+                    f.write(str(v - 1))
+                s_gold()
     s_silver(); s_gold(); s_plat()
 
     got = {
@@ -1909,3 +1927,50 @@ def test_ivm_cascade_deep_fuzz_all_levels_lag(spark, tmp_path):
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_agg_merge_view_replay_after_source_advanced(spark, tmp_path):
+    """The sharpest crash shape: a fold's merge LANDS, its cursor
+    write is lost, and the SOURCE advances before the retry — folding
+    (marker, latest] would re-apply the crashed slice on top of the
+    landed state. The view's __applied high-water mark (manifest
+    stats) must heal the cursor so the retry folds only the truly
+    unapplied tail."""
+    import os as _os
+
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        SRC_VERSION_FILE,
+        read_agg_merge_view,
+        sync_agg_merge_view,
+        view_src_version,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+
+    def merge(rows):
+        merge_into_partitioned_snapshot(
+            spark, table, spark.createDataFrame(rows, SCHEMA),
+            "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+
+    merge([(1, "a", 10.0, 0, "U"), (2, "b", 5.0, 0, "U")])  # v1
+    sync_agg_merge_view(
+        spark, table, view, "grp", F.col("val"), num_partitions=4
+    )
+    merge([(3, "a", 7.0, 1, "U")])  # v2
+    sync_agg_merge_view(spark, table, view, "grp", F.col("val"))
+    # crash: the v2 fold landed, cursor write lost
+    with open(_os.path.join(view, SRC_VERSION_FILE), "w") as f:
+        f.write("1")
+    merge([(4, "b", 3.0, 2, "U")])  # source advances to v3
+    assert (
+        sync_agg_merge_view(spark, table, view, "grp", F.col("val")) == 3
+    )
+    assert view_src_version(view) == 3  # marker healed through
+    got = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in read_agg_merge_view(spark, view).collect()
+    }
+    assert got == _agg_merge_recompute(spark, table), got
