@@ -14536,31 +14536,34 @@ REGISTRY: dict[str, QuerySpec] = {
 #: semantics anywhere else, and the local mirror still checks ALL
 #: oracled entries regardless of position.
 _DRIVER_SPOTLIGHT = [
-    # r08 rotation (VERDICT #2, fourth rotation): the null_funcs
-    # re-check (the r07 oracle-typing fix must show driver-green), this
-    # round's new surface (SCD2 enriched view, range index, TOP-K /
-    # quantile views, both IVM cascades, maintained BM25), and 41 more
-    # oracled entries NEVER driver-checked in r01-r07 — 204 distinct
-    # already carry a driver green; 37 remain for a final r09 sweep to
-    # 100% driver coverage. The local parity mirror checks ALL oracled
-    # entries regardless of position.
-    "null_funcs", "scd2_enriched_view", "indexed_range_lookup",
-    "incremental_topk_view", "ivm_cascade", "incremental_quantile_view",
-    "ivm_cascade_deep", "bm25_maintained_index",
-    "incremental_distinct_view",
-    "scd2_intervals", "pii_redact", "twap_value", "brand_affinity",
-    "dp_count", "token_ids", "degree_distribution",
-    "repeat_purchase_interval", "feature_cross", "jl_projection",
-    "bigram_lm", "span_corruption", "ppr_brand", "dedup_canonical",
-    "decontaminate", "mixture_weights", "minmax_scaled",
-    "string_indexed", "bucketized", "approx_top_words", "corr_matrix",
-    "fingerprint", "chunk_documents", "stratified_sample",
-    "approx_distinct", "cube_agg", "ann_ivf_fixed", "pseudonymize",
-    "multimodal_meta", "decode_image_stub", "frame_sample",
-    "bloom_prune_join", "lag_features", "interval_concurrency",
-    "event_transitions", "doc_entropy", "mixture_sample",
-    "k_anonymity", "key_skew_profile", "dataset_split",
-    "event_dedup_window",
+    # r09 rotation (r08 VERDICT #1, final sweep): the 38 oracled
+    # registry entries that have NEVER carried a driver-side green in
+    # r01-r08 (252/294 cumulative), padded to 50 with the r08
+    # capstones and the kmeans flagships as high-value re-checks.
+    # After this round every oracled registry entry has at least one
+    # driver green — 100% contract coverage. The local parity mirror
+    # checks ALL oracled entries regardless of position.
+    "attribution_last_touch", "audio_frames", "benford_audit",
+    "bpe_pair_counts", "calibration_curve", "communities_lp",
+    "curriculum_order", "cusum_changepoint", "dq_checks",
+    "dsir_select", "dup_span_intervals", "embedding_drift",
+    "forget_cascade", "hash_embedding", "join_cardinality",
+    "ks_test", "l_diversity", "lang_confusion", "mann_whitney",
+    "moment_stats", "ngram_novelty", "oov_rate", "preference_pairs",
+    "prefix_jaccard", "resize_stub", "retrieval_eval",
+    "seasonal_anomaly", "sentiment_score", "sequence_gaps",
+    "skipgram_pairs", "source_quota", "split_leakage",
+    "sssp_cheapest", "substring_dedup", "user_behavior_topk",
+    "vocab_growth", "welch_ttest", "woe_binning",
+    # 12 re-checks: the r08 capstone surface (these exercise this
+    # round's maintenance-path rewrites: bounded IVF/SCD2 collects,
+    # the tombstone-fold heal, the hardened BM25 read path) plus the
+    # kmeans flagships.
+    "scd2_enriched_view", "indexed_range_lookup",
+    "incremental_topk_view", "incremental_quantile_view",
+    "ivm_cascade", "ivm_cascade_deep", "bm25_maintained_index",
+    "incremental_distinct_view", "kmeans_custom", "centroid_assign",
+    "elbow_k_exact", "incremental_join_view",
 ]
 
 REGISTRY = {
