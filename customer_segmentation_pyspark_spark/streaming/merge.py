@@ -374,6 +374,7 @@ def merge_into_partitioned_snapshot(
     marker_cols: tuple = (),
     update_set_all: bool = False,
     collect_stats: bool = True,
+    app_meta: dict | None = None,
 ) -> None:
     """One partition-pruned MERGE step. Same semantics as
     ``merge_into_snapshot`` (update columns win per key, unmatched keys
@@ -399,6 +400,14 @@ def merge_into_partitioned_snapshot(
     unit. One Spark job per merge: touched base partitions are unioned,
     merged against the delta, and written with partitionBy in a single
     pass.
+
+    ``app_meta`` is an application-owned dict committed INSIDE this
+    merge's manifest — it lands atomically with the data, or not at
+    all. A commit that passes it replaces the previous value; a commit
+    that omits it carries the previous manifest's value forward. The
+    agg-view sync stamps the fold's target source version here: the
+    crash witness that survives even a pure-tombstone fold, which
+    leaves no ``__applied`` row behind (r09, ADVICE).
     """
     from customer_segmentation_pyspark_spark.sources import versioned
 
@@ -427,6 +436,8 @@ def merge_into_partitioned_snapshot(
         rows = {}
         deltas = {}
         delta_stats = {}
+    if app_meta is None and man is not None:
+        app_meta = man.get("app_meta")
     orig_parts = dict(parts)
     orig_deltas = {p: tuple(v) for p, v in deltas.items()}
 
@@ -557,6 +568,7 @@ def merge_into_partitioned_snapshot(
                 "schema": {"type": "struct", "fields": schema_fields},
                 "operation": "merge",
                 "committed_at": _time.time(),
+                **({"app_meta": app_meta} if app_meta is not None else {}),
             },
             expected_latest=base_version,
         )

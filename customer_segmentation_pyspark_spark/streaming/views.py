@@ -1793,6 +1793,15 @@ def _applied_high_water(spark: SparkSession, view_dir: str) -> int | None:
     man = versioned.read_manifest(view_dir)
     if man is None:
         return None
+    meta_v = (man.get("app_meta") or {}).get("src_version")
+    if meta_v is not None:
+        # authoritative: every fold commits its target source version
+        # into its own manifest (atomically with the data), and row
+        # stamps are greatest(old, that version) — the manifest stamp
+        # can only be >= any surviving row's stamp. This is the ONLY
+        # witness a pure-tombstone fold leaves (no positive row
+        # survives to carry __applied), so it must win (r09, ADVICE).
+        return int(meta_v)
     vals = []
     stats = man.get("stats", {})
     for pid in man.get("parts", {}):
@@ -1841,10 +1850,11 @@ def sync_agg_merge_view(
         # advanced past the crashed slice (the retry would fold
         # (marker, cur2] and re-apply (marker, crashed] on top of the
         # landed state), so the effective cursor is the view's own
-        # high-water stamp — and the marker is healed to it. A
-        # crashed fold that left no positive row (pure tombstones)
-        # carries no stamp, and exactly that fold replays
-        # idempotently.
+        # high-water stamp — and the marker is healed to it. A fold
+        # that produced ONLY tombstones leaves no stamped row, so the
+        # fold's target version is also committed as app_meta inside
+        # the same view manifest (r09, ADVICE) — the high-water read
+        # prefers that stamp and the heal covers every fold shape.
         hw = _applied_high_water(spark, view_dir)
         if hw is not None and hw > v0:
             v0 = hw
@@ -1887,6 +1897,7 @@ def sync_agg_merge_view(
             num_partitions=num_partitions,
             delete_when="__op = 'D'",
             marker_cols=("__op",),
+            app_meta={"src_version": int(cur)},
         )
         os.makedirs(view_dir, exist_ok=True)
         _write_marker(view_dir, cur)
@@ -1971,6 +1982,7 @@ def sync_agg_merge_view(
         seq="__seq",
         delete_when="__op = 'D'",
         marker_cols=("__op",),
+        app_meta={"src_version": int(cur)},
     )
     _write_marker(view_dir, cur)
     return cur

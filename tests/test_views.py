@@ -1929,6 +1929,67 @@ def test_ivm_cascade_deep_fuzz_all_levels_lag(spark, tmp_path):
     assert got == want, (got, want)
 
 
+def test_agg_merge_view_tombstone_fold_replay_after_source_advanced(
+    spark, tmp_path
+):
+    """The hole the r08 heal left (r09, ADVICE): a fold whose merge
+    LANDED but produced ONLY tombstones (every touched group emptied)
+    leaves no positive row — no __applied stamp. If the cursor write
+    is then lost AND the source advances (here: the emptied group
+    regains rows) before the retry, folding (stale marker, latest]
+    would re-apply the landed deletes on top of the landed state —
+    n off by the dead rows, or the regained group wrongly tombstoned.
+    The fold's target version is now committed as app_meta inside the
+    view manifest itself, so the high-water heal covers this shape."""
+    import os as _os
+
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        SRC_VERSION_FILE,
+        read_agg_merge_view,
+        sync_agg_merge_view,
+        view_src_version,
+    )
+
+    table = str(tmp_path / "t")
+    view = str(tmp_path / "v")
+
+    def merge(rows):
+        merge_into_partitioned_snapshot(
+            spark, table, spark.createDataFrame(rows, SCHEMA),
+            "k", "seq", num_partitions=4,
+            delete_when="op = 'D'", marker_cols=("op",),
+        )
+
+    merge([(1, "a", 10.0, 0, "U"), (2, "a", 4.0, 0, "U"),
+           (3, "b", 5.0, 0, "U")])  # v1
+    sync_agg_merge_view(
+        spark, table, view, "grp", F.col("val"), num_partitions=4
+    )
+    # v2: delete EVERY row of group 'a' — the fold is pure tombstone
+    merge([(1, "a", None, 1, "D"), (2, "a", None, 1, "D")])
+    sync_agg_merge_view(spark, table, view, "grp", F.col("val"))
+    assert "a" not in {
+        r["grp"] for r in read_agg_merge_view(spark, view).collect()
+    }
+    # crash: the v2 fold landed, cursor write lost
+    with open(_os.path.join(view, SRC_VERSION_FILE), "w") as f:
+        f.write("1")
+    # source advances: 'a' regains a row
+    merge([(9, "a", 2.0, 2, "U")])  # v3
+    assert (
+        sync_agg_merge_view(spark, table, view, "grp", F.col("val")) == 3
+    )
+    assert view_src_version(view) == 3
+    got = {
+        r["grp"]: (r["n_rows"], r["total"])
+        for r in read_agg_merge_view(spark, view).collect()
+    }
+    # without the manifest stamp the retry re-applies v2's -2 on top of
+    # the landed state: a would come back as n=-1 -> tombstoned (absent)
+    assert got == _agg_merge_recompute(spark, table), got
+    assert got["a"] == (1, 2)
+
+
 def test_agg_merge_view_replay_after_source_advanced(spark, tmp_path):
     """The sharpest crash shape: a fold's merge LANDS, its cursor
     write is lost, and the SOURCE advances before the retry — folding
