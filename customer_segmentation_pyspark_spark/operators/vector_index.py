@@ -113,6 +113,15 @@ def _live_ids(man: dict, top_cell) -> list[int]:
     return [int(i) for i in info["ids"]] if info else [int(top_cell)]
 
 
+#: above this many changed keys, the update's keymap read switches
+#: from a key_in point-read (driver list + partition pruning — the
+#: CDC-drip fast path) to a semi-join against the checkpointed delta,
+#: and the survivor filter from isin to an anti-join — a re-embedding
+#: wave's keys never land on the driver (r09, VERDICT #2; the same
+#: switch as streaming.views._JVMAP_POINT_READ_MAX)
+_IVF_POINT_READ_MAX = 64
+
+
 def _keymap_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "_keymap")
 
@@ -341,18 +350,33 @@ def update_ivf_index(
         )
         .withColumn("__cell", _assign_expr(man, F.col(vec)))
     )
-    # bounded collects: a CDC batch is small by contract (same bound as
-    # the merge module's key routing) — |changes| rows each
-    changed_keys = [r[key] for r in ch.select(key).collect()]
-    if any(k is None for k in changed_keys):
-        # mirror the merge paths' NULL-key refusal (r06, ADVICE): a None
-        # in the isin() list would NULL-out the survivor filter and
-        # silently drop every survivor of the affected cell dirs
+    # NULL-key refusal (r06, ADVICE) as an AGGREGATE — a None in the
+    # survivor filter would NULL it out and silently drop every
+    # survivor of the affected cell dirs. Checked without ever
+    # materializing the key list on the driver (r09, VERDICT #2).
+    probe = ch.agg(
+        F.max(F.col(key).isNull()).alias("has_null"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if probe["has_null"]:
         raise ValueError(
             f"index key '{key}' contains NULLs in the change batch; "
             "filter them before the update or use a non-nullable key"
         )
-    if not changed_keys:
+    # bounded key materialization (the _jvmap_rows_for discipline,
+    # r09 VERDICT #2): collect the keys only when the wave is small
+    # enough for a key_in point-read / isin survivor filter; a
+    # re-embedding wave over a 100-TB corpus is a delta of millions of
+    # rows, and its keys stay on the executors — keymap reads become a
+    # semi-join and survivor filters an anti-join against the
+    # (checkpointed) delta.
+    sample = ch.select(key).limit(_IVF_POINT_READ_MAX + 1).collect()
+    changed_keys = (
+        [r[key] for r in sample]
+        if len(sample) <= _IVF_POINT_READ_MAX
+        else None
+    )
+    if probe["n"] == 0:
         # nothing to rewrite — but still advance the CDF cursor, or a
         # sync whose slice was empty (compaction-only source versions)
         # would re-diff the same slice on every call. Conditional commit
@@ -387,10 +411,23 @@ def update_ivf_index(
     # keymap may be clipped, so rebuild before trusting the point-read
     # (r08, ADVICE — the marker is the vacuum's to remove, not ours)
     _heal_interrupted_vacuum(spark, index_dir)
+
+    def _prior_read():
+        # point-read (partition-pruned key_in) for small waves; past
+        # the cap, semi-join the keymap against the checkpointed delta
+        # — never a wave-sized driver IN-list (r09, VERDICT #2)
+        if changed_keys is not None:
+            return read_partitioned_snapshot(
+                spark, _keymap_dir(index_dir), key_in=changed_keys
+            ).select(key, "cells")
+        return (
+            read_partitioned_snapshot(spark, _keymap_dir(index_dir))
+            .join(ch.select(key), key, "leftsemi")
+            .select(key, "cells")
+        )
+
     try:
-        prior = read_partitioned_snapshot(
-            spark, _keymap_dir(index_dir), key_in=changed_keys
-        ).select(key, "cells")
+        prior = _prior_read()
     except FileNotFoundError:
         # a populated index with NO keymap (e.g. a shallow-cloned index
         # dir — clone_snapshot copies the manifest, not the _keymap
@@ -400,9 +437,7 @@ def update_ivf_index(
         # nothing to ghost and needs no keymap yet.
         if man["parts"]:
             rebuild_ivf_keymap(spark, index_dir)
-            prior = read_partitioned_snapshot(
-                spark, _keymap_dir(index_dir), key_in=changed_keys
-            ).select(key, "cells")
+            prior = _prior_read()
     if prior is not None:
         # one point-read job, reused by the old-cells collect AND the
         # keymap-entry union below (r06 — it ran twice before)
@@ -442,13 +477,19 @@ def update_ivf_index(
     frames = []
     old_dirs = [man["parts"][c] for c in affected if c in man["parts"]]
     if old_dirs:
+        # mergeSchema: dirs written before a payload column evolved
+        # surface it as NULL instead of a schema mismatch
+        scan = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(index_dir, d) for d in old_dirs]
+        )
+        # survivor filter: isin for small waves, anti-join against the
+        # checkpointed delta past the cap (r09, VERDICT #2)
+        if changed_keys is not None:
+            scan = scan.filter(~F.col(key).isin(changed_keys))
+        else:
+            scan = scan.join(ch.select(key), key, "left_anti")
         frames.append(
-            # mergeSchema: dirs written before a payload column evolved
-            # surface it as NULL instead of a schema mismatch
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(index_dir, d) for d in old_dirs]
-            ).filter(~F.col(key).isin(changed_keys))
-            .withColumn("__cell", _assign_expr(man, F.col(vec)))
+            scan.withColumn("__cell", _assign_expr(man, F.col(vec)))
         )
     frames.append(ups)
     allr = frames[0]

@@ -49,6 +49,13 @@ from customer_segmentation_pyspark_spark.streaming.views import (
 
 HKEY = "__hkey"
 
+#: above this many changed dim keys, the history sync switches from
+#: the ':open' hkey point-read to a semi-join of the history's open
+#: rows against the CDF's distinct keys (r09, VERDICT #3 — the same
+#: switch as streaming.views._JVMAP_POINT_READ_MAX); dim-backfill
+#: waves are O(dim) and must never become a driver IN-list
+_SCD2_POINT_READ_MAX = 64
+
 
 def _open_hkey(key_col):
     return F.concat(key_col.cast("string"), F.lit(":open"))
@@ -125,21 +132,34 @@ def sync_scd2_history(
         if c != "_change_type" and not c.startswith("_")
     ]
     ct = F.col("_change_type")
-    # bounded collect: the dim CDF's changed keys (dim waves are the
-    # rare/batchy side — the merge module's key-routing contract)
-    changed_keys = [
-        r[0]
-        for r in cdf.select(key).distinct().collect()
-        if r[0] is not None
-    ]
-    if not changed_keys:
+    # bounded key materialization (r09, VERDICT #3 — the
+    # _jvmap_rows_for discipline): small dim waves keep the ':open'
+    # hkey point-read (driver list + partition pruning); an
+    # initial-load or dim-backfill wave is O(dim) keys, so past the
+    # cap the open rows come from a valid_to-IS-NULL scan semi-joined
+    # against the CDF's distinct keys — never a wave-sized driver list
+    kdf = cdf.select(key).distinct().filter(F.col(key).isNotNull())
+    sample = kdf.limit(_SCD2_POINT_READ_MAX + 1).collect()
+    if not sample:
         _write_marker(hist_dir, cur)
         return cur
-    open_rows = read_partitioned_snapshot(
-        spark,
-        hist_dir,
-        key_in=[f"{k}:open" for k in changed_keys],
-    ).localCheckpoint(eager=True)  # reused by close/suppress/replay-guard
+    if len(sample) <= _SCD2_POINT_READ_MAX:
+        open_rows = read_partitioned_snapshot(
+            spark,
+            hist_dir,
+            key_in=[f"{r[0]}:open" for r in sample],
+        )
+    else:
+        # valid_to IS NULL identifies exactly the open rows (closed
+        # copies carry their close version; retires delete the row)
+        open_rows = (
+            read_partitioned_snapshot(spark, hist_dir)
+            .filter(F.col("valid_to").isNull())
+            .join(kdf, key, "leftsemi")
+        )
+    open_rows = open_rows.localCheckpoint(
+        eager=True
+    )  # reused by close/suppress/replay-guard
 
     post = cdf.filter(ct.isin("insert", "update_postimage"))
     dels = cdf.filter(ct == "delete")

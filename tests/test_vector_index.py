@@ -560,6 +560,56 @@ def test_update_rejects_null_keys(spark, tmp_path):
     assert got.count() == 20
 
 
+def test_large_wave_keys_stay_off_driver(spark, tmp_path, monkeypatch):
+    """A re-embedding wave's keys must never be materialized on the
+    driver (r09, VERDICT #2): past the 64-key cap the keymap read
+    becomes a semi-join and the survivor filter an anti-join against
+    the checkpointed delta. Spy on every collect() during the update
+    and assert none returns more rows than the bounded sample — a
+    wave-sized IN-list plan is impossible without a wave-sized
+    collect. Exactness of this exact wave is already pinned by
+    test_incremental_update_equals_rebuild."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an abstract
+    # base in Spark 4 — instances resolve collect on the classic one)
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from customer_segmentation_pyspark_spark.operators.vector_index import (
+        _IVF_POINT_READ_MAX,
+    )
+
+    e = _emb(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, idx, e, CELLS)
+    wave = _wave(e)
+    n_keys = wave.select("vec_id").distinct().count()
+    assert n_keys > _IVF_POINT_READ_MAX, "fixture no longer a large wave"
+    n_before = read_ivf_index(spark, idx).count()
+
+    sizes = []
+    orig = _DF.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    try:
+        update_ivf_index(spark, idx, wave)
+    finally:
+        monkeypatch.undo()
+    assert sizes, "update made no collects at all — spy misses the path"
+    assert max(sizes) <= _IVF_POINT_READ_MAX + 1, (
+        f"a collect returned {max(sizes)} rows during a "
+        f"{n_keys}-key wave: {sorted(sizes, reverse=True)[:5]}"
+    )
+    # the fold still landed (deletes net against inserts per _wave)
+    got = read_ivf_index(spark, idx).count()
+    n_dead = e.filter(F.col("vec_id") % 7 == 0).count()
+    n_ins = e.filter(F.col("vec_id") % 9 == 0).count()
+    assert got == n_before - n_dead + n_ins
+
+
 def _inject_foreign_index_commit_once(monkeypatch, index_dir, foreign_fn):
     """Fire foreign_fn in the read->commit window of the FIRST
     conditional commit on the INDEX manifest (keymap-table commits
