@@ -111,9 +111,18 @@ def sync_postings_index(
     if v0 is not None and v0 >= cur:
         return v0
     if v0 is None:
-        snap = read_partitioned_snapshot(
-            spark, corpus_dir, version=cur
-        ).select(id_col, text_col)
+        # _snapshot_or_empty, not the raw reader (r09, ADVICE): a
+        # committed-but-emptied corpus (all rows deleted before the
+        # first sync) seeds an EMPTY postings table — the merge below
+        # commits nothing and only the cursor lands, same as the other
+        # view seeds
+        from customer_segmentation_pyspark_spark.streaming.views import (
+            _snapshot_or_empty,
+        )
+
+        snap = _snapshot_or_empty(spark, corpus_dir, cur).select(
+            id_col, text_col
+        )
         batch = _with_pkey(
             _postings_of(snap, id_col, text_col), id_col
         ).select(
@@ -186,6 +195,9 @@ def bm25_query_maintained(
     stats view's few group rows. Identical scoring arithmetic to
     `operators/textops.py:bm25_topk` (ln idf, k1=1.2, b=0.75,
     round 6, doc_id tie-break)."""
+    from customer_segmentation_pyspark_spark.sources.sinks import (
+        recover_swap,
+    )
     from customer_segmentation_pyspark_spark.streaming.colindex import (
         read_by_column_value,
     )
@@ -193,10 +205,18 @@ def bm25_query_maintained(
         read_partitioned_snapshot,
     )
 
-    posts = read_by_column_value(spark, post_dir, "term", list(terms))
-    dfv = read_partitioned_snapshot(
-        spark, df_view_dir, key_in=[f"v:{t}" for t in terms]
-    ).select(F.col("term").alias("__t"), F.col("df"))
+    try:
+        posts = read_by_column_value(spark, post_dir, "term", list(terms))
+    except FileNotFoundError:
+        # corpus emptied before the first postings sync: the seed
+        # committed nothing (cursor only, no manifest) — no doc can
+        # score (r09, ADVICE; doc_id's type is unrecoverable here)
+        return spark.createDataFrame([], "doc_id string, bm25 double")
+    # the stats view is swap-style (two renames): a crash between them
+    # leaves the current state stranded at .old-* — adopt it before
+    # reading, or the query silently reads the stale side until the
+    # next sync (r09, VERDICT #7)
+    recover_swap(stats_view_dir)
     srow = (
         spark.read.parquet(stats_view_dir)
         .agg(
@@ -205,6 +225,15 @@ def bm25_query_maintained(
         )
         .first()
     )
+    if srow is None or not srow["n"]:
+        # empty (or fully-emptied) corpus: n is NULL or 0 — there is
+        # nothing to score and avgdl is undefined (r09, ADVICE)
+        return posts.select(
+            F.col("doc_id"), F.lit(0.0).cast("double").alias("bm25")
+        ).limit(0)
+    dfv = read_partitioned_snapshot(
+        spark, df_view_dir, key_in=[f"v:{t}" for t in terms]
+    ).select(F.col("term").alias("__t"), F.col("df"))
     n_docs, avgdl = float(srow["n"]), float(srow["tt"]) / float(srow["n"])
     scored = posts.join(F.broadcast(dfv), posts["term"] == dfv["__t"])
     part = (

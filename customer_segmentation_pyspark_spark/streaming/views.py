@@ -1656,9 +1656,10 @@ def read_quantile_view(
     pcts = spark.createDataFrame(
         [(int(p),) for p in percents], "pct long"
     )
-    idx = F.floor(
-        (F.col("__n") * F.col("pct") + F.lit(99)) / F.lit(100)
-    )  # = ceil(n*pct/100), exactly, in integers
+    # = ceil(n*pct/100) via long `div` — PURE integer arithmetic, so
+    # exactness never hinges on n*pct staying under 2^53 the way
+    # floor(double /) silently would (r09, ADVICE)
+    idx = F.expr("(__n * pct + 99) div 100")
     return (
         cum.crossJoin(F.broadcast(pcts))
         .filter(F.col("__c") >= idx)

@@ -117,6 +117,126 @@ def test_bm25_maintained_equals_batch_even_stale(spark, tmp_path):
         assert got == want, (i, got, want)
 
 
+def test_bm25_query_heals_interrupted_stats_swap(spark, tmp_path):
+    """A crash between the stats view's two swap renames leaves the
+    current state stranded at .old-* and the view path missing; the
+    query path must adopt it via recover_swap instead of failing (or,
+    pre-fix, silently reading whatever side survived) until the next
+    sync (r09, VERDICT #7)."""
+    import glob as _glob
+    import os as _os
+    import uuid as _uuid
+
+    corpus = str(tmp_path / "c")
+    post = str(tmp_path / "p")
+    dfv = str(tmp_path / "df")
+    stats = str(tmp_path / "s")
+    terms = ["alpha", "beta", "cider"]
+    for rows in WAVES[:2]:
+        _merge_wave(spark, corpus, rows)
+        sync_postings_index(spark, corpus, post, num_partitions=4)
+        sync_agg_merge_view(
+            spark, post, dfv, "term", F.lit(0),
+            num_partitions=4, n_col="df", sum_col="z",
+        )
+        sync_view_to_snapshot(
+            spark, corpus, stats, "lang", token_count(F.col("text"))
+        )
+    sync_column_index(spark, post, "term", num_partitions=4)
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_query_maintained(
+            spark, post, dfv, stats, terms, k=10
+        ).collect()
+    )
+    # simulate the crash window: the first rename landed (state
+    # stranded at .old-*), the second never ran (path missing)
+    _os.rename(stats, f"{stats}.old-{_uuid.uuid4().hex[:8]}")
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_query_maintained(
+            spark, post, dfv, stats, terms, k=10
+        ).collect()
+    )
+    assert got == want, (got, want)
+    # the stranded snapshot was adopted back into place
+    assert _os.path.isdir(stats)
+    assert not _glob.glob(f"{stats}.old-*")
+
+
+def test_bm25_empty_and_emptied_corpus_query_is_empty(spark, tmp_path):
+    """Two empty shapes (r09, ADVICE): (a) a corpus emptied BEFORE the
+    first postings sync seeds an empty postings table (cursor only) and
+    the query returns an empty frame instead of FileNotFoundError;
+    (b) a corpus emptied AFTER real syncs drives the stats view's n to
+    NULL/0 and the query returns empty instead of TypeError /
+    ZeroDivisionError. Growth after (a) resumes exactly."""
+    from customer_segmentation_pyspark_spark.operators import textops
+
+    corpus = str(tmp_path / "c")
+    post = str(tmp_path / "p")
+    dfv = str(tmp_path / "df")
+    stats = str(tmp_path / "s")
+    terms = ["alpha", "beta", "cider"]
+
+    def syncs():
+        sync_postings_index(spark, corpus, post, num_partitions=4)
+        sync_agg_merge_view(
+            spark, post, dfv, "term", F.lit(0),
+            num_partitions=4, n_col="df", sum_col="z",
+        )
+        sync_view_to_snapshot(
+            spark, corpus, stats, "lang", token_count(F.col("text"))
+        )
+
+    # (a) commit docs, delete them all, THEN run the first sync. The
+    # postings seed commits nothing (cursor only) — so the df view,
+    # whose source is the postings table itself, has nothing to sync
+    # from yet (sync_agg_merge_view's no-committed-snapshot contract);
+    # the pipeline starts it once postings carries a commit.
+    _merge_wave(spark, corpus, WAVES[0])
+    _merge_wave(
+        spark, corpus,
+        [(d, None, "en", 1, "D") for d in (1, 2, 3, 4)],
+    )
+    sync_postings_index(spark, corpus, post, num_partitions=4)
+    sync_view_to_snapshot(
+        spark, corpus, stats, "lang", token_count(F.col("text"))
+    )
+    got = bm25_query_maintained(
+        spark, post, dfv, stats, terms, k=10
+    ).collect()
+    assert got == []
+    # growth resumes: the cursor seeded at the emptied version folds
+    # only the new wave, and the maintained path equals the batch
+    _merge_wave(spark, corpus, WAVES[0])
+    syncs()
+    sync_column_index(spark, post, "term", num_partitions=4)
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_query_maintained(
+            spark, post, dfv, stats, terms, k=10
+        ).collect()
+    )
+    snap = read_partitioned_snapshot(spark, corpus).select(
+        "doc_id", "text"
+    )
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in textops.bm25_topk(snap, terms, k=10).collect()
+    )
+    assert got == want, (got, want)
+    # (b) empty it again AFTER real state exists: n goes NULL/0
+    _merge_wave(
+        spark, corpus,
+        [(d, None, "en", 9, "D") for d in (1, 2, 3, 4)],
+    )
+    syncs()
+    assert bm25_query_maintained(
+        spark, post, dfv, stats, terms, k=10
+    ).collect() == []
+
+
 def test_bm25_maintained_survives_index_vacuum(spark, tmp_path):
     """GC composition: vacuuming the term column index between waves
     (clipping its superset back to exact) must leave retrieval equal
