@@ -155,3 +155,30 @@ def test_bench_non_default_sf_never_clobbers_main_record(tmp_path):
     assert _bench_out_path(here, 0.3, sf=0.001).endswith("BENCH.sf0.001.json")
     assert _bench_out_path(here, 0.9, sf=1.0).endswith("BENCH.sf1.0.json")
     assert _bench_out_path(here, 0.3, sf=0.1).endswith("/BENCH.json")
+
+
+def test_history_builder_and_trace(tmp_path, capsys):
+    """gen_bench_history consolidates driver artifacts + idle records
+    into one pivot; compare_bench --history traces queries across
+    rounds from it (r09, VERDICT #5)."""
+    from compare_bench import _history_mode
+    from gen_bench_history import build_history
+
+    _write(tmp_path, "BENCH_r01.json", {"n": 1, "tail": json.dumps(FULL)})
+    r2 = dict(FULL, value=4.0, queries={"q_alpha": 1.5, "q_beta": 2.5})
+    _write(tmp_path, "BENCH_r02.json", {"n": 1, "tail": json.dumps(r2)})
+    idle = dict(FULL, value=3.5, queries={"q_alpha": 1.2, "q_beta": 2.3})
+    _write(tmp_path, "BENCH.json", idle)
+    hist = build_history(str(tmp_path))
+    assert set(hist["rounds"]) == {"r01", "r02", "r03_idle"}
+    assert hist["queries"]["q_alpha"] == {
+        "r01": 1.0, "r02": 1.5, "r03_idle": 1.2,
+    }
+    assert hist["rounds"]["r03_idle"]["contended"] is False
+    hp = _write(tmp_path, "BENCH_history.json", hist)
+    _history_mode(hp, ["q_beta"], worst_n=5)
+    out = capsys.readouterr().out
+    assert "q_beta: r01=2.00  r02=2.50  r03_idle=2.30" in out
+    _history_mode(hp, [], worst_n=5)
+    out = capsys.readouterr().out
+    assert "worst 5 ratios r02 -> r03_idle" in out

@@ -179,16 +179,79 @@ def contention_note(d: dict) -> str:
     )
 
 
+def _history_mode(path: str, names: list[str], worst_n: int) -> None:
+    """Read BENCH_history.json (tools/gen_bench_history.py): with query
+    names, print each query's per-round series; without, print the
+    round table plus the worst ratios between the last two rounds."""
+    with open(path) as f:
+        hist = json.load(f)
+    rounds = hist["rounds"]
+    order = sorted(rounds)
+    print(f"{'round':10s} {'total_s':>9s} {'n':>4s}  flags  source")
+    for lb in order:
+        r = rounds[lb]
+        flags = "".join(
+            [
+                "C" if r.get("contended") else ".",
+                "p" if r.get("partial") else ".",
+            ]
+        )
+        print(
+            f"{lb:10s} {r['total'] or 0:9.2f} {r['n_queries']:4d}  "
+            f"{flags:5s}  {r['source']}"
+        )
+    q = hist["queries"]
+    if names:
+        for name in names:
+            if name not in q:
+                print(f"\n{name}: not in any round")
+                continue
+            series = "  ".join(
+                f"{lb}={q[name][lb]:.2f}" for lb in order if lb in q[name]
+            )
+            print(f"\n{name}: {series}")
+        return
+    last2 = [lb for lb in order if rounds[lb].get("n_queries")][-2:]
+    if len(last2) < 2:
+        return
+    a, b = last2
+    shared = [n for n in q if a in q[n] and b in q[n] and q[n][a] > 0]
+    ratios = sorted(
+        ((q[n][b] / q[n][a], n) for n in shared), reverse=True
+    )
+    print(f"\nworst {worst_n} ratios {a} -> {b} "
+          f"({len(shared)} shared queries):")
+    for r, n in ratios[:worst_n]:
+        print(f"  {n:28s} {q[n][a]:7.2f} -> {q[n][b]:7.2f}   {r:5.2f}x")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
-    ap.add_argument("old")
-    ap.add_argument("new")
+    ap.add_argument("old", nargs="?")
+    ap.add_argument("new", nargs="?")
     ap.add_argument("--worst", type=int, default=10, metavar="N")
+    ap.add_argument(
+        "--history",
+        nargs="?",
+        const="BENCH_history.json",
+        metavar="FILE",
+        help="read the consolidated history instead of two records; "
+        "positionals become query names to trace across rounds",
+    )
     ns = ap.parse_args()
     worst_n = ns.worst
+    if ns.history:
+        _history_mode(
+            ns.history,
+            [a for a in (ns.old, ns.new) if a],
+            worst_n,
+        )
+        return
+    if not ns.old or not ns.new:
+        ap.error("OLD and NEW bench files are required without --history")
     old, new = load_bench(ns.old), load_bench(ns.new)
     for label, d in (("old", old), ("new", new)):
         partial = ""
