@@ -34,6 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
     scan events -> derive (hour, dow) -> CASE-bucket dow -> K-means k=4 with
     the reference's exp-3A initial centroids -> assignments + centroid
     summary per cluster.
+
+    The SAME pipeline runs at the bench SF (default sf0.1) as the
+    oracled+benched registry query ``flagship_segmentation`` (r09,
+    VERDICT #6) — its wall time lands in BENCH.json per round.
     """
     from customer_segmentation_pyspark_spark.operators.preprocess import (
         dow_bucket,

@@ -52,6 +52,10 @@ HEADLINE = [
     "centroid_assign",
     "wcss_fixed",
     "kmeans_custom",
+    # r09: the reference's END-TO-END pipeline at the bench SF (kmeans
+    # + full-corpus assignment + cluster summary) — tracks the actual
+    # reference workload's scaling, not just the centroid loop
+    "flagship_segmentation",
     # LLM-pipeline ops
     "dedup_exact",
     "minhash_pairs",

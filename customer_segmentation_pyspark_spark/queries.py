@@ -774,6 +774,40 @@ def q_kmeans_custom(spark, sf_dir):
     )
 
 
+def q_flagship_segmentation(spark, sf_dir):
+    """The reference's FULL pipeline as one benched+oracled query at
+    the given SF (r09, VERDICT #6 — the sf0.1 twin of __spark_entry__'s
+    entry(), which runs at sf0.001): events scan -> hour/dow derivation
+    -> 3-way CASE dow bucket (codeText.txt:26-29) -> fixed-init
+    DataFrame-native K-means (exp-3A centroids, codeText.txt:818) ->
+    ASSIGNMENT over every row -> per-cluster summary. Unlike
+    kmeans_custom (centroids only), this also bears the full-corpus
+    assignment scan + aggregate, so the bench tracks the reference
+    workload end-to-end as SF scales. Oracled by
+    _sql_kmeans_assign_summary (unrolled loop + SQL assignment)."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.select(
+        preprocess.hour_from_ts(F.col("ts")).cast("long").alias("hour"),
+        preprocess.dow_from_ts(F.col("ts")).cast("long").alias("dow"),
+        preprocess.dow_bucket(
+            preprocess.dow_from_ts(F.col("ts"))
+        ).cast("long").alias("dow_bucket"),
+    )
+    res = km.kmeans(
+        feat, ["hour", "dow"], k=4, max_iter=10,
+        initial_centroids=CENTROIDS_4,
+    )
+    assigned = km.transform(feat, ["hour", "dow"], res.centroids)
+    return assigned.groupBy(
+        F.col("cluster").cast("long").alias("cluster")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg("hour"), 4).alias("mean_hour"),
+        F.round(F.avg("dow"), 4).alias("mean_dow"),
+        F.round(F.avg("dow_bucket"), 4).alias("mean_dow_bucket"),
+    )
+
+
 def q_kmeans_custom_k5(spark, sf_dir):
     """Second experiment shape from the reference (exp-2B,
     codeText.txt:642,783): K=5, (dow, department) features, max_iter=20,
@@ -2100,6 +2134,39 @@ SELECT CAST(row_number() OVER (ORDER BY a.cluster) - 1 AS BIGINT) AS cluster,
        round(a.c0, 6) AS c0, round(a.c1, 6) AS c1,
        CAST(niter.n AS BIGINT) AS n_iter, niter.conv AS converged
 FROM allc a, niter WHERE a.it = niter.n"""
+
+
+def _sql_kmeans_assign_summary(
+    inits: list[list[float]], max_iter: int, feat_sql: str
+) -> str:
+    """The flagship pipeline's oracle (r09, VERDICT #6): the SAME
+    unrolled Lloyd loop as ``_sql_kmeans_unrolled`` (shared CTE body via
+    string surgery on its final SELECT), then every point ASSIGNED to
+    its converged centroid (first-min tie-break on the relabeled id —
+    relabeling preserves the surviving ids' relative order, so the
+    tie-break is unchanged) and summarized per cluster: n_points, mean
+    hour/dow, and the mean of the reference's 3-way CASE dow bucket
+    (codeText.txt:26-29). avg/count only — no integer SUM, so every
+    output is DuckDB-portable (no HUGEINT; the oracle typing guard)."""
+    base = _sql_kmeans_unrolled(inits, max_iter, feat_sql)
+    body = base[: base.rindex("\nSELECT CAST(row_number()")]
+    return f"""{body},
+fin AS (SELECT CAST(row_number() OVER (ORDER BY a.cluster) - 1 AS BIGINT)
+               AS cluster, a.c0, a.c1
+        FROM allc a, niter WHERE a.it = niter.n),
+asg AS (SELECT p.f0, p.f1, f.cluster
+        FROM pts p CROSS JOIN fin f
+        QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY
+          (p.f0 - f.c0)*(p.f0 - f.c0) + (p.f1 - f.c1)*(p.f1 - f.c1),
+          f.cluster) = 1)
+SELECT cluster,
+       count(*) AS n_points,
+       round(avg(f0), 4) AS mean_hour,
+       round(avg(f1), 4) AS mean_dow,
+       round(avg(CASE WHEN f1 IN (0, 1) THEN 0
+                      WHEN f1 IN (2, 3, 4) THEN 1 ELSE 2 END), 4)
+         AS mean_dow_bucket
+FROM asg GROUP BY cluster"""
 
 
 def _sql_kmeans_array_unrolled(
@@ -13304,6 +13371,12 @@ GROUP BY d.l_returnflag""",
         " CAST(json_extract_string(props, '$.k') AS BIGINT) % 21 AS f1"
         " FROM events",
     ),
+    "flagship_segmentation": _sql_kmeans_assign_summary(
+        CENTROIDS_4,
+        10,
+        "SELECT event_id, hour(ts) AS f0, (isodow(ts) - 1) AS f1"
+        " FROM events",
+    ),
     "cluster_shape": _sql_cluster_shape(),
     "elbow_k_exact": _sql_elbow_exact(),
     # identical md5 uniform + ln + division in both engines; round(12)
@@ -14276,6 +14349,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "wcss_fixed": QuerySpec(q_wcss_fixed, ORACLES["wcss_fixed"]),
     "kmeans_one_iter": QuerySpec(q_kmeans_one_iter, ORACLES["kmeans_one_iter"]),
     "kmeans_custom": QuerySpec(q_kmeans_custom, ORACLES["kmeans_custom"]),
+    # r09 (VERDICT #6): the reference's end-to-end pipeline at the
+    # bench SF — kmeans + full-corpus assignment + cluster summary
+    "flagship_segmentation": QuerySpec(
+        q_flagship_segmentation, ORACLES["flagship_segmentation"]
+    ),
     "kmeans_custom_k5": QuerySpec(q_kmeans_custom_k5, ORACLES["kmeans_custom_k5"]),
     "kmeans_mllib": QuerySpec(q_kmeans_mllib, None),
     "cluster_shape": QuerySpec(q_cluster_shape, ORACLES["cluster_shape"]),
@@ -14559,11 +14637,14 @@ _DRIVER_SPOTLIGHT = [
     # round's maintenance-path rewrites: bounded IVF/SCD2 collects,
     # the tombstone-fold heal, the hardened BM25 read path) plus the
     # kmeans flagships.
+    # the r09 flagship pipeline is NEW this round — driver-check it now
+    # so 100% contract coverage includes it
+    "flagship_segmentation",
     "scd2_enriched_view", "indexed_range_lookup",
     "incremental_topk_view", "incremental_quantile_view",
     "ivm_cascade", "ivm_cascade_deep", "bm25_maintained_index",
     "incremental_distinct_view", "kmeans_custom", "centroid_assign",
-    "elbow_k_exact", "incremental_join_view",
+    "incremental_join_view",
 ]
 
 REGISTRY = {
