@@ -137,6 +137,9 @@ HEADLINE = [
     # MERGE waves + final-snapshot report); benches the lakehouse write
     # path, not just reads
     "corpus_refresh_pipeline",
+    # r09: capstone #17 — maintained LSH near-dup index (bucket MERGE
+    # table from the corpus CDF + stale column-index probe)
+    "neardup_maintained_index",
     # r04: newly oracled array-feature Lloyd loops — 64-dim and
     # vocab-featurized variants are distinct perf shapes from the 2-dim
     # kmeans_custom (high-dim distance codegen, pivot featurization)

@@ -5321,6 +5321,56 @@ def q_bm25_maintained_index(spark, sf_dir):
     )
 
 
+def q_neardup_maintained_index(spark, sf_dir):
+    """r09 capstone #17 — maintained MinHash-LSH near-dup index under
+    the hash gate, the dedup twin of capstone #16's maintained BM25
+    (same composition recipe): the corpus delete waves flow CDF ->
+    LSH bucket MERGE table (`streaming/neardup.py:sync_lsh_index` —
+    post-images re-emit a doc's band keys, vanished pre-image keys
+    tombstone), with the `bucket` column index synced ONCE after the
+    seed and left STALE through both delete waves, so the final
+    probe's bucket reads must union the changed partitions to stay
+    exact — a ghost bucket of a re-texted doc, a missing tombstone, or
+    a stale-index miss changes the hash. The probe set is every final
+    live doc with doc_id % 7 == 1; the oracle replays the corpus log
+    and recomputes the identical banded pairs from scratch
+    (_sql_minhash's portable md5 packing)."""
+    import shutil
+
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        sync_column_index,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.neardup import (
+        neardup_probe_maintained,
+        sync_lsh_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = _scratch_path("lsh_idx/corpus")
+    idx = _scratch_path("lsh_idx/buckets")
+    for p in (corpus, idx):
+        shutil.rmtree(p, ignore_errors=True)
+    for i, wave in enumerate(_delete_wave_frames(d)):
+        merge_into_partitioned_snapshot(
+            spark, corpus, wave, key="doc_id", seq="seq",
+            num_partitions=8, delete_when="op = 'D'",
+            marker_cols=("op",),
+        )
+        sync_lsh_index(spark, corpus, idx, num_partitions=8)
+        if i == 0:
+            sync_column_index(spark, idx, "bucket", num_partitions=8)
+    probe = read_partitioned_snapshot(spark, corpus).filter(
+        F.col("doc_id") % 7 == 1
+    ).select("doc_id", "text")
+    return neardup_probe_maintained(spark, idx, probe)
+
+
 def _build_scd2_history(spark, sf_dir):
     """Shared build for the r07 SCD2 capstone (#13): a customer
     dimension replayed through three versions — base (v1), then
@@ -13887,6 +13937,84 @@ SELECT doc_id, round(sum(part), 6) AS bm25
 FROM part GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 10"""
 
+def _sql_neardup_maintained(num_hashes: int = 16, bands: int = 8,
+                            rpb: int = 2) -> str:
+    """Oracle for q_neardup_maintained_index: the bm25_maintained
+    corpus-log replay (same waves) to the final live state, then
+    _sql_minhash's portable signature/band packing over THAT, pairs
+    restricted to probes (doc_id % 7 = 1) and normalized
+    least/greatest — from-scratch recompute of the maintained probe."""
+    from customer_segmentation_pyspark_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    mins = ", ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P})"
+        f" AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        packed = f"h{b * rpb}"
+        for r in range(1, rpb):
+            packed = f"({packed}) * {MINHASH_P} + h{b * rpb + r}"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id,"
+            f" CAST({packed} AS BIGINT) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, 'U' AS op, 0 AS seq FROM documents),
+w1 AS (
+  SELECT doc_id, text || ' kept' AS text, 'U' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, 'D', 2 FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, 'neo: ' || text, 'U', 1
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, 'D', 3
+  FROM documents WHERE doc_id % 22 = 0),
+w2 AS (
+  SELECT doc_id, 'back: ' || text AS text, 'U' AS op, 4 AS seq
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id, text, 'D', 5 FROM documents WHERE doc_id % 4 = 0),
+allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM w1 UNION ALL
+  SELECT * FROM w2),
+latest AS (
+  SELECT * FROM allrows
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+live AS (SELECT * FROM latest WHERE op <> 'D'),
+docs AS (SELECT doc_id, {_SQL_NORM} AS nt FROM live),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM docs),
+shd AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   for i in generate_series(1, len(t) - 2)]) AS shingle
+    FROM toks)),
+hashed AS (SELECT doc_id,
+    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+      % {MINHASH_P} AS h
+  FROM shd),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({bands_sql}),
+probe AS (SELECT * FROM bands WHERE doc_id % 7 = 1)
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                greatest(a.doc_id, b.doc_id) AS doc_b
+FROM bands a JOIN probe b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id <> b.doc_id"""
+
+
+ORACLES["neardup_maintained_index"] = _sql_neardup_maintained()
+
 ORACLES["ivm_cascade_deep"] = """
 WITH factlog AS (
   SELECT o_orderkey AS okey, o_custkey AS custkey,
@@ -14603,6 +14731,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "bm25_maintained_index": QuerySpec(
         q_bm25_maintained_index, ORACLES["bm25_maintained_index"]
     ),
+    # r09 capstone #17: maintained MinHash-LSH near-dup index (bucket
+    # MERGE table from the corpus CDF + stale-exact column-index probe)
+    "neardup_maintained_index": QuerySpec(
+        q_neardup_maintained_index, ORACLES["neardup_maintained_index"]
+    ),
 }
 
 #: r05 (VERDICT item 5): the driver oracle-checks the FIRST 50 registry
@@ -14637,13 +14770,13 @@ _DRIVER_SPOTLIGHT = [
     # round's maintenance-path rewrites: bounded IVF/SCD2 collects,
     # the tombstone-fold heal, the hardened BM25 read path) plus the
     # kmeans flagships.
-    # the r09 flagship pipeline is NEW this round — driver-check it now
-    # so 100% contract coverage includes it
-    "flagship_segmentation",
+    # the r09 flagship pipeline and capstone #17 are NEW this round —
+    # driver-check them now so 100% contract coverage includes them
+    "flagship_segmentation", "neardup_maintained_index",
     "scd2_enriched_view", "indexed_range_lookup",
     "incremental_topk_view", "incremental_quantile_view",
     "ivm_cascade", "ivm_cascade_deep", "bm25_maintained_index",
-    "incremental_distinct_view", "kmeans_custom", "centroid_assign",
+    "incremental_distinct_view", "kmeans_custom",
     "incremental_join_view",
 ]
 
