@@ -56,6 +56,12 @@ NAMES = [
     # hybrid retrieval
     "ann_split_probe", "ann_filtered_search_selective",
     "incremental_join_view", "hybrid_retrieval", "rag_pipeline",
+    # r09: the end-to-end reference pipeline (assignment scan + one
+    # hash agg after the k-row centroid collect) and the maintained
+    # near-dup probe (bucket-pruned read + probe join). The multi-wave
+    # sync loops don't snapshot as one explain; their plan properties
+    # live in tests/test_neardup.py + SCALE.md
+    "flagship_segmentation", "neardup_maintained_index",
 ]
 
 
