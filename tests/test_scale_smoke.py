@@ -967,3 +967,98 @@ def test_agg_merge_view_wave_locality_at_scale(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_lsh_index_wave_locality_at_scale(spark, tmp_path):
+    """r09 capstone #17 at 100k docs / 256 bucket partitions: a wave
+    touching 3 docs rewrites only those docs' band-key hash partitions
+    (<= 3 docs x 8 bands x 2 for moved keys), every other dir is
+    carried byte-identical, and a 2-doc probe returns exactly the
+    pairs a from-scratch band computation over the corpus yields."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.neardup import (
+        _band_rows,
+        neardup_probe_maintained,
+        sync_lsh_index,
+    )
+
+    n = 100_000
+    # 5-token texts over a 1000-word rolling vocab: docs with the same
+    # id % 1000 share all shingles (dup families of ~100)
+    text = F.concat_ws(
+        " ",
+        *[F.concat(F.lit("w"), ((F.col("id") + i) % 1000)) for i in range(5)],
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    merge_into_partitioned_snapshot(
+        spark, corpus, base, key="doc_id", seq="seq", num_partitions=32,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    t0 = time.time()
+    sync_lsh_index(spark, corpus, idx, num_partitions=256)
+    seed_s = time.time() - t0
+    man_before = versioned.read_manifest(idx)
+
+    wave = spark.createDataFrame(
+        [(7, "totally new words appearing here", 1, "U"),
+         (1007, "totally new words appearing here", 1, "U"),
+         (2007, None, 1, "D")],
+        "doc_id long, text string, seq long, op string",
+    )
+    merge_into_partitioned_snapshot(
+        spark, corpus, wave, key="doc_id", seq="seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    t0 = time.time()
+    sync_lsh_index(spark, corpus, idx)
+    wave_s = time.time() - t0
+    man_after = versioned.read_manifest(idx)
+    changed = {
+        p
+        for p in set(man_before["parts"]) | set(man_after["parts"])
+        if man_after["parts"].get(p) != man_before["parts"].get(p)
+    }
+    # 3 docs x 8 bands, old + new keys
+    assert 0 < len(changed) <= 48, len(changed)
+    # the incremental fold must not cost like the seed build
+    assert wave_s < seed_s, (wave_s, seed_s)
+
+    probe = read_partitioned_snapshot(spark, corpus).filter(
+        F.col("doc_id").isin(7, 5)
+    ).select("doc_id", "text")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup_probe_maintained(spark, idx, probe).collect()
+    }
+    # from-scratch expectation: probe band keys joined against the
+    # whole corpus's one-shot band computation (probe-side bounded)
+    corpus_bands = _band_rows(
+        read_partitioned_snapshot(spark, corpus).select("doc_id", "text"),
+        "doc_id", "text", 3, 16, 8, 2,
+    )
+    probe_bands = _band_rows(probe, "doc_id", "text", 3, 16, 8, 2)
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in corpus_bands.join(
+            probe_bands.select(
+                "bucket", F.col("doc_id").alias("__p")
+            ),
+            "bucket",
+        ).filter(F.col("doc_id") != F.col("__p"))
+        .select("doc_id", "__p").collect()
+    }
+    assert got == want
+    # doc 7 was re-texted away from its %1000 family; doc 5 still has
+    # its ~99 family members
+    assert len(got) >= 90
