@@ -52,10 +52,6 @@ HEADLINE = [
     "centroid_assign",
     "wcss_fixed",
     "kmeans_custom",
-    # r09: the reference's END-TO-END pipeline at the bench SF (kmeans
-    # + full-corpus assignment + cluster summary) — tracks the actual
-    # reference workload's scaling, not just the centroid loop
-    "flagship_segmentation",
     # LLM-pipeline ops
     "dedup_exact",
     "minhash_pairs",
@@ -67,6 +63,12 @@ HEADLINE = [
     "embedding_neardup",
     "quantize_error",
     "multimodal_meta",
+    # ^^^ R01_SUBSET ends at multimodal_meta — NEVER insert above this
+    # line: the r01 cross-round yardstick is the prefix up to here
+    # r09: the reference's END-TO-END pipeline at the bench SF (kmeans
+    # + full-corpus assignment + cluster summary) — tracks the actual
+    # reference workload's scaling, not just the centroid loop
+    "flagship_segmentation",
     # late-added operators (r02): SQL-recursion, graph, subquery
     # decorrelation, IVF ANN, fuzzy/simhash pair joins — benched so
     # regressions are visible
