@@ -47,6 +47,7 @@ def _contended(d: dict) -> bool | None:
 #: builder-committed idle records that complement the driver artifacts
 _EXTRA = [
     ("r06_idle", "BENCH.idle-early-r06.json"),
+    ("r08_idle", "BENCH.idle-r08.json"),
     # the working-tree BENCH.json is the CURRENT round's idle record —
     # the label is patched to the latest driver round + 1 below
     ("latest_idle", "BENCH.json"),
