@@ -142,6 +142,10 @@ HEADLINE = [
     # r09: capstone #17 — maintained LSH near-dup index (bucket MERGE
     # table from the corpus CDF + stale column-index probe)
     "neardup_maintained_index",
+    # r10: capstone #18 — daily-crawl-shard dedup gate (exact ->
+    # maintained LSH probe -> decontamination -> segment dedup); the
+    # dedup family's tracked wall-time (VERDICT #7)
+    "crawl_shard_dedup",
     # r04: newly oracled array-feature Lloyd loops — 64-dim and
     # vocab-featurized variants are distinct perf shapes from the 2-dim
     # kmeans_custom (high-dim distance codegen, pivot featurization)

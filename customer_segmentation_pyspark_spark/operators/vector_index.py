@@ -483,9 +483,16 @@ def update_ivf_index(
             *[os.path.join(index_dir, d) for d in old_dirs]
         )
         # survivor filter: isin for small waves, anti-join against the
-        # checkpointed delta past the cap (r09, VERDICT #2)
+        # checkpointed delta past the cap (r09, VERDICT #2). The two
+        # paths agree only because NULL keys are refused at build and
+        # update time (the isin branch would drop a NULL-keyed survivor
+        # — NOT IN over NULL is NULL — while the anti-join keeps it);
+        # the isNull() guard keeps them strictly equivalent even if the
+        # refusal contract ever loosens (r09, ADVICE).
         if changed_keys is not None:
-            scan = scan.filter(~F.col(key).isin(changed_keys))
+            scan = scan.filter(
+                F.col(key).isNull() | ~F.col(key).isin(changed_keys)
+            )
         else:
             scan = scan.join(ch.select(key), key, "left_anti")
         frames.append(

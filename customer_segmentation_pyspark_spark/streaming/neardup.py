@@ -356,6 +356,12 @@ def sync_lsh_index(
                 F.lit("D").alias("__op"),
             )
         )
+    # materialize the band batch ONCE: the merge below actions the
+    # batch twice (touched-partition discovery + the write job), and
+    # without this each action re-runs the shingle+MinHash pass and
+    # re-optimizes its wide expression tree — measured at ~2x the whole
+    # merge cost at the bench SF (r10)
+    batch = batch.localCheckpoint(eager=True)
     merge_into_partitioned_snapshot(
         spark,
         idx_dir,
@@ -392,6 +398,7 @@ def neardup_probe_maintained(
     num_hashes: int = 16,
     bands: int = 8,
     rows_per_band: int = 2,
+    probe_observation=None,
 ) -> DataFrame:
     """Near-dup candidate pairs between ``probe_docs`` and the
     MAINTAINED corpus state: the probes' band keys are computed
@@ -408,7 +415,14 @@ def neardup_probe_maintained(
     ``_PROBE_POINT_READ_MAX`` distinct buckets the read switches from
     the index's value-list point-read to a semi-join of the bucket
     table against the (checkpointed) probe keys — a shard-sized
-    probe's buckets never land on the driver."""
+    probe's buckets never land on the driver.
+
+    ``probe_observation`` (r10, VERDICT #5): an optional
+    ``pyspark.sql.Observation`` attached to the index-side read —
+    ``probe_idx_rows`` records how many stored band rows the probe
+    actually consumed, the witness that probe cost is O(touched
+    buckets), not O(index). Not populated on the empty-index
+    fallback (there is no read to observe)."""
     from customer_segmentation_pyspark_spark.streaming.colindex import (
         read_by_column_value,
     )
@@ -427,13 +441,37 @@ def neardup_probe_maintained(
         for r in pb.select("bucket").distinct()
         .limit(_PROBE_POINT_READ_MAX + 1).collect()
     ]
-    if len(sample) <= _PROBE_POINT_READ_MAX:
-        idx = read_by_column_value(spark, idx_dir, "bucket", sample)
-    else:
-        idx = read_partitioned_snapshot(spark, idx_dir).join(
-            F.broadcast(pb.select("bucket").distinct()),
-            "bucket",
-            "leftsemi",
+    try:
+        if len(sample) <= _PROBE_POINT_READ_MAX:
+            idx = read_by_column_value(spark, idx_dir, "bucket", sample)
+        else:
+            idx = read_partitioned_snapshot(spark, idx_dir).join(
+                F.broadcast(pb.select("bucket").distinct()),
+                "bucket",
+                "leftsemi",
+            )
+    except FileNotFoundError:
+        # corpus emptied before the first index sync: the seed
+        # committed nothing (cursor only, no manifest) — no stored doc
+        # can collide. Same hardening as bm25_query_maintained; here
+        # the pair type IS recoverable, from the probe's own id column
+        # (r09, ADVICE).
+        id_t = probe_docs.schema[id_col].dataType
+        from pyspark.sql import types as _T
+
+        return spark.createDataFrame(
+            [],
+            _T.StructType(
+                [
+                    _T.StructField("doc_a", id_t),
+                    _T.StructField("doc_b", id_t),
+                ]
+            ),
+        )
+    if probe_observation is not None:
+        idx = idx.observe(
+            probe_observation,
+            F.count(F.lit(1)).alias("probe_idx_rows"),
         )
     hits = idx.select(
         F.col("bucket"), F.col("doc_id").alias("__idx_doc")

@@ -179,6 +179,254 @@ def sync_postings_index(
     return cur
 
 
+def sync_bm25_stack(
+    spark: SparkSession,
+    corpus_dir: str,
+    post_dir: str,
+    dfv_dir: str,
+    stats_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats_group_col: str = "lang",
+    num_partitions: int = 32,
+    df_n_col: str = "df",
+    df_sum_col: str = "z",
+) -> int:
+    """Composed wave sync (r10, VERDICT #3): bring the WHOLE maintained
+    BM25 stack — postings table, df view, (N, avgdl) stats view — up to
+    the corpus's latest version off ONE shared corpus CDF slice.
+
+    The separate-sync path pays, per wave: two corpus CDF reads
+    (postings + stats), one postings-table CDF diff (the df view's
+    source feed — a manifest-version diff over the biggest table in the
+    stack), and two tokenization passes. This composition exploits that
+    the postings table is a PURE FUNCTION of the corpus: the per-term
+    df delta is computed directly from the corpus CDF's pre/post-image
+    postings (a (term,doc) key present only post-image is +1, only
+    pre-image is -1, both sides nets 0 — exactly the insert/delete/
+    update row-count algebra the postings CDF would deliver), so the
+    intermediate diff never runs and the tokenization of the slice is
+    shared by the postings batch and the df delta.
+
+    The df-from-corpus rewiring also makes the three structure updates
+    MUTUALLY INDEPENDENT within a wave (the old driver serialized them
+    because the df view read the postings table's CDF), so after the
+    shared slices are materialized the three commits run CONCURRENTLY
+    (one thread each — Spark's scheduler interleaves the jobs; each
+    thread owns a different table, so no OCC conflict is possible).
+
+    Crash story: each structure keeps its own cursor and commits
+    atomically; ANY SUBSET can land (concurrency widens the old
+    prefix-only guarantee) and the retry resumes each structure from
+    ITS cursor, sharing CDF slices again wherever cursors coincide —
+    pinned by test_retrieval.py's divergent-cursor test. The df view's
+    cursor/__applied stamps track CORPUS versions under this driver —
+    a view is bound to its maintenance driver; do not mix with
+    `sync_agg_merge_view(post_dir, ...)`, whose stamps are postings
+    versions. State equality with the separate-sync path is pinned by
+    test_retrieval.py's composed-vs-separate comparison."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.sources.sinks import (
+        recover_swap,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_snapshot_changes,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        SRC_VERSION_FILE,
+        _applied_high_water,
+        _fold_agg_delta,
+        _seed_agg_view_rows,
+        _snapshot_or_empty,
+        seed_count_sum_view,
+        update_count_sum_view,
+    )
+
+    cur = versioned.latest_version(corpus_dir)
+    if cur < 1:
+        raise FileNotFoundError(f"no committed snapshot in {corpus_dir}")
+    v_post = view_src_version(post_dir) if os.path.isdir(post_dir) else None
+    v_dfv = view_src_version(dfv_dir) if os.path.isdir(dfv_dir) else None
+    if v_dfv is not None:
+        if versioned.latest_version(dfv_dir) < 1:
+            # seed over an emptied corpus wrote the cursor but committed
+            # no manifest — re-seed (the agg view's birth rule)
+            os.remove(os.path.join(dfv_dir, SRC_VERSION_FILE))
+            v_dfv = None
+        else:
+            # crash healing: rows/app_meta stamped above the marker mean
+            # a landed fold lost its cursor write (sync_agg_merge_view's
+            # rule, corpus-version unit here)
+            hw = _applied_high_water(spark, dfv_dir)
+            if hw is not None and hw > v_dfv:
+                v_dfv = hw
+                _write_marker(dfv_dir, v_dfv)
+    recover_swap(stats_dir)
+    v_stats = (
+        view_src_version(stats_dir) if os.path.exists(stats_dir) else None
+    )
+    if all(
+        v is not None and v >= cur for v in (v_post, v_dfv, v_stats)
+    ):
+        return cur
+
+    # shared, lazily-built slice state: one corpus snapshot/CDF read and
+    # one tokenization pass serve every structure whose cursor matches
+    snap_cache: list = []
+    seed_posts_cache: list = []
+    cdfs: dict = {}
+    toks: dict = {}
+
+    def _snap() -> DataFrame:
+        if not snap_cache:
+            snap_cache.append(_snapshot_or_empty(spark, corpus_dir, cur))
+        return snap_cache[0]
+
+    def _seed_postings_frame() -> DataFrame:
+        if not seed_posts_cache:
+            seed_posts_cache.append(
+                _postings_of(
+                    _snap().select(id_col, text_col), id_col, text_col
+                ).localCheckpoint(eager=True)  # reused: postings seed + df seed
+            )
+        return seed_posts_cache[0]
+
+    def _cdf(v0: int) -> DataFrame:
+        if v0 not in cdfs:
+            cdfs[v0] = read_snapshot_changes(
+                spark, corpus_dir, v0, cur
+            ).localCheckpoint(eager=True)  # reused: postings, df, stats
+        return cdfs[v0]
+
+    def _posts_pres(v0: int) -> tuple[DataFrame, DataFrame]:
+        if v0 not in toks:
+            c, ct = _cdf(v0), F.col("_change_type")
+            posts = _postings_of(
+                c.filter(ct.isin("insert", "update_postimage")).select(
+                    id_col, text_col
+                ),
+                id_col,
+                text_col,
+            ).localCheckpoint(eager=True)  # reused: batch + df delta
+            pres = _postings_of(
+                c.filter(ct.isin("delete", "update_preimage")).select(
+                    id_col, text_col
+                ),
+                id_col,
+                text_col,
+            ).localCheckpoint(eager=True)
+            toks[v0] = (posts, pres)
+        return toks[v0]
+
+    # materialize every shared slice this wave needs BEFORE forking:
+    # the cache builders are not thread-safe, and each localCheckpoint
+    # is a job best run exactly once
+    if v_post is None or v_dfv is None:
+        _seed_postings_frame()
+    for v in {v for v in (v_post, v_dfv) if v is not None and v < cur}:
+        _posts_pres(v)
+    if v_stats is not None and v_stats < cur:
+        _cdf(v_stats)
+
+    # 1. postings table (same batches as sync_postings_index)
+    def _sync_postings() -> None:
+        batch = None
+        if v_post is None:
+            batch = _with_pkey(_seed_postings_frame(), id_col).select(
+                PKEY, id_col, "term", "dl", "tf",
+                F.lit(0).cast("long").alias("__seq"),
+                F.lit("U").alias("__op"),
+            )
+        elif v_post < cur:
+            posts, pres = _posts_pres(v_post)
+            gone = pres.join(
+                posts.select(id_col, "term"), [id_col, "term"], "left_anti"
+            )
+            batch = _with_pkey(posts, id_col).select(
+                PKEY, id_col, "term", "dl", "tf",
+                F.lit(1).cast("long").alias("__seq"),
+                F.lit("U").alias("__op"),
+            ).unionByName(
+                _with_pkey(gone, id_col).select(
+                    PKEY, id_col, "term", "dl", "tf",
+                    F.lit(2).cast("long").alias("__seq"),
+                    F.lit("D").alias("__op"),
+                )
+            )
+        if batch is not None:
+            merge_into_partitioned_snapshot(
+                spark,
+                post_dir,
+                batch,
+                key=PKEY,
+                seq="__seq",
+                num_partitions=num_partitions,
+                delete_when="__op = 'D'",
+                marker_cols=("__op",),
+            )
+            os.makedirs(post_dir, exist_ok=True)
+            _write_marker(post_dir, cur)
+
+    # 2. df view — per-term doc counts, fed straight from the corpus
+    # slice (no postings CDF diff)
+    def _sync_df() -> None:
+        if v_dfv is None:
+            agg = (
+                _seed_postings_frame()
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias(df_n_col))
+                .withColumn(df_sum_col, F.lit(0).cast("long"))
+            )
+            _seed_agg_view_rows(
+                spark, dfv_dir, agg, "term", cur,
+                num_partitions=num_partitions,
+                n_col=df_n_col, sum_col=df_sum_col,
+            )
+        elif v_dfv < cur:
+            posts, pres = _posts_pres(v_dfv)
+            delta = (
+                posts.select("term", F.lit(1).alias("__s"))
+                .unionByName(pres.select("term", F.lit(-1).alias("__s")))
+                .groupBy(F.col("term").alias("__dg"))
+                .agg(
+                    F.sum("__s").cast("long").alias("__d_n"),
+                    F.sum(F.lit(0)).cast("long").alias("__d_sum"),
+                )
+                .filter(F.col("__d_n") != 0)
+            )
+            _fold_agg_delta(
+                spark, dfv_dir, delta, "term", cur,
+                n_col=df_n_col, sum_col=df_sum_col,
+            )
+
+    # 3. (N, avgdl) stats view — swap-style COUNT/SUM over the same slice
+    def _sync_stats() -> None:
+        if v_stats is None:
+            seed_count_sum_view(
+                spark, stats_dir, _snap(), stats_group_col,
+                token_count(F.col(text_col)), src_version=cur,
+            )
+        elif v_stats < cur:
+            update_count_sum_view(
+                spark, stats_dir, _cdf(v_stats), stats_group_col,
+                token_count(F.col(text_col)), src_version=cur,
+            )
+
+    # one thread per structure: each owns a different table dir, so the
+    # commits cannot conflict; result() re-raises in a fixed order and
+    # a failed structure simply retries from its own cursor next call
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futures = [
+            ex.submit(f) for f in (_sync_postings, _sync_df, _sync_stats)
+        ]
+        for fu in futures:
+            fu.result()
+    return cur
+
+
 def bm25_query_maintained(
     spark: SparkSession,
     post_dir: str,
@@ -188,6 +436,7 @@ def bm25_query_maintained(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    id_type: str = "string",
 ) -> DataFrame:
     """BM25 top-k over the MAINTAINED state: postings of the query's
     terms via the term column index (partition-pruned, stale-exact),
@@ -210,8 +459,13 @@ def bm25_query_maintained(
     except FileNotFoundError:
         # corpus emptied before the first postings sync: the seed
         # committed nothing (cursor only, no manifest) — no doc can
-        # score (r09, ADVICE; doc_id's type is unrecoverable here)
-        return spark.createDataFrame([], "doc_id string, bm25 double")
+        # score. doc_id's type is unrecoverable from the (empty)
+        # postings state, so callers whose corpus keys are not strings
+        # must pass ``id_type`` if they union this fallback with typed
+        # frames (r09 + r10, ADVICE).
+        return spark.createDataFrame(
+            [], f"doc_id {id_type}, bm25 double"
+        )
     # the stats view is swap-style (two renames): a crash between them
     # leaves the current state stranded at .old-* — adopt it before
     # reading, or the query silently reads the stale side until the

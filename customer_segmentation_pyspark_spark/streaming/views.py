@@ -851,6 +851,7 @@ def sync_join_view_to_snapshots(
     fact_cols = [c for c in fact_cols_now]
     changed_parts = []
     ups_a = None
+    map_catchup = None  # deferred jvmap fold, run ∥ the view merge (r10)
     if fa > va0:
         # materialize the fact CDF once: the escape-hatch/catch-up path
         # and the view merge each action it, and every action would
@@ -998,11 +999,17 @@ def sync_join_view_to_snapshots(
                         ups_a, join_col, fact_key, view_parts
                     )
                 )
-            _union_jvmap_parts(spark, view_dir, fold, join_col, view_parts)
-            _write_jvmap_marker(
-                view_dir, fa if ups_a is not None else va0
-            )
+
+            def _map_catchup(f=fold):
+                _union_jvmap_parts(spark, view_dir, f, join_col, view_parts)
+                _write_jvmap_marker(
+                    view_dir, fa if ups_a is not None else va0
+                )
+
+            map_catchup = _map_catchup
     if not changed_parts:
+        if map_catchup is not None:
+            map_catchup()
         _write_join_cursors(view_dir, fa, db)
         return fa, db
     changed = changed_parts[0]
@@ -1011,16 +1018,36 @@ def sync_join_view_to_snapshots(
     # enrich ONCE against the current dim; deletes ride through with
     # their (soon-dropped) NULL attrs
     batch = changed.join(dim_now, join_col, "left")
-    merge_into_partitioned_snapshot(
-        spark,
-        view_dir,
-        batch,
-        key=fact_key,
-        seq="__seq",
-        delete_when="__op = 'D'",
-        marker_cols=("__op",),
-        update_set_all=True,
-    )
+
+    def _view_merge():
+        merge_into_partitioned_snapshot(
+            spark,
+            view_dir,
+            batch,
+            key=fact_key,
+            seq="__seq",
+            delete_when="__op = 'D'",
+            marker_cols=("__op",),
+            update_set_all=True,
+        )
+
+    if map_catchup is not None:
+        # the map catch-up and the view merge commit to DIFFERENT
+        # manifests (view_dir vs its .jvmap subtable) off already-
+        # checkpointed inputs, so they run concurrently (r10, VERDICT
+        # #3). Either may land first: a map that got ahead of a crashed
+        # view merge holds SUPERSET entries for rows the retried merge
+        # will place exactly there (union-only apply — superset pruning
+        # costs IO, never correctness); a map behind a landed merge is
+        # the ordinary lag the escape hatch already covers.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futures = [ex.submit(_view_merge), ex.submit(map_catchup)]
+            for fu in futures:
+                fu.result()
+    else:
+        _view_merge()
     _write_join_cursors(view_dir, fa, db)
     return fa, db
 
@@ -1875,34 +1902,16 @@ def sync_agg_merge_view(
             _write_marker(view_dir, cur)
             return cur
         g = F.col(group_col)
-        rows = snap.groupBy(g.alias(group_col)).agg(
+        agg_rows = snap.groupBy(g.alias(group_col)).agg(
             F.count(F.lit(1)).cast("long").alias(n_col),
             F.sum(F.coalesce(value_col, F.lit(0)))
             .cast("long")
             .alias(sum_col),
-        ).select(
-            _group_surrogate(F.col(group_col)).alias(GKEY),
-            group_col,
-            n_col,
-            sum_col,
-            F.lit(cur).cast("long").alias("__applied"),
-            F.lit(0).cast("long").alias("__seq"),
-            F.lit("U").alias("__op"),
         )
-        merge_into_partitioned_snapshot(
-            spark,
-            view_dir,
-            rows,
-            key=GKEY,
-            seq="__seq",
-            num_partitions=num_partitions,
-            delete_when="__op = 'D'",
-            marker_cols=("__op",),
-            app_meta={"src_version": int(cur)},
+        return _seed_agg_view_rows(
+            spark, view_dir, agg_rows, group_col, cur,
+            num_partitions=num_partitions, n_col=n_col, sum_col=sum_col,
         )
-        os.makedirs(view_dir, exist_ok=True)
-        _write_marker(view_dir, cur)
-        return cur
 
     if versioned.latest_version(view_dir) < 1:
         # a seed over a zero-row source wrote the cursor but the merge
@@ -1928,9 +1937,90 @@ def sync_agg_merge_view(
             F.sum(sign * value).cast("long").alias("__d_sum"),
         )
         .filter((F.col("__d_n") != 0) | (F.col("__d_sum") != 0))
-        .withColumn("__dkey", _group_surrogate(F.col("__dg")))
-        .localCheckpoint(eager=True)  # reused: key collect + fold
     )
+    return _fold_agg_delta(
+        spark,
+        view_dir,
+        delta,
+        group_col,
+        cur,
+        point_read_max_groups=point_read_max_groups,
+        n_col=n_col,
+        sum_col=sum_col,
+    )
+
+
+def _seed_agg_view_rows(
+    spark: SparkSession,
+    view_dir: str,
+    agg_rows: DataFrame,
+    group_col: str,
+    cur: int,
+    num_partitions: int = 32,
+    n_col: str = "n_rows",
+    sum_col: str = "total",
+) -> int:
+    """Seed the merge-backed COUNT/SUM view from a PRE-AGGREGATED
+    ``(group_col, n_col, sum_col)`` frame, stamped as reflecting
+    source version ``cur``. Extracted from :func:`sync_agg_merge_view`
+    (r10, VERDICT #3) so composed wave syncs can seed a view from a
+    frame they already computed (e.g. the df view from the postings
+    batch) instead of re-reading the table they just wrote."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    rows = agg_rows.select(
+        _group_surrogate(F.col(group_col)).alias(GKEY),
+        group_col,
+        n_col,
+        sum_col,
+        F.lit(cur).cast("long").alias("__applied"),
+        F.lit(0).cast("long").alias("__seq"),
+        F.lit("U").alias("__op"),
+    )
+    merge_into_partitioned_snapshot(
+        spark,
+        view_dir,
+        rows,
+        key=GKEY,
+        seq="__seq",
+        num_partitions=num_partitions,
+        delete_when="__op = 'D'",
+        marker_cols=("__op",),
+        app_meta={"src_version": int(cur)},
+    )
+    os.makedirs(view_dir, exist_ok=True)
+    _write_marker(view_dir, cur)
+    return cur
+
+
+def _fold_agg_delta(
+    spark: SparkSession,
+    view_dir: str,
+    delta: DataFrame,
+    group_col: str,
+    cur: int,
+    point_read_max_groups: int = 64,
+    n_col: str = "n_rows",
+    sum_col: str = "total",
+) -> int:
+    """Fold one pre-aggregated signed delta — ``(__dg, __d_n,
+    __d_sum)``, nonzero rows only — into the merge-backed COUNT/SUM
+    view and stamp it as reflecting source version ``cur``. Extracted
+    from :func:`sync_agg_merge_view` (r10, VERDICT #3) so composed
+    wave syncs can hand a delta computed from a SHARED upstream CDF
+    slice straight to the fold, skipping the intermediate table's own
+    CDF diff; the replay guard, bounded point-read, and app_meta
+    crash witness are identical either way."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    delta = delta.withColumn(
+        "__dkey", _group_surrogate(F.col("__dg"))
+    ).localCheckpoint(eager=True)  # reused: key collect + fold
     keys = [
         r["__dkey"]
         for r in delta.select("__dkey")

@@ -284,3 +284,149 @@ def test_bm25_maintained_survives_index_vacuum(spark, tmp_path):
         for r in textops.bm25_topk(snap, terms, k=10).collect()
     )
     assert got == want, (got, want)
+
+
+def test_composed_stack_sync_equals_separate_syncs(spark, tmp_path):
+    """r10 (VERDICT #3): `sync_bm25_stack` — one shared corpus CDF
+    slice feeding postings batch + df delta + stats fold — must leave
+    byte-equal STATE (postings rows, df view rows, stats view rows)
+    and an equal query result to the separate-sync path, wave by wave,
+    including through the stale column index."""
+    from customer_segmentation_pyspark_spark.streaming.retrieval import (
+        sync_bm25_stack,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        read_agg_merge_view,
+    )
+
+    terms = ["alpha", "beta", "cider"]
+    ca, pa, dfa, sa = (str(tmp_path / x) for x in "c1 p1 d1 s1".split())
+    cb, pb, dfb, sb = (str(tmp_path / x) for x in "c2 p2 d2 s2".split())
+    for i, rows in enumerate(WAVES):
+        _merge_wave(spark, ca, rows)
+        _merge_wave(spark, cb, rows)
+        # A: separate syncs (the r08 driver)
+        sync_postings_index(spark, ca, pa, num_partitions=4)
+        sync_agg_merge_view(
+            spark, pa, dfa, "term", F.lit(0),
+            num_partitions=4, n_col="df", sum_col="z",
+        )
+        sync_view_to_snapshot(
+            spark, ca, sa, "lang", token_count(F.col("text"))
+        )
+        # B: composed sync (r10)
+        sync_bm25_stack(spark, cb, pb, dfb, sb, num_partitions=4)
+        if i == 0:
+            sync_column_index(spark, pa, "term", num_partitions=4)
+            sync_column_index(spark, pb, "term", num_partitions=4)
+        post_a = sorted(
+            (r["doc_id"], r["term"], r["tf"], r["dl"])
+            for r in read_partitioned_snapshot(spark, pa).collect()
+        )
+        post_b = sorted(
+            (r["doc_id"], r["term"], r["tf"], r["dl"])
+            for r in read_partitioned_snapshot(spark, pb).collect()
+        )
+        assert post_a == post_b, (i, post_a, post_b)
+        df_a = sorted(
+            (r["term"], r["df"])
+            for r in read_agg_merge_view(spark, dfa).collect()
+        )
+        df_b = sorted(
+            (r["term"], r["df"])
+            for r in read_agg_merge_view(spark, dfb).collect()
+        )
+        assert df_a == df_b, (i, df_a, df_b)
+        st_a = sorted(map(tuple, spark.read.parquet(sa).collect()))
+        st_b = sorted(map(tuple, spark.read.parquet(sb).collect()))
+        assert st_a == st_b, (i, st_a, st_b)
+        got_a = sorted(
+            (r["doc_id"], r["bm25"])
+            for r in bm25_query_maintained(
+                spark, pa, dfa, sa, terms, k=10
+            ).collect()
+        )
+        got_b = sorted(
+            (r["doc_id"], r["bm25"])
+            for r in bm25_query_maintained(
+                spark, pb, dfb, sb, terms, k=10
+            ).collect()
+        )
+        assert got_a == got_b, (i, got_a, got_b)
+
+
+def test_composed_stack_sync_resumes_from_divergent_cursors(spark, tmp_path):
+    """Crash shape: a wave where the postings commit landed but the df
+    and stats folds did not (simulated by advancing ONLY the postings
+    via its standalone sync) must heal on the next composed call —
+    each structure resumes from ITS cursor, and the final state equals
+    the batch recompute."""
+    from customer_segmentation_pyspark_spark.operators import textops
+    from customer_segmentation_pyspark_spark.streaming.retrieval import (
+        sync_bm25_stack,
+    )
+
+    corpus = str(tmp_path / "c")
+    post = str(tmp_path / "p")
+    dfv = str(tmp_path / "df")
+    stats = str(tmp_path / "s")
+    terms = ["alpha", "beta", "cider"]
+    _merge_wave(spark, corpus, WAVES[0])
+    sync_bm25_stack(spark, corpus, post, dfv, stats, num_partitions=4)
+    _merge_wave(spark, corpus, WAVES[1])
+    # "crash": postings advance to wave 1, df/stats stay at wave 0
+    sync_postings_index(spark, corpus, post, num_partitions=4)
+    _merge_wave(spark, corpus, WAVES[2])
+    # retry: postings fold (w1->w2], df/stats fold (w0->w2]
+    sync_bm25_stack(spark, corpus, post, dfv, stats, num_partitions=4)
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_query_maintained(
+            spark, post, dfv, stats, terms, k=10
+        ).collect()
+    )
+    snap = read_partitioned_snapshot(spark, corpus).select("doc_id", "text")
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in textops.bm25_topk(snap, terms, k=10).collect()
+    )
+    assert got == want, (got, want)
+
+
+def test_composed_stack_sync_emptied_corpus_seed(spark, tmp_path):
+    """The composed seed over a committed-but-emptied corpus writes
+    cursors only (no manifests), the query returns empty, and growth
+    resumes exactly — the composed twin of the (a) shape above."""
+    from customer_segmentation_pyspark_spark.operators import textops
+    from customer_segmentation_pyspark_spark.streaming.retrieval import (
+        sync_bm25_stack,
+    )
+
+    corpus = str(tmp_path / "c")
+    post = str(tmp_path / "p")
+    dfv = str(tmp_path / "df")
+    stats = str(tmp_path / "s")
+    terms = ["alpha", "beta", "cider"]
+    _merge_wave(spark, corpus, WAVES[0])
+    _merge_wave(
+        spark, corpus,
+        [(d, None, "en", 1, "D") for d in (1, 2, 3, 4)],
+    )
+    sync_bm25_stack(spark, corpus, post, dfv, stats, num_partitions=4)
+    assert bm25_query_maintained(
+        spark, post, dfv, stats, terms, k=10
+    ).collect() == []
+    _merge_wave(spark, corpus, WAVES[0])
+    sync_bm25_stack(spark, corpus, post, dfv, stats, num_partitions=4)
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_query_maintained(
+            spark, post, dfv, stats, terms, k=10
+        ).collect()
+    )
+    snap = read_partitioned_snapshot(spark, corpus).select("doc_id", "text")
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in textops.bm25_topk(snap, terms, k=10).collect()
+    )
+    assert got == want, (got, want)

@@ -1062,3 +1062,116 @@ def test_lsh_index_wave_locality_at_scale(spark, tmp_path):
     # doc 7 was re-texted away from its %1000 family; doc 5 still has
     # its ~99 family members
     assert len(got) >= 90
+
+
+def test_lsh_index_probe_bounded_at_1m_docs(spark, tmp_path):
+    """r10 (VERDICT #5): the maintained MinHash-LSH index at 1M docs /
+    8M band keys — sketches are ~17 ints per doc, so the index itself
+    is trivial at this scale; what must hold is LOCALITY: (a) a 3-doc
+    wave rewrites only those docs' band-key hash partitions, far
+    cheaper than the seed build; (b) a 2-doc probe's index-side READ —
+    witnessed by the probe_observation row count, no extra scan —
+    touches O(probe buckets x bucket occupancy) stored rows, five
+    orders of magnitude under the 8M-row index; (c) the probe's pairs
+    equal a from-scratch band computation."""
+    from pyspark.sql import Observation
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.colindex import (
+        sync_column_index,
+    )
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+    from customer_segmentation_pyspark_spark.streaming.neardup import (
+        _band_rows,
+        neardup_probe_maintained,
+        sync_lsh_index,
+    )
+
+    n = 1_000_000
+    # 5-token texts over a 100k-word rolling vocab: docs with the same
+    # id % 100_000 share all shingles (dup families of ~10)
+    text = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("w"), ((F.col("id") + i) % 100_000))
+            for i in range(5)
+        ],
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    merge_into_partitioned_snapshot(
+        spark, corpus, base, key="doc_id", seq="seq", num_partitions=32,
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    t0 = time.time()
+    sync_lsh_index(spark, corpus, idx, num_partitions=256)
+    seed_s = time.time() - t0
+    sync_column_index(spark, idx, "bucket", num_partitions=64)
+    man_before = versioned.read_manifest(idx)
+
+    wave = spark.createDataFrame(
+        [(7, "totally new words appearing here", 1, "U"),
+         (100_007, "totally new words appearing here", 1, "U"),
+         (200_007, None, 1, "D")],
+        "doc_id long, text string, seq long, op string",
+    )
+    merge_into_partitioned_snapshot(
+        spark, corpus, wave, key="doc_id", seq="seq",
+        delete_when="op = 'D'", marker_cols=("op",),
+    )
+    t0 = time.time()
+    sync_lsh_index(spark, corpus, idx)
+    wave_s = time.time() - t0
+    man_after = versioned.read_manifest(idx)
+    changed = {
+        p
+        for p in set(man_before["parts"]) | set(man_after["parts"])
+        if man_after["parts"].get(p) != man_before["parts"].get(p)
+    }
+    # 3 docs x 8 bands, old + new keys
+    assert 0 < len(changed) <= 48, len(changed)
+    # the incremental fold must not cost like the 1M-doc seed build
+    assert wave_s < seed_s, (wave_s, seed_s)
+
+    probe = read_partitioned_snapshot(spark, corpus).filter(
+        F.col("doc_id").isin(7, 5)
+    ).select("doc_id", "text")
+    obs = Observation("probe-1m")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in neardup_probe_maintained(
+            spark, idx, probe, probe_observation=obs
+        ).collect()
+    }
+    idx_rows = obs.get["probe_idx_rows"]
+    # O(probe): 2 docs x <=16 distinct buckets, family occupancy ~10,
+    # plus hash accidents — emphatically not the 8M stored band rows
+    assert idx_rows <= 2_000, idx_rows
+    # correctness of the bounded read: pairs == from-scratch bands
+    corpus_bands = _band_rows(
+        read_partitioned_snapshot(spark, corpus).select("doc_id", "text"),
+        "doc_id", "text", 3, 16, 8, 2,
+    )
+    probe_bands = _band_rows(probe, "doc_id", "text", 3, 16, 8, 2)
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in corpus_bands.join(
+            probe_bands.select(
+                "bucket", F.col("doc_id").alias("__p")
+            ),
+            "bucket",
+        ).filter(F.col("doc_id") != F.col("__p"))
+        .select("doc_id", "__p").collect()
+    }
+    assert got == want
+    # doc 7 was re-texted away from its family; doc 5 keeps ~9 members
+    assert len(got) >= 8

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import statistics
 import sys
@@ -244,11 +245,18 @@ def main() -> None:
     ns = ap.parse_args()
     worst_n = ns.worst
     if ns.history:
-        _history_mode(
-            ns.history,
-            [a for a in (ns.old, ns.new) if a],
-            worst_n,
-        )
+        names = [a for a in (ns.old, ns.new) if a]
+        # an easy operator slip: `compare_bench.py old.json new.json
+        # --history` silently reinterprets the two RECORD paths as
+        # query names — refuse instead of tracing nonsense (r09, ADVICE)
+        paths = [a for a in names if a.endswith(".json") or os.path.exists(a)]
+        if paths:
+            ap.error(
+                f"positional(s) {paths} look like bench record files, "
+                "but --history treats positionals as QUERY NAMES; drop "
+                "--history to compare two records"
+            )
+        _history_mode(ns.history, names, worst_n)
         return
     if not ns.old or not ns.new:
         ap.error("OLD and NEW bench files are required without --history")

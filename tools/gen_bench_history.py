@@ -84,7 +84,15 @@ def build_history(repo: str) -> dict:
         if not os.path.exists(path):
             continue
         if label == "latest_idle":
-            label = f"r{last_n + 1:02d}_idle"
+            # BENCH.json belongs to round last_n+1 only if it was
+            # produced AFTER the newest driver artifact; an untouched
+            # working tree (same-round record) would otherwise show a
+            # phantom extra round (r09, ADVICE) — mtime is the witness
+            newest = os.path.join(repo, f"BENCH_r{last_n:02d}.json")
+            same_round = os.path.exists(newest) and os.path.getmtime(
+                path
+            ) <= os.path.getmtime(newest)
+            label = f"r{last_n if same_round else last_n + 1:02d}_idle"
         add(label, path)
     return {"rounds": rounds, "queries": queries}
 

@@ -62,6 +62,9 @@ NAMES = [
     # sync loops don't snapshot as one explain; their plan properties
     # live in tests/test_neardup.py + SCALE.md
     "flagship_segmentation", "neardup_maintained_index",
+    # r10: capstone #18 — the final gate-count plan (maintained-probe
+    # anti-join + broadcast decontamination + segment-dedup aggregate)
+    "crawl_shard_dedup",
 ]
 
 
