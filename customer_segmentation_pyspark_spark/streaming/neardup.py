@@ -275,6 +275,7 @@ def sync_lsh_index(
     bands: int = 8,
     rows_per_band: int = 2,
     num_partitions: int = 32,
+    up_to: int | None = None,
 ) -> int:
     """Bring the LSH bucket table up to the corpus's latest version,
     folding only the CDF since the cursored version (seeding from the
@@ -294,7 +295,10 @@ def sync_lsh_index(
         _snapshot_or_empty,
     )
 
-    cur = versioned.latest_version(corpus_dir)
+    # ``up_to`` pins the slice's target version (r10): the wave
+    # pipelining hook — a concurrent next-wave corpus commit cannot
+    # blur this fold's granularity (immutable manifests/dirs)
+    cur = versioned.latest_version(corpus_dir) if up_to is None else up_to
     if cur < 1:
         raise FileNotFoundError(f"no committed snapshot in {corpus_dir}")
     v0 = view_src_version(idx_dir) if os.path.isdir(idx_dir) else None

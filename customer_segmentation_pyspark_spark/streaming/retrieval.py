@@ -191,6 +191,7 @@ def sync_bm25_stack(
     num_partitions: int = 32,
     df_n_col: str = "df",
     df_sum_col: str = "z",
+    up_to: int | None = None,
 ) -> int:
     """Composed wave sync (r10, VERDICT #3): bring the WHOLE maintained
     BM25 stack — postings table, df view, (N, avgdl) stats view — up to
@@ -243,7 +244,13 @@ def sync_bm25_stack(
         update_count_sum_view,
     )
 
-    cur = versioned.latest_version(corpus_dir)
+    # ``up_to`` pins the target corpus version explicitly — the wave
+    # pipelining hook (r10): a caller may commit the NEXT corpus wave
+    # on a concurrent thread while this sync folds the current one,
+    # and the pin keeps each fold's slice version-exact regardless of
+    # when that commit lands (manifests and part dirs are immutable,
+    # so reading version N under a concurrent N+1 commit is safe)
+    cur = versioned.latest_version(corpus_dir) if up_to is None else up_to
     if cur < 1:
         raise FileNotFoundError(f"no committed snapshot in {corpus_dir}")
     v_post = view_src_version(post_dir) if os.path.isdir(post_dir) else None

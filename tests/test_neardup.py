@@ -172,3 +172,53 @@ def test_probe_large_bucket_set_stays_off_driver(spark, tmp_path):
     )[:5]
     # sequential vocab shares 3-grams between neighbors -> pairs exist
     assert {(r["doc_a"], r["doc_b"]) for r in got} == _batch_pairs(live)
+
+
+def test_lsh_sync_up_to_pins_slice_then_catches_up(spark, tmp_path):
+    """r10 wave pipelining twin of the BM25 test: a pinned
+    `sync_lsh_index(..., up_to=v)` folds exactly one wave's CDF slice
+    even with a later corpus version already committed, leaves the
+    cursor at the pin, and the next un-pinned sync catches up to the
+    batch band-key recompute."""
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        view_src_version,
+    )
+
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    _merge_wave(spark, corpus, WAVES[0])
+    sync_lsh_index(spark, corpus, idx, num_partitions=4)
+    pin = versioned.latest_version(corpus) + 1
+    _merge_wave(spark, corpus, WAVES[1])
+    _merge_wave(spark, corpus, WAVES[2])
+    sync_lsh_index(spark, corpus, idx, num_partitions=4, up_to=pin)
+    assert view_src_version(idx) == pin
+    # reference: sequential build through wave 1 only
+    cr = str(tmp_path / "cr")
+    ir = str(tmp_path / "ir")
+    for i in range(2):
+        _merge_wave(spark, cr, WAVES[i])
+        sync_lsh_index(spark, cr, ir, num_partitions=4)
+    got = {
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in read_lsh_index(spark, idx).collect()
+    }
+    want = {
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in read_lsh_index(spark, ir).collect()
+    }
+    assert got == want, (len(got), len(want))
+    # catch-up: un-pinned sync folds wave 2; index == batch recompute
+    sync_lsh_index(spark, corpus, idx, num_partitions=4)
+    got = {
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in read_lsh_index(spark, idx).collect()
+    }
+    want = {
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in _band_rows(
+            _live(spark, corpus), "doc_id", "text", 3, 16, 8, 2
+        ).collect()
+    }
+    assert got == want, (len(got), len(want))

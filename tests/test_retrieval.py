@@ -430,3 +430,121 @@ def test_composed_stack_sync_emptied_corpus_seed(spark, tmp_path):
         for r in textops.bm25_topk(snap, terms, k=10).collect()
     )
     assert got == want, (got, want)
+
+
+def test_stack_sync_up_to_pins_slice_then_catches_up(spark, tmp_path):
+    """r10 wave pipelining: with the corpus already TWO waves ahead,
+    `sync_bm25_stack(..., up_to=v1)` must fold exactly wave 1's slice
+    (state == a stack that only ever saw wave 0+1... i.e. built
+    sequentially through v1) and leave the cursors at v1; the next
+    un-pinned sync folds the rest and equals the batch recompute.
+    This is the invariant that makes it safe for a caller to commit
+    the NEXT corpus wave on a concurrent thread while this fold runs."""
+    from customer_segmentation_pyspark_spark.operators import textops
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.retrieval import (
+        sync_bm25_stack,
+    )
+    from customer_segmentation_pyspark_spark.streaming.views import (
+        view_src_version,
+    )
+
+    terms = ["alpha", "beta", "cider"]
+    corpus = str(tmp_path / "c")
+    post = str(tmp_path / "p")
+    dfv = str(tmp_path / "df")
+    stats = str(tmp_path / "s")
+    # reference stack built sequentially, one sync per wave
+    cr, pr, dfr, sr = (str(tmp_path / x) for x in "cr pr dr sr".split())
+
+    _merge_wave(spark, corpus, WAVES[0])
+    sync_bm25_stack(spark, corpus, post, dfv, stats, num_partitions=4)
+    v1_target = versioned.latest_version(corpus) + 1
+    _merge_wave(spark, corpus, WAVES[1])
+    _merge_wave(spark, corpus, WAVES[2])
+    assert versioned.latest_version(corpus) == v1_target + 1
+    # pinned fold: only wave 1's CDF slice, despite wave 2 being live
+    sync_bm25_stack(
+        spark, corpus, post, dfv, stats, num_partitions=4,
+        up_to=v1_target,
+    )
+    assert view_src_version(post) == v1_target
+    assert view_src_version(dfv) == v1_target
+    for i in range(2):
+        _merge_wave(spark, cr, WAVES[i])
+        sync_bm25_stack(spark, cr, pr, dfr, sr, num_partitions=4)
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["dl"])
+        for r in read_partitioned_snapshot(spark, post).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["dl"])
+        for r in read_partitioned_snapshot(spark, pr).collect()
+    )
+    assert got == want, (got, want)
+    # un-pinned catch-up folds wave 2 and equals the batch recompute
+    sync_bm25_stack(spark, corpus, post, dfv, stats, num_partitions=4)
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_query_maintained(
+            spark, post, dfv, stats, terms, k=10
+        ).collect()
+    )
+    snap = read_partitioned_snapshot(spark, corpus).select("doc_id", "text")
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in textops.bm25_topk(snap, terms, k=10).collect()
+    )
+    assert got == want, (got, want)
+
+
+def test_stack_sync_pipelined_waves_equal_sequential(spark, tmp_path):
+    """The actual pipelined driver shape (queries.py r10): wave i's
+    pinned fold runs on a thread WHILE wave i+1's corpus merge commits
+    on another. Final state must equal the plain sequential build."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from customer_segmentation_pyspark_spark.operators import textops
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.retrieval import (
+        sync_bm25_stack,
+    )
+
+    terms = ["alpha", "beta", "cider"]
+    corpus = str(tmp_path / "c")
+    post = str(tmp_path / "p")
+    dfv = str(tmp_path / "df")
+    stats = str(tmp_path / "s")
+
+    _merge_wave(spark, corpus, WAVES[0])
+    for i in range(len(WAVES)):
+        v = versioned.latest_version(corpus)
+
+        def fold(v=v):
+            sync_bm25_stack(
+                spark, corpus, post, dfv, stats,
+                num_partitions=4, up_to=v,
+            )
+
+        if i + 1 < len(WAVES):
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = [
+                    ex.submit(_merge_wave, spark, corpus, WAVES[i + 1]),
+                    ex.submit(fold),
+                ]
+                for fu in futs:
+                    fu.result()
+        else:
+            fold()
+    got = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in bm25_query_maintained(
+            spark, post, dfv, stats, terms, k=10
+        ).collect()
+    )
+    snap = read_partitioned_snapshot(spark, corpus).select("doc_id", "text")
+    want = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in textops.bm25_topk(snap, terms, k=10).collect()
+    )
+    assert got == want, (got, want)
