@@ -12,6 +12,13 @@ distributed plan, matching how the engine is meant to run at scale).
 Per-query values are the MIN over $SPARK_GRAFT_TRIALS runs (default 3,
 r07 — single-shot numbers could not separate host drift from code
 regressions; see SCALE.md); the record carries "trials".
+
+SPARK_GRAFT_ONLY=q1,q2 restricts the run to those headline queries for
+the standalone warm re-time protocol (verify skill: iterative queries
+swing ±10-40% inside a full pass; re-time them alone, warm, min-of-4+
+before believing a regression). An ONLY run never writes BENCH.json /
+BENCH_summary.json — it is a diagnostic, not the comparable record —
+and its stdout line carries "only": true.
 """
 
 from __future__ import annotations
@@ -285,6 +292,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
         sys.exit(f"SPARK_GRAFT_SF_DIR does not exist: {sf_dir}")
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        run_list = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in run_list if n not in HEADLINE]
+        if unknown:
+            sys.exit(f"SPARK_GRAFT_ONLY names not in HEADLINE: {unknown}")
+    else:
+        run_list = HEADLINE
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -354,7 +369,7 @@ def main() -> None:
     trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     timings: dict[str, float] = {}
     for _pass in range(trials):
-        for name in HEADLINE:
+        for name in run_list:
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -395,6 +410,8 @@ def main() -> None:
         ),
         "contention": contention,
     }
+    if only:
+        summary["only"] = True
     result_line = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -405,6 +422,7 @@ def main() -> None:
             "trials": trials,
             "r01_subset_total": summary["r01_subset_total"],
             "contention": contention,
+            **({"only": True} if only else {}),
             "summary": summary,
         }
     )
@@ -448,6 +466,10 @@ def main() -> None:
     # A CONTENDED run never overwrites an existing IDLE record (r05):
     # the idle number is the comparable one, so the contended line goes
     # to BENCH.contended.json alongside instead.
+    if only:
+        # diagnostic subset — never the comparable record
+        print(stdout_line, flush=True)
+        return
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         out_path = _bench_out_path(here, max(cal_before, cal_after), sf)
