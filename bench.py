@@ -257,8 +257,15 @@ def _calibrate(iters: int = 1_500_000) -> float:
 
 
 #: spin calibration above this many seconds means the host was busy and
-#: the timings are inflated (idle reference ~0.33; see SCALE.md)
-CONTENDED_SPIN_SEC = 0.40
+#: the timings are inflated. HOST-RELATIVE: the r01-r09 machine idled at
+#: ~0.33-0.39 (old threshold 0.40); the r10 machine's single-thread CPU
+#: is ~1.8x slower (idle spin ~0.56-0.74 measured across this round —
+#: see OPTIMIZATION_r10.md "HOST CHANGE"), so the same absolute cutoff
+#: would label every idle run contended and burn the 3x60s idle-wait on
+#: each bench. Override per host with SPARK_GRAFT_SPIN_IDLE.
+CONTENDED_SPIN_SEC = float(
+    os.environ.get("SPARK_GRAFT_SPIN_IDLE", "0.85")
+)
 
 
 def _bench_out_path(here: str, spin_max: float, sf: float = 0.1) -> str:
