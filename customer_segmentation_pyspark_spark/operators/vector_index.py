@@ -220,6 +220,9 @@ def _merge_keymap(
         # the per-dir min/max footer pass (r06, fixed-cost profile:
         # the stats collection was ~1/3 of every keymap merge)
         collect_stats=False,
+        # one entry per vector id: callers pass groupBy outputs or
+        # per-id assignments of an id-unique corpus (the index contract)
+        assume_unique_keys=True,
     )
 
 

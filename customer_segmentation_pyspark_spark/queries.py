@@ -4435,7 +4435,8 @@ def q_corpus_refresh_pipeline(spark, sf_dir):
     # a few GB at scale — at bench SFs fewer partitions means fewer
     # small files per merge wave without changing any semantics
     merge_into_partitioned_snapshot(
-        spark, table, base, key="doc_id", seq="seq", num_partitions=8
+        spark, table, base, key="doc_id", seq="seq", num_partitions=8,
+        assume_unique_keys=True,  # doc_id is the source table's key
     )
     upd1 = (
         d.filter(F.col("doc_id") % 5 == 0)
@@ -4988,8 +4989,12 @@ def q_incremental_join_view(spark, sf_dir):
         key="custkey", seq="dseq", num_partitions=8,
         delete_when="dop = 'D'", marker_cols=("dop",),
     )
-    merge_into_partitioned_snapshot(spark, fact_dir, base_f, **kw_f)
-    merge_into_partitioned_snapshot(spark, dim_dir, base_d, **kw_d)
+    merge_into_partitioned_snapshot(
+        spark, fact_dir, base_f, assume_unique_keys=True, **kw_f
+    )  # one row per o_orderkey / c_custkey: the source tables' keys
+    merge_into_partitioned_snapshot(
+        spark, dim_dir, base_d, assume_unique_keys=True, **kw_d
+    )
     sync_join_view_to_snapshots(
         spark, fact_dir, dim_dir, view_dir, "custkey", num_partitions=8
     )  # seed
@@ -5187,12 +5192,12 @@ def q_ivm_cascade(spark, sf_dir):
     # commit cannot move) shares the machine with the next merge
     _run_concurrently(
         lambda: merge_into_partitioned_snapshot(
-            spark, fact_dir, base_f, **kw_f
+            spark, fact_dir, base_f, assume_unique_keys=True, **kw_f
         ),
         lambda: merge_into_partitioned_snapshot(
-            spark, dim_dir, base_d, **kw_d
+            spark, dim_dir, base_d, assume_unique_keys=True, **kw_d
         ),
-    )
+    )  # base seeds are key-unique projections of the source tables
     sync_join()  # seed silver
     _run_concurrently(
         lambda: merge_into_partitioned_snapshot(
@@ -5344,12 +5349,12 @@ def q_ivm_cascade_deep(spark, sf_dir):
     # overlaps the gold+platinum folds it cannot affect
     _run_concurrently(
         lambda: merge_into_partitioned_snapshot(
-            spark, fact_dir, base_f, **kw_f
+            spark, fact_dir, base_f, assume_unique_keys=True, **kw_f
         ),
         lambda: merge_into_partitioned_snapshot(
-            spark, dim_dir, base_d, **kw_d
+            spark, dim_dir, base_d, assume_unique_keys=True, **kw_d
         ),
-    )
+    )  # base seeds are key-unique projections of the source tables
     sync_join()
     _run_concurrently(
         lambda: merge_into_partitioned_snapshot(
@@ -5419,15 +5424,16 @@ def q_bm25_maintained_index(spark, sf_dir):
     for p in (corpus, post, dfv, stats):
         shutil.rmtree(p, ignore_errors=True)
 
-    def merge_wave(w):
+    def merge_wave(w, unique=False):
         merge_into_partitioned_snapshot(
             spark, corpus, w, key="doc_id", seq="seq",
             num_partitions=8, delete_when="op = 'D'",
             marker_cols=("op",),
+            assume_unique_keys=unique,
         )
 
     waves = _delete_wave_frames(d)
-    merge_wave(waves[0])
+    merge_wave(waves[0], unique=True)  # the base corpus: one row/doc
     for i in range(len(waves)):
         # wave pipelining (r10, VERDICT #3): the NEXT corpus wave
         # commits on a concurrent thread while the stack folds THIS
@@ -5491,15 +5497,16 @@ def q_neardup_maintained_index(spark, sf_dir):
     for p in (corpus, idx):
         shutil.rmtree(p, ignore_errors=True)
 
-    def merge_wave(w):
+    def merge_wave(w, unique=False):
         merge_into_partitioned_snapshot(
             spark, corpus, w, key="doc_id", seq="seq",
             num_partitions=8, delete_when="op = 'D'",
             marker_cols=("op",),
+            assume_unique_keys=unique,
         )
 
     waves = _delete_wave_frames(d)
-    merge_wave(waves[0])
+    merge_wave(waves[0], unique=True)  # the base corpus: one row/doc
     for i in range(len(waves)):
         # wave pipelining (r10, VERDICT #3): next wave's corpus merge
         # overlaps this wave's index fold; up_to pins the slice
@@ -5575,6 +5582,7 @@ def q_crawl_shard_dedup(spark, sf_dir):
         spark, corpus,
         corpus_docs.withColumn("seq", F.lit(0).cast("long")),
         key="doc_id", seq="seq", num_partitions=8,
+        assume_unique_keys=True,  # one row per even doc_id
     )
     sync_lsh_index(spark, corpus, idx, num_partitions=8)
     sync_column_index(spark, idx, "bucket", num_partitions=8)
@@ -5714,8 +5722,10 @@ def _build_scd2_history(spark, sf_dir):
             F.lit("U").alias("dop"),
         )
     )
-    for wave in (base, w1, w2):
-        merge_into_partitioned_snapshot(spark, dim_dir, wave, **kw)
+    for wave, uniq in ((base, True), (w1, False), (w2, False)):
+        merge_into_partitioned_snapshot(
+            spark, dim_dir, wave, assume_unique_keys=uniq, **kw
+        )
         # dseq is merge bookkeeping, not a tracked attribute: a wave
         # that lands identical nation/acctbal (w2's orig*0.5 == w1's
         # orig+100 exactly when c_acctbal = -200.00) must NOT split an
@@ -5807,7 +5817,8 @@ def q_indexed_point_lookup(spark, sf_dir):
         F.lit(0).cast("long").alias("seq"),
     )
     merge_into_partitioned_snapshot(
-        spark, table, base, key="doc_id", seq="seq", num_partitions=8
+        spark, table, base, key="doc_id", seq="seq", num_partitions=8,
+        assume_unique_keys=True,  # doc_id is the source table's key
     )
     sync_column_index(spark, table, "tag", num_partitions=8)
     wave = d.filter(F.col("doc_id") % 13 == 0).select(
@@ -5958,12 +5969,12 @@ def q_scd2_enriched_view(spark, sf_dir):
     # independent source tables merge concurrently (r10, VERDICT #3)
     _run_concurrently(
         lambda: merge_into_partitioned_snapshot(
-            spark, dim_dir, dim_base, **kw_d
+            spark, dim_dir, dim_base, assume_unique_keys=True, **kw_d
         ),
         lambda: merge_into_partitioned_snapshot(
-            spark, fact_dir, fact_base, **kw_f
+            spark, fact_dir, fact_base, assume_unique_keys=True, **kw_f
         ),
-    )
+    )  # base seeds are key-unique projections of the source tables
     sync()  # seed: history to v1, every fact stamped 1
     merge_into_partitioned_snapshot(spark, dim_dir, dim_w1, **kw_d)
     sync()  # dim-only: history appends, view untouched (stability)
@@ -6015,7 +6026,8 @@ def q_indexed_range_lookup(spark, sf_dir):
         F.lit(0).cast("long").alias("seq"),
     )
     merge_into_partitioned_snapshot(
-        spark, table, base, key="doc_id", seq="seq", num_partitions=8
+        spark, table, base, key="doc_id", seq="seq", num_partitions=8,
+        assume_unique_keys=True,  # doc_id is the source table's key
     )
     sync_range_index(
         spark, table, "val", bucket_width=5.0, num_partitions=8
@@ -6064,7 +6076,8 @@ def _build_feed_table(spark, sf_dir, name):
     table = _scratch_path(f"{name}/table")
     shutil.rmtree(table, ignore_errors=True)
     merge_into_partitioned_snapshot(
-        spark, table, base, key="doc_id", seq="seq", num_partitions=8
+        spark, table, base, key="doc_id", seq="seq", num_partitions=8,
+        assume_unique_keys=True,  # doc_id is the source table's key
     )
     v1 = versioned.latest_version(table)
     upd = (
@@ -10299,7 +10312,7 @@ def q_rag_pipeline(spark, sf_dir):
             "doc_id", "text", "embedding",
             F.lit(0).cast("long").alias("seq"), F.lit("U").alias("op"),
         ),
-        num_partitions=8, **kw,
+        num_partitions=8, assume_unique_keys=True, **kw,
     )
     cells = _ivf_fixed_cells()
     sync_ivf_index_to_snapshot(

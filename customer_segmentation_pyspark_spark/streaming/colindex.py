@@ -167,16 +167,20 @@ def sync_column_index(
                 )
             except FileNotFoundError:
                 pass  # marker exists but table empty: plain insert
-    if not fresh.isEmpty():
-        merge_into_partitioned_snapshot(
-            spark,
-            idx_dir,
-            fresh.withColumn("__seq", F.lit(0).cast("long")),
-            key=col,
-            seq="__seq",
-            num_partitions=num_partitions,
-            collect_stats=False,  # index reads prune by value hash
-        )
+    # no isEmpty() pre-check (r10): that executed the fresh plan one
+    # extra time per sync — the staged merge discovers an empty batch
+    # itself and commits nothing, at the cost it already pays
+    merge_into_partitioned_snapshot(
+        spark,
+        idx_dir,
+        fresh.withColumn("__seq", F.lit(0).cast("long")),
+        key=col,
+        seq="__seq",
+        num_partitions=num_partitions,
+        collect_stats=False,
+        # groupBy output: one row per indexed value
+        assume_unique_keys=True,  # index reads prune by value hash
+    )
     os.makedirs(idx_dir, exist_ok=True)
     # marker-clamp (r08): while a vacuum sweep is in flight, advancing
     # the version marker past the sweep's DERIVATION version could
@@ -347,6 +351,8 @@ def vacuum_column_index(
         delete_when="__op = 'D'",
         marker_cols=("__op",),
         collect_stats=False,
+        # grouped exact entries + anti-join-disjoint stale tombstones
+        assume_unique_keys=True,
     )
     # marker advance AFTER the merge, to the pinned derivation version:
     # anything the clip could have removed is newer than cur and rides
@@ -492,16 +498,19 @@ def sync_range_index(
                 )
             except FileNotFoundError:
                 pass  # marker exists but index empty: plain insert
-    if not fresh.isEmpty():
-        merge_into_partitioned_snapshot(
-            spark,
-            idx_dir,
-            fresh.withColumn("__seq", F.lit(0).cast("long")),
-            key="__bkt",
-            seq="__seq",
-            num_partitions=num_partitions,
-            collect_stats=False,
-        )
+    # no isEmpty() pre-check (r10): same one-fewer-execution note as
+    # sync_column_index above
+    merge_into_partitioned_snapshot(
+        spark,
+        idx_dir,
+        fresh.withColumn("__seq", F.lit(0).cast("long")),
+        key="__bkt",
+        seq="__seq",
+        num_partitions=num_partitions,
+        collect_stats=False,
+        # groupBy output: one row per indexed value
+        assume_unique_keys=True,
+    )
     os.makedirs(idx_dir, exist_ok=True)
     stamp = cur
     try:
@@ -643,6 +652,8 @@ def vacuum_range_index(
         delete_when="__op = 'D'",
         marker_cols=("__op",),
         collect_stats=False,
+        # grouped exact entries + anti-join-disjoint stale tombstones
+        assume_unique_keys=True,
     )
     _write_marker(idx_dir, cur)
     try:

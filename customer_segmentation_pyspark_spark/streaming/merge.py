@@ -375,6 +375,7 @@ def merge_into_partitioned_snapshot(
     update_set_all: bool = False,
     collect_stats: bool = True,
     app_meta: dict | None = None,
+    assume_unique_keys: bool = False,
 ) -> None:
     """One partition-pruned MERGE step. Same semantics as
     ``merge_into_snapshot`` (update columns win per key, unmatched keys
@@ -408,6 +409,20 @@ def merge_into_partitioned_snapshot(
     agg-view sync stamps the fold's target source version here: the
     crash witness that survives even a pure-tombstone fold, which
     leaves no ``__applied`` row behind (r09, ADVICE).
+
+    ``assume_unique_keys`` (r10, guide §2.4) skips the latest-per-key
+    window when the CALLER GUARANTEES at most one row per key in
+    ``changes`` — true for every batch that is itself the output of a
+    groupBy, a keyed diff, or a union of key-disjoint branches (the
+    engine's own view folds, postings/band batches, index entries,
+    SCD2 transition batches, and base seeds of tables with unique
+    source keys). The staged write then sheds the window's
+    shuffle+sort entirely (a column repartition on the target
+    partition id replaces it, keeping one output file per partition
+    dir) — at scale this removes an O(table) sort from every seed
+    merge. Identical results only under the guarantee; a caller that
+    lies lands duplicate key rows, so flip it only where uniqueness is
+    structural.
     """
     from customer_segmentation_pyspark_spark.sources import versioned
 
@@ -441,81 +456,165 @@ def merge_into_partitioned_snapshot(
     orig_parts = dict(parts)
     orig_deltas = {p: tuple(v) for p, v in deltas.items()}
 
-    # touched-partition discovery runs on the RAW batch's key column —
-    # dedup can't change the key set, so skipping latest_per_key here
-    # avoids executing its window shuffle twice per merge (once for
-    # this collect, once inside the write job) and lets the scan prune
-    # to the key column alone (r08, fixed-cost shave)
-    part_rows = (
-        changes.groupBy(
-            _part_expr(key, num_partitions).alias("__part")
+    # single-execution staging (r10, guide §1.2/§2.3): the old flow ran
+    # the batch plan TWICE — a touched-partition discovery collect, then
+    # the merged write — which is expensive exactly when the batch is a
+    # CDF slice or a view fold (windows, anti-joins, point-reads). Stage
+    # the reduced delta ONCE, split by target partition and tombstone
+    # flag, with an Observation answering the NULL-key refusal inside
+    # the same job; touched partitions fall out of the staging listing
+    # (no extra job), and the merged write re-reads the small staged
+    # parquet instead of re-running the batch plan. At scale this is
+    # guide §8's rule: the delta is decided once, and only O(|delta|)
+    # extra bytes are written for it.
+    import shutil
+
+    from pyspark.sql import Observation
+
+    tomb = (
+        F.coalesce(F.expr(delete_when), F.lit(False))
+        if delete_when is not None
+        else F.lit(False)
+    )
+    staged_df = (
+        changes.withColumn("__part", _part_expr(key, num_partitions))
+        .withColumn("__del", tomb.cast("int"))
+        .drop(*marker_cols)
+    )
+    if assume_unique_keys:
+        # caller-guaranteed one row per key: the latest-per-key window
+        # (shuffle + sort + row_number) is pure overhead — a column
+        # repartition on the target partition id replaces it, so the
+        # write still gets one task (and one output file) per dir
+        # instead of the no-exchange tasks x dirs file explosion
+        staged_df = staged_df.repartition("__part")
+    else:
+        w = Window.partitionBy(key).orderBy(F.col(seq).desc())
+        staged_df = (
+            staged_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
-        .agg(F.max(F.col(key).isNull()).alias("has_null"))
-        .collect()
-    )  # bounded by num_partitions
-    if any(r["has_null"] for r in part_rows):
+    dir_existed = os.path.isdir(table_dir)
+    os.makedirs(table_dir, exist_ok=True)
+    dstage = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
+    obs = Observation()
+    (
+        staged_df.observe(
+            obs, F.max(F.col(key).isNull()).alias("has_null")
+        )
+        .write.mode("overwrite")
+        .partitionBy("__part", "__del")
+        .parquet(dstage)
+    )
+    if obs.get["has_null"]:
         # NULL merge keys are undefined for an upsert: they never match
         # in the full-outer join (NULL == NULL is false), silently
         # accumulating one phantom row per batch. xxhash64(NULL) is the
         # seed hash — NOT null — so the partition id can't reveal them;
-        # refuse loudly on the key itself.
+        # refuse loudly on the key itself (nothing was committed; the
+        # staged dir is removed here and GC'd on the next merge anyway).
+        shutil.rmtree(dstage, ignore_errors=True)
+        if not dir_existed:
+            shutil.rmtree(table_dir, ignore_errors=True)
         raise ValueError(
             f"merge key '{key}' contains NULLs; filter them before the "
             "merge or use a non-nullable key"
         )
-    touched = sorted(r["__part"] for r in part_rows)
+    touched = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(dstage)
+        if d.startswith("__part=")
+    )
     if not touched:
+        # empty batch: leave no trace (the old flow returned before the
+        # table dir was even created)
+        shutil.rmtree(dstage, ignore_errors=True)
+        if not dir_existed:
+            shutil.rmtree(table_dir, ignore_errors=True)
         return
-    delta = latest_per_key(changes, key, seq)
-    ups, dels = _split_deletes(delta, key, delete_when, marker_cols)
 
-    # current state of the touched partitions: base dirs (mergeSchema —
-    # dirs written before a schema-evolving merge lack newer columns)
-    # overlaid with any MoR delta logs, which this rewrite folds in
-    base = (
-        _partition_state(
+    new_entries: dict[str, str | None] = {}
+    if man is None:
+        # seed fast path: with no base to merge against, the staged
+        # upsert dirs ARE the final partition contents (delete rows of a
+        # brand-new table tombstone nothing, and ups/dels are disjoint
+        # per key by latest-wins) — adopt them by rename, one Spark job
+        # total for the whole seed instead of two full source passes
+        schema_fields = [
+            f
+            for f in spark.read.parquet(dstage)
+            .schema.jsonValue()["fields"]
+            if f["name"] not in ("__part", "__del")
+        ]
+        for p in touched:
+            src = os.path.join(dstage, f"__part={p}", "__del=0")
+            if os.path.isdir(src):
+                dest = f"p-{uuid.uuid4().hex[:12]}"
+                os.rename(src, os.path.join(table_dir, dest))
+                new_entries[str(p)] = dest
+            else:
+                new_entries[str(p)] = None
+        shutil.rmtree(dstage, ignore_errors=True)
+    else:
+        staged = spark.read.parquet(dstage)
+        ups = staged.filter(F.col("__del") == 0).drop("__part", "__del")
+        dels = (
+            staged.filter(F.col("__del") == 1).select(key)
+            if delete_when is not None
+            else None
+        )
+        # current state of the touched partitions: base dirs
+        # (mergeSchema — dirs written before a schema-evolving merge
+        # lack newer columns) overlaid with any MoR delta logs, which
+        # this rewrite folds in
+        base = _partition_state(
             spark,
             table_dir,
             man,
-            [str(p) for p in touched if str(p) in parts or deltas.get(str(p))],
+            [
+                str(p)
+                for p in touched
+                if str(p) in parts or deltas.get(str(p))
+            ],
         )
-        if man is not None
-        else None
-    )
-    if base is not None:
-        merged = _merge_frames(base, ups, key, update_set_all=update_set_all)
-    else:
-        merged = ups
-    if dels is not None:
-        merged = merged.join(dels, key, "left_anti")
-    schema_fields = merged.schema.jsonValue()["fields"]
-    if man is not None:
+        if base is not None:
+            merged = _merge_frames(
+                base, ups, key, update_set_all=update_set_all
+            )
+        else:
+            merged = ups
+        if dels is not None:
+            merged = merged.join(dels, key, "left_anti")
+        schema_fields = merged.schema.jsonValue()["fields"]
         # carry columns that exist elsewhere in the table (this merge
         # read only the touched partitions) and keep the WIDEST type
         # per column across both sources
         schema_fields = _merge_schema_fields(
             schema_fields, man.get("schema", {}).get("fields", [])
         )
-    merged = merged.withColumn("__part", _part_expr(key, num_partitions))
+        merged = merged.withColumn("__part", _part_expr(key, num_partitions))
 
-    os.makedirs(table_dir, exist_ok=True)
-    staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    merged.write.mode("overwrite").partitionBy("__part").parquet(staging)
-    new_entries: dict[str, str | None] = {}
-    for p in touched:
-        src = os.path.join(staging, f"__part={p}")
-        if os.path.isdir(src):
-            dest = f"p-{uuid.uuid4().hex[:12]}"
-            os.rename(src, os.path.join(table_dir, dest))
-            new_entries[str(p)] = dest
-        else:
-            # every row of this partition was deleted: partitionBy wrote
-            # no dir, so the partition must LEAVE the manifest — keeping
-            # the old mapping would resurrect the deleted rows
-            new_entries[str(p)] = None
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+        staging = os.path.join(
+            table_dir, f".staging-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").partitionBy("__part").parquet(
+            staging
+        )
+        for p in touched:
+            src = os.path.join(staging, f"__part={p}")
+            if os.path.isdir(src):
+                dest = f"p-{uuid.uuid4().hex[:12]}"
+                os.rename(src, os.path.join(table_dir, dest))
+                new_entries[str(p)] = dest
+            else:
+                # every row of this partition was deleted: partitionBy
+                # wrote no dir, so the partition must LEAVE the manifest
+                # — keeping the old mapping would resurrect the deleted
+                # rows
+                new_entries[str(p)] = None
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(dstage, ignore_errors=True)
 
     while True:
         for pid, dest in new_entries.items():
@@ -750,6 +849,7 @@ def merge_mor_into_partitioned_snapshot(
     delete_when: str | None = None,
     marker_cols: tuple = (),
     auto_compact_logs: int | None = None,
+    assume_unique_keys: bool = False,
 ) -> None:
     """Merge-on-read MERGE step: identical semantics to
     ``merge_into_partitioned_snapshot`` (latest-wins per key by ``seq``,
@@ -802,32 +902,28 @@ def merge_mor_into_partitioned_snapshot(
         delta_stats = {}
         schema_fields = []
 
-    # same raw-batch discovery as the CoW merge (r08): the key set is
-    # invariant under dedup, so the collect skips the window shuffle
-    part_rows = (
-        changes.groupBy(
-            _part_expr(key, num_partitions).alias("__part")
-        )
-        .agg(F.max(F.col(key).isNull()).alias("has_null"))
-        .collect()
-    )  # bounded by num_partitions
-    if any(r["has_null"] for r in part_rows):
-        raise ValueError(
-            f"merge key '{key}' contains NULLs; filter them before the "
-            "merge or use a non-nullable key"
-        )
-    touched = sorted(r["__part"] for r in part_rows)
-    if not touched:
-        return
-    delta = latest_per_key(changes, key, seq).withColumn(
-        "__part", _part_expr(key, num_partitions)
-    )
+    # single-execution staging (r10, guide §1.2): the MoR append already
+    # wrote the reduced delta to a staging dir — fold the old discovery
+    # collect (a second full batch-plan execution) into that same write:
+    # an Observation answers the NULL-key refusal, and the touched
+    # partitions fall out of the staging directory listing.
+    import shutil
+
+    from pyspark.sql import Observation
+
+    delta = (
+        changes if assume_unique_keys else latest_per_key(changes, key, seq)
+    ).withColumn("__part", _part_expr(key, num_partitions))
     cond = (
         F.coalesce(F.expr(delete_when), F.lit(False))
         if delete_when is not None
         else F.lit(False)
     )
     dd = delta.withColumn("__tomb", cond).drop(*marker_cols)
+    if assume_unique_keys:
+        # same rationale as the CoW flag: no window to repartition the
+        # write, so do it explicitly (one task/file per delta dir)
+        dd = dd.repartition("__part")
 
     # evolved full-table schema: existing fields + new upsert columns,
     # shared columns widened along the safe chains
@@ -836,20 +932,33 @@ def merge_mor_into_partitioned_snapshot(
         dd.drop("__part", "__tomb").schema.jsonValue()["fields"],
     )
 
+    dir_existed = os.path.isdir(table_dir)
     os.makedirs(table_dir, exist_ok=True)
     staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    dd.write.mode("overwrite").partitionBy("__part").parquet(staging)
+    obs = Observation()
+    dd.observe(
+        obs, F.max(F.col(key).isNull()).alias("has_null")
+    ).write.mode("overwrite").partitionBy("__part").parquet(staging)
+    if obs.get["has_null"]:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not dir_existed:
+            shutil.rmtree(table_dir, ignore_errors=True)
+        raise ValueError(
+            f"merge key '{key}' contains NULLs; filter them before the "
+            "merge or use a non-nullable key"
+        )
     new_dirs: dict[str, str] = {}
-    for p in touched:
-        src = os.path.join(staging, f"__part={p}")
-        if os.path.isdir(src):
-            dest = f"d-{uuid.uuid4().hex[:12]}"
-            os.rename(src, os.path.join(table_dir, dest))
-            new_dirs[str(p)] = dest
-    import shutil
-
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("__part="):
+            continue
+        p = int(d.split("=", 1)[1])
+        dest = f"d-{uuid.uuid4().hex[:12]}"
+        os.rename(os.path.join(staging, d), os.path.join(table_dir, dest))
+        new_dirs[str(p)] = dest
     shutil.rmtree(staging, ignore_errors=True)
     if not new_dirs:
+        if not dir_existed:
+            shutil.rmtree(table_dir, ignore_errors=True)
         return
 
     new_dir_stats = {

@@ -360,12 +360,10 @@ def sync_lsh_index(
                 F.lit("D").alias("__op"),
             )
         )
-    # materialize the band batch ONCE: the merge below actions the
-    # batch twice (touched-partition discovery + the write job), and
-    # without this each action re-runs the shingle+MinHash pass and
-    # re-optimizes its wide expression tree — measured at ~2x the whole
-    # merge cost at the bench SF (r10)
-    batch = batch.localCheckpoint(eager=True)
+    # no localCheckpoint (r10): the staged merge executes the batch
+    # plan exactly once (its staging write IS the materialization), so
+    # the checkpoint this line used to carry — added when the merge
+    # actioned its batch twice — became a pure extra job
     merge_into_partitioned_snapshot(
         spark,
         idx_dir,
@@ -375,6 +373,9 @@ def sync_lsh_index(
         num_partitions=num_partitions,
         delete_when="__op = 'D'",
         marker_cols=("__op",),
+        # one band row per (doc_id, band_id) by construction: _band_rows
+        # aggregates per band and `gone` is its anti-join complement
+        assume_unique_keys=True,
     )
     os.makedirs(idx_dir, exist_ok=True)
     _write_marker(idx_dir, cur)

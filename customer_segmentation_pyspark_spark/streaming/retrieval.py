@@ -173,6 +173,10 @@ def sync_postings_index(
         num_partitions=num_partitions,
         delete_when="__op = 'D'",
         marker_cols=("__op",),
+        # one posting row per (doc, term) by construction: posts come
+        # from _postings_of (a groupBy) and `gone` is its anti-join
+        # complement (r10, merge assume_unique_keys)
+        assume_unique_keys=True,
     )
     os.makedirs(post_dir, exist_ok=True)
     _write_marker(post_dir, cur)
@@ -371,6 +375,8 @@ def sync_bm25_stack(
                 num_partitions=num_partitions,
                 delete_when="__op = 'D'",
                 marker_cols=("__op",),
+                # unique per PKEY: groupBy output + anti-join complement
+                assume_unique_keys=True,
             )
             os.makedirs(post_dir, exist_ok=True)
             _write_marker(post_dir, cur)

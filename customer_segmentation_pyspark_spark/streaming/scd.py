@@ -119,6 +119,8 @@ def sync_scd2_history(
             num_partitions=num_partitions,
             delete_when="__op = 'D'",
             marker_cols=("__op",),
+            # keyed snapshot: one open interval per dim key
+            assume_unique_keys=True,
         )
         _write_marker(hist_dir, cur)
         return cur
@@ -235,6 +237,9 @@ def sync_scd2_history(
         seq="__seq",
         delete_when="__op = 'D'",
         marker_cols=("__op",),
+        # unique per hkey: closes use the immutable key:valid_from key,
+        # reopens/retires use key:open for CDF-disjoint key sets
+        assume_unique_keys=True,
     )
     _write_marker(hist_dir, cur)
     return cur
@@ -400,6 +405,9 @@ def sync_scd2_enriched_view(
         num_partitions=num_partitions,
         delete_when="__op = 'D'",
         marker_cols=("__op",),
+        # CDF slice: per key either one post-image or one delete; the
+        # as-of join matches at most one interval per fact row
+        assume_unique_keys=True,
         # UPDATE SET *: a re-stamped or re-keyed fact whose new
         # attribution is NULL (no interval covers it) must NULL the
         # attributes the old enrichment contributed — per-column

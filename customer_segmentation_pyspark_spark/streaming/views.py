@@ -835,6 +835,9 @@ def sync_join_view_to_snapshots(
             key=fact_key,
             seq="__seq",
             num_partitions=num_partitions,
+            # fact snapshot (keyed table: one row per key) left-joined
+            # to a dim keyed BY the join column (at most one match)
+            assume_unique_keys=True,
         )
         _ensure_jvmap(spark, view_dir, join_col, fact_cursor=fa)
         _write_join_cursors(view_dir, fa, db)
@@ -1989,6 +1992,8 @@ def _seed_agg_view_rows(
         delete_when="__op = 'D'",
         marker_cols=("__op",),
         app_meta={"src_version": int(cur)},
+        # pre-aggregated: one row per group surrogate by construction
+        assume_unique_keys=True,
     )
     os.makedirs(view_dir, exist_ok=True)
     _write_marker(view_dir, cur)
@@ -2074,6 +2079,8 @@ def _fold_agg_delta(
         delete_when="__op = 'D'",
         marker_cols=("__op",),
         app_meta={"src_version": int(cur)},
+        # full-outer of two per-group frames: one row per group key
+        assume_unique_keys=True,
     )
     _write_marker(view_dir, cur)
     return cur

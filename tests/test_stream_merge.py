@@ -1043,3 +1043,122 @@ def test_partitions_in_projection(spark, tmp_path):
     empty = read_partitioned_snapshot(spark, d, partitions_in=[])
     assert empty.count() == 0
     assert empty.columns == full.columns
+
+
+def test_staged_merge_leaves_no_trace_on_empty_or_refused_batches(
+    spark, tmp_path
+):
+    """r10 staged single-execution merge: the delta is staged to a
+    .staging-* dir BEFORE the NULL-key / empty-batch decisions, so these
+    paths must clean up after themselves — an empty batch on a
+    nonexistent table leaves no directory at all (the old flow returned
+    before creating one), a NULL-keyed batch raises and leaves no trace
+    on a fresh table, and a successful merge leaves no .staging-*
+    debris behind."""
+    import os
+
+    import pytest
+
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        merge_mor_into_partitioned_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    empty = spark.createDataFrame([], SCHEMA)
+    merge_into_partitioned_snapshot(
+        spark, t, empty, key="k", seq="seq", num_partitions=4
+    )
+    assert not os.path.exists(t)  # empty seed batch: no trace
+    merge_mor_into_partitioned_snapshot(
+        spark, t, empty, key="k", seq="seq", num_partitions=4
+    )
+    assert not os.path.exists(t)
+
+    bad = spark.createDataFrame([(None, 1.0, 1), (2, 2.0, 2)], SCHEMA)
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into_partitioned_snapshot(
+            spark, t, bad, key="k", seq="seq", num_partitions=4
+        )
+    assert not os.path.exists(t)  # refused seed: no trace
+    with pytest.raises(ValueError, match="NULL"):
+        merge_mor_into_partitioned_snapshot(
+            spark, t, bad, key="k", seq="seq", num_partitions=4
+        )
+    assert not os.path.exists(t)
+
+    good = spark.createDataFrame(
+        [(1, 1.0, 1), (2, 2.0, 1), (3, None, 1)], SCHEMA
+    )
+    merge_into_partitioned_snapshot(
+        spark, t, good, key="k", seq="seq", num_partitions=4
+    )
+    assert _psnap_dict(spark, t) == {1: 1.0, 2: 2.0, 3: None}
+    # a NULL-keyed or empty INCREMENTAL batch must not disturb the table
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into_partitioned_snapshot(
+            spark, t, bad, key="k", seq="seq", num_partitions=4
+        )
+    merge_into_partitioned_snapshot(
+        spark, t, empty, key="k", seq="seq", num_partitions=4
+    )
+    assert _psnap_dict(spark, t) == {1: 1.0, 2: 2.0, 3: None}
+    assert not [
+        d for d in os.listdir(t) if d.startswith(".staging-")
+    ]  # no staging debris after any of the paths above
+
+
+def test_staged_seed_fast_path_equals_incremental_result(spark, tmp_path):
+    """r10: the seed fast path (staged dirs adopted by rename, no merge
+    join) must produce the same state as seeding via an incremental
+    merge over a pre-created table — including latest-wins dedup and
+    tombstones of absent keys inside the seed batch itself."""
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+    )
+
+    rows = [
+        (1, 1.0, 0, "U"),
+        (1, 9.0, 1, "U"),  # latest-wins inside the seed
+        (2, 2.0, 0, "U"),
+        (2, None, 1, "D"),  # insert-then-delete nets to nothing
+        (3, None, 0, "D"),  # tombstone of an absent key: no-op
+        (4, 4.0, 0, "U"),
+    ]
+    sch = "k long, val double, seq long, op string"
+
+    fast = str(tmp_path / "fast")
+    merge_into_partitioned_snapshot(
+        spark,
+        fast,
+        spark.createDataFrame(rows, sch),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+        delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+    slow = str(tmp_path / "slow")
+    # pre-create the table so the second merge takes the join path
+    merge_into_partitioned_snapshot(
+        spark,
+        slow,
+        spark.createDataFrame([(1, 0.5, -1, "U")], sch),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+        delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+    merge_into_partitioned_snapshot(
+        spark,
+        slow,
+        spark.createDataFrame(rows, sch),
+        key="k",
+        seq="seq",
+        num_partitions=4,
+        delete_when="op = 'D'",
+        marker_cols=("op",),
+    )
+    assert _psnap_dict(spark, fast) == {1: 9.0, 4: 4.0}
+    assert _psnap_dict(spark, slow) == {1: 9.0, 4: 4.0}
