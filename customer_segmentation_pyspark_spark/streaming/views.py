@@ -2023,18 +2023,24 @@ def _fold_agg_delta(
         read_partitioned_snapshot,
     )
 
-    delta = delta.withColumn(
-        "__dkey", _group_surrogate(F.col("__dg"))
-    ).localCheckpoint(eager=True)  # reused: key collect + fold
-    keys = [
-        r["__dkey"]
-        for r in delta.select("__dkey")
-        .limit(point_read_max_groups + 1)
-        .collect()
-    ]
-    if not keys:
+    delta = delta.withColumn("__dkey", _group_surrogate(F.col("__dg")))
+    # bounded-delta fast path (r10, guide §1.2): a wave's group delta is
+    # usually a handful of rows — collect it ONCE (the same single
+    # execution the old localCheckpoint paid) and rebuild it as a
+    # literal LocalRelation, so no checkpoint job runs, the key list is
+    # free, and the fold join gets a known-tiny broadcastable side.
+    # Past the cap, fall back to the checkpoint (never a wave-sized
+    # driver list — the _jvmap_rows_for discipline).
+    head = delta.limit(point_read_max_groups + 1).collect()
+    if not head:
         _write_marker(view_dir, cur)
         return cur
+    if len(head) <= point_read_max_groups:
+        delta = spark.createDataFrame(head, delta.schema)
+        keys = [r["__dkey"] for r in head]
+    else:
+        delta = delta.localCheckpoint(eager=True)  # reused: fold below
+        keys = head  # only the length matters past the cap
     if len(keys) <= point_read_max_groups:
         current = read_partitioned_snapshot(spark, view_dir, key_in=keys)
     else:
