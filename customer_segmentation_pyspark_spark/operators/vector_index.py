@@ -265,7 +265,14 @@ def build_ivf_index(
     # dirs are invisible until the manifest commit, and the keymap
     # still commits BEFORE it.
     staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    tagged.write.mode("overwrite").partitionBy("__cell").parquet(staging)
+    # repartition by cell before the dir-partitioned write (r10, guide
+    # §6): without an exchange, a multi-task corpus scan writes
+    # tasks x cells files (measured 8.0 s / 514 files vs 0.49 s / 18 at
+    # 32 tasks x 8 dirs); one task per cell also matches the cell-dir
+    # rewrite unit
+    tagged.repartition("__cell").write.mode("overwrite").partitionBy(
+        "__cell"
+    ).parquet(staging)
     keymap = spark.read.parquet(staging).select(
         F.col(id_col),
         F.array(F.col("__cell").cast("long")).alias("cells"),
@@ -506,7 +513,10 @@ def update_ivf_index(
     for f in frames[1:]:
         allr = allr.unionByName(f, allowMissingColumns=True)
     staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    allr.write.mode("overwrite").partitionBy("__cell").parquet(staging)
+    # one task/file per rewritten cell dir (see build_ivf_index note)
+    allr.repartition("__cell").write.mode("overwrite").partitionBy(
+        "__cell"
+    ).parquet(staging)
     new_parts, new_rows = _land_cells(index_dir, staging)
     new_stats = {
         c: versioned.collect_dir_stats(os.path.join(index_dir, d))
@@ -1032,9 +1042,10 @@ def split_ivf_cells(
         key,
     )
     staging = os.path.join(index_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    allr.drop("__km").write.mode("overwrite").partitionBy("__cell").parquet(
-        staging
-    )
+    # one task/file per rewritten cell dir (see build_ivf_index note)
+    allr.drop("__km").repartition("__cell").write.mode(
+        "overwrite"
+    ).partitionBy("__cell").parquet(staging)
     new_parts, new_rows = _land_cells(index_dir, staging)
     new_stats = {
         c: versioned.collect_dir_stats(os.path.join(index_dir, d))
