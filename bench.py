@@ -258,13 +258,17 @@ def _calibrate(iters: int = 1_500_000) -> float:
 
 #: spin calibration above this many seconds means the host was busy and
 #: the timings are inflated. HOST-RELATIVE: the r01-r09 machine idled at
-#: ~0.33-0.39 (old threshold 0.40); the r10 machine's single-thread CPU
-#: is ~1.8x slower (idle spin ~0.56-0.74 measured across this round —
-#: see OPTIMIZATION_r10.md "HOST CHANGE"), so the same absolute cutoff
-#: would label every idle run contended and burn the 3x60s idle-wait on
-#: each bench. Override per host with SPARK_GRAFT_SPIN_IDLE.
+#: ~0.33-0.39 (threshold 0.40). r10 temporarily raised the default to
+#: 0.85 claiming a 1.8x-slower host, but no committed record ever showed
+#: an idle spin above 0.50, and the r11 quiet-window calibration (12
+#: samples, 2 s apart, loadavg 0.4) measured min 0.327 / median 0.349 /
+#: p95 0.371 / max 0.383 — the fast-host profile. At 0.85 the gate
+#: accepted visibly contended runs (driver r10: loadavg 3.1->6.7) as
+#: idle, so the conservative 0.40 default is restored; a genuinely
+#: slower host should set SPARK_GRAFT_SPIN_IDLE per host instead of
+#: loosening the global default.
 CONTENDED_SPIN_SEC = float(
-    os.environ.get("SPARK_GRAFT_SPIN_IDLE", "0.85")
+    os.environ.get("SPARK_GRAFT_SPIN_IDLE", "0.40")
 )
 
 
