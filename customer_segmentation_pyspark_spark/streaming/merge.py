@@ -41,6 +41,36 @@ def latest_per_key(batch: DataFrame, key: str, seq: str) -> DataFrame:
     )
 
 
+def _latest_per_key_clustered(
+    staged: DataFrame, key: str, seq: str
+) -> DataFrame:
+    """Latest row per key of a delta that already carries its target
+    hash-partition id ``__part``, with the window's exchange keyed by
+    ``__part`` instead of the key (r11, VERDICT #5). Keys never span
+    partition dirs (``__part`` is a pure function of the key), so
+    sorting each dir's rows by (key, seq DESC) and keeping the first
+    row of every key run is exactly :func:`latest_per_key` — but the
+    surviving rows leave the window hash-clustered by ``__part``, so
+    the ``partitionBy`` staging write gets ONE task (and one output
+    file) per rewritten dir at ANY input size, with NO extra exchange.
+    (r10 declined a post-window ``repartition("__part")`` because it
+    added a whole exchange for the bound; re-keying the window's own
+    exchange gets the bound for free. Trade-off at scale: the dedup
+    sort runs one task per touched dir — the merge's own rewrite unit,
+    a few GB by design — instead of spreading over all shuffle
+    partitions.) NULL keys survive as one representative row, exactly
+    like the keyed window (``partitionBy(key)`` groups NULLs), so the
+    staged NULL-key refusal still sees them. Ties on ``seq`` remain
+    caller-undefined, as documented on :func:`latest_per_key`."""
+    w = Window.partitionBy("__part").orderBy(
+        F.col(key).asc_nulls_first(), F.col(seq).desc()
+    )
+    keep = (F.row_number().over(w) == 1) | ~F.col(key).eqNullSafe(
+        F.lag(F.col(key)).over(w)
+    )
+    return staged.withColumn("__keep", keep).filter("__keep").drop("__keep")
+
+
 def _split_deletes(
     delta: DataFrame, key: str, delete_when: str | None, marker_cols
 ) -> tuple[DataFrame, DataFrame | None]:
@@ -319,6 +349,39 @@ def _part_expr(key: str, num_partitions: int):
     return F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)).cast("int")
 
 
+#: rewrite inputs at or above this many bytes get an explicit
+#: repartition("__part") before their partitionBy write (r11, VERDICT
+#: guide §6): a partitionBy write whose plan has no __part-keyed
+#: exchange produces tasks x dirs files — harmless under a couple of
+#: scan tasks (the local bench), an explosion at scale. The threshold
+#: is derived from the INPUT SIZE on the driver (staged-delta + touched
+#: base dir file sizes), so the decision is scale-adaptive rather than
+#: tuned to local[32]; below it the inputs fit in 1-2 scan tasks and
+#: the write is naturally bounded. Override per deployment with
+#: SPARK_GRAFT_WRITE_CLUSTER_BYTES.
+WRITE_CLUSTER_BYTES = int(
+    os.environ.get("SPARK_GRAFT_WRITE_CLUSTER_BYTES", str(256 * 1024 * 1024))
+)
+
+
+def _dir_bytes(*dirs: str) -> int:
+    """Total parquet bytes across directories (driver-side listing of
+    already-small immutable dirs; vanished dirs count 0)."""
+    total = 0
+    for d in dirs:
+        try:
+            entries = os.listdir(d)
+        except OSError:
+            continue
+        for f in entries:
+            if f.endswith(".parquet") and not f.startswith("."):
+                try:
+                    total += os.path.getsize(os.path.join(d, f))
+                except OSError:
+                    pass
+    return total
+
+
 class ConcurrentMergeError(RuntimeError):
     """Two merges rewrote the SAME partition concurrently — the loser's
     base read is stale and its result would clobber the winner's rows.
@@ -376,6 +439,7 @@ def merge_into_partitioned_snapshot(
     collect_stats: bool = True,
     app_meta: dict | None = None,
     assume_unique_keys: bool = False,
+    pre_commit_check: tuple | None = None,
 ) -> None:
     """One partition-pruned MERGE step. Same semantics as
     ``merge_into_snapshot`` (update columns win per key, unmatched keys
@@ -422,7 +486,19 @@ def merge_into_partitioned_snapshot(
     dir) — at scale this removes an O(table) sort from every seed
     merge. Identical results only under the guarantee; a caller that
     lies lands duplicate key rows, so flip it only where uniqueness is
-    structural.
+    structural. Set ``SPARK_GRAFT_MERGE_DEBUG=1`` to verify the
+    guarantee per merge: an exact duplicate-key probe over the (small,
+    already-staged) delta — one extra bounded job per merge, zero when
+    unset — raises before anything commits (r11, VERDICT #7).
+
+    ``pre_commit_check`` (r11, VERDICT #4) is ``(metrics, validator)``:
+    ``metrics`` maps names to AGGREGATE Columns that ride the staged
+    write's existing Observation (guide §1.2 — the batch plan executes
+    once, the contract check is free), and ``validator(values)`` runs
+    after staging but BEFORE anything commits — raising aborts the
+    merge leaving only a GC-able staging dir, exactly like the NULL-key
+    refusal. Metrics see the reduced delta (post latest-per-key, all
+    rows including tombstones) with ``__part``/``__del`` attached.
     """
     from customer_segmentation_pyspark_spark.sources import versioned
 
@@ -489,38 +565,74 @@ def merge_into_partitioned_snapshot(
         # instead of the no-exchange tasks x dirs file explosion
         staged_df = staged_df.repartition("__part")
     else:
-        w = Window.partitionBy(key).orderBy(F.col(seq).desc())
-        staged_df = (
-            staged_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        staged_df = _latest_per_key_clustered(staged_df, key, seq)
     dir_existed = os.path.isdir(table_dir)
     os.makedirs(table_dir, exist_ok=True)
     dstage = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
     obs = Observation()
+    metrics = [F.max(F.col(key).isNull()).alias("has_null")]
+    if pre_commit_check is not None:
+        metrics += [c.alias(nm) for nm, c in pre_commit_check[0].items()]
     (
-        staged_df.observe(
-            obs, F.max(F.col(key).isNull()).alias("has_null")
-        )
+        staged_df.observe(obs, *metrics)
         .write.mode("overwrite")
         .partitionBy("__part", "__del")
         .parquet(dstage)
     )
-    if obs.get["has_null"]:
+
+    def _abort_staging():
+        # delete only what THIS merge created: the staging dir always,
+        # the table dir only when it is still empty — dir_existed was
+        # sampled BEFORE the (possibly long) staging job, and a
+        # concurrent first merge may have committed into the dir since;
+        # the old rmtree(table_dir) would have destroyed its committed
+        # partitions and manifests (r11, ADVICE). os.rmdir fails
+        # harmlessly when anything else landed.
+        shutil.rmtree(dstage, ignore_errors=True)
+        if not dir_existed:
+            try:
+                os.rmdir(table_dir)
+            except OSError:
+                pass
+
+    vals = obs.get
+    if vals["has_null"]:
         # NULL merge keys are undefined for an upsert: they never match
         # in the full-outer join (NULL == NULL is false), silently
         # accumulating one phantom row per batch. xxhash64(NULL) is the
         # seed hash — NOT null — so the partition id can't reveal them;
         # refuse loudly on the key itself (nothing was committed; the
         # staged dir is removed here and GC'd on the next merge anyway).
-        shutil.rmtree(dstage, ignore_errors=True)
-        if not dir_existed:
-            shutil.rmtree(table_dir, ignore_errors=True)
+        _abort_staging()
         raise ValueError(
             f"merge key '{key}' contains NULLs; filter them before the "
             "merge or use a non-nullable key"
         )
+    if pre_commit_check is not None:
+        try:
+            pre_commit_check[1](vals)
+        except BaseException:
+            _abort_staging()
+            raise
+    if assume_unique_keys and os.environ.get("SPARK_GRAFT_MERGE_DEBUG"):
+        # exact duplicate-key probe over the already-staged delta (the
+        # window that would have deduped was skipped): one extra
+        # O(|delta|) job, debug-gated so production merges pay nothing
+        dup = (
+            spark.read.parquet(dstage)
+            .groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            _abort_staging()
+            raise ValueError(
+                f"assume_unique_keys violated for {table_dir}: the "
+                f"batch carries duplicate '{key}' rows (caught by "
+                "SPARK_GRAFT_MERGE_DEBUG)"
+            )
     touched = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(dstage)
@@ -529,9 +641,7 @@ def merge_into_partitioned_snapshot(
     if not touched:
         # empty batch: leave no trace (the old flow returned before the
         # table dir was even created)
-        shutil.rmtree(dstage, ignore_errors=True)
-        if not dir_existed:
-            shutil.rmtree(table_dir, ignore_errors=True)
+        _abort_staging()
         return
 
     new_entries: dict[str, str | None] = {}
@@ -594,6 +704,16 @@ def merge_into_partitioned_snapshot(
             schema_fields, man.get("schema", {}).get("fields", [])
         )
         merged = merged.withColumn("__part", _part_expr(key, num_partitions))
+        src_dirs = [
+            os.path.join(table_dir, parts[str(p)])
+            for p in touched
+            if str(p) in parts
+        ]
+        if _dir_bytes(dstage, *src_dirs) >= WRITE_CLUSTER_BYTES:
+            # large rewrite: bound output files at one per dir (the
+            # merged plan's partitioning is the JOIN key's, so without
+            # this the partitionBy write emits tasks x dirs files)
+            merged = merged.repartition("__part")
 
         staging = os.path.join(
             table_dir, f".staging-{uuid.uuid4().hex[:8]}"
@@ -911,9 +1031,11 @@ def merge_mor_into_partitioned_snapshot(
 
     from pyspark.sql import Observation
 
-    delta = (
-        changes if assume_unique_keys else latest_per_key(changes, key, seq)
-    ).withColumn("__part", _part_expr(key, num_partitions))
+    delta = changes.withColumn("__part", _part_expr(key, num_partitions))
+    if not assume_unique_keys:
+        # dir-clustered dedup (see _latest_per_key_clustered): same
+        # latest-per-key result, write-ready hashpartitioning(__part)
+        delta = _latest_per_key_clustered(delta, key, seq)
     cond = (
         F.coalesce(F.expr(delete_when), F.lit(False))
         if delete_when is not None
@@ -939,14 +1061,42 @@ def merge_mor_into_partitioned_snapshot(
     dd.observe(
         obs, F.max(F.col(key).isNull()).alias("has_null")
     ).write.mode("overwrite").partitionBy("__part").parquet(staging)
-    if obs.get["has_null"]:
+
+    def _abort_staging():
+        # same cleanup discipline as the CoW path (r11, ADVICE): remove
+        # only this merge's staging dir; the table dir goes only via
+        # os.rmdir, which fails harmlessly if a concurrent first merge
+        # committed into it during the staging job
         shutil.rmtree(staging, ignore_errors=True)
         if not dir_existed:
-            shutil.rmtree(table_dir, ignore_errors=True)
+            try:
+                os.rmdir(table_dir)
+            except OSError:
+                pass
+
+    if obs.get["has_null"]:
+        _abort_staging()
         raise ValueError(
             f"merge key '{key}' contains NULLs; filter them before the "
             "merge or use a non-nullable key"
         )
+    if assume_unique_keys and os.environ.get("SPARK_GRAFT_MERGE_DEBUG"):
+        # debug-gated exact duplicate-key probe (see the CoW twin)
+        dup = (
+            spark.read.parquet(staging)
+            .groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            _abort_staging()
+            raise ValueError(
+                f"assume_unique_keys violated for {table_dir}: the "
+                f"batch carries duplicate '{key}' rows (caught by "
+                "SPARK_GRAFT_MERGE_DEBUG)"
+            )
     new_dirs: dict[str, str] = {}
     for d in sorted(os.listdir(staging)):
         if not d.startswith("__part="):
@@ -958,7 +1108,10 @@ def merge_mor_into_partitioned_snapshot(
     shutil.rmtree(staging, ignore_errors=True)
     if not new_dirs:
         if not dir_existed:
-            shutil.rmtree(table_dir, ignore_errors=True)
+            try:
+                os.rmdir(table_dir)
+            except OSError:
+                pass
         return
 
     new_dir_stats = {
@@ -1066,9 +1219,17 @@ def compact_mor_partitions(
     key = man["key"]
     num_partitions = int(man["num_partitions"])
     staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    state.withColumn("__part", _part_expr(key, num_partitions)).write.mode(
-        "overwrite"
-    ).partitionBy("__part").parquet(staging)
+    state = state.withColumn("__part", _part_expr(key, num_partitions))
+    fold_src = [
+        os.path.join(table_dir, d)
+        for p in logged
+        for d in [man["parts"].get(p), *man.get("deltas", {}).get(p, [])]
+        if d
+    ]
+    if _dir_bytes(*fold_src) >= WRITE_CLUSTER_BYTES:
+        # large fold: bound output files at one per dir (guide §6)
+        state = state.repartition("__part")
+    state.write.mode("overwrite").partitionBy("__part").parquet(staging)
     folds: dict[str, tuple] = {}
     for pid in logged:
         src = os.path.join(staging, f"__part={pid}")
@@ -1738,9 +1899,17 @@ def repartition_snapshot(
     pids = sorted(set(man["parts"]) | set(man.get("deltas", {})))
     state = _partition_state(spark, table_dir, man, pids)
     staging = os.path.join(table_dir, f".staging-{uuid.uuid4().hex[:8]}")
-    state.withColumn(
-        "__part", _part_expr(key, new_num_partitions)
-    ).write.mode("overwrite").partitionBy("__part").parquet(staging)
+    state = state.withColumn("__part", _part_expr(key, new_num_partitions))
+    all_src = [
+        os.path.join(table_dir, d)
+        for p in pids
+        for d in [man["parts"].get(p), *man.get("deltas", {}).get(p, [])]
+        if d
+    ]
+    if _dir_bytes(*all_src) >= WRITE_CLUSTER_BYTES:
+        # O(snapshot) rewrite: bound output files at one per new dir
+        state = state.repartition("__part")
+    state.write.mode("overwrite").partitionBy("__part").parquet(staging)
     parts: dict[str, str] = {}
     stats: dict[str, dict] = {}
     rows: dict[str, int] = {}

@@ -376,12 +376,20 @@ def sync_scd2_enriched_view(
             f"fact and history share non-join columns {sorted(clash)}; "
             "rename one side before building the view"
         )
-    mx = batch.agg(F.max(F.col(version_col))).first()[0]
-    if mx is not None and int(mx) > h:
-        raise ValueError(
-            f"fact stamp {mx} exceeds the history cursor {h}: stamps "
-            "must be <= the dim version in effect at fact-write time"
-        )
+    # stamp-contract check (r10 left it as a whole extra execution of
+    # the fact batch plan per sync — VERDICT #4): the max-stamp
+    # aggregate now rides the merge's staged-write Observation, so the
+    # batch plan executes exactly once and the check still fires before
+    # anything commits (guide §1.2)
+    def _check_stamp(vals: dict) -> None:
+        mx = vals["max_stamp"]
+        if mx is not None and int(mx) > h:
+            raise ValueError(
+                f"fact stamp {mx} exceeds the history cursor {h}: "
+                "stamps must be <= the dim version in effect at "
+                "fact-write time"
+            )
+
     # prune the history to the batch's keys (Δfact is the small side;
     # per-key intervals are disjoint, so the join is equi+filter with
     # at most one match per fact row — never a range-join blowup)
@@ -413,6 +421,10 @@ def sync_scd2_enriched_view(
         # attributes the old enrichment contributed — per-column
         # coalesce would resurrect them (the join-view lesson, r06)
         update_set_all=True,
+        pre_commit_check=(
+            {"max_stamp": F.max(F.col(version_col))},
+            _check_stamp,
+        ),
     )
     os.makedirs(view_dir, exist_ok=True)
     _write_marker(view_dir, fa)

@@ -1273,3 +1273,65 @@ def test_bm25_stack_wave_locality_at_scale(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 10
+
+
+def test_nonunique_merge_write_files_bounded_at_scale(spark, tmp_path):
+    """r11 witness (VERDICT #5): a NON-unique merge batch at real input
+    parallelism must not explode into tasks x dirs staged files. The
+    dir-clustered dedup window (merge._latest_per_key_clustered) keys
+    the window exchange by __part, so the staging write gets exactly
+    one task — and one file — per touched dir at any input size, with
+    no extra exchange. 200k rows x 32 input partitions x 8 dirs; before
+    the change the staged write's task count followed the window's
+    key-hash partitions (up to shuffle.partitions tasks x 8 dirs
+    files)."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from customer_segmentation_pyspark_spark.sources import versioned
+    from customer_segmentation_pyspark_spark.streaming.merge import (
+        merge_into_partitioned_snapshot,
+        read_partitioned_snapshot,
+    )
+
+    n = 200_000
+    batch = (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+            (F.col("id") % 3).alias("seq"),
+        )
+    )
+    t = str(tmp_path / "t")
+    # keep AQE from collapsing the window exchange to one task — at
+    # real scale the delta is many 100-MB partitions; locally we lower
+    # the advisory size instead of inflating the data
+    old = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    try:
+        t0 = time.perf_counter()
+        merge_into_partitioned_snapshot(
+            spark, t, batch, key="k", seq="seq", num_partitions=8
+        )
+        elapsed = time.perf_counter() - t0
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", old
+        )
+    man = versioned.read_manifest(t)
+    assert len(man["parts"]) == 8
+    for pid, d in man["parts"].items():
+        files = [
+            f
+            for f in os.listdir(os.path.join(t, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (pid, len(files))
+    assert read_partitioned_snapshot(spark, t).count() == n
+    assert not glob.glob(os.path.join(t, ".staging-*"))
+    print(f"bounded non-unique seed merge: {elapsed:.2f}s")

@@ -447,3 +447,34 @@ def test_scd2_enriched_view_cursors_and_stamp_contract(spark, tmp_path):
         F.col("fk") == 100
     ).collect()[0]
     assert row["attr"] == "a0-v2" and row["v"] == 3
+
+
+def test_scd2_batch_hkeys_disjoint_under_debug_guard(
+    spark, tmp_path, monkeypatch
+):
+    """r10 ADVICE: assume_unique_keys on the SCD2 history batch relies
+    on reopens and retires being key-disjoint (both map to 'key:open').
+    read_snapshot_changes emits at most one change type per key today;
+    run full close/reopen/retire waves under SPARK_GRAFT_MERGE_DEBUG=1
+    so the merge's exact duplicate-hkey probe fails loudly if a future
+    CDF change ever emits both for one key."""
+    monkeypatch.setenv("SPARK_GRAFT_MERGE_DEBUG", "1")
+    dim = str(tmp_path / "dim")
+    hist = str(tmp_path / "hist")
+    _merge_dim(spark, dim, [(k, f"a{k}", float(k), 0, "U")
+                            for k in range(6)])
+    sync_scd2_history(spark, dim, hist, num_partitions=4)
+    # one wave mixing updates (close+reopen), a delete (close+retire),
+    # and an insert (reopen only)
+    _merge_dim(spark, dim, [
+        (0, "a0-v2", 100.0, 1, "U"),
+        (2, "a2-v2", 102.0, 1, "U"),
+        (4, "a4", 4.0, 1, "D"),
+        (9, "a9", 9.0, 1, "U"),
+    ])
+    sync_scd2_history(spark, dim, hist)
+    # delete-then-reinsert across waves (gap + reopen at the same hkey)
+    _merge_dim(spark, dim, [(4, "a4-back", 204.0, 2, "U"),
+                            (9, "a9", 9.0, 2, "D")])
+    sync_scd2_history(spark, dim, hist)
+    assert _got_history(spark, hist) == _reference_history(spark, dim)
