@@ -137,6 +137,16 @@ def sync_column_index(
     # columns x distinct values) index subtable otherwise (r08,
     # VERDICT #3).
     if v0 is not None:
+        # single execution of the fold plan (r11): the sample below,
+        # the big-wave prior semi-join, and the merge's staging job all
+        # reference `fresh` — materialize it once (literal when small,
+        # checkpoint when wave-sized) instead of re-running the CDF
+        # groupBy per reference
+        from customer_segmentation_pyspark_spark.streaming.views import (
+            _materialize_small,
+        )
+
+        fresh = _materialize_small(spark, fresh, _COLIDX_POINT_READ_MAX)
         sample = (
             fresh.select(col).limit(_COLIDX_POINT_READ_MAX + 1).collect()
         )
@@ -470,6 +480,13 @@ def sync_range_index(
         .agg(F.sort_array(F.collect_set("__p")).alias("parts"))
     )
     if v0 is not None:
+        # single execution of the fold plan (r11) — see
+        # sync_column_index above
+        from customer_segmentation_pyspark_spark.streaming.views import (
+            _materialize_small,
+        )
+
+        fresh = _materialize_small(spark, fresh, _COLIDX_POINT_READ_MAX)
         sample = (
             fresh.select("__bkt").limit(_COLIDX_POINT_READ_MAX + 1).collect()
         )

@@ -330,7 +330,12 @@ def sync_lsh_index(
             F.lit("U").alias("__op"),
         )
     else:
-        cdf = read_snapshot_changes(spark, corpus_dir, v0, cur)
+        # checkpoint the slice (r11): posts and pres are two branches of
+        # one staging plan, and each runs the banding explode — without
+        # this the manifest-diff plan executes twice per sync
+        cdf = read_snapshot_changes(
+            spark, corpus_dir, v0, cur
+        ).localCheckpoint(eager=True)
         ct = F.col("_change_type")
         posts = _band_rows(
             cdf.filter(ct.isin("insert", "update_postimage")).select(

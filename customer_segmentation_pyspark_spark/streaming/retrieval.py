@@ -131,7 +131,13 @@ def sync_postings_index(
             F.lit("U").alias("__op"),
         )
     else:
-        cdf = read_snapshot_changes(spark, corpus_dir, v0, cur)
+        # checkpoint the slice (r11): posts/pres/gone reference it in
+        # three branches of one staging plan, each re-tokenizing —
+        # without this the manifest-diff plan executes three times
+        # (the composed sync_bm25_stack already checkpoints its slices)
+        cdf = read_snapshot_changes(
+            spark, corpus_dir, v0, cur
+        ).localCheckpoint(eager=True)
         ct = F.col("_change_type")
         posts = _postings_of(
             cdf.filter(ct.isin("insert", "update_postimage")).select(

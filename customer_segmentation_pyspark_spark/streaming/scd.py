@@ -127,7 +127,16 @@ def sync_scd2_history(
     if v0 >= cur:
         return v0  # already current — the idempotent no-op
 
-    cdf = read_snapshot_changes(spark, dim_dir, v0, cur)
+    # materialize the CDF slice once (r11; the sync_join_view lesson):
+    # the close/reopen/retire batch references the slice in FOUR union
+    # branches (suppression join, transition keys, reopens, retires)
+    # plus the bounded key sample below, and Spark does not CSE across
+    # union branches — without the checkpoint one staging job executes
+    # the manifest-diff plan (full-outer join of partition states) up
+    # to four times
+    cdf = read_snapshot_changes(spark, dim_dir, v0, cur).localCheckpoint(
+        eager=True
+    )
     attrs = [
         c
         for c in cdf.columns
@@ -352,7 +361,13 @@ def sync_scd2_enriched_view(
             "__op", F.lit("U")
         )
     else:
-        cdf = read_snapshot_changes(spark, fact_dir, v0, fa)
+        # checkpoint the fact CDF slice (r11): the view batch references
+        # it in two union branches plus the history-pruning key set —
+        # three executions of the manifest-diff plan in one staging job
+        # without it
+        cdf = read_snapshot_changes(
+            spark, fact_dir, v0, fa
+        ).localCheckpoint(eager=True)
         fact_cols = [
             c
             for c in cdf.columns

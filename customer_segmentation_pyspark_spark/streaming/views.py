@@ -53,6 +53,20 @@ def view_src_version(view_dir: str) -> int | None:
         return None
 
 
+def _materialize_small(spark: SparkSession, df: DataFrame, cap: int = 64):
+    """Execute ``df``'s plan exactly once and return a re-usable frame:
+    at most ``cap`` rows come back as a literal LocalRelation (zero
+    further jobs, broadcastable — the r10 _fold_agg_delta trick),
+    anything larger as an eager localCheckpoint. For the swap-style IVM
+    updaters whose output plan references the signed delta in several
+    union/join branches, this turns N executions of the CDF diff plan
+    into one (Spark does not CSE across those branches — r11)."""
+    head = df.limit(cap + 1).collect()
+    if len(head) <= cap:
+        return spark.createDataFrame(head, df.schema)
+    return df.localCheckpoint(eager=True)
+
+
 def sync_view_to_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -498,8 +512,18 @@ def _union_jvmap_parts(
         # seed-era dependent — leave it absent; _ensure_jvmap owns the
         # one full-scan backfill that initializes it completely
         return
-    if fresh.isEmpty():
+    # single execution of the fold plan (r11): the old flow executed it
+    # THREE times — isEmpty(), the prior lookup's bounded sample, and
+    # the merge's staging job. One bounded collect answers emptiness
+    # AND the point-read key list; past the cap the checkpoint feeds
+    # both the prior semi-join and the staging job.
+    head = fresh.limit(_JVMAP_POINT_READ_MAX + 1).collect()
+    if not head:
         return
+    if len(head) <= _JVMAP_POINT_READ_MAX:
+        fresh = spark.createDataFrame(head, fresh.schema)
+    else:
+        fresh = fresh.localCheckpoint(eager=True)
     prior = _jvmap_rows_for(
         spark, view_dir, fresh.select(join_col), join_col
     )
@@ -1135,6 +1159,11 @@ def update_min_max_view(
         F.coalesce("__g", "__g2").alias("__g"),
         "__a_n", "__a_min", "__a_max", "__s_n", "__s_min", "__s_max",
     )
+    # materialize once (r11): `merged` below is referenced by both the
+    # clean branch and the dirty-group derivation, so without this the
+    # write job executes the CDF diff (inside adds AND subs) up to
+    # four times
+    delta = _materialize_small(spark, delta)
     recover_swap(view_dir)
     base = spark.read.parquet(view_dir)
     j = base.join(
@@ -1366,6 +1395,10 @@ def update_topk_view(
         .agg(F.sum(sign).cast("long").alias("__d"))
         .filter(F.col("__d") != 0)
     )
+    # materialize once (r11): `staged`/`trimmed`/`dirty_groups` below
+    # fan the delta subtree into half a dozen branches of one write
+    # plan — without this the CDF diff executes once per branch
+    delta = _materialize_small(spark, delta)
     recover_swap(view_dir)
     base = spark.read.parquet(view_dir)
     # per-group frontier + completeness of the PRE-slice buffer
