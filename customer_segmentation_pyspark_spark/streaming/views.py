@@ -433,6 +433,12 @@ def _merge_jvmap(
         num_partitions=num_partitions,
         # map reads prune by join-value hash, never by stats
         collect_stats=False,
+        # structurally one row per join value at every call site (r11):
+        # _jvmap_entries_from and _union_jvmap_parts end in a
+        # groupBy(join_col); vacuum_jvmap unions a groupBy output with
+        # its own anti-join complement (key-disjoint) — the dedup
+        # window was a per-merge exchange+sort for nothing
+        assume_unique_keys=True,
     )
 
 

@@ -102,8 +102,22 @@ def _install_action_timers() -> None:
 
         setattr(cls, meth, wrap)
 
+    # Spark 4 split: instances are pyspark.sql.classic.dataframe
+    # .DataFrame, which OVERRIDES the action methods — patching the
+    # base class alone intercepts nothing (r11: the r10 profiles were
+    # silently missing every collect/count/localCheckpoint). Patch the
+    # class that actually defines each method, never both (double
+    # wrapping would double-count).
+    classes = [DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        classes.insert(0, _CDF)
+    except ImportError:
+        pass
     for m in ("collect", "count", "first", "localCheckpoint"):
-        timed_method(DataFrame, m)
+        target = next((c for c in classes if m in c.__dict__), DataFrame)
+        timed_method(target, m)
     for m in ("parquet", "save"):
         timed_method(DataFrameWriter, m)
 
